@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full computation,
+no driver collect, no sink I/O skew).  Includes a warmup query so JVM/codegen
+startup isn't billed to the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_iot_data_engineering_pipeline_spark import registry
+from real_time_iot_data_engineering_pipeline_spark.session import build_session
+
+# Headline set: the flagship + one representative per operator family.
+HEADLINE = [
+    "q_tumbling_agg",
+    "q_hourly_agg",
+    "q_validate_reasons",
+    "q_route_dlq",
+    "q_dedup_window",
+    "q_upsert_last_write_wins",
+    "q_join_broadcast",
+    "q_join_anti",
+    "q_rolling_7d",
+    "q_zscore_flag",
+    "q_topk_per_group",
+    "q_sudden_change",
+    "q_incremental_scan",
+    "q_quality_ratios",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = build_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry.load_all()
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    names += [n for n in sorted(registry.QUERIES) if n not in names]
+
+    # Warmup: JVM + codegen + parquet footer reads.
+    registry.QUERIES["q_tumbling_agg"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "engine_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

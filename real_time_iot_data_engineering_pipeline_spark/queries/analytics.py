@@ -1,0 +1,225 @@
+"""Analytic window functions — the reference's spec'd batch-feature layer
+(Learning Guide.txt:1045 §4, :1071 §2-L2; SURVEY.md §2.5).
+
+Scale posture: all window specs partition by a key (user/sensor) before
+ordering, so the sort is per-partition after one hash shuffle — no global
+sort.  Rolling frames use RANGE over integer day offsets (tz-proof and
+identical in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround
+from ..registry import register
+from ..sources import load_table
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, day) average — the daily grain the rolling specs read.
+    d_avg is rounded once here so both engines window over identical bases;
+    day is a midnight timestamp (not DATE) for pandas-conversion parity."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        fround(F.avg("value"), 4).alias("d_avg")
+    )
+
+
+_DAILY_SQL = """
+    SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           (floor((avg(value)) * 1e4 * (1 + 1e-12) + 0.5) / 1e4) AS d_avg
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_rolling_7d",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT user_id, day, d_avg,
+           (floor((avg(d_avg) OVER (
+               PARTITION BY user_id
+               ORDER BY datediff('day', TIMESTAMP '1970-01-01 00:00:00', day)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) * 1e4 * (1 + 1e-12) + 0.5) / 1e4) AS rolling_7d_avg
+    FROM daily
+    """,
+)
+def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling average per sensor (Learning Guide.txt:1045 §4).
+
+    RANGE frame over integer epoch-days handles gaps in the series (a missing
+    day still bounds the lookback window to 7 calendar days, which a ROWS
+    frame would get wrong)."""
+    daily = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        "d_avg",
+        fround(F.avg("d_avg").over(w), 4).alias("rolling_7d_avg"),
+    )
+
+
+@register(
+    "q_dod_change",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT user_id, day, d_avg,
+           (floor(((d_avg - lag(d_avg) OVER w) / nullif(lag(d_avg) OVER w, 0)) * 1e4 * (1 + 1e-12) + 0.5) / 1e4)
+             AS dod_pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    """,
+)
+def q_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day % change per sensor (Learning Guide.txt:1045 §4)."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("d_avg", 1).over(w)
+    return daily.select(
+        "user_id",
+        "day",
+        "d_avg",
+        fround((F.col("d_avg") - prev) / F.nullif(prev, F.lit(0)), 4).alias(
+            "dod_pct_change"
+        ),
+    )
+
+
+@register(
+    "q_rank_per_group",
+    oracle="""
+    SELECT event_id, event_type, value,
+           rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id) AS row_num
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def q_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank within group (Learning Guide.txt:1045 §4 'rank sensors by
+    temperature').  row_number carries an event_id tiebreak so both engines
+    agree on ties (SURVEY.md §7.4-3)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w_rank = Window.partitionBy("event_type").orderBy(F.col("value").desc())
+    w_rn = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w_rank).alias("rnk"),
+        F.row_number().over(w_rn).alias("row_num"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT event_type, event_id, value, row_num FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS row_num
+        FROM events WHERE value IS NOT NULL
+    ) WHERE row_num <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group ('hottest location per hour' shape).  Spark pushes a
+    per-partition rank limit before the final filter under AQE; no global
+    sort at scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("row_num"),
+        )
+        .filter(F.col("row_num") <= 3)
+    )
+
+
+@register(
+    "q_zscore_flag",
+    oracle="""
+    SELECT event_id, user_id, value,
+           (floor(((value - avg(value) OVER w) / nullif(stddev_samp(value) OVER w, 0)) * 1e4 * (1 + 1e-12) + 0.5) / 1e4)
+             AS zscore
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def q_zscore_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score vs the sensor's own distribution (Learning Guide.txt:1045 §4;
+    docs/architecture.md:545 'flag if |z| > 2' — the flag is derivable from
+    the emitted zscore)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev_samp("value").over(w), F.lit(0)
+    )
+    return ev.select("event_id", "user_id", "value", fround(z, 4).alias("zscore"))
+
+
+@register(
+    "q_sudden_change",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           value - lag(value) OVER w AS delta,
+           coalesce(abs(value - lag(value) OVER w) > 10, FALSE) AS is_sudden_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def q_sudden_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sudden-change anomaly between consecutive readings
+    (Learning Guide.txt:1058 §3: 'sudden temp change > 20°C'; threshold
+    scaled to the fixture's value range)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value", 1).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        delta.alias("delta"),
+        F.coalesce(F.abs(delta) > 10, F.lit(False)).alias("is_sudden_change"),
+    )
+
+
+@register(
+    "q_city_avg_compare",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           (floor((avg(value) OVER (PARTITION BY event_type)) * 1e4 * (1 + 1e-12) + 0.5) / 1e4) AS group_avg,
+           (floor((value - avg(value) OVER (PARTITION BY event_type)) * 1e4 * (1 + 1e-12) + 0.5) / 1e4) AS diff_from_group
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def q_city_avg_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compare each reading to its group average (Learning Guide.txt:1045 §4
+    'compare sensor to city average') — expressed as an analytic avg, which
+    Spark executes as one shuffle + per-partition scan (vs the naive
+    agg-then-join-back double shuffle)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type")
+    gavg = F.avg("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        fround(gavg, 4).alias("group_avg"),
+        fround(F.col("value") - gavg, 4).alias("diff_from_group"),
+    )

@@ -1,0 +1,40 @@
+"""Every registered query with an oracle must hash-match DuckDB on the same
+fixtures — the local twin of the driver's CORRECTNESS gate.
+
+Run at sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+to reproduce the driver's exact scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_iot_data_engineering_pipeline_spark import registry
+from .oracle_utils import compare, duck_connection
+
+registry.load_all()
+
+_WITH_ORACLE = sorted(registry.ORACLES)
+_ROWS_ONLY = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    sdf = registry.QUERIES[name](spark, sf_dir).toPandas()
+    ddf = duck.execute(registry.ORACLES[name]).fetchdf()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = registry.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
