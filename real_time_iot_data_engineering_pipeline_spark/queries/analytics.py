@@ -106,16 +106,76 @@ def q_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank within group (Learning Guide.txt:1045 §4 'rank sensors by
     temperature').  row_number carries an event_id tiebreak so both engines
-    agree on ties (SURVEY.md §7.4-3)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w_rank = Window.partitionBy("event_type").orderBy(F.col("value").desc())
-    w_rn = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
-    return ev.select(
+    agree on ties (SURVEY.md §7.4-3).
+
+    Scale posture — two-phase rank over deterministic value buckets.
+    `event_type` has a handful of distinct values; a plain
+    Window.partitionBy(event_type) would shuffle ALL rows into that many
+    straggler partitions.  Instead:
+
+      1. per-group (min, max) — a tiny aggregate, broadcast back;
+      2. each row gets a deterministic bucket id from its value's position in
+         [min, max] (bucket 0 = highest values), so equal values always share
+         a bucket and bucket order == value-desc order;
+      3. per-(group, bucket) counts — a tiny table (#groups x 1024) —
+         prefix-summed into offsets and broadcast-joined back;
+      4. row_number within (group, bucket) — a HIGH-cardinality window —
+         plus the bucket offset gives the global row_num; rank = min(row_num)
+         over (group, value), again high-cardinality (ties only).
+
+    The only full-data shuffle is the within-bucket window over ~5k
+    partitions; every per-group serial computation happens on tiny aggregate
+    tables.  (Degenerate case: a single repeated value collapses to one
+    bucket — such extreme skew would need salting on a secondary column.)
+
+    The bucket id is a pure function of the row (unlike
+    spark_partition_id(), which AQE re-plans per subplan), so re-evaluating
+    the plan in both the counts branch and the join branch is consistent."""
+    n_buckets = 1024
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("_vmin"), F.max("value").alias("_vmax")
+    )
+    span = F.col("_vmax") - F.col("_vmin")
+    bid = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("_vmax") - F.col("value")) / span * n_buckets),
+        )
+    )
+    evb = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("_bid", bid.cast("int"))
+        .drop("_vmin", "_vmax")
+    )
+    counts = evb.groupBy("event_type", "_bid").agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("_bid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "event_type",
+        "_bid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_local = Window.partitionBy("event_type", "_bid").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    out = evb.join(F.broadcast(offsets), ["event_type", "_bid"]).withColumn(
+        "row_num", (F.row_number().over(w_local) + F.col("_off")).cast("int")
+    )
+    w_tie = Window.partitionBy("event_type", "value")
+    return out.select(
         "event_id",
         "event_type",
         "value",
-        F.rank().over(w_rank).alias("rnk"),
-        F.row_number().over(w_rn).alias("row_num"),
+        F.min("row_num").over(w_tie).alias("rnk"),
+        "row_num",
     )
 
 
@@ -131,19 +191,49 @@ def q_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group ('hottest location per hour' shape).  Spark pushes a
-    per-partition rank limit before the final filter under AQE; no global
-    sort at scale."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
-    return (
-        ev.select(
-            "event_type",
-            "event_id",
-            "value",
-            F.row_number().over(w).alias("row_num"),
+    """Top-k per group ('hottest location per hour' shape).
+
+    Scale posture — local top-k, then a final pass over candidates only.
+    A single Window.partitionBy(event_type) would sort every row inside a
+    handful of straggler partitions.  Instead each physical partition emits
+    its own top-3 per group (any global top-3 row is necessarily top-3 within
+    its partition), and only the #partitions x #groups x 3 candidates reach
+    the final (tiny) window.  The struct sorts by (-value, event_id) so the
+    ascending sort_array gives value-desc with the event_id tiebreak; -x
+    re-negates exactly under IEEE754."""
+    k = 3
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    part = ev.withColumn("_pid", F.spark_partition_id())
+    cand = (
+        part.groupBy("event_type", "_pid")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("value")).alias("_nv"),
+                            F.col("event_id").alias("_eid"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
         )
-        .filter(F.col("row_num") <= 3)
+        .select("event_type", F.explode("_top").alias("_t"))
+        .select(
+            "event_type",
+            F.col("_t._eid").alias("event_id"),
+            (-F.col("_t._nv")).alias("value"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return cand.withColumn("row_num", F.row_number().over(w)).filter(
+        F.col("row_num") <= k
     )
 
 
@@ -209,17 +299,21 @@ def q_sudden_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_city_avg_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compare each reading to its group average (Learning Guide.txt:1045 §4
-    'compare sensor to city average') — expressed as an analytic avg, which
-    Spark executes as one shuffle + per-partition scan (vs the naive
-    agg-then-join-back double shuffle)."""
+    'compare sensor to city average').
+
+    Scale posture: `event_type` is low-cardinality (~5 values; ~15 locations
+    in the reference), so an analytic avg over Window.partitionBy(event_type)
+    would shuffle every row into a handful of straggler partitions.  The
+    scale-safe plan is groupBy(event_type).agg(avg) — map-side partial
+    aggregation reduces the shuffle to #groups rows — then a broadcast join
+    back onto the fact side, which never shuffles."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = Window.partitionBy("event_type")
-    gavg = F.avg("value").over(w)
-    return ev.select(
+    gavg = ev.groupBy("event_type").agg(F.avg("value").alias("_gavg"))
+    return ev.join(F.broadcast(gavg), "event_type").select(
         "event_id",
         "user_id",
         "event_type",
         "value",
-        fround(gavg, 4).alias("group_avg"),
-        fround(F.col("value") - gavg, 4).alias("diff_from_group"),
+        fround(F.col("_gavg"), 4).alias("group_avg"),
+        fround(F.col("value") - F.col("_gavg"), 4).alias("diff_from_group"),
     )
