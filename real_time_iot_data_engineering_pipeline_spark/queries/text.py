@@ -1,2 +1,572 @@
-"""Text-analysis & document-dedup operators (beyond-reference, LLM-data-
-pipeline surface). Filled in wave 2."""
+"""Beyond-reference LLM-data-pipeline operators over `documents`:
+exact + MinHash/LSH + SimHash + n-gram-Jaccard deduplication, text
+statistics, token counting, language-ID heuristic, quality scoring and
+document fingerprinting (SURVEY.md §7.2 step 6; VERDICT r01 items 3/5).
+
+Design rules:
+
+- **Portable hashing.** Every hash the oracle must reproduce is an md5/sha256
+  HEX STRING (identical in Spark and DuckDB); MinHash minimizes
+  lexicographically over hex strings instead of integers, so no engine-
+  specific 64-bit hash (xxhash64, murmur) ever enters a comparison.
+- **JVM-side only.** All tokenization/shingling/signatures use higher-order
+  array functions (transform/filter/aggregate) inside whole-stage codegen —
+  zero Python UDFs in the hot path.
+- **Planted duplicates.** The driver fixtures are 100% distinct texts, so
+  each dedup query derives its corpus as documents UNION a deterministic
+  perturbation of a doc_id-keyed subset — the oracle derives the identical
+  corpus in SQL, which makes recall itself part of the checked contract.
+- **Scale posture.** Dedup is bucketed from day one: MinHash pairs are
+  generated per LSH band bucket (never all-pairs), n-gram Jaccard pairs per
+  min-shingle anchor bucket.  Per-doc signatures are one projection (no
+  shuffle); the only shuffles are the bucket joins on high-cardinality hash
+  keys.  At 100 TB the same plan holds: band keys distribute uniformly
+  (md5), and candidate sets stay tiny relative to the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Shared corpus derivations (Spark + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+# Exact-dup corpus: every 7th doc re-appears re-cased/re-padded under a new id.
+_EXACT_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, '  ' || upper(text) || ' ' AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+# Near-dup corpus: every 10th doc re-appears with its last two words dropped
+# (high-but-not-1.0 Jaccard on 3-word shingles).
+_NEAR_CORPUS_SQL = r"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id,
+           array_to_string(
+               (string_split_regex(trim(text), '\s+'))
+                   [1:len(string_split_regex(trim(text), '\s+')) - 2],
+               ' ') AS text
+    FROM documents
+    WHERE doc_id % 10 = 0 AND len(string_split_regex(trim(text), '\s+')) > 4
+"""
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim("text"), r"\s+")
+    trunc = F.concat_ws(" ", F.slice(words, 1, F.size(words) - 2))
+    dups = docs.filter((F.col("doc_id") % 10 == 0) & (F.size(words) > 4)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), trunc.alias("text")
+    )
+    return docs.unionByName(dups)
+
+
+# 3-word shingles over whitespace tokens (guarded: <3 words -> empty list,
+# because Spark's sequence(1, 0) would count DOWN instead of being empty).
+_SHINGLES_SPARK = (
+    "CASE WHEN size(_words) < 3 THEN array() "
+    "ELSE transform(sequence(1, size(_words) - 2), "
+    "i -> concat_ws(' ', slice(_words, i, 3))) END"
+)
+_SHINGLES_DUCK = (
+    "CASE WHEN len(_words) < 3 THEN [] "
+    "ELSE list_transform(generate_series(1, len(_words) - 2), "
+    "i -> array_to_string(_words[i:i+2], ' ')) END"
+)
+_WORDS_SPARK = r"split(trim(lower(text)), '\\s+')"
+_WORDS_DUCK = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+def _with_shingles(corpus: DataFrame) -> DataFrame:
+    return corpus.withColumn("_words", F.expr(_WORDS_SPARK)).withColumn(
+        "_shingles", F.expr(_SHINGLES_SPARK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_doc_dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    hashed AS (
+        SELECT doc_id,
+               sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+        FROM corpus
+    )
+    SELECT content_hash, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM hashed GROUP BY content_hash
+    """,
+)
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact document dedup: sha256 over normalized text (lowercase, trimmed,
+    whitespace-collapsed), first-wins on min doc_id.
+
+    Scale: the groupBy key is a uniform 256-bit hash — one perfectly
+    distributed shuffle with map-side partial aggregation; no text ever
+    shuffles (only the 64-char hash + id)."""
+    corpus = _exact_corpus(spark, sf_dir)
+    normalized = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return (
+        corpus.select("doc_id", F.sha2(normalized, 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+_K = 32  # signature length
+_BANDS = 8  # 8 bands x 4 rows
+_ROWS = _K // _BANDS
+
+_SIG_SPARK = (
+    f"transform(sequence(0, {_K - 1}), "
+    "i -> array_min(transform(_shingles, s -> md5(concat(cast(i AS string), ':', s)))))"
+)
+_SIG_DUCK = (
+    f"list_transform(generate_series(0, {_K - 1}), "
+    "i -> list_min(list_transform(_shingles, s -> md5(i::VARCHAR || ':' || s))))"
+)
+
+
+@register(
+    "q_doc_dedup_minhash",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id, {_WORDS_DUCK} AS _words FROM corpus
+    ),
+    sh AS (
+        SELECT doc_id, {_SHINGLES_DUCK} AS _shingles FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id, {_SIG_DUCK} AS sig FROM sh WHERE len(_shingles) > 0
+    ),
+    bands AS (
+        SELECT doc_id, sig, b.band,
+               md5(array_to_string(sig[(b.band * {_ROWS} + 1):(b.band * {_ROWS} + {_ROWS})], '|')) AS band_key
+        FROM sigs, (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM bands a JOIN bands c
+          ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+    ),
+    scored AS (
+        SELECT p.doc_a, p.doc_b,
+               len(list_filter(generate_series(1, {_K}),
+                               i -> sa.sig[i] = sb.sig[i])) / {_K}.0 AS est_jaccard
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM scored WHERE est_jaccard >= 0.5
+    """,
+)
+def q_doc_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-duplicate detection, bucketed — NEVER all-pairs.
+
+    Per doc: 3-word shingles -> 32 minhashes (lexicographic min of keyed md5
+    hex strings, portable across engines) -> 8 LSH bands of 4 rows.  Candidate
+    pairs are generated only inside (band, band_key) buckets, deduplicated,
+    then scored by signature agreement; pairs with estimated Jaccard >= 0.5
+    survive.
+
+    Scale: signatures are one shuffle-free projection; the band explode is
+    x8; the self-join key (band, md5(band rows)) is uniformly distributed, so
+    bucket sizes stay tiny (a bucket only grows when documents genuinely
+    collide).  Signature arrays (32 x 32-char) ride along the join instead of
+    re-joining the corpus — ~1 KB/row of shuffle, no raw text movement."""
+    corpus = _with_shingles(_near_corpus(spark, sf_dir))
+    sigs = corpus.filter(F.size("_shingles") > 0).select(
+        "doc_id", F.expr(_SIG_SPARK).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.expr(f"md5(array_join(slice(sig, band * {_ROWS} + 1, {_ROWS}), '|'))"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_key"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_key"
+    )
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.expr(
+        f"cast(size(filter(sequence(1, {_K}), "
+        f"i -> element_at(sig_a, i) = element_at(sig_b, i))) AS double) / {_K}"
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard on anchor-bucketed candidates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_doc_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_WORDS_DUCK} AS _words FROM corpus),
+    sh AS (
+        SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS shingles FROM toks
+    ),
+    anchored AS (
+        SELECT doc_id, shingles,
+               list_min(list_transform(shingles, s -> md5(s))) AS anchor
+        FROM sh WHERE len(shingles) > 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS n_common,
+               len(a.shingles) AS n_a, len(b.shingles) AS n_b
+        FROM anchored a JOIN anchored b
+          ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           {fround_sql("n_common / (n_a + n_b - n_common)")} AS jaccard
+    FROM pairs
+    WHERE n_common / (n_a + n_b - n_common) >= 0.3
+    """,
+)
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over anchor-bucketed candidate pairs.
+
+    Candidates share their min-shingle-hash "anchor" (a 1-band, 1-row LSH —
+    two docs with Jaccard j share the anchor with probability ~j), so the
+    join is a keyed bucket join, never a cross product.  Jaccard is then
+    exact on distinct shingle sets: |A∩B| / (|A| + |B| - |A∩B|)."""
+    corpus = _with_shingles(_near_corpus(spark, sf_dir))
+    anchored = (
+        corpus.select("doc_id", F.array_distinct("_shingles").alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .withColumn("anchor", F.expr("array_min(transform(shingles, s -> md5(s)))"))
+    )
+    a = anchored.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "anchor"
+    )
+    b = anchored.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "anchor"
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    n_a, n_b = F.size("sh_a").cast("long"), F.size("sh_b").cast("long")
+    jac = n_common / (n_a + n_b - n_common)
+    return (
+        a.join(b, "anchor")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("_j"))
+        .filter(F.col("_j") >= 0.3)
+        .select("doc_a", "doc_b", fround(F.col("_j"), 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+# bit i of a word's md5: nibble i//4 (hex char -> value via instr) shifted.
+_SIMHASH_SPARK = (
+    "concat_ws('', transform(sequence(0, 63), i -> "
+    "CASE WHEN 2 * size(filter(_words, w -> "
+    "((instr('0123456789abcdef', substr(md5(w), (i div 4) + 1, 1)) - 1) "
+    "div element_at(array(8, 4, 2, 1), (i % 4) + 1)) % 2 = 1"
+    ")) >= size(_words) THEN '1' ELSE '0' END))"
+)
+_SIMHASH_DUCK = (
+    "array_to_string(list_transform(generate_series(0, 63), i -> "
+    "CASE WHEN 2 * len(list_filter(_words, w -> "
+    "((strpos('0123456789abcdef', substr(md5(w), (i // 4) + 1, 1)) - 1) "
+    "// ([8, 4, 2, 1][(i % 4) + 1])) % 2 = 1"
+    ")) >= len(_words) THEN '1' ELSE '0' END), '')"
+)
+
+
+@register(
+    "q_doc_simhash",
+    oracle=f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_WORDS_DUCK} AS _words FROM corpus)
+    SELECT doc_id, {_SIMHASH_DUCK} AS simhash
+    FROM toks WHERE len(_words) > 0
+    """,
+)
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document as a bitstring: bit i is the majority vote
+    of bit i across the md5 of every token (ties -> 1).  Near-duplicate texts
+    differ in few bits (Hamming distance), exact re-casings collide exactly —
+    the planted upper() duplicates in the corpus hash identically because
+    tokens are lowercased first.
+
+    Scale: a pure per-row projection (no shuffle, no state); grouping by
+    simhash prefix afterwards gives banded near-dup buckets for free."""
+    corpus = _exact_corpus(spark, sf_dir).withColumn("_words", F.expr(_WORDS_SPARK))
+    return corpus.filter(F.size("_words") > 0).select(
+        "doc_id", F.expr(_SIMHASH_SPARK).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text statistics / token counting / language ID / quality / fingerprint
+# ---------------------------------------------------------------------------
+
+
+_AVG_WORDS_DUCK = r"avg(len(string_split_regex(trim(lower(text)), '\s+')))"
+
+
+@register(
+    "q_text_stats",
+    oracle=rf"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           {fround_sql("avg(n_chars)")} AS avg_chars,
+           {fround_sql(_AVG_WORDS_DUCK)} AS avg_words,
+           CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_words
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc/char/word counts (the groupBy key
+    is low-cardinality but the aggregate is map-side partial — only
+    #langs rows shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_words", F.expr(_WORDS_SPARK)
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        fround(F.avg("n_chars"), 4).alias("avg_chars"),
+        fround(F.avg(F.size("_words")), 4).alias("avg_words"),
+        F.sum(F.size("_words")).cast("long").alias("total_words"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish pre-token
+    regex (alnum runs | single non-alnum-non-space), the standard byte-pair
+    pre-segmentation shape.  Pure projection — embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        "n_chars",
+    )
+
+
+# marker words per language for the n-gram/stopword heuristic; the fixture
+# vocabulary is synthetic, so detection skews 'en' — determinism is the
+# contract, not linguistic accuracy (decode-quality is judged by tests on
+# the scoring mechanics, which are what scale).
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def _marker_score_spark(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"size(filter(_words, w -> w IN ({lst})))"
+
+
+def _marker_score_duck(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(_words, w -> w IN ({lst})))"
+
+
+@register(
+    "q_lang_id",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_WORDS_DUCK} AS _words FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               {_marker_score_duck("en")} AS score_en,
+               {_marker_score_duck("de")} AS score_de,
+               {_marker_score_duck("fr")} AS score_fr,
+               {_marker_score_duck("es")} AS score_es
+        FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang, score_en, score_de, score_fr, score_es,
+           CASE
+             WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+             WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+             WHEN score_fr >= score_es THEN 'fr'
+             ELSE 'es'
+           END AS detected_lang
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: per-language stopword hit counts, argmax with
+    a fixed tie-break order (en > de > fr > es).  Pure projection; the
+    marker lists live in the plan as literals (broadcast-free)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_words", F.expr(_WORDS_SPARK)
+    )
+    scores = {lang: F.expr(_marker_score_spark(lang)) for lang in _MARKERS}
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in _MARKERS],
+    )
+    detected = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr"))
+            & (F.col("score_en") >= F.col("score_es")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("score_de") >= F.col("score_fr"))
+            & (F.col("score_de") >= F.col("score_es")),
+            F.lit("de"),
+        )
+        .when(F.col("score_fr") >= F.col("score_es"), F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return scored.withColumn("detected_lang", detected)
+
+
+_QUALITY_EXPR_DUCK = (
+    "least(n_words / 100.0, 1.0) * 0.5"
+    " + least(CAST(n_stop AS DOUBLE) / n_words * 5.0, 1.0) * 0.3"
+    " + CASE WHEN CAST(n_chars AS DOUBLE) / n_words"
+    " BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END"
+)
+
+
+@register(
+    "q_quality_score",
+    oracle=rf"""
+    WITH feat AS (
+        SELECT doc_id, n_chars,
+               len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+               len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                               w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_words,
+           {fround_sql("CAST(n_chars AS DOUBLE) / n_words")} AS avg_word_len,
+           {fround_sql("CAST(n_stop AS DOUBLE) / n_words")} AS stopword_ratio,
+           {fround_sql(_QUALITY_EXPR_DUCK)} AS quality_score
+    FROM feat WHERE n_words > 0
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score in [0,1]: length credit (saturating
+    at 100 words), stopword-density credit, and a plausible-word-length
+    credit — the standard cheap pre-filter shape for pretraining corpora.
+    Pure projection."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_words", F.expr(_WORDS_SPARK)
+    )
+    n_words = F.size("_words").cast("long")
+    n_stop = F.expr(_marker_score_spark("en")).cast("long")
+    awl = F.col("n_chars").cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    score = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + F.when(awl.between(3.0, 10.0), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return docs.filter(n_words > 0).select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        fround(awl, 4).alias("avg_word_len"),
+        fround(stop_ratio, 4).alias("stopword_ratio"),
+        fround(score, 4).alias("quality_score"),
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=r"""
+    WITH grams AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(length(text) - 7, 1), 4),
+                              i -> md5(substr(text, i, 8))) AS hashes
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(array_to_string((list_sort(list_distinct(hashes)))[1:8], '')) AS fingerprint
+    FROM grams
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: hash char 8-grams at stride 4,
+    keep the 8 smallest distinct hashes (a deterministic bottom-k sketch of
+    the content), and digest them into one fingerprint.  Shared substrings
+    produce overlapping bottom-k sets, so fingerprint collisions signal
+    containment/near-duplication.  Pure projection — the sketch is O(1) per
+    doc regardless of length."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = F.expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1), 4), "
+        "i -> md5(substr(text, i, 8)))"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(F.array_sort(F.array_distinct(hashes)), 1, 8), "")
+        ).alias("fingerprint"),
+    )
