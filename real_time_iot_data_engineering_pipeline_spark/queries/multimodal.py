@@ -1,0 +1,130 @@
+"""Beyond-reference multimodal columns: opaque binary payloads with typed
+metadata, processed by Arrow-batched Pandas functions over mapInPandas.
+
+The pattern a 100 TB training-data pipeline needs: media lives as a `binary`
+column (or object-store pointers) beside typed metadata; decode / feature-
+extract / resize / frame-sample run as `mapInPandas` stages so each Arrow
+batch crosses the JVM<->Python boundary once and the work distributes with
+the partitioning.  The image/audio codecs are not available in this
+container, so `decode_media` is an explicit NotImplementedError stub and the
+queries use `fake_decode_features` — a deterministic stand-in with the same
+signature and schema — keeping ALL the Spark-side plumbing (binary schema,
+Arrow batch shape, column contracts, partition behavior) real and tested.
+
+The payloads here are derived from documents.text (cast to utf8 bytes) so
+the DuckDB oracle can re-derive byte-identical inputs; every emitted feature
+is a pure function of the bytes, which makes even the Python-side stage
+fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources import load_table
+
+CONTENT_TYPES = ("image/png", "audio/wav", "video/mp4")
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sha256_hex", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def decode_media(payload: bytes, content_type: str):
+    """Real media decode — requires PIL/ffmpeg/soundfile, none of which ship
+    in this container.  The production build plugs the codec in here; the
+    Spark plumbing around it does not change."""
+    raise NotImplementedError(
+        f"no codec available for {content_type}; install an image/audio "
+        "stack and replace fake_decode_features with a real decoder"
+    )
+
+
+def fake_decode_features(payload: bytes) -> tuple[int, str, int, int, int]:
+    """Deterministic stand-in for decode: every 'feature' is a pure function
+    of the payload bytes, so tests and the SQL oracle can verify the full
+    mapInPandas path end-to-end."""
+    n = len(payload)
+    return (
+        n,
+        hashlib.sha256(payload).hexdigest(),
+        n % 640 + 1,  # fake width
+        (n * 7) % 480 + 1,  # fake height
+        n % 30 + 1,  # fake frame count
+    )
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: one Arrow batch in, one features frame out.
+    Vectorized per batch; nothing is collected to the driver."""
+    for pdf in batches:
+        feats = pdf["payload"].map(fake_decode_features)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "content_type": pdf["content_type"],
+                "byte_len": feats.map(lambda t: t[0]),
+                "sha256_hex": feats.map(lambda t: t[1]),
+                "width": feats.map(lambda t: t[2]),
+                "height": feats.map(lambda t: t[3]),
+                "n_frames": feats.map(lambda t: t[4]),
+            }
+        )
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal input contract: (doc_id, content_type, payload binary).
+    Payload bytes derive from documents.text so the oracle can rebuild them;
+    in production this column comes from the object store."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(ct) for ct in CONTENT_TYPES]),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("content_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END AS content_type,
+           CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256_hex,
+           CAST(octet_length(text::BLOB) % 640 + 1 AS BIGINT) AS width,
+           CAST((octet_length(text::BLOB) * 7) % 480 + 1 AS BIGINT) AS height,
+           CAST(octet_length(text::BLOB) % 30 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through mapInPandas (Arrow batches,
+    stubbed decode).  The oracle recomputes every feature from the same
+    bytes in SQL, so the whole JVM->Arrow->pandas->JVM round trip is
+    value-checked, not just smoke-tested.
+
+    Scale: mapInPandas preserves partitioning (no shuffle); per-batch cost
+    is the decode itself.  With real codecs the same stage fans out across
+    executors; metadata-only consumers never touch the payload column
+    thanks to parquet column pruning."""
+    return media_table(spark, sf_dir).mapInPandas(extract_features, FEATURE_SCHEMA)

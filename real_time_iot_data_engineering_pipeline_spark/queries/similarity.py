@@ -1,1 +1,343 @@
-"""Embedding-similarity operators (beyond-reference). Filled in wave 2."""
+"""Beyond-reference similarity search over `embeddings` (array<float>, 64-d):
+exact top-k cosine KNN, sign-random-projection LSH candidate generation, and
+IVF-style cell-pruned search (SURVEY.md §7.2 step 6; VERDICT r01 item 4).
+
+Design rules:
+
+- **JVM-side vector math.** Dot products / norms are higher-order array
+  expressions (zip_with + aggregate) inside codegen — no Python in the hot
+  path.  Floats are cast to double BEFORE multiplying so Spark and DuckDB
+  accumulate identical doubles in identical element order.
+- **No cartesian product at scale.** The exact KNN broadcasts the (small)
+  query batch against the corpus — the corpus never shuffles, and per-query
+  top-k is computed per-partition first, so only #partitions x k candidates
+  reach the final ranking.  The LSH and IVF variants prune the corpus
+  *before* any pairing: band-bucket equi-joins / cell equi-joins only.
+- **Deterministic LSH.** Hyperplane signs derive from md5 parity of
+  (plane, dim) — reproducible in SQL on both engines, so even the
+  "approximate" variants are exactly oracle-checked; approximation quality
+  itself is asserted in tests/test_similarity.py (recall vs brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+
+DIM = 64
+N_QUERIES = 10  # query batch: vec_id < 10
+K = 5
+
+# -- portable vector expressions (Spark) ------------------------------------
+_EMB_D_SPARK = "transform(embedding, x -> cast(x AS double))"
+_NORM_SPARK = (
+    "sqrt(aggregate(transform(embedding, x -> cast(x AS double)), "
+    "cast(0 AS double), (acc, x) -> acc + x * x))"
+)
+_DOT_SPARK = (
+    "aggregate(zip_with(q_emb, c_emb, (x, y) -> x * y), "
+    "cast(0 AS double), (acc, x) -> acc + x)"
+)
+
+# -- portable vector expressions (DuckDB) -----------------------------------
+_NORM_DUCK = (
+    f"sqrt(list_sum(list_transform(generate_series(1, {DIM}), "
+    "i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))"
+)
+_DOT_DUCK = (
+    f"list_sum(list_transform(generate_series(1, {DIM}), "
+    "i -> q.q_emb[i] * c.c_emb[i]))"
+)
+
+_QUERIES_DUCK = f"""
+    SELECT vec_id AS query_id,
+           list_transform(embedding, x -> x::DOUBLE) AS q_emb,
+           {_NORM_DUCK} AS q_norm, label
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+"""
+_CORPUS_DUCK = f"""
+    SELECT vec_id AS neighbor_id,
+           list_transform(embedding, x -> x::DOUBLE) AS c_emb,
+           {_NORM_DUCK} AS c_norm, label
+    FROM embeddings
+"""
+
+
+def _query_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(_EMB_D_SPARK).alias("q_emb"),
+        F.expr(_NORM_SPARK).alias("q_norm"),
+        "label",
+    )
+
+
+def _corpus_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(_EMB_D_SPARK).alias("c_emb"),
+        F.expr(_NORM_SPARK).alias("c_norm"),
+        "label",
+    )
+
+
+def _topk_over_candidates(scored: DataFrame, k: int) -> DataFrame:
+    """Per-partition local top-k, then a final window over the tiny candidate
+    set — the same straggler-proof shape as queries/analytics.py::
+    q_topk_per_group.  `scored` must have (query_id, neighbor_id, cos_sim)."""
+    part = scored.withColumn("_pid", F.spark_partition_id())
+    cand = (
+        part.groupBy("query_id", "_pid")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cos_sim")).alias("_nc"),
+                            F.col("neighbor_id").alias("_nid"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select("query_id", F.explode("_top").alias("_t"))
+        .select(
+            "query_id",
+            F.col("_t._nid").alias("neighbor_id"),
+            (-F.col("_t._nc")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(F.col("cos_sim"), 4).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "q_embed_knn",
+    oracle=f"""
+    WITH q AS ({_QUERIES_DUCK}),
+    c AS ({_CORPUS_DUCK}),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               {_DOT_DUCK} / (q.q_norm * c.c_norm) AS cos_sim
+        FROM q, c
+        WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id,
+           {fround_sql("cos_sim")} AS cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {K}
+    """,
+)
+def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine KNN: a small query batch against the full corpus —
+    the baseline every ANN variant is measured against.
+
+    Scale: the query batch is broadcast (BroadcastNestedLoopJoin); the
+    corpus is scanned once, never shuffled, and each partition emits only
+    its local top-k per query, so the final ranking sees #partitions x k
+    rows — this is the canonical brute-force KNN shape on a cluster."""
+    q = _query_side(spark, sf_dir).drop("label")
+    c = _corpus_side(spark, sf_dir).drop("label")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.expr(_DOT_SPARK) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return _topk_over_candidates(scored, K)
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection LSH
+# ---------------------------------------------------------------------------
+
+N_PLANES = 16  # signature bits
+N_BANDS = 4  # 4 bands x 4 bits
+_BAND_BITS = N_PLANES // N_BANDS
+
+# r(p, d) in {-1, +1} from the parity of the first md5 nibble of "p:d" —
+# a fixed pseudo-random hyperplane matrix both engines can regenerate.
+_SIGN_SPARK = (
+    "(1 - 2 * ((instr('0123456789abcdef', "
+    "substr(md5(concat(cast(p AS string), ':', cast(d AS string))), 1, 1)) - 1) % 2))"
+)
+_SIG_SPARK = (
+    f"concat_ws('', transform(sequence(0, {N_PLANES - 1}), p -> "
+    "CASE WHEN aggregate(zip_with(emb_d, sequence(1, 64), "
+    f"(x, d) -> x * {_SIGN_SPARK}), cast(0 AS double), (acc, x) -> acc + x) >= 0 "
+    "THEN '1' ELSE '0' END))"
+)
+_SIGN_DUCK = (
+    "(1 - 2 * ((strpos('0123456789abcdef', "
+    "substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1) % 2))"
+)
+_SIG_DUCK = (
+    f"array_to_string(list_transform(generate_series(0, {N_PLANES - 1}), p -> "
+    f"CASE WHEN list_sum(list_transform(generate_series(1, {DIM}), "
+    f"d -> emb_d[d] * {_SIGN_DUCK})) >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+@register(
+    "q_embed_knn_lsh",
+    oracle=f"""
+    WITH q0 AS ({_QUERIES_DUCK}),
+    c0 AS ({_CORPUS_DUCK}),
+    qs AS (
+        SELECT query_id, q_emb, q_norm, {_SIG_DUCK.replace("emb_d", "q_emb")} AS sig
+        FROM q0
+    ),
+    cs AS (
+        SELECT neighbor_id, c_emb, c_norm, {_SIG_DUCK.replace("emb_d", "c_emb")} AS sig
+        FROM c0
+    ),
+    qb AS (
+        SELECT query_id, q_emb, q_norm, b.band,
+               substr(sig, b.band * {_BAND_BITS} + 1, {_BAND_BITS}) AS band_key
+        FROM qs, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+    ),
+    cb AS (
+        SELECT neighbor_id, c_emb, c_norm, b.band,
+               substr(sig, b.band * {_BAND_BITS} + 1, {_BAND_BITS}) AS band_key
+        FROM cs, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.neighbor_id, q.q_emb, q.q_norm, c.c_emb, c.c_norm
+        FROM qb q JOIN cb c ON q.band = c.band AND q.band_key = c.band_key
+        WHERE c.neighbor_id <> q.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_DOT_DUCK.replace("q.q_emb", "q_emb").replace("c.c_emb", "c_emb")}
+                   / (q_norm * c_norm) AS cos_sim
+        FROM cand
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id,
+           {fround_sql("cos_sim")} AS cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {K}
+    """,
+)
+def q_embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate KNN — the 100 TB scale path.
+
+    Each vector gets a 16-bit sign-random-projection signature; queries and
+    corpus meet ONLY inside matching (band, 4-bit band-key) buckets — an
+    equi-join on a bounded key space, no cross product anywhere in the plan.
+    Exact cosine is computed on the candidates, top-k per query.  The
+    hyperplanes are md5-derived constants, so the whole query is
+    deterministic and oracle-checked; recall vs the exact q_embed_knn is
+    asserted separately in tests/test_similarity.py."""
+    q = (
+        _query_side(spark, sf_dir)
+        .withColumnRenamed("q_emb", "emb_d")
+        .withColumn("sig", F.expr(_SIG_SPARK))
+        .withColumnRenamed("emb_d", "q_emb")
+        .drop("label")
+    )
+    c = (
+        _corpus_side(spark, sf_dir)
+        .withColumnRenamed("c_emb", "emb_d")
+        .withColumn("sig", F.expr(_SIG_SPARK))
+        .withColumnRenamed("emb_d", "c_emb")
+        .drop("label")
+    )
+    band = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
+    qb = q.select("query_id", "q_emb", "q_norm", "sig", band).withColumn(
+        "band_key", F.expr(f"substr(sig, band * {_BAND_BITS} + 1, {_BAND_BITS})")
+    )
+    cb = c.select("neighbor_id", "c_emb", "c_norm", "sig", band).withColumn(
+        "band_key", F.expr(f"substr(sig, band * {_BAND_BITS} + 1, {_BAND_BITS})")
+    )
+    cand = (
+        cb.join(F.broadcast(qb.drop("sig")), ["band", "band_key"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (F.expr(_DOT_SPARK) / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
+    )
+    return _topk_over_candidates(scored, K)
+
+
+@register(
+    "q_embed_ivf",
+    oracle=f"""
+    WITH q AS ({_QUERIES_DUCK}),
+    c AS ({_CORPUS_DUCK}),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               {_DOT_DUCK} / (q.q_norm * c.c_norm) AS cos_sim
+        FROM q JOIN c ON q.label = c.label
+        WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id,
+           {fround_sql("cos_sim")} AS cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {K}
+    """,
+)
+def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style cell-pruned KNN: `label` plays the precomputed coarse-
+    quantizer cell (how IVF works operationally — cells are assigned
+    offline), and a query probes only its own cell.
+
+    Scale: this is a plain equi-join on the cell id — the corpus can be
+    PARTITIONED BY cell on disk, giving partition-pruned scans: a query
+    batch touching 3 cells reads 3/nlist of the data.  Search cost drops by
+    the cell fan-out at the price of recall near cell boundaries (the
+    standard IVF trade; nprobe > 1 = join against a small query-to-cells
+    expansion table)."""
+    q = _query_side(spark, sf_dir)
+    c = _corpus_side(spark, sf_dir)
+    scored = (
+        c.join(F.broadcast(q), "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.expr(_DOT_SPARK) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return _topk_over_candidates(scored, K)

@@ -31,6 +31,7 @@ _QUERY_MODULES = (
     "queries.incremental",
     "queries.text",
     "queries.similarity",
+    "queries.multimodal",
 )
 
 
