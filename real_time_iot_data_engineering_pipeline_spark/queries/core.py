@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import fround, fround_sql
+from ..functions.rounding import fround
 from ..registry import register
 from ..sources import load_table
 

@@ -25,6 +25,7 @@ ORACLES: dict[str, str] = {}
 _QUERY_MODULES = (
     "queries.core",
     "queries.validation",
+    "queries.iot",
     "queries.analytics",
     "queries.joins",
     "queries.dedup",
