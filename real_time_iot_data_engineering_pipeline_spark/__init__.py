@@ -4,14 +4,17 @@ capabilities of the reference IoT pipeline
 
 Layout:
   session    - SparkSession builder with the reference's tuning surface
-  sources    - table loaders (parquet fixtures, Kafka/file stream sources)
-  sinks      - idempotent keyed sinks (the Mongo/Postgres-upsert equivalent)
-  functions  - scalar/validation Column expression library
-  operators  - relational operators (aggregation, dedup, joins, analytics,
-               similarity, text) built on the DataFrame API
-  streaming  - Structured Streaming pipeline (watermark, windowed agg,
-               foreachBatch upsert, metrics listener)
-  plans      - plan inspection helpers (explain/pushdown assertions)
+  sources    - table loaders (parquet fixtures) + Kafka option wiring
+  sinks      - idempotent keyed parquet sink (the Mongo/Postgres-upsert twin)
+  functions  - validation-rule + rounding Column expression library
+  queries    - every SURVEY.md §2 operator as (spark, sf_dir) -> DataFrame,
+               each paired with a DuckDB oracle in the registry: core,
+               validation, iot, analytics, joins, dedup, incremental, text
+               (doc dedup/stats), similarity (KNN/LSH/IVF), multimodal
+  streaming  - Structured Streaming runtime (watermark, windowed agg, update
+               mode, dedup-within-watermark, foreachBatch upsert, metrics
+               listener / backpressure flag)
+  registry   - query + oracle registration used by __spark_entry__ and tests
 """
 
 __version__ = "0.1.0"

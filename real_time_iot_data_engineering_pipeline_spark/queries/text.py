@@ -80,13 +80,10 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dups)
 
 
-# 3-word shingles over whitespace tokens (guarded: <3 words -> empty list,
-# because Spark's sequence(1, 0) would count DOWN instead of being empty).
-_SHINGLES_SPARK = (
-    "CASE WHEN size(_words) < 3 THEN array() "
-    "ELSE transform(sequence(1, size(_words) - 2), "
-    "i -> concat_ws(' ', slice(_words, i, 3))) END"
-)
+# 3-word shingles over whitespace tokens.  The DuckDB side builds a list per
+# doc (guarded: <3 words -> empty, because an unguarded descending
+# generate_series would misbehave); the Spark side builds shingle ROWS in
+# codegen via posexplode + lead (_shingle_rows below) — same strings.
 _SHINGLES_DUCK = (
     "CASE WHEN len(_words) < 3 THEN [] "
     "ELSE list_transform(generate_series(1, len(_words) - 2), "
@@ -94,12 +91,6 @@ _SHINGLES_DUCK = (
 )
 _WORDS_SPARK = r"split(trim(lower(text)), '\\s+')"
 _WORDS_DUCK = r"string_split_regex(trim(lower(text)), '\s+')"
-
-
-def _with_shingles(corpus: DataFrame) -> DataFrame:
-    return corpus.withColumn("_words", F.expr(_WORDS_SPARK)).withColumn(
-        "_shingles", F.expr(_SHINGLES_SPARK)
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -147,15 +138,58 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K = 32  # signature length
 _BANDS = 8  # 8 bands x 4 rows
 _ROWS = _K // _BANDS
+_P = 2147483647  # 2^31 - 1; i * (h % P) stays far below 2^63
 
-_SIG_SPARK = (
-    f"transform(sequence(0, {_K - 1}), "
-    "i -> array_min(transform(_shingles, s -> md5(concat(cast(i AS string), ':', s)))))"
-)
-_SIG_DUCK = (
-    f"list_transform(generate_series(0, {_K - 1}), "
-    "i -> list_min(list_transform(_shingles, s -> md5(i::VARCHAR || ':' || s))))"
-)
+# One md5 per shingle; its two 60-bit hex halves seed the whole signature
+# family g_i = (h1 + i*h2) mod P (the standard 2-universal construction).
+# Identical integers on both engines (verified: Spark conv(hex,16,10) ==
+# DuckDB ('0x'||hex)::BIGINT).
+_H1_SPARK = f"cast(conv(substr(md5(s), 1, 15), 16, 10) AS bigint) % {_P}"
+_H2_SPARK = f"cast(conv(substr(md5(s), 17, 15), 16, 10) AS bigint) % {_P}"
+_H1_DUCK = f"('0x' || substr(md5(s), 1, 15))::BIGINT % {_P}"
+_H2_DUCK = f"('0x' || substr(md5(s), 17, 15))::BIGINT % {_P}"
+
+
+def _shingle_rows(corpus: DataFrame) -> DataFrame:
+    """Exploded (doc_id, s) 3-word shingle rows, built with posexplode +
+    lead inside whole-stage codegen — no interpreted higher-order lambdas in
+    the hot path (a transform()-built shingle array evaluates its lambda
+    per element OUTSIDE codegen, ~10x slower at sf0.1).  One hash shuffle on
+    doc_id (high-cardinality) for the lead window."""
+    from pyspark.sql import Window
+
+    words = corpus.select(
+        "doc_id", F.posexplode(F.expr(_WORDS_SPARK)).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    lead2 = F.lead("w", 2).over(wdoc)
+    sh = F.concat_ws(" ", "w", F.lead("w", 1).over(wdoc), lead2)
+    return (
+        words.select("doc_id", sh.alias("s"), lead2.alias("_l2"))
+        .filter(F.col("_l2").isNotNull())
+        .drop("_l2")
+    )
+
+
+def _minhash_sigs(shingles: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>[K]) via native min aggregates — the
+    signature is materialized by the aggregation, so downstream band
+    explodes can never re-evaluate the hash work."""
+    hs = shingles.select(
+        "doc_id", F.expr(_H1_SPARK).alias("h1"), F.expr(_H2_SPARK).alias("h2")
+    )
+    mins = [
+        F.min((F.col("h1") + i * F.col("h2")) % _P).alias(f"m{i}") for i in range(_K)
+    ]
+    return (
+        hs.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"m{i}" for i in range(_K)]).alias("sig"))
+    )
+
+
+_SIG_MINS_DUCK = ", ".join(f"min((h1 + {i} * h2) % {_P}) AS m{i}" for i in range(_K))
+_SIG_LIST_DUCK = "[" + ", ".join(f"m{i}" for i in range(_K)) + "]"
 
 
 @register(
@@ -168,12 +202,19 @@ _SIG_DUCK = (
     sh AS (
         SELECT doc_id, {_SHINGLES_DUCK} AS _shingles FROM toks
     ),
+    expl AS (
+        SELECT doc_id, unnest(_shingles) AS s FROM sh
+    ),
+    hs AS (
+        SELECT doc_id, {_H1_DUCK} AS h1, {_H2_DUCK} AS h2 FROM expl
+    ),
     sigs AS (
-        SELECT doc_id, {_SIG_DUCK} AS sig FROM sh WHERE len(_shingles) > 0
+        SELECT doc_id, {_SIG_LIST_DUCK} AS sig
+        FROM (SELECT doc_id, {_SIG_MINS_DUCK} FROM hs GROUP BY doc_id)
     ),
     bands AS (
         SELECT doc_id, sig, b.band,
-               md5(array_to_string(sig[(b.band * {_ROWS} + 1):(b.band * {_ROWS} + {_ROWS})], '|')) AS band_key
+               array_to_string(sig[(b.band * {_ROWS} + 1):(b.band * {_ROWS} + {_ROWS})], '|') AS band_key
         FROM sigs, (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band) b
     ),
     pairs AS (
@@ -195,28 +236,30 @@ _SIG_DUCK = (
 def q_doc_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH near-duplicate detection, bucketed — NEVER all-pairs.
 
-    Per doc: 3-word shingles -> 32 minhashes (lexicographic min of keyed md5
-    hex strings, portable across engines) -> 8 LSH bands of 4 rows.  Candidate
-    pairs are generated only inside (band, band_key) buckets, deduplicated,
-    then scored by signature agreement; pairs with estimated Jaccard >= 0.5
-    survive.
+    Per doc: 3-word shingles -> one md5 each -> 32 minhashes from the
+    2-universal family (h1 + i*h2) mod P as native min aggregates -> 8 LSH
+    bands of 4 rows.  Candidate pairs are generated only inside
+    (band, band_key) buckets, deduplicated, then scored by signature
+    agreement; pairs with estimated Jaccard >= 0.5 survive.
 
-    Scale: signatures are one shuffle-free projection; the band explode is
-    x8; the self-join key (band, md5(band rows)) is uniformly distributed, so
+    Scale: the hash work is one codegen'd pass over exploded shingle rows
+    followed by a doc_id-keyed partial aggregation (the signature never
+    re-evaluates downstream — the agg materializes it); the band explode is
+    x8 over 32-int arrays; the self-join key distributes uniformly, so
     bucket sizes stay tiny (a bucket only grows when documents genuinely
-    collide).  Signature arrays (32 x 32-char) ride along the join instead of
-    re-joining the corpus — ~1 KB/row of shuffle, no raw text movement."""
-    corpus = _with_shingles(_near_corpus(spark, sf_dir))
-    sigs = corpus.filter(F.size("_shingles") > 0).select(
-        "doc_id", F.expr(_SIG_SPARK).alias("sig")
-    )
+    collide).  Signature arrays (~256 B) ride along the join instead of
+    re-joining the corpus — no raw text movement."""
+    sigs = _minhash_sigs(_shingle_rows(_near_corpus(spark, sf_dir)))
     bands = sigs.select(
         "doc_id",
         "sig",
         F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("band"),
     ).withColumn(
         "band_key",
-        F.expr(f"md5(array_join(slice(sig, band * {_ROWS} + 1, {_ROWS}), '|'))"),
+        F.expr(
+            f"array_join(transform(slice(sig, band * {_ROWS} + 1, {_ROWS}), "
+            "x -> cast(x AS string)), '|')"
+        ),
     )
     left = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_key"
@@ -251,18 +294,22 @@ def q_doc_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
     toks AS (SELECT doc_id, {_WORDS_DUCK} AS _words FROM corpus),
-    sh AS (
-        SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS shingles FROM toks
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS _shingles FROM toks),
+    expl AS (
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id, unnest(_shingles) AS s FROM sh)
     ),
     anchored AS (
-        SELECT doc_id, shingles,
-               list_min(list_transform(shingles, s -> md5(s))) AS anchor
-        FROM sh WHERE len(shingles) > 0
+        SELECT doc_id,
+               min(('0x' || substr(md5(s), 1, 15))::BIGINT) AS anchor,
+               list(s) AS shingles,
+               count(*) AS n
+        FROM expl GROUP BY doc_id
     ),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                len(list_intersect(a.shingles, b.shingles)) AS n_common,
-               len(a.shingles) AS n_a, len(b.shingles) AS n_b
+               a.n AS n_a, b.n AS n_b
         FROM anchored a JOIN anchored b
           ON a.anchor = b.anchor AND a.doc_id < b.doc_id
     )
@@ -278,22 +325,37 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates share their min-shingle-hash "anchor" (a 1-band, 1-row LSH —
     two docs with Jaccard j share the anchor with probability ~j), so the
     join is a keyed bucket join, never a cross product.  Jaccard is then
-    exact on distinct shingle sets: |A∩B| / (|A| + |B| - |A∩B|)."""
-    corpus = _with_shingles(_near_corpus(spark, sf_dir))
-    anchored = (
-        corpus.select("doc_id", F.array_distinct("_shingles").alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .withColumn("anchor", F.expr("array_min(transform(shingles, s -> md5(s)))"))
+    exact on distinct shingle sets: |A∩B| / (|A| + |B| - |A∩B|).
+
+    Scale: shingles are codegen'd rows (posexplode + lead), hashed once,
+    distinct-ed, and folded per doc into (anchor, shingle set) — one shuffle
+    keyed by doc_id.  The collect_set ships each doc's distinct shingles
+    once (~3x text size); at extreme corpus sizes the intersect step can be
+    replaced by joining exploded shingle rows of candidate pairs only."""
+    dedup = _shingle_rows(_near_corpus(spark, sf_dir)).distinct()
+    anchored = dedup.select(
+        "doc_id",
+        "s",
+        F.expr("cast(conv(substr(md5(s), 1, 15), 16, 10) AS bigint)").alias("h"),
+    ).groupBy("doc_id").agg(
+        F.min("h").alias("anchor"),
+        F.collect_set("s").alias("shingles"),
+        F.count("*").cast("long").alias("n"),
     )
     a = anchored.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "anchor"
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("n_a"),
+        "anchor",
     )
     b = anchored.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "anchor"
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("n_b"),
+        "anchor",
     )
     n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    n_a, n_b = F.size("sh_a").cast("long"), F.size("sh_b").cast("long")
-    jac = n_common / (n_a + n_b - n_common)
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
     return (
         a.join(b, "anchor")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -307,20 +369,27 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 
-# bit i of a word's md5: nibble i//4 (hex char -> value via instr) shifted.
-_SIMHASH_SPARK = (
-    "concat_ws('', transform(sequence(0, 63), i -> "
-    "CASE WHEN 2 * size(filter(_words, w -> "
-    "((instr('0123456789abcdef', substr(md5(w), (i div 4) + 1, 1)) - 1) "
-    "div element_at(array(8, 4, 2, 1), (i % 4) + 1)) % 2 = 1"
-    ")) >= size(_words) THEN '1' ELSE '0' END))"
-)
-_SIMHASH_DUCK = (
-    "array_to_string(list_transform(generate_series(0, 63), i -> "
-    "CASE WHEN 2 * len(list_filter(_words, w -> "
-    "((strpos('0123456789abcdef', substr(md5(w), (i // 4) + 1, 1)) - 1) "
-    "// ([8, 4, 2, 1][(i % 4) + 1])) % 2 = 1"
-    ")) >= len(_words) THEN '1' ELSE '0' END), '')"
+# bit i of a word's md5 hex: nibble i//4 (hex char -> value via instr/strpos)
+# shifted by 8 >> (i % 4).  Plain column expressions over exploded word rows
+# — md5 computed ONCE per word (subexpression elimination inside codegen),
+# unlike a per-bit lambda which would re-hash every word 64 times.
+def _bit_spark(i: int) -> str:
+    return (
+        f"((instr('0123456789abcdef', substr(h, {i // 4 + 1}, 1)) - 1) "
+        f"div {8 >> (i % 4)}) % 2"
+    )
+
+
+def _bit_duck(i: int) -> str:
+    return (
+        f"((strpos('0123456789abcdef', substr(h, {i // 4 + 1}, 1)) - 1) "
+        f"// {8 >> (i % 4)}) % 2"
+    )
+
+
+_SIM_SUMS_DUCK = ", ".join(f"sum({_bit_duck(i)}) AS s{i}" for i in range(64))
+_SIM_CONCAT_DUCK = " || ".join(
+    f"(CASE WHEN 2 * s{i} >= n THEN '1' ELSE '0' END)" for i in range(64)
 )
 
 
@@ -328,24 +397,43 @@ _SIMHASH_DUCK = (
     "q_doc_simhash",
     oracle=f"""
     WITH corpus AS ({_EXACT_CORPUS_SQL}),
-    toks AS (SELECT doc_id, {_WORDS_DUCK} AS _words FROM corpus)
-    SELECT doc_id, {_SIMHASH_DUCK} AS simhash
-    FROM toks WHERE len(_words) > 0
+    toks AS (SELECT doc_id, {_WORDS_DUCK} AS _words FROM corpus),
+    expl AS (
+        SELECT doc_id, md5(w) AS h
+        FROM (SELECT doc_id, unnest(_words) AS w FROM toks)
+    ),
+    votes AS (
+        SELECT doc_id, count(*) AS n, {_SIM_SUMS_DUCK} FROM expl GROUP BY doc_id
+    )
+    SELECT doc_id, {_SIM_CONCAT_DUCK} AS simhash FROM votes
     """,
 )
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document as a bitstring: bit i is the majority vote
-    of bit i across the md5 of every token (ties -> 1).  Near-duplicate texts
-    differ in few bits (Hamming distance), exact re-casings collide exactly —
-    the planted upper() duplicates in the corpus hash identically because
-    tokens are lowercased first.
+    of bit i across the md5 of every token occurrence (ties -> 1).
+    Near-duplicate texts differ in few bits (Hamming distance), exact
+    re-casings collide exactly — the planted upper() duplicates in the
+    corpus hash identically because tokens are lowercased first.
 
-    Scale: a pure per-row projection (no shuffle, no state); grouping by
-    simhash prefix afterwards gives banded near-dup buckets for free."""
+    Scale: explode words -> one md5 per word -> 64 native sum aggregates
+    with map-side partial aggregation, one doc_id-keyed shuffle of 64 small
+    ints per doc.  Grouping by simhash prefix afterwards gives banded
+    near-dup buckets for free."""
     corpus = _exact_corpus(spark, sf_dir).withColumn("_words", F.expr(_WORDS_SPARK))
-    return corpus.filter(F.size("_words") > 0).select(
-        "doc_id", F.expr(_SIMHASH_SPARK).alias("simhash")
+    words = corpus.select("doc_id", F.explode("_words").alias("w")).select(
+        "doc_id", F.md5("w").alias("h")
     )
+    votes = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.expr(_bit_spark(i))).alias(f"s{i}") for i in range(64)],
+    )
+    simhash = F.concat(
+        *[
+            F.when(2 * F.col(f"s{i}") >= F.col("n"), F.lit("1")).otherwise("0")
+            for i in range(64)
+        ]
+    )
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -42,7 +42,13 @@ _NS_TO_NTZ = "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 0
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; normalizes events.ts to TIMESTAMP_NTZ."""
+    """Load one fixture table; normalizes events.ts to TIMESTAMP_NTZ.
+
+    SIDE EFFECT: loading `events` sets spark.sql.legacy.parquet.nanosAsLong
+    on the CALLER's session (required by the driver contract — the verify
+    driver's session doesn't set it, and Spark offers no per-read knob for
+    TIMESTAMP(NANOS) columns).  The flag persists for later parquet reads in
+    that session; it only affects files with nanosecond timestamps."""
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # Runtime-settable; required to read TIMESTAMP(NANOS) columns even

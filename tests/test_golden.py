@@ -1,0 +1,178 @@
+"""Hand-computed golden rows — a third opinion independent of BOTH engines.
+
+The oracle gate compares Spark against DuckDB; if query and oracle shared a
+misreading of the reference, both would agree and the driver would pass
+(VERDICT r01, 'builder-authored oracles').  These tests pin the trickiest
+semantics — window alignment, first-wins/last-wins tie-breaks, tolerant
+coercion, minhash banding — against literal inputs and expectations computed
+by hand from the reference's documented behavior.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestWindowAlignment:
+    def test_five_minute_windows_are_epoch_aligned(self, spark):
+        """Spark's window() aligns tumbling windows to the epoch origin
+        (streaming_job.py:306 relies on this): 10:04:59 belongs to
+        [10:00, 10:05), 10:05:00 starts the next window — no half-open
+        ambiguity, no session-dependent origin."""
+        rows = [
+            (1, ts("2024-01-15T10:00:00"), 1.0),
+            (2, ts("2024-01-15T10:04:59"), 2.0),
+            (3, ts("2024-01-15T10:05:00"), 4.0),
+            (4, ts("2024-01-15T10:09:59.999999"), 8.0),
+        ]
+        df = spark.createDataFrame(rows, "id long, ts timestamp_ntz, v double")
+        out = {
+            (str(r.start), str(r.end)): (r.s, r.n)
+            for r in df.groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select("w.start", "w.end", "s", "n")
+            .collect()
+        }
+        assert out == {
+            ("2024-01-15 10:00:00", "2024-01-15 10:05:00"): (3.0, 2),
+            ("2024-01-15 10:05:00", "2024-01-15 10:10:00"): (12.0, 2),
+        }
+
+    def test_rolling_7d_range_frame_handles_gaps(self, spark):
+        """A RANGE frame over epoch-days must bound the lookback to 7
+        CALENDAR days: with days 1,2,10 the day-10 average includes only
+        itself (ROWS 6 PRECEDING would wrongly include days 1-2)."""
+        from pyspark.sql import Window
+
+        rows = [
+            (1, dt.date(2024, 1, 1), 10.0),
+            (1, dt.date(2024, 1, 2), 20.0),
+            (1, dt.date(2024, 1, 10), 40.0),
+        ]
+        df = spark.createDataFrame(rows, "uid long, day date, v double")
+        w = (
+            Window.partitionBy("uid")
+            .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+            .rangeBetween(-6, 0)
+        )
+        out = {
+            str(r.day): r.avg
+            for r in df.select("day", F.avg("v").over(w).alias("avg")).collect()
+        }
+        assert out == {"2024-01-01": 10.0, "2024-01-02": 15.0, "2024-01-10": 40.0}
+
+
+class TestDedupTieBreaks:
+    def test_dedup_window_first_wins_within_5s_bucket(self, spark):
+        """validation_consumer.py:353-409: the FIRST record of a
+        (key, 5-second bucket) survives; ties on timestamp break by id.
+        10:00:04.9 and 10:00:00 share bucket [10:00:00,10:00:05);
+        10:00:05 starts a new bucket."""
+        rows = [
+            (5, 1, ts("2024-01-15T10:00:04.900000"), 9.0),
+            (2, 1, ts("2024-01-15T10:00:00"), 1.0),  # earliest -> survives
+            (9, 1, ts("2024-01-15T10:00:00"), 2.0),  # same ts, larger id
+            (7, 1, ts("2024-01-15T10:00:05"), 3.0),  # next bucket
+        ]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz, value double")
+        from pyspark.sql import Window
+
+        bucket = F.window("ts", "5 seconds").getField("start")
+        w = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+        got = sorted(
+            r.event_id
+            for r in df.select("event_id", "user_id", "ts", bucket.alias("bucket"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        )
+        assert got == [2, 7]
+
+    def test_upsert_last_write_wins_tie_break(self, spark):
+        """mongo_to_postgres_sync.py:378-399 ON CONFLICT DO UPDATE: the
+        LATEST row per (key, window) wins; equal timestamps break by the
+        larger event_id (deterministic replay order)."""
+        rows = [
+            (1, 1, ts("2024-01-15T10:01:00"), 10.0),
+            (2, 1, ts("2024-01-15T10:04:00"), 20.0),  # same window, later
+            (3, 1, ts("2024-01-15T10:04:00"), 30.0),  # same ts, higher id wins
+        ]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz, value double")
+        from pyspark.sql import Window
+
+        bucket = F.window("ts", "5 minutes").getField("start")
+        w = Window.partitionBy("user_id", "window_start").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        got = (
+            df.select("user_id", bucket.alias("window_start"), "event_id", "value", "ts")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        )
+        assert len(got) == 1 and got[0].event_id == 3 and got[0].value == 30.0
+
+
+class TestValidationCoercion:
+    def test_tolerant_coercion_matches_reference_table(self, spark):
+        """validation_consumer.py:182-191,230-234: numeric strings coerce,
+        null-like strings count as missing, garbage is a type failure, and
+        out-of-range only fires on successfully coerced values."""
+        from real_time_iot_data_engineering_pipeline_spark.functions.validation import (
+            in_range,
+            is_null_or_null_string,
+            numeric_coercible,
+        )
+
+        rows = [
+            ("12.3", True, False, True),  # numeric string: coercible, in range
+            ("999.9", True, False, False),  # coercible, out of range
+            ("N/A", False, True, True),  # null-like: missing, range skipped
+            ("glorp", False, False, True),  # garbage: bad type, range skipped
+            (None, False, True, True),  # SQL null: missing
+        ]
+        df = spark.createDataFrame(
+            [(v,) for v, *_ in rows], "temperature string"
+        ).select(
+            "temperature",
+            numeric_coercible(F.col("temperature")).alias("coercible"),
+            is_null_or_null_string(F.col("temperature")).alias("missing"),
+            in_range(F.col("temperature"), "temperature").alias("range_ok"),
+        )
+        got = {r.temperature: (r.coercible, r.missing, r.range_ok) for r in df.collect()}
+        for value, coercible, missing, range_ok in rows:
+            assert got[value] == (coercible, missing, range_ok), value
+
+
+class TestMinhashMechanics:
+    def test_identical_texts_share_all_bands_disjoint_share_none(self, spark):
+        """Two identical shingle sets must produce identical 32-signature
+        (every band collides); two disjoint texts must share no band."""
+        from real_time_iot_data_engineering_pipeline_spark.queries.text import (
+            _BANDS,
+            _ROWS,
+            _minhash_sigs,
+            _shingle_rows,
+        )
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "one two three four five six"),
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        df = _minhash_sigs(_shingle_rows(corpus))
+        sigs = {r.doc_id: tuple(r.sig) for r in df.collect()}
+        assert sigs[1] == sigs[2]
+        bands = {
+            d: {tuple(sigs[d][b * _ROWS : (b + 1) * _ROWS]) for b in range(_BANDS)}
+            for d in sigs
+        }
+        assert bands[1] & bands[3] == set()

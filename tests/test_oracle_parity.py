@@ -35,6 +35,9 @@ def test_oracle_parity(spark, sf_dir, duck, name):
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_dir, name):
+    """Queries without an oracle (currently none — every registered query is
+    oracle-checked) must still produce a non-trivial result, not merely
+    avoid throwing."""
     df = registry.QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
     assert len(df.columns) > 0
+    assert df.count() > 0
