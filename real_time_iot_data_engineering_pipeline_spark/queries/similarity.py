@@ -294,6 +294,135 @@ def q_embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_over_candidates(scored, K)
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (corpus self-join)
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_COS = 0.95
+
+# Planted near-duplicates: every 25th vector re-appears under vec_id+10000
+# with a tiny deterministic perturbation (+0.05 on dim 1): cosine ~0.999.
+_ND_CORPUS_DUCK = f"""
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000 AS vec_id,
+           list_transform(generate_series(1, {DIM}),
+                          i -> CASE WHEN i = 1 THEN embedding[i] + 0.05::FLOAT
+                                    ELSE embedding[i] END) AS embedding
+    FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {DIM}), "
+            "i -> CASE WHEN i = 1 THEN element_at(embedding, i) + cast(0.05 AS float) "
+            "ELSE element_at(embedding, i) END)"
+        ).alias("embedding"),
+    )
+    return emb.unionByName(perturbed)
+
+
+@register(
+    "q_embed_near_dup",
+    oracle=f"""
+    WITH corpus AS ({_ND_CORPUS_DUCK}),
+    c0 AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding, x -> x::DOUBLE) AS c_emb,
+               {_NORM_DUCK} AS c_norm
+        FROM corpus
+    ),
+    cs AS (
+        SELECT neighbor_id, c_emb, c_norm,
+               {_SIG_DUCK.replace("emb_d", "c_emb")} AS sig
+        FROM c0
+    ),
+    cb AS (
+        SELECT neighbor_id, c_emb, c_norm, b.band,
+               substr(sig, b.band * {_BAND_BITS} + 1, {_BAND_BITS}) AS band_key
+        FROM cs, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.neighbor_id AS id_a, a.c_emb AS emb_a, a.c_norm AS norm_a,
+                        b.neighbor_id AS id_b, b.c_emb AS emb_b, b.c_norm AS norm_b
+        FROM cb a JOIN cb b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.neighbor_id < b.neighbor_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               list_sum(list_transform(generate_series(1, {DIM}),
+                        i -> emb_a[i] * emb_b[i])) / (norm_a * norm_b) AS cos_sim
+        FROM cand
+    )
+    SELECT id_a, id_b, {fround_sql("cos_sim")} AS cos_sim
+    FROM scored WHERE cos_sim >= {NEAR_DUP_COS}
+    """,
+)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over the WHOLE corpus — the
+    dedup-shaped sibling of q_embed_knn_lsh: instead of a small query batch,
+    every vector searches for its near-twins, so the join must be
+    self-bucketed (corpus x corpus through SRP band buckets, never a cross
+    product).  Exact cosine on candidates, keep pairs >= 0.95.
+
+    Scale: band_key cardinality is bounded (2^4 per band) at this signature
+    size; production tuning raises N_PLANES/_BAND_BITS so buckets stay
+    O(corpus/2^bits) and the self-join cost approaches linear in the number
+    of true near-dup pairs.  The 64-float embedding rides the join once;
+    norms are precomputed per row."""
+    c = _near_dup_corpus(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(_EMB_D_SPARK).alias("c_emb"),
+        F.expr(_NORM_SPARK).alias("c_norm"),
+    )
+    sigged = (
+        c.withColumnRenamed("c_emb", "emb_d")
+        .withColumn("sig", F.expr(_SIG_SPARK))
+        .withColumnRenamed("emb_d", "c_emb")
+    )
+    band = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
+    cb = sigged.select("neighbor_id", "c_emb", "c_norm", "sig", band).withColumn(
+        "band_key", F.expr(f"substr(sig, band * {_BAND_BITS} + 1, {_BAND_BITS})")
+    )
+    a = cb.select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("c_emb").alias("emb_a"),
+        F.col("c_norm").alias("norm_a"),
+        "band",
+        "band_key",
+    )
+    b = cb.select(
+        F.col("neighbor_id").alias("id_b"),
+        F.col("c_emb").alias("emb_b"),
+        F.col("c_norm").alias("norm_b"),
+        "band",
+        "band_key",
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), "
+        "cast(0 AS double), (acc, x) -> acc + x)"
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (dot / (F.col("norm_a") * F.col("norm_b"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
+        .select("id_a", "id_b", fround(F.col("cos_sim"), 4).alias("cos_sim"))
+    )
+
+
 @register(
     "q_embed_ivf",
     oracle=f"""

@@ -93,10 +93,22 @@ class KeyedParquetSink:
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
 
-    def foreach_batch(self):
-        """Adapter for writeStream.foreachBatch."""
+    def foreach_batch(self, retry_attempts: int = 1):
+        """Adapter for writeStream.foreachBatch.  retry_attempts > 1 wraps
+        the upsert in exponential-backoff retry (sinks/retry.py), mirroring
+        the reference's tenacity wrapper around each Mongo batch write
+        (streaming_job.py:535-550) — a transient sink failure retries
+        without killing the streaming query; a persistent one still fails
+        the batch so checkpointing can replay it."""
+        from .retry import with_retry
 
         def _fn(batch_df: DataFrame, epoch_id: int) -> None:
-            self.upsert(batch_df, epoch_id)
+            if retry_attempts <= 1:
+                self.upsert(batch_df, epoch_id)
+            else:
+                with_retry(
+                    lambda: self.upsert(batch_df, epoch_id),
+                    max_attempts=retry_attempts,
+                )
 
         return _fn

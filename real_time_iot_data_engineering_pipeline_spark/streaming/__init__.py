@@ -15,12 +15,16 @@ from .pipeline import (
     run_pipeline,
     windowed_aggregate,
 )
+from .router import RouterSink, run_router, validated_stream
 
 __all__ = [
     "MetricsListener",
+    "RouterSink",
     "dedup_stream",
     "parse_event_stream",
     "read_event_file_stream",
     "run_pipeline",
+    "run_router",
+    "validated_stream",
     "windowed_aggregate",
 ]
