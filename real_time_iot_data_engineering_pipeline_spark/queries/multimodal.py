@@ -102,6 +102,59 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas frame sampler: one output row per SAMPLED frame (every
+    5th of the fake n_frames), each tagged with a per-frame content hash —
+    the row-exploding shape a video pipeline needs (decode is the same
+    stub; a real build hashes the decoded frame bytes instead)."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_sha": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) % 30 + 1
+            for idx in range(0, n_frames, 5):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_sha"].append(
+                    hashlib.sha256(payload + str(idx).encode()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+
+@register(
+    "q_multimodal_framesample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, octet_length(text::BLOB) % 30, 5)) AS fi
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           sha256(text || CAST(fi AS VARCHAR)) AS frame_sha
+    FROM f
+    """,
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through mapInPandas: each media payload fans out to
+    every-5th-frame rows with per-frame hashes.  The oracle rebuilds the
+    same rows in SQL (payload bytes = utf8 text, frame hash = sha256 of
+    payload ++ ascii frame index), so the row-exploding Python stage is
+    value-checked end-to-end.
+
+    Scale: output cardinality is rows x frames/5; the stage stays
+    partition-local (no shuffle) and streams Arrow batches."""
+    return media_table(spark, sf_dir).mapInPandas(sample_frames, FRAME_SCHEMA)
+
+
 @register(
     "q_multimodal_features",
     oracle="""

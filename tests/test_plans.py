@@ -1,0 +1,95 @@
+"""Physical-plan regression tests — the 100 TB posture, asserted.
+
+Correctness hashes can't tell a broadcast join from a cross product or a
+pushed-down filter from a full scan; these tests pin the plan SHAPES the
+scale story depends on, so a refactor that silently de-optimizes a query
+fails CI rather than only showing up in BENCH at 1000x the data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_iot_data_engineering_pipeline_spark import registry
+from real_time_iot_data_engineering_pipeline_spark.sinks.catalog import (
+    register_aggregates,
+    table_exists,
+)
+
+registry.load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPushdownAndJoins:
+    def test_incremental_scan_pushes_filter_into_parquet(self, spark, sf_dir):
+        """The high-watermark scan must reach the reader as PushedFilters —
+        at 100 TB this is the difference between reading one day and one
+        decade (mongo_to_postgres_sync.py:129-139's indexed range read)."""
+        plan = plan_of(spark, sf_dir, "q_incremental_scan")
+        assert "PushedFilters: [" in plan
+        assert "IsNotNull" in plan or "GreaterThan" in plan
+
+    def test_projection_prunes_scan_columns(self, spark, sf_dir):
+        """q_filter_range reads 3 of events' 6 columns; ReadSchema must not
+        contain the unused ones (props is the expensive JSON blob)."""
+        plan = plan_of(spark, sf_dir, "q_filter_range")
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read_schema and "props" not in read_schema[0]
+
+    def test_broadcast_join_is_broadcast(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q_join_broadcast")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_city_avg_uses_broadcast_join_back_not_window(self, spark, sf_dir):
+        """VERDICT r01: a Window over ~5 event_type partitions is a
+        straggler at scale; the fix is partial-agg + broadcast join-back."""
+        plan = plan_of(spark, sf_dir, "q_city_avg_compare")
+        assert "BroadcastHashJoin" in plan
+        assert "Window" not in plan
+
+    def test_knn_has_no_cartesian_product(self, spark, sf_dir):
+        for q in ("q_embed_knn", "q_embed_knn_lsh", "q_embed_near_dup"):
+            plan = plan_of(spark, sf_dir, q)
+            assert "CartesianProduct" not in plan, q
+
+    def test_lsh_and_near_dup_join_on_band_keys(self, spark, sf_dir):
+        """The bucketed variants must pair rows through an equi-join on
+        (band, band_key) — hash joins, not nested loops over the corpus."""
+        for q in ("q_embed_knn_lsh", "q_embed_near_dup"):
+            plan = plan_of(spark, sf_dir, q)
+            assert "band" in plan and ("HashJoin" in plan or "ShuffledHashJoin" in plan), q
+
+    def test_validation_is_shuffle_free(self, spark, sf_dir):
+        """The rule pass is one projection: no Exchange anywhere
+        (validation must stay embarrassingly parallel)."""
+        plan = plan_of(spark, sf_dir, "q_validate_reasons")
+        assert "Exchange" not in plan
+
+    def test_topk_limits_before_final_window(self, spark, sf_dir):
+        """Local top-k first: the final Window runs over the pruned
+        candidate set, and WindowGroupLimit caps the sort."""
+        plan = plan_of(spark, sf_dir, "q_topk_per_group")
+        assert "WindowGroupLimit" in plan
+
+
+class TestCatalogRegistration:
+    def test_register_partitioned_aggregate_table(self, spark, sf_dir, tmp_path):
+        """The DDL twin (mongo_to_postgres_sync.py:177-238): registration
+        creates a catalog table partitioned by day, and a day-filtered query
+        prunes partitions at scan time."""
+        from pyspark.sql import functions as F
+
+        agg = registry.QUERIES["q_tumbling_agg"](spark, sf_dir)
+        try:
+            register_aggregates(agg.limit(500), table="test_aggs")
+            assert table_exists(spark, "test_aggs")
+            q = spark.table("test_aggs").filter(F.col("agg_date") == "2024-01-05")
+            plan = q._jdf.queryExecution().executedPlan().toString()
+            assert "PartitionFilters: [" in plan and "agg_date" in plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS test_aggs")
