@@ -288,6 +288,46 @@ def q_sudden_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(cnt) AS BIGINT) AS n,
+           (floor((sum(sum_v) / sum(cnt)) * 1e4 * (1 + 1e-12) + 0.5) / 1e4) AS avg_value
+    FROM (
+        SELECT event_type, CAST(event_id % 16 AS INT) AS salt,
+               count(*) AS cnt, sum(value) AS sum_v
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, CAST(event_id % 16 AS INT)
+    )
+    GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: salt the hot key space (16-way),
+    aggregate (key, salt) partials, then combine partials per key.
+
+    Spark's groupBy already does map-side partial aggregation, which handles
+    MOST skew for algebraic aggs — explicit salting is the pattern for the
+    cases partial agg can't fix (high-cardinality-state aggs like
+    collect_list/distinct, or extreme single-key skew where even the merged
+    partials overwhelm one reducer).  Expressed with a deterministic salt
+    (event_id % 16) so the DuckDB oracle reproduces the exact partial sums;
+    production uses a random salt.  The final combine shuffles only
+    #keys x 16 rows.  sum/count partials recombine exactly; the avg is
+    computed once at the end (sum-of-sums / sum-of-counts)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    partial = (
+        ev.withColumn("salt", (F.col("event_id") % 16).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_v"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        fround(F.sum("sum_v") / F.sum("cnt"), 4).alias("avg_value"),
+    )
+
+
+@register(
     "q_city_avg_compare",
     oracle="""
     SELECT event_id, user_id, event_type, value,

@@ -80,7 +80,7 @@ def parse_event_stream(raw: DataFrame) -> DataFrame:
 
 def windowed_aggregate(
     events: DataFrame,
-    watermark_delay: str = WATERMARK_DELAY,
+    watermark_delay: str | None = WATERMARK_DELAY,
     window_duration: str = WINDOW_DURATION,
 ) -> DataFrame:
     """Watermarked 5-minute tumbling-window aggregate per key
@@ -90,9 +90,15 @@ def windowed_aggregate(
     non-null value" semantics for denormalized dimension columns (:323-326,
     SURVEY.md §4.4-6).  processed_at is a real per-batch current_timestamp,
     fixing the reference's plan-time lit(datetime.now()) bug (:346-349,
-    SURVEY.md §4.4-1)."""
+    SURVEY.md §4.4-1).
+
+    watermark_delay=None means the input ALREADY carries a watermark (e.g.
+    downstream of dedup_stream — Spark forbids redefining it when chaining
+    stateful operators)."""
+    if watermark_delay is not None:
+        events = events.withWatermark("ts", watermark_delay)
     return (
-        events.withWatermark("ts", watermark_delay)
+        events
         .groupBy("user_id", F.window("ts", window_duration).alias("w"))
         .agg(
             F.avg("value").alias("avg_value"),

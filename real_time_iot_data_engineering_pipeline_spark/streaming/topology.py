@@ -1,0 +1,110 @@
+"""The reference's COMPLETE dataflow as one Spark streaming topology.
+
+Reference (SURVEY.md §3.3):
+
+    generator -> [raw] -> validator -> [validated] -> window agg -> Mongo
+                              `-> [dlq]                  (upsert)    `-> Postgres
+
+— four processes, three Kafka topics, two databases.  Here it is two
+Structured Streaming queries over ONE file/Kafka source:
+
+    main path:  parse -> validate (rule projection) -> keep valid
+                -> dropDuplicatesWithinWatermark (the validator's dup state)
+                -> watermark + 5-min window agg -> keyed upsert sink
+    dlq path:   parse -> validate -> keep invalid -> append DLQ files
+
+Two queries because the branches need independent sinks/checkpoints —
+exactly how Spark expresses topic fan-out; both share the source listing,
+and each is exactly-once through its own checkpoint.  The Mongo->Postgres
+hop disappears: the keyed sink IS the queryable table (sinks/catalog.py
+registers it for SQL access).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks import KeyedParquetSink
+from .pipeline import (
+    AGG_KEY_COLS,
+    dedup_stream,
+    parse_event_stream,
+    read_event_file_stream,
+    windowed_aggregate,
+)
+from .router import validated_stream
+
+
+class TopologyResult:
+    def __init__(self, spark: SparkSession, agg_sink: KeyedParquetSink, dlq_dir: str):
+        self.spark = spark
+        self.aggregates = agg_sink
+        self.dlq_dir = dlq_dir
+
+    def read_dlq(self) -> DataFrame:
+        return self.spark.read.parquet(self.dlq_dir + "/epoch=*")
+
+
+def run_topology(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    timeout_seconds: float = 180.0,
+) -> TopologyResult:
+    """Drain source_dir through the full validate->route->dedup->window->
+    upsert topology with Trigger.AvailableNow on both branches."""
+    agg_sink = KeyedParquetSink(spark, os.path.join(out_dir, "aggs"), AGG_KEY_COLS)
+    dlq_dir = os.path.join(out_dir, "dlq")
+
+    def start(df: DataFrame, name: str, fb) -> object:
+        return (
+            df.writeStream.outputMode("update")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(out_dir, f"ckpt-{name}"))
+            .foreachBatch(fb)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    raw = parse_event_stream(
+        read_event_file_stream(spark, source_dir, max_files_per_trigger)
+    )
+    validated = validated_stream(raw)
+
+    # main path: valid -> dedup(state) -> window agg -> keyed upsert.
+    # dedup_stream sets the event-time watermark; the chained aggregation
+    # must NOT redefine it (multiple stateful operators share one watermark)
+    main = windowed_aggregate(
+        dedup_stream(validated.filter("is_valid").drop("failure_reasons", "is_valid")),
+        watermark_delay=None,
+    )
+    q_main = start(main, "topology-main", agg_sink.foreach_batch(retry_attempts=3))
+
+    # DLQ path: invalid -> append with reasons (validation_consumer.py:557-563)
+    dlq = (
+        validated.filter(~F.col("is_valid"))
+        .withColumnRenamed("failure_reasons", "validation_failures")
+        .withColumn("data_quality_flag", F.lit("invalid"))
+        .drop("is_valid")
+    )
+
+    def write_dlq(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(dlq_dir, f"epoch={int(epoch_id)}")
+            )
+
+    q_dlq = start(dlq, "topology-dlq", write_dlq)
+
+    try:
+        q_main.awaitTermination(timeout_seconds)
+        q_dlq.awaitTermination(timeout_seconds)
+    finally:
+        for q in (q_main, q_dlq):
+            if q.isActive:
+                q.stop()
+    return TopologyResult(spark, agg_sink, dlq_dir)

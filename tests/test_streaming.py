@@ -289,6 +289,72 @@ class TestListener:
         assert sum(b.num_input_rows for b in eager.batches) == 2
 
 
+class TestStateStoreAndTrigger:
+    def test_rocksdb_state_store_is_active(self, spark, tmp_path):
+        """session.py pins the RocksDB state store provider
+        (streaming_job.py:175-176); the streaming agg's progress must show
+        RocksDB-specific state metrics, proving the config took effect."""
+        assert "RocksDBStateStoreProvider" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        write_file(str(src), "f1.json", [ev(1, "2024-01-15 10:00:00")], seq=0)
+        agg = windowed_aggregate(
+            parse_event_stream(read_event_file_stream(spark, str(src)))
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        metrics = [
+            p["stateOperators"][0].get("customMetrics", {})
+            for p in (q.recentProgress or [])
+            if p.get("stateOperators")
+        ]
+        assert any("rocksdb" in k for m in metrics for k in m), metrics
+
+    def test_processing_time_trigger_runs_continuously(self, spark, tmp_path):
+        """The reference's production mode: 10-second micro-batches
+        (streaming_job.py:82,736).  Run with a short processing-time
+        trigger, wait for the first batch to land in the sink, stop."""
+        import time
+
+        from real_time_iot_data_engineering_pipeline_spark.streaming.pipeline import (
+            run_pipeline,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        write_file(
+            str(src),
+            "f1.json",
+            [ev(1, "2024-01-15 10:10:00", value=5.0)],
+            seq=0,
+        )
+        sink = run_pipeline(
+            spark,
+            str(src),
+            str(tmp_path / "sink"),
+            str(tmp_path / "ckpt"),
+            available_now=False,
+            processing_time="1 seconds",
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and not sink.exists():
+                time.sleep(0.5)
+            assert sink.exists()
+            assert sink_rows(sink) == {"1@2024-01-15T10:10:00": (5.0, 1)}
+        finally:
+            for q in spark.streams.active:
+                q.stop()
+
+
 class TestKafkaWiring:
     def test_source_options_match_reference(self):
         opts = kafka_source_options()

@@ -1,0 +1,52 @@
+"""End-to-end test of the full streaming topology: validate -> route ->
+dedup -> window agg -> keyed upsert, plus the DLQ branch — the reference's
+whole four-process dataflow (SURVEY.md §3.3) in one engine invocation."""
+
+from __future__ import annotations
+
+from real_time_iot_data_engineering_pipeline_spark.streaming.topology import (
+    run_topology,
+)
+
+from .test_streaming import ev, write_file
+
+
+def test_full_topology_end_to_end(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}', event_type="click")
+    write_file(
+        str(src),
+        "f1.json",
+        [
+            dict(ev(1, "2024-01-19 10:00:00", value=2.0), **valid_kwargs),
+            dict(ev(1, "2024-01-19 10:00:00", value=2.0), **valid_kwargs),  # dup
+            dict(ev(2, "2024-01-19 10:01:00", value=4.0), **valid_kwargs),
+            dict(ev(3, "2024-01-19 10:00:30", value=500.0), **valid_kwargs),  # range
+        ],
+        seq=0,
+    )
+    write_file(
+        str(src),
+        "f2.json",
+        [
+            dict(ev(4, "2024-01-19 10:02:00", value=6.0), **valid_kwargs),
+            dict(ev(2, "2024-01-19 10:01:00", value=4.0), **valid_kwargs),  # dup
+        ],
+        seq=1,
+    )
+
+    result = run_topology(spark, str(src), str(tmp_path / "out"))
+
+    aggs = {
+        (r.user_id, str(r.window_start)): (r.sum_value, r["count"])
+        for r in result.aggregates.read().collect()
+    }
+    # events 1, 2, 4 survive validation+dedup; dup replays and the
+    # out-of-range 500.0 contribute nothing
+    assert aggs == {(1, "2024-01-19 10:00:00"): (12.0, 3)}
+
+    dlq = result.read_dlq().collect()
+    assert [r.event_id for r in dlq] == [3]
+    assert dlq[0].validation_failures == "out_of_range:value"
+    assert dlq[0].data_quality_flag == "invalid"
