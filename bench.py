@@ -39,6 +39,11 @@ HEADLINE = [
     "q_sudden_change",
     "q_incremental_scan",
     "q_quality_ratios",
+    "q_validate_iot",
+    "q_doc_dedup_minhash",
+    "q_embed_knn_lsh",
+    "q_text_stats",
+    "q_multimodal_features",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Custom stateful streaming operator: per-sensor sudden-change detection.
+
+The bounded twin (queries/analytics.py::q_sudden_change) uses lag() over a
+window; a stream can't look back — it must REMEMBER the previous reading per
+sensor.  Built-in streaming operators don't express "compare to previous
+element", so this is the designated escape hatch: applyInPandasWithState
+(SURVEY §2.9) — Arrow-batched pandas per key group, explicit GroupState
+holding (last_ts, last_value), watermark-driven state timeout.
+
+Reference semantics: 'sudden temp change > 20°C between consecutive
+readings' (Learning Guide.txt:1058 §3); threshold parameterized because the
+events fixture's value range differs (queries/analytics.py uses 10).
+
+Scale: state is one (ts, value) pair per sensor — bounded by key
+cardinality, evicted by the event-time timeout; each micro-batch shuffles
+only by user_id (the same partitioning the aggregation already needs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("delta", T.DoubleType()),
+        T.StructField("is_sudden_change", T.BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = "last_ts timestamp, last_value double"
+
+SUDDEN_THRESHOLD = 20.0  # Learning Guide.txt:1058 §3
+
+
+def _detect(threshold: float):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_ts, last_value = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = {k: [] for k in ("event_id", "ts", "value", "delta", "is_sudden_change")}
+        for _, r in rows.iterrows():
+            delta = None if last_value is None else float(r["value"]) - last_value
+            out["event_id"].append(int(r["event_id"]))
+            out["ts"].append(r["ts"])
+            out["value"].append(float(r["value"]))
+            out["delta"].append(delta)
+            out["is_sudden_change"].append(
+                delta is not None and abs(delta) > threshold
+            )
+            last_ts, last_value = r["ts"], float(r["value"])
+        state.update((last_ts, last_value))
+        # state lives while the sensor keeps reporting; idle sensors expire
+        # one watermark-delay after their last event (the reference's
+        # in-process tracker expired after 1 minute too)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+        yield pd.DataFrame({"user_id": [user_id] * len(out["event_id"]), **out})
+
+    return fn
+
+
+def sudden_change_stream(
+    events: DataFrame,
+    threshold: float = SUDDEN_THRESHOLD,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """events (already parsed) -> per-sensor stateful sudden-change flags.
+    Input must carry user_id, event_id, ts (timestamp), value."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _detect(threshold),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
