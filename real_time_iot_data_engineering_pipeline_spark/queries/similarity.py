@@ -182,27 +182,62 @@ N_PLANES = 16  # signature bits
 N_BANDS = 4  # 4 bands x 4 bits
 _BAND_BITS = N_PLANES // N_BANDS
 
-# r(p, d) in {-1, +1} from the parity of the first md5 nibble of "p:d" —
-# a fixed pseudo-random hyperplane matrix both engines can regenerate.
-_SIGN_SPARK = (
-    "(1 - 2 * ((instr('0123456789abcdef', "
-    "substr(md5(concat(cast(p AS string), ':', cast(d AS string))), 1, 1)) - 1) % 2))"
-)
-_SIG_SPARK = (
-    f"concat_ws('', transform(sequence(0, {N_PLANES - 1}), p -> "
-    "CASE WHEN aggregate(zip_with(emb_d, sequence(1, 64), "
-    f"(x, d) -> x * {_SIGN_SPARK}), cast(0 AS double), (acc, x) -> acc + x) >= 0 "
-    "THEN '1' ELSE '0' END))"
-)
-_SIGN_DUCK = (
-    "(1 - 2 * ((strpos('0123456789abcdef', "
-    "substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1) % 2))"
-)
-_SIG_DUCK = (
-    f"array_to_string(list_transform(generate_series(0, {N_PLANES - 1}), p -> "
-    f"CASE WHEN list_sum(list_transform(generate_series(1, {DIM}), "
-    f"d -> emb_d[d] * {_SIGN_DUCK})) >= 0 THEN '1' ELSE '0' END), '')"
-)
+# r(p, d) in {-1, +1} from the parity of the first md5 nibble of "p:d".
+# The matrix is CONSTANT, so it is computed once here with hashlib (python's
+# md5 == both engines' md5) and inlined as literals — no per-row hashing,
+# bit-identical output (same signs, same left-to-right fold order).
+import hashlib as _hashlib
+
+
+def _srp_sign(p: int, d: int) -> int:
+    nib = _hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0]
+    return 1 - 2 * (int(nib, 16) % 2)
+
+
+def _sig_spark(planes: list[list[int]]) -> str:
+    """Signature as a constant-folded matrix literal + zip_with dot product
+    per plane — Catalyst folds the nested array() of literals into one
+    Literal, so each row only multiplies.  (Fully inlining 64-term sums into
+    the plan was tried and blew up codegen/driver memory at 32 threads.)"""
+    r = (
+        "array("
+        + ", ".join("array(" + ", ".join(map(str, row)) + ")" for row in planes)
+        + ")"
+    )
+    return (
+        f"concat_ws('', transform(sequence(0, {len(planes) - 1}), p -> "
+        f"CASE WHEN aggregate(zip_with(emb_d, element_at({r}, p + 1), "
+        "(x, s) -> x * s), cast(0 AS double), (acc, x) -> acc + x) >= 0 "
+        "THEN '1' ELSE '0' END))"
+    )
+
+
+def _sig_duck(planes: list[list[int]]) -> str:
+    """DuckDB twin as explicit per-plane sum chains (a literal list inside a
+    lambda is re-materialized per element access there — quadratic).  Same
+    left-to-right fold order as Spark's aggregate, so bit-identical."""
+    cases = []
+    for row in planes:
+        terms = " + ".join(f"emb_d[{d + 1}] * ({row[d]})" for d in range(DIM))
+        cases.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(cases)
+
+
+_SIGNS = [[_srp_sign(p, d) for d in range(1, DIM + 1)] for p in range(N_PLANES)]
+_SIG_SPARK = _sig_spark(_SIGNS)
+_SIG_DUCK = _sig_duck(_SIGNS)
+
+# Near-dup self-join needs a finer sketch than the 10-query batch: 16-bit
+# signatures give only 2^4 keys per band, so corpus buckets at sf0.1 hold
+# ~300 rows each and candidate pairs explode quadratically.  48 planes in
+# 4 bands x 12 bits keep planted near-twins (cos ~0.999: per-bit agreement
+# ~0.98 -> band hit ~0.83, >=1-of-4 ~99.9%) while random pairs collide at
+# ~4/4096.
+N_PLANES_ND = 48
+_BAND_BITS_ND = 12
+_SIGNS_ND = [[_srp_sign(p, d) for d in range(1, DIM + 1)] for p in range(N_PLANES_ND)]
+_SIG_SPARK_ND = _sig_spark(_SIGNS_ND)
+_SIG_DUCK_ND = _sig_duck(_SIGNS_ND)
 
 
 @register(
@@ -338,12 +373,12 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cs AS (
         SELECT neighbor_id, c_emb, c_norm,
-               {_SIG_DUCK.replace("emb_d", "c_emb")} AS sig
+               {_SIG_DUCK_ND.replace("emb_d", "c_emb")} AS sig
         FROM c0
     ),
     cb AS (
         SELECT neighbor_id, c_emb, c_norm, b.band,
-               substr(sig, b.band * {_BAND_BITS} + 1, {_BAND_BITS}) AS band_key
+               substr(sig, b.band * {_BAND_BITS_ND} + 1, {_BAND_BITS_ND}) AS band_key
         FROM cs, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
     ),
     cand AS (
@@ -370,11 +405,12 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-bucketed (corpus x corpus through SRP band buckets, never a cross
     product).  Exact cosine on candidates, keep pairs >= 0.95.
 
-    Scale: band_key cardinality is bounded (2^4 per band) at this signature
-    size; production tuning raises N_PLANES/_BAND_BITS so buckets stay
-    O(corpus/2^bits) and the self-join cost approaches linear in the number
-    of true near-dup pairs.  The 64-float embedding rides the join once;
-    norms are precomputed per row."""
+    Scale: a corpus self-join needs finer buckets than the query-batch LSH —
+    48 planes in 4 bands x 12 bits put random pairs in the same bucket with
+    probability ~2^-12 per band, so candidate volume stays near-linear in
+    the corpus while near-twins (per-bit agreement ~0.98) still collide in
+    >=1 band with ~99.9% probability.  The 64-float embedding rides the
+    join once; norms are precomputed per row."""
     c = _near_dup_corpus(spark, sf_dir).select(
         F.col("vec_id").alias("neighbor_id"),
         F.expr(_EMB_D_SPARK).alias("c_emb"),
@@ -382,12 +418,13 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigged = (
         c.withColumnRenamed("c_emb", "emb_d")
-        .withColumn("sig", F.expr(_SIG_SPARK))
+        .withColumn("sig", F.expr(_SIG_SPARK_ND))
         .withColumnRenamed("emb_d", "c_emb")
     )
     band = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
     cb = sigged.select("neighbor_id", "c_emb", "c_norm", "sig", band).withColumn(
-        "band_key", F.expr(f"substr(sig, band * {_BAND_BITS} + 1, {_BAND_BITS})")
+        "band_key",
+        F.expr(f"substr(sig, band * {_BAND_BITS_ND} + 1, {_BAND_BITS_ND})"),
     )
     a = cb.select(
         F.col("neighbor_id").alias("id_a"),
