@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "queries.text",
     "queries.similarity",
     "queries.multimodal",
+    "queries.marts",
 )
 
 
