@@ -289,6 +289,80 @@ class TestListener:
         assert sum(b.num_input_rows for b in eager.batches) == 2
 
 
+class TestStreamingDedupBucketKey:
+    def test_dedup_on_sensor_and_5s_bucket(self, spark, tmp_path):
+        """The validator's exact dedup key: (sensor, 5-second bucket) —
+        validation_consumer.py:376-390.  Two distinct readings inside one
+        bucket collapse to the first; the next bucket passes."""
+        from pyspark.sql import functions as F
+
+        src = tmp_path / "src"
+        src.mkdir()
+        write_file(
+            str(src),
+            "f1.json",
+            [
+                ev(1, "2024-01-15 10:00:01", value=1.0),
+                ev(2, "2024-01-15 10:00:04", value=2.0),  # same bucket -> dup
+                ev(3, "2024-01-15 10:00:05", value=3.0),  # next bucket
+            ],
+            seq=0,
+        )
+        events = parse_event_stream(read_event_file_stream(spark, str(src)))
+        with_bucket = events.withColumn(
+            "bucket", F.window("ts", "5 seconds").getField("start")
+        )
+        out = dedup_stream(with_bucket, keys=["user_id", "bucket"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("bucket_dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            r.event_id
+            for r in spark.sql("SELECT event_id FROM bucket_dedup_out").collect()
+        )
+        assert got == [1, 3]
+
+
+class TestCorruptInput:
+    def test_malformed_json_lines_are_dropped_not_fatal(self, spark, tmp_path):
+        """Kafka delivers arbitrary bytes; the reference's validator drops
+        undecodable messages (validation_consumer.py:481-490).  The file
+        source + schema gives null columns for corrupt lines, and the parse
+        stage's null filters drop them without failing the query."""
+        src = tmp_path / "src"
+        src.mkdir()
+        path = src / "f1.json"
+        with open(path, "w") as f:
+            f.write('{"event_id": 1, "ts": "2024-01-15 10:00:00", "user_id": 1, '
+                    '"event_type": "r", "value": 1.0, "props": "{}"}\n')
+            f.write("this is not json at all\n")
+            f.write('{"event_id": 2, "ts": "not-a-timestamp", "user_id": 1, '
+                    '"event_type": "r", "value": 2.0, "props": "{}"}\n')
+            f.write('{"event_id": 3, "ts": "2024-01-15 10:00:10", '
+                    '"event_type": "r", "value": 3.0, "props": "{}"}\n')  # no user
+        import os
+
+        os.utime(path, (BASE_MTIME, BASE_MTIME))
+        out = parse_event_stream(read_event_file_stream(spark, str(src)))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("corrupt_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT event_id FROM corrupt_out").collect()
+        assert [r.event_id for r in rows] == [1]
+
+
 class TestStateStoreAndTrigger:
     def test_rocksdb_state_store_is_active(self, spark, tmp_path):
         """session.py pins the RocksDB state store provider
