@@ -119,9 +119,10 @@ def q_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
          a bucket and bucket order == value-desc order;
       3. per-(group, bucket) counts — a tiny table (#groups x 1024) —
          prefix-summed into offsets and broadcast-joined back;
-      4. row_number within (group, bucket) — a HIGH-cardinality window —
-         plus the bucket offset gives the global row_num; rank = min(row_num)
-         over (group, value), again high-cardinality (ties only).
+      4. row_number/rank within (group, bucket) — a HIGH-cardinality window
+         — plus the bucket offset give the GLOBAL row_num and rank: every
+         row in an earlier bucket has a strictly larger value (equal values
+         share a bucket by construction), so offset + local rank is exact.
 
     The only full-data shuffle is the within-bucket window over ~5k
     partitions; every per-group serial computation happens on tiny aggregate
@@ -166,17 +167,15 @@ def q_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_local = Window.partitionBy("event_type", "_bid").orderBy(
         F.col("value").desc(), "event_id"
     )
-    out = evb.join(F.broadcast(offsets), ["event_type", "_bid"]).withColumn(
-        "row_num", (F.row_number().over(w_local) + F.col("_off")).cast("int")
-    )
-    w_tie = Window.partitionBy("event_type", "value")
-    return out.select(
+    w_rank = Window.partitionBy("event_type", "_bid").orderBy(F.col("value").desc())
+    out = evb.join(F.broadcast(offsets), ["event_type", "_bid"]).select(
         "event_id",
         "event_type",
         "value",
-        F.min("row_num").over(w_tie).alias("rnk"),
-        "row_num",
+        (F.rank().over(w_rank) + F.col("_off")).cast("int").alias("rnk"),
+        (F.row_number().over(w_local) + F.col("_off")).cast("int").alias("row_num"),
     )
+    return out
 
 
 @register(
