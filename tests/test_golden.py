@@ -151,6 +151,63 @@ class TestValidationCoercion:
             assert got[value] == (coercible, missing, range_ok), value
 
 
+class TestIotRuleFidelity:
+    def test_each_dirt_class_maps_to_reference_verdict(self, spark):
+        """Hand-computed expectations per injected issue class, straight
+        from validation_consumer.py semantics: types flag ANY non-null
+        non-coercible value (incl. 'N/A' — float('N/A') raises, :182-191);
+        ranges skip nulls/null-strings/non-coercibles (:230-234); format
+        matches after trim (:262-267); freshness is <=5 min vs pinned now."""
+        from pyspark.sql import functions as F
+
+        from real_time_iot_data_engineering_pipeline_spark.functions.validation import (
+            failure_reasons,
+        )
+        from real_time_iot_data_engineering_pipeline_spark.queries.iot import (
+            NOW,
+            _iot_rules,
+        )
+
+        ok = dict(
+            sensor_id="SENSOR_DEL_007",
+            temperature="21",
+            humidity="55",
+            energy_consumption="3",
+            signal_strength="-70",
+            battery_level="80",
+            timestamp="2024-01-30T23:58:00",  # 2 min before NOW
+        )
+        cases = [
+            (ok, ""),
+            ({**ok, "temperature": "999.9"}, "out_of_range:temperature"),
+            ({**ok, "temperature": "not_a_number"}, "bad_type:temperature"),
+            ({**ok, "humidity": "N/A"}, "bad_type:humidity"),
+            ({**ok, "temperature": None},
+             "missing:temperature"),
+            ({**ok, "sensor_id": "sensor_del_007"}, "bad_format:sensor_id"),
+            ({**ok, "sensor_id": "  SENSOR_DEL_007 "}, ""),  # trim-then-pass
+            ({**ok, "signal_strength": "25"}, "out_of_range:signal_strength"),
+            ({**ok, "timestamp": "2024-01-31T01:00:00"},
+             "stale_or_future:timestamp"),  # future vs pinned NOW
+            ({**ok, "timestamp": "2024-01-30T23:50:00"},
+             "stale_or_future:timestamp"),  # older than 5 minutes
+            ({**ok, "timestamp": "31/01/2024 00:00:00"}, "bad_type:timestamp"),
+            ({**ok, "timestamp": None}, "missing:timestamp"),
+        ]
+        cols = list(ok)
+        df = spark.createDataFrame(
+            [tuple(c[k] for k in cols) for c, _ in cases],
+            ", ".join(f"`{k}` string" for k in cols),
+        )
+        parsed = F.expr("try_to_timestamp(`timestamp`)")
+        now = F.expr(f"to_timestamp('{NOW}')")
+        out = df.withColumn(
+            "reasons", F.array_join(failure_reasons(_iot_rules(parsed, now)), ";")
+        ).collect()
+        for (case, expected), row in zip(cases, out):
+            assert row.reasons == expected, (case, row.reasons)
+
+
 class TestMinhashMechanics:
     def test_identical_texts_share_all_bands_disjoint_share_none(self, spark):
         """Two identical shingle sets must produce identical 32-signature
