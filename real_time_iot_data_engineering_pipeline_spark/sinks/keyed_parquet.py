@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -51,30 +51,48 @@ class KeyedParquetSink:
         os.makedirs(root, exist_ok=True)
 
     @property
-    def _current(self) -> str:
-        return os.path.join(self.root, "current")
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def _current(self) -> str | None:
+        """Resolve the live table directory via the pointer file (the single
+        atomically-replaced piece of state — a crash at ANY point leaves the
+        pointer referencing a complete previous version)."""
+        try:
+            with open(self._pointer) as f:
+                version = f.read().strip()
+        except FileNotFoundError:
+            return None
+        path = os.path.join(self.root, version)
+        return path if os.path.isdir(path) else None
 
     def exists(self) -> bool:
-        return os.path.isdir(self._current)
+        return self._current() is not None
 
     def read(self) -> DataFrame:
         """The live table (without the internal epoch column)."""
-        if not self.exists():
+        current = self._current()
+        if current is None:
             raise FileNotFoundError(f"no data written yet under {self.root}")
-        return self.spark.read.parquet(self._current).drop(_EPOCH_COL)
+        return self.spark.read.parquet(current).drop(_EPOCH_COL)
 
     def upsert(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch body: merge `batch_df` into the table, keyed
         last-write-wins (higher epoch wins; replay of the same epoch is a
         no-op by value).  Mirrors streaming_job.py:586-603 including the
         empty-batch fast path (modern df.isEmpty() instead of the
-        reference's df.rdd.isEmpty())."""
+        reference's df.rdd.isEmpty()).
+
+        Commit protocol: write the merged table to a fresh version dir,
+        fsync a temp pointer, os.replace it over CURRENT (atomic on POSIX),
+        then garbage-collect older versions.  Readers and crashed writers
+        can never observe a partial table."""
         if batch_df.isEmpty():
             return
         incoming = batch_df.withColumn(_EPOCH_COL, F.lit(int(epoch_id)))
-        if self.exists():
-            current = self.spark.read.parquet(self._current)
-            merged = current.unionByName(incoming)
+        current = self._current()
+        if current is not None:
+            merged = self.spark.read.parquet(current).unionByName(incoming)
         else:
             merged = incoming
         w = Window.partitionBy(*self.key_cols).orderBy(F.col(_EPOCH_COL).desc())
@@ -83,15 +101,23 @@ class KeyedParquetSink:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        staging = tempfile.mkdtemp(prefix=".staging-", dir=self.root)
-        out = os.path.join(staging, "table")
+        version = f"v{int(epoch_id)}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, version)
         deduped.write.mode("overwrite").parquet(out)
-        old = os.path.join(self.root, f".old-{epoch_id}-{os.getpid()}")
-        if self.exists():
-            os.rename(self._current, old)
-        os.rename(out, self._current)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
+        tmp_ptr = self._pointer + ".tmp"
+        with open(tmp_ptr, "w") as f:
+            f.write(version)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_ptr, self._pointer)  # the one atomic commit point
+        for entry in os.listdir(self.root):
+            path = os.path.join(self.root, entry)
+            if (
+                os.path.isdir(path)
+                and entry != version
+                and (entry.startswith("v") or entry.startswith(".w"))
+            ):
+                shutil.rmtree(path, ignore_errors=True)
 
     def foreach_batch(self, retry_attempts: int = 1):
         """Adapter for writeStream.foreachBatch.  retry_attempts > 1 wraps

@@ -180,6 +180,25 @@ class TestWindowedPipeline:
         sink = run_pipeline(spark, str(src), sink_dir, ckpt)
         assert sink_rows(sink) == {"1@2024-01-15T10:10:00": (21.0, 3)}
 
+    def test_sink_crash_window_leaves_previous_table_intact(self, spark, tmp_path):
+        """The commit point is one atomic pointer replace: a writer dying
+        after materializing a new version but BEFORE committing (orphan
+        version dir + stale tmp pointer) must not affect readers, and the
+        next successful upsert garbage-collects the debris."""
+        import os
+
+        sink = KeyedParquetSink(spark, str(tmp_path / "s"), ["k"])
+        sink.upsert(spark.createDataFrame([(1, 10.0)], "k int, v double"), 1)
+        # simulate a crash mid-upsert: orphan version + uncommitted pointer
+        orphan = os.path.join(sink.root, "v99-dead-beef")
+        os.makedirs(orphan)
+        with open(sink._pointer + ".tmp", "w") as f:
+            f.write("v99-dead-beef")
+        assert sorted(sink.read().collect()) == [(1, 10.0)]  # unaffected
+        sink.upsert(spark.createDataFrame([(2, 20.0)], "k int, v double"), 2)
+        assert sorted(sink.read().collect()) == [(1, 10.0), (2, 20.0)]
+        assert not os.path.isdir(orphan)  # debris collected
+
     def test_sink_replay_is_idempotent(self, spark, tmp_path):
         sink = KeyedParquetSink(spark, str(tmp_path / "s"), ["k"])
         batch = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
