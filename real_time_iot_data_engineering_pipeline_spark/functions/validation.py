@@ -81,11 +81,10 @@ def failure_reasons(rules: list[Rule]) -> Column:
     """Collect every failing rule's message into array<string>, preserving
     rule order (validation_consumer.py:97-124,412-444).  A null condition
     (from null inputs) counts as not-failed, matching the reference where
-    missing-ness is reported only by its dedicated rule."""
+    missing-ness is reported only by its dedicated rule.
+
+    Validity is `size(failure_reasons(...)) == 0` computed on the ALREADY
+    materialized reasons column (validation_consumer.py:420-436) — callers
+    derive it that way rather than re-evaluating the rule set."""
     msgs = [F.when(cond, F.lit(msg)) for msg, cond in rules]
     return F.filter(F.array(*msgs), lambda x: x.isNotNull())
-
-
-def is_valid(rules: list[Rule]) -> Column:
-    """Any failure => invalid (validation_consumer.py:420-436)."""
-    return F.size(failure_reasons(rules)) == 0

@@ -369,22 +369,22 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 
-# bit i of a word's md5 hex: nibble i//4 (hex char -> value via instr/strpos)
-# shifted by 8 >> (i % 4).  Plain column expressions over exploded word rows
-# — md5 computed ONCE per word (subexpression elimination inside codegen),
-# unlike a per-bit lambda which would re-hash every word 64 times.
+# bit i of a word's md5: the digest's first 15 hex chars parse into h1
+# (60 bits, nibble 1 most significant) and the 16th into h2, ONCE per word;
+# each bit is then an integer shift — no per-bit string ops, no re-hashing.
+# Equivalent to reading nibble i//4+1 and taking its (3 - i%4)th bit.
 def _bit_spark(i: int) -> str:
-    return (
-        f"((instr('0123456789abcdef', substr(h, {i // 4 + 1}, 1)) - 1) "
-        f"div {8 >> (i % 4)}) % 2"
-    )
+    if i < 60:
+        shift = (15 - (i // 4 + 1)) * 4 + (3 - i % 4)
+        return f"(shiftright(h1, {shift}) % 2)"
+    return f"(shiftright(h2, {3 - i % 4}) % 2)"
 
 
 def _bit_duck(i: int) -> str:
-    return (
-        f"((strpos('0123456789abcdef', substr(h, {i // 4 + 1}, 1)) - 1) "
-        f"// {8 >> (i % 4)}) % 2"
-    )
+    if i < 60:
+        shift = (15 - (i // 4 + 1)) * 4 + (3 - i % 4)
+        return f"((h1 >> {shift}) % 2)"
+    return f"((h2 >> {3 - i % 4}) % 2)"
 
 
 _SIM_SUMS_DUCK = ", ".join(f"sum({_bit_duck(i)}) AS s{i}" for i in range(64))
@@ -399,7 +399,9 @@ _SIM_CONCAT_DUCK = " || ".join(
     WITH corpus AS ({_EXACT_CORPUS_SQL}),
     toks AS (SELECT doc_id, {_WORDS_DUCK} AS _words FROM corpus),
     expl AS (
-        SELECT doc_id, md5(w) AS h
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT AS h1,
+               ('0x' || substr(md5(w), 16, 1))::BIGINT AS h2
         FROM (SELECT doc_id, unnest(_words) AS w FROM toks)
     ),
     votes AS (
@@ -421,7 +423,9 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup buckets for free."""
     corpus = _exact_corpus(spark, sf_dir).withColumn("_words", F.expr(_WORDS_SPARK))
     words = corpus.select("doc_id", F.explode("_words").alias("w")).select(
-        "doc_id", F.md5("w").alias("h")
+        "doc_id",
+        F.expr("cast(conv(substr(md5(w), 1, 15), 16, 10) AS bigint)").alias("h1"),
+        F.expr("cast(conv(substr(md5(w), 16, 1), 16, 10) AS bigint)").alias("h2"),
     )
     votes = words.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
