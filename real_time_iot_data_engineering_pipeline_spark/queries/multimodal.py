@@ -102,6 +102,68 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TARGET = (224, 224)  # the standard vision-model input size
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.LongType()),
+        T.StructField("src_height", T.LongType()),
+        T.StructField("dst_width", T.LongType()),
+        T.StructField("dst_height", T.LongType()),
+        T.StructField("resized_sha", T.StringType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, dst: tuple[int, int]) -> tuple[int, int, str]:
+    """Deterministic resize stand-in: source dims from the fake decode,
+    'resized bytes' = payload tagged with the target box (a real build
+    decodes, resamples, re-encodes here — same signature)."""
+    n = len(payload)
+    src_w, src_h = n % 640 + 1, (n * 7) % 480 + 1
+    resized = hashlib.sha256(payload + f"@{dst[0]}x{dst[1]}".encode()).hexdigest()
+    return (src_w, src_h, resized)
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resize stage: one row in, one row out, partition-local."""
+    dst_w, dst_h = RESIZE_TARGET
+    for pdf in batches:
+        feats = pdf["payload"].map(lambda p: fake_resize(p, RESIZE_TARGET))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_width": feats.map(lambda t: t[0]),
+                "src_height": feats.map(lambda t: t[1]),
+                "dst_width": dst_w,
+                "dst_height": dst_h,
+                "resized_sha": feats.map(lambda t: t[2]),
+            }
+        )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(text::BLOB) % 640 + 1 AS BIGINT) AS src_width,
+           CAST((octet_length(text::BLOB) * 7) % 480 + 1 AS BIGINT) AS src_height,
+           CAST({RESIZE_TARGET[0]} AS BIGINT) AS dst_width,
+           CAST({RESIZE_TARGET[1]} AS BIGINT) AS dst_height,
+           sha256(text || '@{RESIZE_TARGET[0]}x{RESIZE_TARGET[1]}') AS resized_sha
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over binary payloads through mapInPandas (stubbed
+    resampler, real Arrow plumbing): emits source/target geometry and the
+    digest of the 'resized' bytes, all oracle-verified from the same
+    payload bytes.  Partition-local, no shuffle; a real codec swaps into
+    fake_resize without touching the plan."""
+    return media_table(spark, sf_dir).mapInPandas(resize_batch, RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
