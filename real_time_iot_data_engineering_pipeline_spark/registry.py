@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "queries.similarity",
     "queries.multimodal",
     "queries.marts",
+    "queries.windows",
 )
 
 
