@@ -374,3 +374,32 @@ def q_case_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         status.alias("sensor_status"),
         F.floor(age_sec / 60).alias("freshness_minutes"),
     )
+
+
+@register(
+    "q_hash_partition",
+    oracle="""
+    SELECT user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 3
+                AS INT) AS partition_id,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_hash_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The producer's partition assignment: hash(sensor_id) % 3 keeps one
+    sensor's readings ordered within a Kafka partition (data_generator/
+    producer.py:227-243,281-289).  The hash is md5-derived so both engines
+    compute the identical assignment (Spark's hash() is murmur3, which
+    DuckDB cannot reproduce); in production the Kafka sink's `key` column
+    (sources/kafka.py::to_kafka_sink_frame) delegates this to the broker's
+    partitioner with the same key-stability guarantee."""
+    ev = load_table(spark, sf_dir, "events")
+    pid = F.expr(
+        "cast(cast(conv(substr(md5(cast(user_id AS string)), 1, 15), 16, 10) "
+        "AS bigint) % 3 AS int)"
+    )
+    return ev.groupBy("user_id").agg(
+        pid.alias("partition_id"), F.count("*").cast("long").alias("n")
+    )
