@@ -212,6 +212,107 @@ class TestWindowedPipeline:
         assert sorted(sink.read().collect()) == [(1, 10.0), (2, 99.0)]
 
 
+class TestBeyondReferenceWindows:
+    def _run(self, spark, tmp_path, agg_df):
+        emitted = []
+
+        def fb(batch_df, epoch_id):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            agg_df.writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(fb)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return emitted
+
+    def test_sliding_windows_assign_each_event_twice(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        src = tmp_path / "src"
+        src.mkdir()
+        write_file(
+            str(src),
+            "f1.json",
+            [
+                ev(1, "2024-01-15 10:02:00", value=1.0),
+                ev(2, "2024-01-15 10:07:00", value=2.0),
+            ],
+            seq=0,
+        )
+        events = parse_event_stream(read_event_file_stream(spark, str(src)))
+        agg = (
+            events.withWatermark("ts", "1 minute")
+            .groupBy("user_id", F.window("ts", "10 minutes", "5 minutes").alias("w"))
+            .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+            .select("user_id", F.col("w.start").alias("ws"), "s", "n")
+        )
+        got = {str(r.ws): (r.s, r.n) for r in self._run(spark, tmp_path, agg)}
+        assert got == {
+            "2024-01-15 09:55:00": (1.0, 1),
+            "2024-01-15 10:00:00": (3.0, 2),
+            "2024-01-15 10:05:00": (2.0, 1),
+        }
+
+    def test_session_windows_split_on_gap_and_emit_on_finalize(self, spark, tmp_path):
+        """Session windows only support APPEND mode in streaming: a session
+        is emitted once the watermark passes its end (it can no longer
+        merge).  The 12-minute gap splits sessions; the second session stays
+        open (never emitted) when the stream drains."""
+        from pyspark.sql import functions as F
+
+        src = tmp_path / "src"
+        src.mkdir()
+        write_file(
+            str(src),
+            "f1.json",
+            [
+                ev(1, "2024-01-15 10:00:00", value=1.0),
+                ev(2, "2024-01-15 10:03:00", value=2.0),  # gap 3m -> merges
+            ],
+            seq=0,
+        )
+        write_file(
+            str(src),
+            "f2.json",
+            # advances the watermark to 10:14 > session-1 end (10:08)
+            [ev(3, "2024-01-15 10:15:00", value=4.0)],
+            seq=1,
+        )
+        events = parse_event_stream(read_event_file_stream(spark, str(src)))
+        agg = (
+            events.withWatermark("ts", "1 minute")
+            .groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+            .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("ss"),
+                F.col("w.end").alias("se"),
+                "s",
+                "n",
+            )
+        )
+        emitted = []
+
+        def fb(batch_df, epoch_id):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(fb)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(str(r.ss), str(r.se)): (r.s, r.n) for r in emitted}
+        # the merged first session finalized; the open one did not emit
+        assert got == {("2024-01-15 10:00:00", "2024-01-15 10:08:00"): (3.0, 2)}
+
+
 class TestStreamingDedup:
     def test_dup_within_watermark_dropped_beyond_not(self, spark, tmp_path):
         """(user_id, event_id) identity dedup: an in-batch dup and a
