@@ -37,6 +37,39 @@ _QUERY_MODULES = (
     "queries.windows",
 )
 
+# The driver's correctness harness checks the FIRST 50 entries of queries()
+# in insertion order.  Names listed here are re-ordered to the front after
+# all modules load, so queries that still need a hard-signal CORRECTNESS row
+# (new this round, or past the 50-cut in a previous round) are guaranteed to
+# land inside the window.  Everything not listed follows in registration
+# order; the ~17 queries that fall outside the window as a result are all
+# double-verified (green rows in both CORRECTNESS_r01 and CORRECTNESS_r02).
+_DRIVER_PRIORITY = (
+    # never driver-verified as of round 2 (fell past the 50-query cut)
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_doc_fingerprint",
+    "q_embed_knn",
+    "q_embed_knn_lsh",
+    "q_embed_ivf",
+    "q_embed_near_dup",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_multimodal_framesample",
+    "q_mart_daily_sql",
+    "q_sliding_agg",
+    "q_session_agg",
+    # new in round 3
+    "q_mart_hourly_sql",
+    "q_mart_location_sql",
+    "q_quality_alerts",
+    # rewritten/modified in round 3 — prior rows no longer certify the new code
+    "q_rank_per_group",
+    "q_topk_per_group",
+    "q_validate_iot",
+)
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; oracle=None means rows-only check (non-SQL-expressible)."""
@@ -53,7 +86,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def load_all() -> None:
-    """Import all query modules (idempotent) so the registry is populated."""
+    """Import all query modules (idempotent) and apply the driver-priority
+    ordering so the registry's insertion order puts unverified queries inside
+    the driver's 50-query correctness window."""
     pkg = __name__.rsplit(".", 1)[0]
     for mod in _QUERY_MODULES:
         import_module(f"{pkg}.{mod}")
+    prioritized = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in _DRIVER_PRIORITY]
+    ordered = prioritized + rest
+    for reg in (QUERIES, ORACLES):
+        reordered = {n: reg[n] for n in ordered if n in reg}
+        reg.clear()
+        reg.update(reordered)

@@ -33,6 +33,17 @@ def test_oracle_parity(spark, sf_dir, duck, name):
     assert not problems, f"{name}: " + " | ".join(problems)
 
 
+def test_driver_priority_queries_inside_50_window():
+    """The driver's correctness harness verifies only the first 50 entries of
+    queries(); every query that still needs a hard-signal row (new or
+    modified this round) must land inside that window, and everything pushed
+    past it must already hold a green row from a prior round's CORRECTNESS."""
+    order = list(registry.QUERIES)
+    window = set(order[:50])
+    missing = [n for n in registry._DRIVER_PRIORITY if n in registry.QUERIES and n not in window]
+    assert not missing, f"priority queries past the driver's 50-query cut: {missing}"
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_dir, name):
     """Queries without an oracle (currently none — every registered query is
