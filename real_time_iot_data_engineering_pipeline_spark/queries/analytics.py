@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import fround
 from ..registry import register
 from ..sources import load_table
+from ..sources.tables import is_large_input
 
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,10 +109,41 @@ def q_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     temperature').  row_number carries an event_id tiebreak so both engines
     agree on ties (SURVEY.md §7.4-3).
 
-    Scale posture — two-phase rank over deterministic value buckets.
-    `event_type` has a handful of distinct values; a plain
-    Window.partitionBy(event_type) would shuffle ALL rows into that many
-    straggler partitions.  Instead:
+    ADAPTIVE: full-output rank over a low-cardinality group is the one window
+    shape Catalyst cannot save (no rank-limit filter, so WindowGroupLimit
+    can't prune).  Below ~1 GiB of input the plain window wins — the bucketed
+    rewrite's extra broadcast joins cost more than the single sort (measured
+    2.9x at sf0.1, BENCH_r02 vs r01).  At cluster scale the plain window
+    shuffles ALL rows into #groups straggler partitions, so the bucketed
+    two-phase plan takes over (is_large_input; tests pin the scale path via
+    SPARK_GRAFT_SCALE_SWITCH_BYTES=0)."""
+    if is_large_input(sf_dir, "events"):
+        return _rank_bucketed(spark, sf_dir)
+    return _rank_plain_window(spark, sf_dir)
+
+
+def _rank_plain_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-window rank — optimal below the scale switch where one task
+    comfortably sorts the largest group."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(F.col("value").desc())
+    w_local = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w_rank).cast("int").alias("rnk"),
+        F.row_number().over(w_local).cast("int").alias("row_num"),
+    )
+
+
+def _rank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase rank over deterministic value buckets — the cluster-scale
+    plan for full-output rank on a low-cardinality group:
 
       1. per-group (min, max) — a tiny aggregate, broadcast back;
       2. each row gets a deterministic bucket id from its value's position in
@@ -192,46 +224,22 @@ def q_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group ('hottest location per hour' shape).
 
-    Scale posture — local top-k, then a final pass over candidates only.
-    A single Window.partitionBy(event_type) would sort every row inside a
-    handful of straggler partitions.  Instead each physical partition emits
-    its own top-3 per group (any global top-3 row is necessarily top-3 within
-    its partition), and only the #partitions x #groups x 3 candidates reach
-    the final (tiny) window.  The struct sorts by (-value, event_id) so the
-    ascending sort_array gives value-desc with the event_id tiebreak; -x
-    re-negates exactly under IEEE754."""
+    Scale posture — the plain rank-limited window IS the scale plan here:
+    Catalyst rewrites `row_number() <= k` into WindowGroupLimit(Partial)
+    BEFORE the exchange (pinned by tests/test_plans.py), so each map
+    partition ships at most k rows per group and the post-shuffle window
+    sees only #map-partitions x #groups x k candidates — the same
+    straggler-proof shape as a hand-rolled local top-k, but sort-based and
+    spillable (O(external-sort) memory, not an O(partition-size)
+    collect_list buffer) and entirely inside whole-stage codegen."""
     k = 3
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_type", "event_id", "value")
     )
-    part = ev.withColumn("_pid", F.spark_partition_id())
-    cand = (
-        part.groupBy("event_type", "_pid")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("value")).alias("_nv"),
-                            F.col("event_id").alias("_eid"),
-                        )
-                    )
-                ),
-                1,
-                k,
-            ).alias("_top")
-        )
-        .select("event_type", F.explode("_top").alias("_t"))
-        .select(
-            "event_type",
-            F.col("_t._eid").alias("event_id"),
-            (-F.col("_t._nv")).alias("value"),
-        )
-    )
     w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
-    return cand.withColumn("row_num", F.row_number().over(w)).filter(
+    return ev.withColumn("row_num", F.row_number().over(w)).filter(
         F.col("row_num") <= k
     )
 

@@ -88,36 +88,16 @@ def _corpus_side(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _topk_over_candidates(scored: DataFrame, k: int) -> DataFrame:
-    """Per-partition local top-k, then a final window over the tiny candidate
-    set — the same straggler-proof shape as queries/analytics.py::
-    q_topk_per_group.  `scored` must have (query_id, neighbor_id, cos_sim)."""
-    part = scored.withColumn("_pid", F.spark_partition_id())
-    cand = (
-        part.groupBy("query_id", "_pid")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("cos_sim")).alias("_nc"),
-                            F.col("neighbor_id").alias("_nid"),
-                        )
-                    )
-                ),
-                1,
-                k,
-            ).alias("_top")
-        )
-        .select("query_id", F.explode("_top").alias("_t"))
-        .select(
-            "query_id",
-            F.col("_t._nid").alias("neighbor_id"),
-            (-F.col("_t._nc")).alias("cos_sim"),
-        )
-    )
+    """Top-k per query via a rank-limited window.  Catalyst rewrites the
+    `row_number() <= k` filter into WindowGroupLimit(Partial) before the
+    exchange (see queries/analytics.py::q_topk_per_group and
+    tests/test_plans.py), so each map partition ships at most k candidates
+    per query — partition-local top-k with sort-backed spillable memory,
+    no O(partition-size) collect_list buffer.  `scored` must have
+    (query_id, neighbor_id, cos_sim)."""
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

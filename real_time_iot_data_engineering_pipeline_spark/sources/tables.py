@@ -19,6 +19,8 @@ needs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +41,44 @@ TABLES = (
 # no instant<->wall conversion ever happens, unlike timestamp_micros() which
 # produces a TIMESTAMP (instant) that would shift with the session timezone.
 _NS_TO_NTZ = "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+
+
+# Inputs at or above this size take the shuffle-restructured "scale" plan in
+# queries that offer one (e.g. q_rank_per_group's bucketed two-phase rank);
+# below it the plain single-window plan is faster because the restructuring
+# overhead (extra broadcast joins, bucket bookkeeping) dominates at small
+# sizes.  1 GiB of parquet ~= 50M event rows ~= 10M rows per low-cardinality
+# window partition — roughly where a single sorting task starts to straggle.
+_SCALE_SWITCH_BYTES_DEFAULT = 1 << 30
+
+
+def input_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk size of one fixture table, or None when the path isn't local
+    (e.g. an object-store URI on a real cluster) — callers must then assume
+    cluster scale."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
+def is_large_input(sf_dir: str, name: str = "events") -> bool:
+    """Adaptive-plan switch: True = take the scale-restructured plan.
+    Unknown size (non-local path) defaults to True — on a real cluster the
+    scale plan is the safe choice.  Override the threshold with
+    SPARK_GRAFT_SCALE_SWITCH_BYTES (tests set 0 to pin the scale path)."""
+    threshold = int(
+        os.environ.get("SPARK_GRAFT_SCALE_SWITCH_BYTES", _SCALE_SWITCH_BYTES_DEFAULT)
+    )
+    size = input_bytes(sf_dir, name)
+    return size is None or size >= threshold
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -33,6 +33,16 @@ def test_oracle_parity(spark, sf_dir, duck, name):
     assert not problems, f"{name}: " + " | ".join(problems)
 
 
+def test_rank_bucketed_scale_path_parity(spark, sf_dir, duck, monkeypatch):
+    """q_rank_per_group's cluster-scale bucketed plan is bypassed at fixture
+    sizes (adaptive switch); force it here so BOTH paths stay oracle-exact."""
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_SWITCH_BYTES", "0")
+    sdf = registry.QUERIES["q_rank_per_group"](spark, sf_dir).toPandas()
+    ddf = duck.execute(registry.ORACLES["q_rank_per_group"]).fetchdf()
+    problems = compare(sdf, ddf)
+    assert not problems, "q_rank_per_group[bucketed]: " + " | ".join(problems)
+
+
 def test_driver_priority_queries_inside_50_window():
     """The driver's correctness harness verifies only the first 50 entries of
     queries(); every query that still needs a hard-signal row (new or

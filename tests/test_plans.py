@@ -71,10 +71,30 @@ class TestPushdownAndJoins:
         assert "Exchange" not in plan
 
     def test_topk_limits_before_final_window(self, spark, sf_dir):
-        """Local top-k first: the final Window runs over the pruned
-        candidate set, and WindowGroupLimit caps the sort."""
+        """Map-side top-k: Catalyst must rewrite the row_number()<=k filter
+        into a Partial-mode WindowGroupLimit ahead of the exchange, so each
+        map partition ships at most k rows per group (the 100 TB shape)."""
         plan = plan_of(spark, sf_dir, "q_topk_per_group")
-        assert "WindowGroupLimit" in plan
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+
+    def test_knn_topk_uses_window_group_limit(self, spark, sf_dir):
+        """The ANN family's shared top-k must get the same Partial
+        WindowGroupLimit treatment as q_topk_per_group."""
+        plan = plan_of(spark, sf_dir, "q_embed_knn")
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+
+    def test_rank_adaptive_paths(self, spark, sf_dir, monkeypatch):
+        """q_rank_per_group: plain single window below the scale switch
+        (local fixtures), bucketed two-phase plan above it — the rewrite
+        that kills the low-cardinality window straggler must stay pinned
+        even though small inputs bypass it."""
+        monkeypatch.setenv("SPARK_GRAFT_SCALE_SWITCH_BYTES", str(1 << 60))
+        small = plan_of(spark, sf_dir, "q_rank_per_group")
+        assert "BroadcastHashJoin" not in small  # no bucket machinery
+        assert "Window" in small
+        monkeypatch.setenv("SPARK_GRAFT_SCALE_SWITCH_BYTES", "0")
+        large = plan_of(spark, sf_dir, "q_rank_per_group")
+        assert "BroadcastHashJoin" in large  # stats + offsets broadcast back
 
 
 class TestCatalogRegistration:
