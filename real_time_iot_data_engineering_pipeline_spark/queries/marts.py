@@ -23,9 +23,10 @@ from ..functions.rounding import fround_sql
 from ..registry import register
 from ..sources import load_table
 
-# The three dbt layers as CTEs, with every engine-divergent fragment a
-# format parameter so the two renderings cannot drift structurally.
-_MART_SQL = """
+# The staging + intermediate dbt layers as CTEs, shared by every mart, with
+# every engine-divergent fragment a format parameter so the two renderings
+# cannot drift structurally.
+_LAYERS_SQL = """
 WITH stg_readings AS (          -- stg_iot_readings (Learning Guide §2-L1)
     SELECT event_id, user_id, {ts} AS ts, event_type, value,
            row_number() OVER (PARTITION BY user_id
@@ -46,7 +47,11 @@ int_features AS (               -- int_iot_with_features (§2-L2)
                 ELSE 'Working' END AS sensor_status
     FROM stg_readings
 )
-SELECT user_id, reading_date,   -- mart_iot_daily_summary (§2-L3)
+"""
+
+# mart_iot_daily_summary (§2-L3): 1 row per sensor per day.
+_DAILY_MART = """
+SELECT user_id, reading_date,
        CAST(COUNT(*) AS BIGINT) AS n_readings,
        {avg_value} AS avg_value,
        MAX(value) AS max_value,
@@ -57,37 +62,88 @@ FROM int_features
 GROUP BY user_id, reading_date
 """
 
-_SPARK_MART = _MART_SQL.format(
-    src="events_v",
-    ts="ts",
-    # Spark dayofweek: Sunday=1 .. Saturday=7
-    is_weekend="(dayofweek(ts) IN (1, 7))",
-    avg_value=fround_sql("AVG(value)"),
-    daytime_share=fround_sql("AVG(CAST(is_daytime AS DOUBLE))"),
-    n_flagged="COUNT(CASE WHEN sensor_status <> 'Working' THEN 1 END)",
-)
+# mart_iot_hourly_summary (§2-L3): 1 row per sensor per hour.  daytime_share
+# is omitted — is_daytime is constant within an hour, so the column would be
+# redundant at this grain.
+_HOURLY_MART = """
+SELECT user_id, date_trunc('hour', ts) AS reading_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_readings,
+       {avg_value} AS avg_value,
+       MAX(value) AS max_value,
+       MIN(value) AS min_value,
+       CAST({n_flagged} AS BIGINT) AS n_flagged
+FROM int_features
+GROUP BY user_id, date_trunc('hour', ts)
+"""
 
-_DUCK_MART = _MART_SQL.format(
-    src="events",
-    ts="CAST(ts AS TIMESTAMP)",
-    # DuckDB dayofweek: Sunday=0 .. Saturday=6
-    is_weekend="(dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6))",
-    avg_value=fround_sql("AVG(value)"),
-    daytime_share=fround_sql("AVG(CAST(is_daytime AS DOUBLE))"),
-    n_flagged="COUNT(CASE WHEN sensor_status <> 'Working' THEN 1 END)",
-)
-# inside int_features, `ts` is already the cast CTE column on both engines —
-# the raw {ts} fragment only feeds the staging layer, so fix the weekend
-# fragment to reference the CTE column:
-_DUCK_MART = _DUCK_MART.replace(
-    "(dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6))", "(dayofweek(ts) IN (0, 6))"
-)
+# mart_iot_location_stats (§2-L3): 1 row per location per day, aggregated
+# across all sensors in the location (event_type stands in for location —
+# same mapping as queries/core.py::q_location_agg).
+_LOCATION_MART = """
+SELECT event_type AS location, reading_date,
+       CAST(COUNT(*) AS BIGINT) AS n_readings,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensors,
+       {avg_value} AS avg_value,
+       MAX(value) AS max_value,
+       MIN(value) AS min_value,
+       {daytime_share} AS daytime_share,
+       CAST({n_flagged} AS BIGINT) AS n_flagged
+FROM int_features
+GROUP BY event_type, reading_date
+"""
 
 
-@register("q_mart_daily_sql", oracle=_DUCK_MART)
+def _render(mart_select: str, engine: str) -> str:
+    """Render layers + one mart for 'spark' or 'duck'; the divergent
+    fragments live here and nowhere else."""
+    shared = dict(
+        avg_value=fround_sql("AVG(value)"),
+        daytime_share=fround_sql("AVG(CAST(is_daytime AS DOUBLE))"),
+        n_flagged="COUNT(CASE WHEN sensor_status <> 'Working' THEN 1 END)",
+    )
+    if engine == "spark":
+        # Spark dayofweek: Sunday=1 .. Saturday=7
+        layers = _LAYERS_SQL.format(
+            src="events_v", ts="ts", is_weekend="(dayofweek(ts) IN (1, 7))"
+        )
+    else:
+        # DuckDB dayofweek: Sunday=0 .. Saturday=6.  The staging {ts}
+        # fragment needs the VARCHAR->TIMESTAMP cast, but inside
+        # int_features `ts` is already the cast CTE column.
+        layers = _LAYERS_SQL.format(
+            src="events",
+            ts="CAST(ts AS TIMESTAMP)",
+            is_weekend="(dayofweek(ts) IN (0, 6))",
+        )
+    return layers + mart_select.format(**shared)
+
+
+@register("q_mart_daily_sql", oracle=_render(_DAILY_MART, "duck"))
 def q_mart_daily_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dbt three-layer flow through the SQL entry point: register the
     source as a temp view, run staging->features->mart as chained CTEs —
     the same engine surface dbt-on-Spark compiles to."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
-    return spark.sql(_SPARK_MART)
+    return spark.sql(_render(_DAILY_MART, "spark"))
+
+
+@register("q_mart_hourly_sql", oracle=_render(_HOURLY_MART, "duck"))
+def q_mart_hourly_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mart_iot_hourly_summary (dbt/dbt_project.yml:26-33; Learning
+    Guide.txt:1071 §2-L3 'grain: 1 row per sensor per hour') through the
+    same chained-CTE layers as the daily mart."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(_render(_HOURLY_MART, "spark"))
+
+
+@register("q_mart_location_sql", oracle=_render(_LOCATION_MART, "duck"))
+def q_mart_location_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mart_iot_location_stats (dbt/dbt_project.yml:26-33; Learning
+    Guide.txt:1071 §2-L3 'grain: 1 row per location per day, aggregates
+    across all sensors in location').  Low-cardinality (location, day)
+    grain stays scale-safe because groupBy does map-side partial
+    aggregation — only #locations x #days rows ever shuffle; COUNT(DISTINCT)
+    expands to a two-phase partial_agg(distinct keys) -> final count, never
+    a per-group row buffer."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(_render(_LOCATION_MART, "spark"))

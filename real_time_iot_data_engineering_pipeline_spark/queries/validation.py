@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import fround
+from ..functions.rounding import fround, fround_sql
 from ..functions.validation import (
     failure_reasons,
     is_null_or_null_string,
@@ -385,3 +385,82 @@ def q_outlier_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (~F.col("value").between(2, 18)).alias("is_outlier"),
     )
+
+
+# Quality-alert thresholds (Learning Guide.txt:1058 §5-6: alert if >10% of
+# messages land in the DLQ, any quality metric drops below 95%, or data
+# freshness exceeds 5 minutes).
+DLQ_SHARE_MAX = 0.10
+QUALITY_MIN = 0.95
+FRESHNESS_MAX_MINUTES = 5.0
+
+
+def alert_flags(metrics: DataFrame) -> DataFrame:
+    """Attach the reference's alert verdicts to a metrics frame with columns
+    (dlq_share, validity_ratio, freshness_min).  Factored out of
+    q_quality_alerts so the threshold EDGES are golden-testable on synthetic
+    rows (tests/test_golden.py) — the fixture data never sits exactly on a
+    boundary.  Thresholds are strict comparisons: exactly 10% DLQ / 95%
+    quality / 5 min freshness does NOT alert."""
+    return metrics.select(
+        "*",
+        (F.col("dlq_share") > DLQ_SHARE_MAX).alias("alert_dlq"),
+        (F.col("validity_ratio") < QUALITY_MIN).alias("alert_quality"),
+        (F.col("freshness_min") > FRESHNESS_MAX_MINUTES).alias("alert_freshness"),
+    ).withColumn(
+        "any_alert",
+        F.col("alert_dlq") | F.col("alert_quality") | F.col("alert_freshness"),
+    )
+
+
+@register(
+    "q_quality_alerts",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               {fround_sql(f"avg(CASE WHEN {_ORACLE_NFAIL} > 0 THEN 1.0 ELSE 0.0 END)")} AS dlq_share,
+               {fround_sql("avg(CASE WHEN value BETWEEN 0 AND 100 THEN 1.0 ELSE 0.0 END)")} AS validity_ratio,
+               {fround_sql(f"(date_diff('second', max(CAST(ts AS TIMESTAMP)), TIMESTAMP '{NOW}') / 60.0)")} AS freshness_min
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, dlq_share, validity_ratio, freshness_min,
+           dlq_share > 0.10 AS alert_dlq,
+           validity_ratio < 0.95 AS alert_quality,
+           freshness_min > 5.0 AS alert_freshness,
+           (dlq_share > 0.10 OR validity_ratio < 0.95 OR freshness_min > 5.0)
+               AS any_alert
+    FROM m
+    """,
+)
+def q_quality_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert verdicts over the quality metrics (Learning Guide.txt:1058
+    §5-6): DLQ share of the validation router, range-validity ratio, and
+    per-group freshness vs the pinned 'now' (same pinned clock as
+    q_filter_freshness — SURVEY §4.4-3).
+
+    Scale: one pass over the validated frame, partial-aggregated per group;
+    the flags are a projection over the #groups-row aggregate."""
+    v = _with_validation(load_table(spark, sf_dir, "events"))
+    agg = v.groupBy("event_type").agg(
+        fround(F.avg(F.when(F.col("is_valid"), 0.0).otherwise(1.0)), 4).alias(
+            "dlq_share"
+        ),
+        fround(
+            F.avg(F.when(F.col("value").between(0, 100), 1.0).otherwise(0.0)), 4
+        ).alias("validity_ratio"),
+        F.max("ts").alias("_max_ts"),
+    )
+    metrics = agg.select(
+        "event_type",
+        "dlq_share",
+        "validity_ratio",
+        fround(
+            F.expr(f"timestampdiff(SECOND, _max_ts, TIMESTAMP_NTZ '{NOW}')").cast(
+                "double"
+            )
+            / F.lit(60.0),
+            4,
+        ).alias("freshness_min"),
+    )
+    return alert_flags(metrics)

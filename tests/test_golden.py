@@ -233,3 +233,47 @@ class TestMinhashMechanics:
             for d in sigs
         }
         assert bands[1] & bands[3] == set()
+
+
+class TestQualityAlertThresholds:
+    """The reference's alert rules (Learning Guide §5-6) at their exact
+    edges: >10% DLQ, <95% quality, >5 min freshness — all strict."""
+
+    def test_exact_thresholds_do_not_alert(self, spark):
+        from real_time_iot_data_engineering_pipeline_spark.queries.validation import (
+            alert_flags,
+        )
+
+        m = spark.createDataFrame(
+            [("a", 0.10, 0.95, 5.0)],
+            "event_type string, dlq_share double, validity_ratio double, freshness_min double",
+        )
+        row = alert_flags(m).collect()[0]
+        assert not row.alert_dlq and not row.alert_quality
+        assert not row.alert_freshness and not row.any_alert
+
+    def test_just_past_thresholds_alert(self, spark):
+        from real_time_iot_data_engineering_pipeline_spark.queries.validation import (
+            alert_flags,
+        )
+
+        m = spark.createDataFrame(
+            [("a", 0.1001, 0.9499, 5.0001)],
+            "event_type string, dlq_share double, validity_ratio double, freshness_min double",
+        )
+        row = alert_flags(m).collect()[0]
+        assert row.alert_dlq and row.alert_quality
+        assert row.alert_freshness and row.any_alert
+
+    def test_single_metric_trips_any_alert(self, spark):
+        from real_time_iot_data_engineering_pipeline_spark.queries.validation import (
+            alert_flags,
+        )
+
+        m = spark.createDataFrame(
+            [("a", 0.0, 1.0, 6.0), ("b", 0.0, 1.0, 0.0)],
+            "event_type string, dlq_share double, validity_ratio double, freshness_min double",
+        )
+        rows = {r.event_type: r for r in alert_flags(m).collect()}
+        assert rows["a"].any_alert and rows["a"].alert_freshness
+        assert not rows["b"].any_alert
