@@ -64,13 +64,20 @@ _NULLSTR_SQL = ", ".join(f"'{s}'" for s in NULL_STRINGS)
 
 
 def _wire_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    return _wire_from_events(load_table(spark, sf_dir, "events"))
+
+
+def _wire_from_events(ev: DataFrame) -> DataFrame:
     t_i = F.floor("value").cast("long")
     city = F.element_at(
         F.array(*[F.lit(c) for c in CITIES]), (F.col("user_id") % 15).cast("int") + 1
     )
-    sensor0 = F.format_string(
-        "SENSOR_%s_%03d", city, (F.col("user_id") % 100).cast("int")
+    # Gate on NULL explicitly: Spark's format_string renders a NULL arg as
+    # the string 'null' (Java Formatter) while DuckDB's printf returns NULL —
+    # without this the two engines would derive different wire rows the day
+    # a fixture carries a NULL user_id (ADVICE r02).
+    sensor0 = F.when(F.col("user_id").isNull(), F.lit(None).cast("string")).otherwise(
+        F.format_string("SENSOR_%s_%03d", city, (F.col("user_id") % 100).cast("int"))
     )
     ts0 = F.date_format(
         F.expr(f"timestampadd(SECOND, -cast(floor(value) as int) % 240, "
@@ -137,9 +144,10 @@ _WIRE_SQL = f"""
     WITH base AS (
         SELECT event_id,
                CAST(event_id % {N_BUCKETS} AS INT) AS b,
-               printf('SENSOR_%s_%03d',
-                      {_CITY_LIST_SQL}[CAST(user_id % 15 AS INT) + 1],
-                      CAST(user_id % 100 AS INT)) AS sensor0,
+               CASE WHEN user_id IS NULL THEN NULL
+                    ELSE printf('SENSOR_%s_%03d',
+                                {_CITY_LIST_SQL}[CAST(user_id % 15 AS INT) + 1],
+                                CAST(user_id % 100 AS INT)) END AS sensor0,
                CAST(CAST(floor(value) AS BIGINT) % 101 - 50 AS VARCHAR) AS temp0,
                CAST(CAST(floor(value) AS BIGINT) % 101 AS VARCHAR) AS hum0,
                CAST(CAST(floor(value) AS BIGINT) % 11 AS VARCHAR) AS energy0,

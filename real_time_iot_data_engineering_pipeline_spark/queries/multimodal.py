@@ -20,6 +20,7 @@ fully oracle-checked.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,14 +46,88 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_media(payload: bytes, content_type: str):
-    """Real media decode — requires PIL/ffmpeg/soundfile, none of which ship
-    in this container.  The production build plugs the codec in here; the
-    Spark plumbing around it does not change."""
+def decode_media(payload: bytes, content_type: str) -> tuple[int, int, int]:
+    """REAL media decode for the container-formats a pure-Python header
+    parse can handle, returning (width, height, n_frames):
+
+      - image/png  -> (pixel width, pixel height, 1) from the IHDR chunk
+      - audio/wav  -> (sample rate, channel count, audio-frame count) from
+                      the RIFF fmt/data chunks — audio frames fill the
+                      n_frames slot, channels stand in for height
+
+    Pixel/sample DATA decoding (zlib scanlines, PCM) still needs a codec
+    stack (PIL/ffmpeg/soundfile, not in this container), so video/mp4 and
+    payload-level transforms stay NotImplementedError — but the seam is
+    exercised with real bytes (tests/test_golden.py feeds a genuine PNG and
+    WAV through mapInPandas via extract_features_real)."""
+    if content_type == "image/png":
+        return _decode_png_header(payload)
+    if content_type == "audio/wav":
+        return _decode_wav_header(payload)
     raise NotImplementedError(
         f"no codec available for {content_type}; install an image/audio "
-        "stack and replace fake_decode_features with a real decoder"
+        "stack and extend decode_media"
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_header(payload: bytes) -> tuple[int, int, int]:
+    """Width/height from the IHDR chunk (PNG spec: IHDR is always first,
+    at byte 8, with big-endian u32 dims)."""
+    if not payload.startswith(_PNG_SIG) or len(payload) < 24:
+        raise ValueError("not a PNG: bad signature")
+    _length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR":
+        raise ValueError("not a PNG: first chunk is not IHDR")
+    width, height = struct.unpack(">II", payload[16:24])
+    return (width, height, 1)
+
+
+def _decode_wav_header(payload: bytes) -> tuple[int, int, int]:
+    """Walk the RIFF chunk list for fmt (rate/channels/block align) and data
+    (byte size); audio frames = data bytes / block align."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    channels = rate = block_align = data_size = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack("<4sI", payload[pos : pos + 8])
+        if cid == b"fmt " and csize >= 16:
+            channels, rate = struct.unpack("<HI", payload[pos + 10 : pos + 16])
+            block_align = struct.unpack("<H", payload[pos + 20 : pos + 22])[0]
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if None in (channels, rate, block_align, data_size) or block_align == 0:
+        raise ValueError("not a WAV: missing fmt/data chunk")
+    return (rate, channels, data_size // block_align)
+
+
+def extract_features_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body wired to the REAL decoder — same FEATURE_SCHEMA as
+    extract_features, for payloads that are actual PNG/WAV bytes.  The
+    fixture payloads are utf8 text (so the SQL oracle can re-derive them),
+    hence the registered query keeps the fake path; this stage is what a
+    production caller with real media columns uses, and the golden test
+    drives it with genuine bytes."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "content_type", "byte_len",
+                               "sha256_hex", "width", "height", "n_frames")}
+        for doc_id, ct, payload in zip(
+            pdf["doc_id"], pdf["content_type"], pdf["payload"]
+        ):
+            raw = bytes(payload)
+            width, height, n_frames = decode_media(raw, ct)
+            out["doc_id"].append(doc_id)
+            out["content_type"].append(ct)
+            out["byte_len"].append(len(raw))
+            out["sha256_hex"].append(hashlib.sha256(raw).hexdigest())
+            out["width"].append(width)
+            out["height"].append(height)
+            out["n_frames"].append(n_frames)
+        yield pd.DataFrame(out)
 
 
 def fake_decode_features(payload: bytes) -> tuple[int, str, int, int, int]:

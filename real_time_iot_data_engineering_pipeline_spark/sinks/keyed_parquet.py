@@ -38,10 +38,14 @@ _EPOCH_COL = "_epoch"
 class KeyedParquetSink:
     """Parquet-backed keyed table with last-write-wins upsert.
 
-    Directory layout: ``<root>/current/`` holds the live parquet table; each
-    upsert writes the merged table to a staging dir and atomically swaps it
-    in (os.replace on the directory names), so readers never observe a
-    half-written table and a crashed upsert leaves the previous table intact.
+    Directory layout: a ``CURRENT`` pointer file names the live version dir;
+    each upsert writes the merged table to a fresh version dir and atomically
+    replaces the pointer, so readers never observe a half-written table and a
+    crashed upsert leaves the previous table intact.  The previous version is
+    retained one upsert longer (GC lag 1), so a reader that resolved the old
+    pointer immediately before a commit can still finish its lazy scan;
+    out-of-band readers must consume within one upsert interval (single
+    writer assumed — the streaming foreachBatch contract).
     """
 
     def __init__(self, spark: SparkSession, root: str, key_cols: list[str]):
@@ -91,6 +95,7 @@ class KeyedParquetSink:
             return
         incoming = batch_df.withColumn(_EPOCH_COL, F.lit(int(epoch_id)))
         current = self._current()
+        prev_version = os.path.basename(current) if current is not None else None
         if current is not None:
             merged = self.spark.read.parquet(current).unionByName(incoming)
         else:
@@ -110,11 +115,18 @@ class KeyedParquetSink:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp_ptr, self._pointer)  # the one atomic commit point
+        # GC with a lag of 1 (ADVICE r02): keep the version the pointer
+        # referenced until this commit, so a reader that resolved the OLD
+        # pointer just before the swap can finish its lazy parquet scan.
+        # An out-of-band reader is safe as long as it consumes within one
+        # upsert interval; the streaming foreachBatch driver (single
+        # writer) is always safe.
+        keep = {version, prev_version}
         for entry in os.listdir(self.root):
             path = os.path.join(self.root, entry)
             if (
                 os.path.isdir(path)
-                and entry != version
+                and entry not in keep
                 and (entry.startswith("v") or entry.startswith(".w"))
             ):
                 shutil.rmtree(path, ignore_errors=True)

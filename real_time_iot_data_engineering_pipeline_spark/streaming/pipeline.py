@@ -50,6 +50,13 @@ WATERMARK_DELAY = "1 minute"  # streaming_job.py:81,303
 WINDOW_DURATION = "5 minutes"  # streaming_job.py:80,306
 MICRO_BATCH_INTERVAL = "10 seconds"  # streaming_job.py:82,736
 
+# Window families (batch twins: queries/core.py::q_tumbling_agg,
+# queries/windows.py::q_sliding_agg / q_session_agg — same durations).
+WINDOW_FAMILIES = ("tumbling", "sliding", "session")
+SLIDING_WINDOW_DURATION = "10 minutes"
+SLIDE_DURATION = "5 minutes"
+SESSION_GAP = "5 minutes"
+
 
 def read_event_file_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
@@ -82,6 +89,7 @@ def windowed_aggregate(
     events: DataFrame,
     watermark_delay: str | None = WATERMARK_DELAY,
     window_duration: str = WINDOW_DURATION,
+    family: str = "tumbling",
 ) -> DataFrame:
     """Watermarked 5-minute tumbling-window aggregate per key
     (streaming_job.py:278-353; agg list :308-327).
@@ -94,12 +102,26 @@ def windowed_aggregate(
 
     watermark_delay=None means the input ALREADY carries a watermark (e.g.
     downstream of dedup_stream — Spark forbids redefining it when chaining
-    stateful operators)."""
+    stateful operators).
+
+    family selects the window assignment (durations above): 'tumbling'
+    (default, the reference's), 'sliding' (10 min / 5 min — each event in 2
+    windows), or 'session' (5-min gap — sessions only FINALIZE when the
+    watermark passes their end, so streaming callers must use APPEND output
+    mode; Spark rejects update mode for session windows)."""
+    if family not in WINDOW_FAMILIES:
+        raise ValueError(f"unknown window family {family!r}; use {WINDOW_FAMILIES}")
     if watermark_delay is not None:
         events = events.withWatermark("ts", watermark_delay)
+    if family == "sliding":
+        w = F.window("ts", SLIDING_WINDOW_DURATION, SLIDE_DURATION)
+    elif family == "session":
+        w = F.session_window("ts", SESSION_GAP)
+    else:
+        w = F.window("ts", window_duration)
     return (
         events
-        .groupBy("user_id", F.window("ts", window_duration).alias("w"))
+        .groupBy("user_id", w.alias("w"))
         .agg(
             F.avg("value").alias("avg_value"),
             F.max("value").alias("max_value"),
@@ -162,7 +184,12 @@ def run_pipeline(
 
     available_now=True drains everything currently in source_dir in
     deterministic micro-batches and stops — the test/replay mode; False runs
-    the reference's continuous 10-second trigger until externally stopped."""
+    the reference's continuous 10-second trigger until externally stopped.
+
+    The StreamingQuery handle is attached as `sink.query` (ADVICE r02):
+    continuous-mode callers stop/await/inspect it directly instead of
+    scanning spark.streams.active, which misattributes when other queries
+    share the session."""
     raw = read_event_file_stream(spark, source_dir, max_files_per_trigger)
     agg = windowed_aggregate(parse_event_stream(raw))
     sink = KeyedParquetSink(spark, sink_dir, AGG_KEY_COLS)
@@ -179,5 +206,6 @@ def run_pipeline(
             if query.isActive:
                 query.stop()
     else:
-        writer.trigger(processingTime=processing_time).start()
+        query = writer.trigger(processingTime=processing_time).start()
+    sink.query = query
     return sink

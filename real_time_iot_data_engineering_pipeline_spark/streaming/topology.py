@@ -54,15 +54,23 @@ def run_topology(
     out_dir: str,
     max_files_per_trigger: int = 1,
     timeout_seconds: float = 180.0,
+    window_family: str = "tumbling",
 ) -> TopologyResult:
     """Drain source_dir through the full validate->route->dedup->window->
-    upsert topology with Trigger.AvailableNow on both branches."""
+    upsert topology with Trigger.AvailableNow on both branches.
+
+    window_family: 'tumbling' (reference default), 'sliding', or 'session'
+    (streaming/pipeline.py WINDOW_FAMILIES).  Session windows require
+    APPEND output mode (a session emits exactly once, when the watermark
+    passes its end and it can no longer merge) — update mode is a Spark
+    error for them; the keyed upsert sink is mode-agnostic, so only the
+    writer's outputMode changes."""
     agg_sink = KeyedParquetSink(spark, os.path.join(out_dir, "aggs"), AGG_KEY_COLS)
     dlq_dir = os.path.join(out_dir, "dlq")
 
-    def start(df: DataFrame, name: str, fb) -> object:
+    def start(df: DataFrame, name: str, fb, mode: str = "update") -> object:
         return (
-            df.writeStream.outputMode("update")
+            df.writeStream.outputMode(mode)
             .queryName(name)
             .option("checkpointLocation", os.path.join(out_dir, f"ckpt-{name}"))
             .foreachBatch(fb)
@@ -81,8 +89,14 @@ def run_topology(
     main = windowed_aggregate(
         dedup_stream(validated.filter("is_valid").drop("failure_reasons", "is_valid")),
         watermark_delay=None,
+        family=window_family,
     )
-    q_main = start(main, "topology-main", agg_sink.foreach_batch(retry_attempts=3))
+    q_main = start(
+        main,
+        "topology-main",
+        agg_sink.foreach_batch(retry_attempts=3),
+        mode="append" if window_family == "session" else "update",
+    )
 
     # DLQ path: invalid -> append with reasons (validation_consumer.py:557-563)
     dlq = (

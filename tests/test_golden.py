@@ -277,3 +277,121 @@ class TestQualityAlertThresholds:
         rows = {r.event_type: r for r in alert_flags(m).collect()}
         assert rows["a"].any_alert and rows["a"].alert_freshness
         assert not rows["b"].any_alert
+
+
+class TestRealMediaDecode:
+    """Genuine PNG/WAV bytes through the decode_media seam — the real-codec
+    branch of the multimodal stage (fake_decode_features stays the oracle
+    path because fixture payloads are utf8 text, not media)."""
+
+    @staticmethod
+    def _png(width: int, height: int) -> bytes:
+        import struct
+        import zlib
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            body = ctype + data
+            return struct.pack(">I", len(data)) + body + struct.pack(
+                ">I", zlib.crc32(body)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + b"\x10\x20\x30" * width for _ in range(height))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    @staticmethod
+    def _wav(rate: int, channels: int, n_frames: int) -> bytes:
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x01\x02" * channels * n_frames)
+        return buf.getvalue()
+
+    def test_real_bytes_through_mapinpandas(self, spark):
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            FEATURE_SCHEMA,
+            extract_features_real,
+        )
+
+        png = self._png(17, 9)
+        wav = self._wav(8000, 2, 5)
+        df = spark.createDataFrame(
+            [(1, "image/png", bytearray(png)), (2, "audio/wav", bytearray(wav))],
+            "doc_id long, content_type string, payload binary",
+        )
+        rows = {
+            r.doc_id: r
+            for r in df.mapInPandas(extract_features_real, FEATURE_SCHEMA).collect()
+        }
+        assert (rows[1].width, rows[1].height, rows[1].n_frames) == (17, 9, 1)
+        assert (rows[2].width, rows[2].height, rows[2].n_frames) == (8000, 2, 5)
+        assert rows[1].byte_len == len(png) and rows[2].byte_len == len(wav)
+
+    def test_unsupported_type_raises(self):
+        import pytest as _pytest
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            decode_media,
+        )
+
+        with _pytest.raises(NotImplementedError):
+            decode_media(b"\x00\x01", "video/mp4")
+
+    def test_corrupt_bytes_rejected(self):
+        import pytest as _pytest
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            decode_media,
+        )
+
+        with _pytest.raises(ValueError):
+            decode_media(b"not a png at all", "image/png")
+        with _pytest.raises(ValueError):
+            decode_media(b"RIFFxxxxNOPE", "audio/wav")
+
+
+class TestIotNullUserIdParity:
+    """ADVICE r02: Spark format_string renders NULL args as the string
+    'null' while DuckDB printf returns NULL.  The wire derivation gates on
+    user_id IS NULL explicitly; both engines must emit a NULL sensor_id for
+    a NULL user_id even though current fixtures never exercise it."""
+
+    def test_null_user_id_yields_null_sensor_id_both_engines(self, spark):
+        import duckdb
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.iot import (
+            _WIRE_SQL,
+            _wire_from_events,
+        )
+
+        ev = spark.createDataFrame(
+            [(1, None, 42.0), (2, 7, 42.0)],
+            "event_id long, user_id long, value double",
+        )
+        srows = {r.event_id: r.sensor_id for r in _wire_from_events(ev).collect()}
+        assert srows[1] is None
+        assert srows[2] is not None and srows[2] != "null"
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT * FROM (VALUES "
+            "(1, NULL, 42.0), (2, 7, 42.0)) t(event_id, user_id, value)"
+        )
+        drows = {
+            r[0]: r[1]
+            for r in con.execute(
+                f"SELECT event_id, sensor_id FROM ({_WIRE_SQL})"
+            ).fetchall()
+        }
+        assert drows[1] is None
+        assert drows[2] == srows[2]

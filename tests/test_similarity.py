@@ -97,8 +97,12 @@ class TestLshQuality:
 
 
 class TestMultimodal:
-    def test_decode_stub_raises(self):
+    def test_decode_contract(self):
+        # r03: PNG/WAV headers decode for real (pure-Python); formats
+        # without a codec stay NotImplementedError, corrupt bytes ValueError
         with pytest.raises(NotImplementedError):
+            decode_media(b"\x00\x00", "video/mp4")
+        with pytest.raises(ValueError):
             decode_media(b"\x89PNG...", "image/png")
 
     def test_fake_decode_is_deterministic_pure_function_of_bytes(self):

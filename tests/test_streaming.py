@@ -199,6 +199,31 @@ class TestWindowedPipeline:
         assert sorted(sink.read().collect()) == [(1, 10.0), (2, 20.0)]
         assert not os.path.isdir(orphan)  # debris collected
 
+    def test_sink_gc_keeps_previous_version_one_upsert(self, spark, tmp_path):
+        """GC lag of 1 (ADVICE r02): after a commit, the version the pointer
+        previously referenced must survive one more upsert so a reader that
+        resolved the old pointer can finish its lazy scan; versions two
+        commits old are collected."""
+        import os
+
+        sink = KeyedParquetSink(spark, str(tmp_path / "s"), ["k"])
+
+        def versions() -> set:
+            return {
+                e for e in os.listdir(sink.root)
+                if e.startswith("v") and os.path.isdir(os.path.join(sink.root, e))
+            }
+
+        sink.upsert(spark.createDataFrame([(1, 10.0)], "k int, v double"), 1)
+        v1 = versions()
+        assert len(v1) == 1
+        sink.upsert(spark.createDataFrame([(2, 20.0)], "k int, v double"), 2)
+        v2 = versions()
+        assert v1 < v2 and len(v2) == 2  # previous version retained
+        sink.upsert(spark.createDataFrame([(3, 30.0)], "k int, v double"), 3)
+        v3 = versions()
+        assert len(v3) == 2 and not (v1 & v3)  # two-commits-old collected
+
     def test_sink_replay_is_idempotent(self, spark, tmp_path):
         sink = KeyedParquetSink(spark, str(tmp_path / "s"), ["k"])
         batch = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")

@@ -50,3 +50,70 @@ def test_full_topology_end_to_end(spark, tmp_path):
     assert [r.event_id for r in dlq] == [3]
     assert dlq[0].validation_failures == "out_of_range:value"
     assert dlq[0].data_quality_flag == "invalid"
+
+
+def test_topology_sliding_family(spark, tmp_path):
+    """Same topology with the sliding (10 min / 5 min) family: each
+    surviving event lands in TWO windows, and the dedup/DLQ behavior is
+    unchanged."""
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}', event_type="click")
+    write_file(
+        str(src),
+        "f1.json",
+        [
+            dict(ev(1, "2024-01-19 10:02:00", value=2.0), **valid_kwargs),
+            dict(ev(1, "2024-01-19 10:02:00", value=2.0), **valid_kwargs),  # dup
+            dict(ev(2, "2024-01-19 10:07:00", value=4.0), **valid_kwargs),
+        ],
+        seq=0,
+    )
+
+    result = run_topology(
+        spark, str(src), str(tmp_path / "out"), window_family="sliding"
+    )
+    aggs = {
+        str(r.window_start): (r.sum_value, r["count"])
+        for r in result.aggregates.read().collect()
+    }
+    # event@10:02 -> [09:55,10:05)+[10:00,10:10); event@10:07 -> [10:00,10:10)+[10:05,10:15)
+    assert aggs == {
+        "2024-01-19 09:55:00": (2.0, 1),
+        "2024-01-19 10:00:00": (6.0, 2),
+        "2024-01-19 10:05:00": (4.0, 1),
+    }
+
+
+def test_topology_session_family(spark, tmp_path):
+    """Session family: append mode, sessions emit only when finalized by
+    the watermark.  Two close events merge into one session; the late
+    straggler session stays open and never reaches the sink."""
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}', event_type="click")
+    write_file(
+        str(src),
+        "f1.json",
+        [
+            dict(ev(1, "2024-01-19 10:00:00", value=1.0), **valid_kwargs),
+            dict(ev(2, "2024-01-19 10:03:00", value=2.0), **valid_kwargs),  # merges
+        ],
+        seq=0,
+    )
+    write_file(
+        str(src),
+        "f2.json",
+        # watermark -> 10:14 > session-1 end (10:08): finalizes session 1
+        [dict(ev(3, "2024-01-19 10:15:00", value=4.0), **valid_kwargs)],
+        seq=1,
+    )
+
+    result = run_topology(
+        spark, str(src), str(tmp_path / "out"), window_family="session"
+    )
+    aggs = {
+        (str(r.window_start), str(r.window_end)): (r.sum_value, r["count"])
+        for r in result.aggregates.read().collect()
+    }
+    assert aggs == {("2024-01-19 10:00:00", "2024-01-19 10:08:00"): (3.0, 2)}
