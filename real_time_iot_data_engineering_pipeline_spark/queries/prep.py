@@ -1,0 +1,167 @@
+"""Beyond-reference training-data preparation operators over `documents`:
+PII/URL redaction and deterministic train/validation/test splitting — the
+corpus-hygiene stages an LLM data pipeline runs between dedup and training.
+
+Design rules follow queries/text.py: portable hashing (md5 hex — never an
+engine-specific 64-bit hash), JVM-side regex/string work only (no Python in
+the hot path), and PLANTED fixtures — the driver documents are synthetic
+word salad with no PII, so the redaction corpus deterministically appends
+known PII to a doc_id-keyed subset and the oracle derives the identical
+corpus in SQL, making redaction recall itself part of the checked contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns valid in BOTH regex dialects (Java for Spark, RE2 for DuckDB):
+# no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+# Every 5th doc gets one email + one URL + one phone appended.
+_PII_CORPUS_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or https://example.org/u/'
+                     || CAST(doc_id AS VARCHAR) || ' or call 555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://example.org/u/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, planted).otherwise(F.col("text")).alias(
+            "text"
+        ),
+    )
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+    WITH corpus AS ({_PII_CORPUS_SQL}),
+    counted AS (
+        SELECT doc_id, text,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
+               len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones
+        FROM corpus
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{URL_RE}', '[URL]', 'g'),
+                   '{EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PHONE_RE}', '[PHONE]', 'g') AS redacted,
+           CAST(n_emails AS INT) AS n_emails,
+           CAST(n_urls AS INT) AS n_urls,
+           CAST(n_phones AS INT) AS n_phones,
+           CAST(n_emails + n_urls + n_phones AS INT) AS n_redactions
+    FROM counted
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: replace emails/URLs/phone numbers with typed placeholder
+    tokens and count what was removed, per document.
+
+    URL redaction runs FIRST so an address embedded in a URL query string
+    cannot survive as a partial match after the URL is collapsed; counts are
+    taken on the original text.  All three passes are codegen regex
+    projections — shuffle-free, embarrassingly parallel at any scale; the
+    planted-PII corpus derivation makes recall oracle-checked, not assumed.
+    """
+    corpus = _pii_corpus(spark, sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), URL_RE, "[URL]"), EMAIL_RE, "[EMAIL]"
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    # Counts go through the Python API (F.lit pattern), NOT F.expr — a SQL
+    # string literal would escape-process \b and \d and corrupt the regex.
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+    n_urls = F.size(F.regexp_extract_all("text", F.lit(URL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0)))
+    return corpus.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        n_emails.cast("int").alias("n_emails"),
+        n_urls.cast("int").alias("n_urls"),
+        n_phones.cast("int").alias("n_phones"),
+        (n_emails + n_urls + n_phones).cast("int").alias("n_redactions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/validation/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VALID_PCT = 10  # test gets the remainder
+
+
+@register(
+    "q_train_test_split",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                AS INT) AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                     < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                     < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'validation'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test assignment by hashed
+    document id — the split every training pipeline needs to be stable
+    across reruns, engines and data re-partitioning (a random split is
+    neither reproducible nor join-safe).
+
+    The bucket is md5-derived (engine-portable; Spark's hash() is murmur3
+    which DuckDB cannot reproduce — same idiom as q_hash_partition), using
+    15 hex chars = 60 bits, inside bigint range.  Pure projection: no
+    shuffle, no state; stratified variants key the same hash by
+    (stratum, doc_id).  Keeping `source` in the output makes the
+    per-source composition of each split auditable downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) "
+        "AS bigint) % 100 AS int)"
+    )
+    split = (
+        F.when(F.col("bucket") < SPLIT_TRAIN_PCT, "train")
+        .when(F.col("bucket") < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "validation")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "source", bucket.alias("bucket")).withColumn(
+        "split", split
+    )

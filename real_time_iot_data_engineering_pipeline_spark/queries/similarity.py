@@ -487,3 +487,88 @@ def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk_over_candidates(scored, K)
+
+
+# ---------------------------------------------------------------------------
+# k-means assignment + centroid update (one Lloyd iteration)
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8  # seeds: vec_id < 8 (deterministic, like the query batch)
+
+_SEED_DIST_DUCK = f"""
+    list_sum(list_transform(generate_series(1, {DIM}),
+             i -> (c.emb[i] - s.semb[i]) * (c.emb[i] - s.semb[i])))
+"""
+
+
+@register(
+    "q_embed_centroids",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id AS cluster_id,
+               list_transform(embedding, x -> x::DOUBLE) AS semb
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+        SELECT c.vec_id,
+               min(struct_pack(d := {_SEED_DIST_DUCK}, c := s.cluster_id)).c
+                   AS cluster_id
+        FROM c, s
+        GROUP BY c.vec_id
+    ),
+    expl AS (
+        SELECT a.cluster_id, u.i AS dim, c.emb[u.i + 1] AS val
+        FROM assign a
+        JOIN c USING (vec_id),
+             (SELECT unnest(generate_series(0, {DIM - 1})) AS i) u
+    )
+    SELECT cluster_id, CAST(dim AS INT) AS dim,
+           {fround_sql("avg(val)")} AS centroid,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM expl
+    GROUP BY cluster_id, dim
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) iteration over the embedding corpus: assign every
+    vector to its nearest of {N_CENTROIDS} deterministic seed centroids
+    (squared L2), then recompute each centroid as the per-dimension member
+    mean — the iterative-algorithm representative of the tier (clustering
+    for corpus curation / IVF cell training).  Output grain is
+    (cluster_id, dim) so the result is scalar-typed and hash-comparable.
+
+    Scale: seeds broadcast (K x 64 doubles); the corpus never shuffles to
+    be scored — assignment is min-over-struct with map-side partial
+    aggregation, so the K candidate rows per vector collapse to one BEFORE
+    the only full shuffle (on vec_id).  The tie-break is lexicographic
+    (dist, cluster_id) in BOTH engines, and both accumulate the distance in
+    identical element order, so assignment is bit-deterministic.  The
+    centroid update is a (cluster, dim)-keyed partial agg — 64x#clusters
+    output rows.  Further iterations chain the same two steps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", F.expr(_EMB_D_SPARK).alias("emb"))
+    s = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cluster_id"), F.expr(_EMB_D_SPARK).alias("semb")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(emb, semb, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 AS double), (acc, x) -> acc + x)"
+    )
+    assign = (
+        c.crossJoin(F.broadcast(s))
+        .select("vec_id", "emb", F.struct(dist.alias("d"), F.col("cluster_id").alias("c")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"), F.first("emb").alias("emb"))
+        .select("vec_id", F.col("m.c").alias("cluster_id"), "emb")
+    )
+    expl = assign.select(
+        "cluster_id", F.posexplode("emb").alias("dim", "val")
+    )
+    return expl.groupBy("cluster_id", "dim").agg(
+        fround(F.avg("val"), 4).alias("centroid"),
+        F.count("*").cast("long").alias("n_members"),
+    ).select("cluster_id", F.col("dim").cast("int").alias("dim"), "centroid", "n_members")

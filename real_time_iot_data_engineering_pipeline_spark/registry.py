@@ -35,6 +35,7 @@ _QUERY_MODULES = (
     "queries.multimodal",
     "queries.marts",
     "queries.windows",
+    "queries.prep",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -68,6 +69,10 @@ _DRIVER_PRIORITY = (
     "q_rank_per_group",
     "q_topk_per_group",
     "q_validate_iot",
+    # new in round 3 (training-data prep + clustering)
+    "q_pii_redact",
+    "q_train_test_split",
+    "q_embed_centroids",
 )
 
 

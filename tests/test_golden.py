@@ -395,3 +395,36 @@ class TestIotNullUserIdParity:
         }
         assert drows[1] is None
         assert drows[2] == srows[2]
+
+
+class TestPiiRedaction:
+    def test_url_redacted_before_email_and_tricky_cases(self, spark):
+        from real_time_iot_data_engineering_pipeline_spark.queries.prep import (
+            EMAIL_RE,
+            PHONE_RE,
+            URL_RE,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "see https://x.io/?mail=bob@x.io and mail carol@y.org"),
+                (2, "call 555-1234 now"),
+                (3, "nothing sensitive here"),
+            ],
+            "doc_id long, text string",
+        )
+        red = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), URL_RE, "[URL]"),
+                EMAIL_RE,
+                "[EMAIL]",
+            ),
+            PHONE_RE,
+            "[PHONE]",
+        )
+        rows = {r.doc_id: r.out for r in df.select("doc_id", red.alias("out")).collect()}
+        # URL-first: the email inside the URL query string vanishes WITH the
+        # URL instead of leaving '[URL-prefix][EMAIL]' debris
+        assert rows[1] == "see [URL] and mail [EMAIL]"
+        assert rows[2] == "call [PHONE] now"
+        assert rows[3] == "nothing sensitive here"
