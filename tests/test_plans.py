@@ -113,3 +113,20 @@ class TestCatalogRegistration:
             assert "PartitionFilters: [" in plan and "agg_date" in plan
         finally:
             spark.sql("DROP TABLE IF EXISTS test_aggs")
+
+
+class TestPrepPlans:
+    def test_pii_redact_and_split_are_shuffle_free(self, spark, sf_dir):
+        """Corpus-hygiene passes are projections: any Exchange means a
+        regression that would shuffle 100 TB of text for a regex."""
+        for q in ("q_pii_redact", "q_train_test_split"):
+            plan = plan_of(spark, sf_dir, q)
+            assert "Exchange" not in plan, q
+
+    def test_centroids_broadcast_seeds_no_cartesian(self, spark, sf_dir):
+        """k-means assignment must pair the corpus with BROADCAST seeds
+        (corpus never shuffles to be scored) and aggregate partially."""
+        plan = plan_of(spark, sf_dir, "q_embed_centroids")
+        assert "Broadcast" in plan
+        assert "CartesianProduct" not in plan
+        assert "partial_min" in plan or "HashAggregate" in plan

@@ -126,3 +126,72 @@ class TestSinkOrderInsensitivity:
         assert sorted(in_order.read().collect()) == sorted(
             reversed_calls.read().collect()
         ) == [(1, 10.0), (2, 99.0), (3, 30.0)]
+
+
+class TestPrepProperties:
+    def test_split_proportions_and_exhaustiveness(self, spark, sf_dir):
+        """The md5 split must cover every doc exactly once and land near
+        80/10/10 (law-of-large-numbers tolerance at fixture size)."""
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        registry.load_all()
+        df = registry.QUERIES["q_train_test_split"](spark, sf_dir)
+        total = df.count()
+        by = {r.split: r.n for r in df.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+        assert sum(by.values()) == total
+        assert set(by) == {"train", "validation", "test"}
+        assert 0.70 <= by["train"] / total <= 0.90
+        assert 0.05 <= by["validation"] / total <= 0.15
+        assert 0.05 <= by["test"] / total <= 0.15
+
+    def test_split_is_deterministic_across_runs(self, spark, sf_dir):
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        registry.load_all()
+        a = {(r.doc_id, r.split) for r in registry.QUERIES["q_train_test_split"](spark, sf_dir).collect()}
+        b = {(r.doc_id, r.split) for r in registry.QUERIES["q_train_test_split"](spark, sf_dir).collect()}
+        assert a == b
+
+    def test_redaction_is_idempotent(self, spark, sf_dir):
+        """Redacting already-redacted text changes nothing — placeholders
+        must not match any PII pattern."""
+        from pyspark.sql import functions as F
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+        from real_time_iot_data_engineering_pipeline_spark.queries.prep import (
+            EMAIL_RE,
+            PHONE_RE,
+            URL_RE,
+        )
+
+        registry.load_all()
+        once = registry.QUERIES["q_pii_redact"](spark, sf_dir).select(
+            "doc_id", F.col("redacted").alias("text")
+        )
+        twice = once.select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), URL_RE, "[URL]"),
+                    EMAIL_RE,
+                    "[EMAIL]",
+                ),
+                PHONE_RE,
+                "[PHONE]",
+            ).alias("text2"),
+        )
+        diff = once.join(twice, "doc_id").filter(F.col("text") != F.col("text2"))
+        assert diff.count() == 0
+
+    def test_centroid_membership_covers_corpus(self, spark, sf_dir):
+        """Every vector is assigned exactly once: per-cluster member counts
+        sum to the corpus size on every dimension row."""
+        from pyspark.sql import functions as F
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        registry.load_all()
+        res = registry.QUERIES["q_embed_centroids"](spark, sf_dir)
+        n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        per_dim = res.groupBy("dim").agg(F.sum("n_members").alias("s")).collect()
+        assert all(r.s == n_corpus for r in per_dim)
