@@ -18,6 +18,7 @@ natural key (user_id, high cardinality), not a global sort.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.rounding import fround_sql
 from ..registry import register
@@ -118,13 +119,20 @@ def _render(mart_select: str, engine: str) -> str:
     return layers + mart_select.format(**shared)
 
 
+def daily_mart_frame(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """The daily mart over an arbitrary events frame (the dbt model body,
+    decoupled from the fixture loader so incremental refresh and tests can
+    feed their own source)."""
+    events.createOrReplaceTempView("events_v")
+    return spark.sql(_render(_DAILY_MART, "spark"))
+
+
 @register("q_mart_daily_sql", oracle=_render(_DAILY_MART, "duck"))
 def q_mart_daily_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dbt three-layer flow through the SQL entry point: register the
     source as a temp view, run staging->features->mart as chained CTEs —
     the same engine surface dbt-on-Spark compiles to."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
-    return spark.sql(_render(_DAILY_MART, "spark"))
+    return daily_mart_frame(spark, load_table(spark, sf_dir, "events"))
 
 
 @register("q_mart_hourly_sql", oracle=_render(_HOURLY_MART, "duck"))
@@ -147,3 +155,32 @@ def q_mart_location_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-group row buffer."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
     return spark.sql(_render(_LOCATION_MART, "spark"))
+
+
+def mart_daily_incremental_refresh(
+    spark: SparkSession, events: DataFrame, sink, epoch_id: int
+) -> DataFrame:
+    """dbt incremental model with merge strategy (Learning Guide.txt:1071
+    §2 item 5: 'make daily_summary incremental — only process new dates,
+    incremental_strategy: merge').
+
+    Computes the daily mart ONLY for days at or after the sink's high-water
+    date and merges it keyed on (user_id, reading_date) via KeyedParquetSink
+    (the engine's MERGE twin).  The boundary day is REPROCESSED (>=, not >):
+    late rows for the newest stored day re-aggregate and the keyed merge
+    overwrites — the standard one-interval lookback that makes the refresh
+    idempotent and late-tolerant without full recompute.
+
+    The watermark read is a single-row collect (the sync-state `get` —
+    SURVEY §2.1/mongo_to_postgres_sync.py:129-139); everything else stays
+    distributed.  At scale the day filter prunes partitions when events are
+    date-partitioned on disk.  Returns the processed slice (for
+    observability / tests)."""
+    mart = daily_mart_frame(spark, events)
+    if sink.exists():
+        hwm = sink.read().agg(F.max("reading_date").alias("h")).collect()[0].h
+        processed = mart.filter(F.col("reading_date") >= F.lit(hwm))
+    else:
+        processed = mart
+    sink.upsert(processed, epoch_id)
+    return processed

@@ -428,3 +428,82 @@ class TestPiiRedaction:
         assert rows[1] == "see [URL] and mail [EMAIL]"
         assert rows[2] == "call [PHONE] now"
         assert rows[3] == "nothing sensitive here"
+
+
+class TestIncrementalMart:
+    """dbt incremental daily mart (merge strategy): only new dates process,
+    the boundary day reprocesses for late data, and the merged table always
+    equals the full recompute."""
+
+    @staticmethod
+    def _events(spark, rows):
+        return spark.createDataFrame(
+            [(i, u, ts, "click", v) for i, (u, ts, v) in enumerate(rows)],
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        )
+
+    def test_refresh_processes_only_new_dates_and_matches_full(
+        self, spark, tmp_path
+    ):
+        import datetime as dt
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.marts import (
+            daily_mart_frame,
+            mart_daily_incremental_refresh,
+        )
+        from real_time_iot_data_engineering_pipeline_spark.sinks import (
+            KeyedParquetSink,
+        )
+
+        sink = KeyedParquetSink(
+            spark, str(tmp_path / "mart"), ["user_id", "reading_date"]
+        )
+        t1 = [
+            (1, dt.datetime(2024, 1, 1, 10), 5.0),
+            (1, dt.datetime(2024, 1, 1, 11), 7.0),
+            (1, dt.datetime(2024, 1, 2, 9), 10.0),
+        ]
+        p1 = mart_daily_incremental_refresh(spark, self._events(spark, t1), sink, 1)
+        assert p1.count() == 2  # first run: full history (2 days)
+        assert sink.read().count() == 2
+
+        # tranche 2: a LATE row for day 2 plus a new day 3, new user
+        t2 = t1 + [
+            (1, dt.datetime(2024, 1, 2, 23), 20.0),
+            (2, dt.datetime(2024, 1, 3, 8), 1.0),
+        ]
+        ev2 = self._events(spark, t2)
+        p2 = mart_daily_incremental_refresh(spark, ev2, sink, 2)
+        processed_days = {str(r.reading_date) for r in p2.collect()}
+        # day 1 NOT reprocessed; boundary day 2 reprocessed; day 3 new
+        assert processed_days == {"2024-01-02 00:00:00", "2024-01-03 00:00:00"}
+
+        merged = {
+            (r.user_id, str(r.reading_date)): (r.n_readings, r.avg_value)
+            for r in sink.read().collect()
+        }
+        full = {
+            (r.user_id, str(r.reading_date)): (r.n_readings, r.avg_value)
+            for r in daily_mart_frame(spark, ev2).collect()
+        }
+        assert merged == full  # incremental == full recompute
+        assert merged[(1, "2024-01-02 00:00:00")] == (2, 15.0)  # late row in
+
+    def test_refresh_is_idempotent(self, spark, tmp_path):
+        import datetime as dt
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.marts import (
+            mart_daily_incremental_refresh,
+        )
+        from real_time_iot_data_engineering_pipeline_spark.sinks import (
+            KeyedParquetSink,
+        )
+
+        sink = KeyedParquetSink(
+            spark, str(tmp_path / "mart"), ["user_id", "reading_date"]
+        )
+        ev = self._events(spark, [(1, dt.datetime(2024, 1, 1, 10), 5.0)])
+        mart_daily_incremental_refresh(spark, ev, sink, 1)
+        once = sorted(map(tuple, sink.read().collect()))
+        mart_daily_incremental_refresh(spark, ev, sink, 2)  # same data again
+        assert sorted(map(tuple, sink.read().collect())) == once
