@@ -130,3 +130,27 @@ class TestPrepPlans:
         assert "Broadcast" in plan
         assert "CartesianProduct" not in plan
         assert "partial_min" in plan or "HashAggregate" in plan
+
+    def test_register_date_plus_location_partitioning(self, spark, sf_dir):
+        """SURVEY §4.3: the spec'd batch layout partitions output by
+        date+location; a query filtered on both must prune on both."""
+        from pyspark.sql import functions as F
+
+        agg = registry.QUERIES["q_location_agg"](spark, sf_dir).withColumnRenamed(
+            "day", "window_start"
+        )
+        try:
+            register_aggregates(
+                agg.limit(500),
+                table="test_aggs_loc",
+                partition_by=("agg_date", "event_type"),
+                sort_by="event_type",
+            )
+            q = spark.table("test_aggs_loc").filter(
+                (F.col("agg_date") == "2024-01-05") & (F.col("event_type") == "click")
+            )
+            plan = q._jdf.queryExecution().executedPlan().toString()
+            pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+            assert pf and "agg_date" in pf[0] and "event_type" in pf[0]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS test_aggs_loc")
