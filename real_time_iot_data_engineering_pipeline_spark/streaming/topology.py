@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sinks import KeyedParquetSink
+from .monitor import QualityMonitorSink
 from .pipeline import (
     AGG_KEY_COLS,
     dedup_stream,
@@ -39,10 +40,17 @@ from .router import validated_stream
 
 
 class TopologyResult:
-    def __init__(self, spark: SparkSession, agg_sink: KeyedParquetSink, dlq_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        agg_sink: KeyedParquetSink,
+        dlq_dir: str,
+        monitor: QualityMonitorSink | None = None,
+    ):
         self.spark = spark
         self.aggregates = agg_sink
         self.dlq_dir = dlq_dir
+        self.monitor = monitor
 
     def read_dlq(self) -> DataFrame:
         return self.spark.read.parquet(self.dlq_dir + "/epoch=*")
@@ -55,6 +63,8 @@ def run_topology(
     max_files_per_trigger: int = 1,
     timeout_seconds: float = 180.0,
     window_family: str = "tumbling",
+    monitor_now=None,
+    with_monitor: bool = False,
 ) -> TopologyResult:
     """Drain source_dir through the full validate->route->dedup->window->
     upsert topology with Trigger.AvailableNow on both branches.
@@ -114,11 +124,21 @@ def run_topology(
 
     q_dlq = start(dlq, "topology-dlq", write_dlq)
 
+    # optional monitoring branch (Learning Guide §5-6): per-batch quality
+    # metrics + alert verdicts over the SAME validated stream
+    monitor = None
+    queries = [q_main, q_dlq]
+    if with_monitor:
+        monitor = QualityMonitorSink(
+            spark, os.path.join(out_dir, "monitor"), now=monitor_now
+        )
+        queries.append(start(validated, "topology-monitor", monitor))
+
     try:
-        q_main.awaitTermination(timeout_seconds)
-        q_dlq.awaitTermination(timeout_seconds)
+        for q in queries:
+            q.awaitTermination(timeout_seconds)
     finally:
-        for q in (q_main, q_dlq):
+        for q in queries:
             if q.isActive:
                 q.stop()
-    return TopologyResult(spark, agg_sink, dlq_dir)
+    return TopologyResult(spark, agg_sink, dlq_dir, monitor)

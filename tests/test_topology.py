@@ -117,3 +117,53 @@ def test_topology_session_family(spark, tmp_path):
         for r in result.aggregates.read().collect()
     }
     assert aggs == {("2024-01-19 10:00:00", "2024-01-19 10:08:00"): (3.0, 2)}
+
+
+def test_topology_quality_monitor_alerts_per_batch(spark, tmp_path):
+    """The monitoring branch (Learning Guide §5-6) evaluates the alert
+    thresholds live: a batch with >10% DLQ share trips alert_dlq, a clean
+    fresh batch stays quiet.  Clock pinned for determinism."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}', event_type="click")
+    # batch 0: 2 of 4 rows invalid (out-of-range) -> 50% DLQ share
+    write_file(
+        str(src),
+        "f1.json",
+        [
+            dict(ev(1, "2024-01-19 10:00:00", value=2.0), **valid_kwargs),
+            dict(ev(2, "2024-01-19 10:00:10", value=4.0), **valid_kwargs),
+            dict(ev(3, "2024-01-19 10:00:20", value=500.0), **valid_kwargs),
+            dict(ev(4, "2024-01-19 10:00:30", value=-7.0), **valid_kwargs),
+        ],
+        seq=0,
+    )
+    # batch 1: all valid, fresh relative to the pinned clock
+    write_file(
+        str(src),
+        "f2.json",
+        [
+            dict(ev(5, "2024-01-19 10:01:00", value=6.0), **valid_kwargs),
+            dict(ev(6, "2024-01-19 10:02:00", value=8.0), **valid_kwargs),
+        ],
+        seq=1,
+    )
+
+    result = run_topology(
+        spark,
+        str(src),
+        str(tmp_path / "out"),
+        with_monitor=True,
+        monitor_now=dt.datetime(2024, 1, 19, 10, 3, 0),
+    )
+    rows = {r.epoch: r for r in result.monitor.read().collect()}
+    assert len(rows) == 2
+    noisy = rows[0]
+    assert noisy.n_total == 4 and noisy.dlq_share == 0.5
+    assert noisy.alert_dlq and noisy.alert_quality and noisy.any_alert
+    assert not noisy.alert_freshness  # 10:03 - 10:00:30 < 5 min
+    quiet = rows[1]
+    assert quiet.n_total == 2 and quiet.dlq_share == 0.0
+    assert not quiet.any_alert
