@@ -332,15 +332,24 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by doc_id.  The collect_set ships each doc's distinct shingles
     once (~3x text size); at extreme corpus sizes the intersect step can be
     replaced by joining exploded shingle rows of candidate pairs only."""
-    dedup = _shingle_rows(_near_corpus(spark, sf_dir)).distinct()
-    anchored = dedup.select(
-        "doc_id",
-        "s",
-        F.expr("cast(conv(substr(md5(s), 1, 15), 16, 10) AS bigint)").alias("h"),
-    ).groupBy("doc_id").agg(
-        F.min("h").alias("anchor"),
-        F.collect_set("s").alias("shingles"),
-        F.count("*").cast("long").alias("n"),
+    # No pre-distinct: collect_set dedups, min(h) is duplicate-insensitive,
+    # and n = |distinct shingles| falls out of the set — one doc_id-keyed
+    # shuffle instead of a (doc_id, shingle) distinct shuffle followed by a
+    # doc_id shuffle.  Duplicate shingle rows hash twice (cheap codegen md5)
+    # to save a full exchange of the shingle stream.
+    rows = _shingle_rows(_near_corpus(spark, sf_dir))
+    anchored = (
+        rows.select(
+            "doc_id",
+            "s",
+            F.expr("cast(conv(substr(md5(s), 1, 15), 16, 10) AS bigint)").alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min("h").alias("anchor"),
+            F.collect_set("s").alias("shingles"),
+        )
+        .withColumn("n", F.size("shingles").cast("long"))
     )
     a = anchored.select(
         F.col("doc_id").alias("doc_a"),
