@@ -47,9 +47,11 @@ _NS_TO_NTZ = "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 0
 # queries that offer one (e.g. q_rank_per_group's bucketed two-phase rank);
 # below it the plain single-window plan is faster because the restructuring
 # overhead (extra broadcast joins, bucket bookkeeping) dominates at small
-# sizes.  1 GiB of parquet ~= 50M event rows ~= 10M rows per low-cardinality
-# window partition — roughly where a single sorting task starts to straggle.
-_SCALE_SWITCH_BYTES_DEFAULT = 1 << 30
+# sizes.  Measured crossover on local[32]: at ~2 MB parquet the plain window
+# wins ~2x; at ~43 MB (2M rows) the two paths tie (2.10 s vs 2.04 s), so
+# from there up the straggler-proof plan is free insurance.  256 MiB sits
+# comfortably past the tie point while keeping toy inputs on the cheap path.
+_SCALE_SWITCH_BYTES_DEFAULT = 256 << 20
 
 
 def input_bytes(sf_dir: str, name: str) -> int | None:
