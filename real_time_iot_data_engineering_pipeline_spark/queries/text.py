@@ -192,9 +192,7 @@ _SIG_MINS_DUCK = ", ".join(f"min((h1 + {i} * h2) % {_P}) AS m{i}" for i in range
 _SIG_LIST_DUCK = "[" + ", ".join(f"m{i}" for i in range(_K)) + "]"
 
 
-@register(
-    "q_doc_dedup_minhash",
-    oracle=f"""
+_MINHASH_ORACLE = f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
     toks AS (
         SELECT doc_id, {_WORDS_DUCK} AS _words FROM corpus
@@ -231,8 +229,10 @@ _SIG_LIST_DUCK = "[" + ", ".join(f"m{i}" for i in range(_K)) + "]"
         JOIN sigs sb ON sb.doc_id = p.doc_b
     )
     SELECT doc_a, doc_b, est_jaccard FROM scored WHERE est_jaccard >= 0.5
-    """,
-)
+    """
+
+
+@register("q_doc_dedup_minhash", oracle=_MINHASH_ORACLE)
 def q_doc_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH near-duplicate detection, bucketed — NEVER all-pairs.
 
@@ -249,6 +249,12 @@ def q_doc_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sizes stay tiny (a bucket only grows when documents genuinely
     collide).  Signature arrays (~256 B) ride along the join instead of
     re-joining the corpus — no raw text movement."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) near-dup pairs — shared by the pair query
+    and the dup-group assignment."""
     sigs = _minhash_sigs(_shingle_rows(_near_corpus(spark, sf_dir)))
     bands = sigs.select(
         "doc_id",
@@ -670,4 +676,98 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.array_join(F.slice(F.array_sort(F.array_distinct(hashes)), 1, 8), "")
         ).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup group assignment (bounded min-label propagation)
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def _lp_round_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+        SELECT n.doc_id, least(n.lbl, coalesce(min(lnb.lbl), n.lbl)) AS lbl
+        FROM {prev} n
+        LEFT JOIN edges e ON e.src = n.doc_id
+        LEFT JOIN {prev} lnb ON lnb.doc_id = e.dst
+        GROUP BY n.doc_id, n.lbl
+    )"""
+
+
+_DUP_GROUPS_ORACLE = (
+    f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+    ),
+    nodes AS (
+        SELECT doc_id FROM ({_NEAR_CORPUS_SQL})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+    """
+    + ",\n    ".join(_lp_round_sql(f"l{i}", f"l{i + 1}") for i in range(_LP_ROUNDS))
+    + f"""
+    SELECT doc_id, lbl AS dup_group, (doc_id = lbl) AS is_keeper
+    FROM l{_LP_ROUNDS}
+    """
+)
+
+
+def _lp_round(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """One min-label round: every node takes min(own, neighbors') label."""
+    nb = (
+        edges.join(
+            labels.select(F.col("doc_id").alias("dst"), F.col("lbl").alias("_nlbl")),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.min("_nlbl").alias("_minnb"))
+        .withColumnRenamed("src", "doc_id")
+    )
+    return labels.join(nb, "doc_id", "left").select(
+        "doc_id",
+        F.least(F.col("lbl"), F.coalesce(F.col("_minnb"), F.col("lbl"))).alias("lbl"),
+    )
+
+
+@register("q_doc_dup_groups", oracle=_DUP_GROUPS_ORACLE)
+def q_doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUP assignment: connected components over the
+    MinHash/LSH pair graph via bounded min-label propagation — the step a
+    dedup pipeline ends with (one canonical `dup_group` id per cluster;
+    `is_keeper` marks the document a curator retains).
+
+    Both engines unroll the SAME fixed 3 rounds, so the outputs are
+    identical by construction even for components whose diameter exceeds
+    the rounds (labels simply haven't converged equally far — the driver
+    hash still matches).  With LSH-planted pairs (star components of
+    diameter 1) one round already converges; 3 covers short chains.
+
+    Scale: each round is one edge->label equi-join plus a src-keyed
+    partial-agg min — O(|E|) per round, |E| near-linear from the LSH
+    bucketing, never all-pairs.  The unbounded-diameter production variant
+    swaps rounds for the alternating large-star/small-star iteration
+    (same join shape per step); the fixed-round form keeps the operator
+    deterministic and SQL-oracle-checkable."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = _near_corpus(spark, sf_dir).select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    )
+    for _ in range(_LP_ROUNDS):
+        labels = _lp_round(labels, edges)
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("dup_group"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
     )

@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = (
     "q_pii_redact",
     "q_train_test_split",
     "q_embed_centroids",
+    "q_doc_dup_groups",
 )
 
 
