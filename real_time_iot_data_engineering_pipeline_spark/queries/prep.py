@@ -165,3 +165,69 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "source", bucket.alias("bucket")).withColumn(
         "split", split
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-weighted corpus sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+# Per-source keep rates in percent — the "mixture weights" a training run
+# applies to rebalance corpora (upweight curated sources, downsample crawl).
+SAMPLE_RATES = {"src0": 100, "src1": 50, "src2": 25}
+SAMPLE_RATE_DEFAULT = 10
+
+_RATE_CASE_SQL = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items()))
+    + f" ELSE {SAMPLE_RATE_DEFAULT} END"
+)
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    WITH rated AS (
+        SELECT doc_id, source,
+               CAST({_RATE_CASE_SQL} AS INT) AS keep_pct,
+               CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                    AS INT) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, source, keep_pct, bucket
+    FROM rated
+    WHERE bucket < keep_pct
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted deterministic sampling — the corpus-mixing stage that
+    rebalances training data per source (keep 100% of src0, 50% of src1,
+    25% of src2, 10% of the long tail).
+
+    The keep/drop decision hashes a salted doc_id ('smp:' prefix), so it is
+    INDEPENDENT of the train/test split hash — sampling then splitting
+    cannot correlate — reproducible across runs and engines, and a pure
+    projection + filter (shuffle-free; the filter pushes to the scan).
+    Changing mixture weights only moves the threshold, so a rerun with a
+    higher rate is a superset of the lower-rate sample (nested samples —
+    handy for scaling-law ladders)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r))
+            for s, r in sorted(SAMPLE_RATES.items())
+        ],
+        F.lit(SAMPLE_RATE_DEFAULT),
+    )
+    bucket = F.expr(
+        "cast(cast(conv(substr(md5(concat('smp:', cast(doc_id AS string))), 1, 15), "
+        "16, 10) AS bigint) % 100 AS int)"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            rate.cast("int").alias("keep_pct"),
+            bucket.alias("bucket"),
+        )
+        .filter(F.col("bucket") < F.col("keep_pct"))
+    )

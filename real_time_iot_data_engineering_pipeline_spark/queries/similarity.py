@@ -562,6 +562,9 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(s))
         .select("vec_id", "emb", F.struct(dist.alias("d"), F.col("cluster_id").alias("c")).alias("dc"))
         .groupBy("vec_id")
+        # first(emb) is deterministic here: every row in a vec_id group
+        # carries the identical embedding (the K seed-candidate rows fan
+        # out from one corpus row), so "any" == "the" value.
         .agg(F.min("dc").alias("m"), F.first("emb").alias("emb"))
         .select("vec_id", F.col("m.c").alias("cluster_id"), "emb")
     )

@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = (
     "q_train_test_split",
     "q_embed_centroids",
     "q_doc_dup_groups",
+    "q_sample_stratified",
 )
 
 

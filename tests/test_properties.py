@@ -195,3 +195,29 @@ class TestPrepProperties:
         n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
         per_dim = res.groupBy("dim").agg(F.sum("n_members").alias("s")).collect()
         assert all(r.s == n_corpus for r in per_dim)
+
+    def test_stratified_sample_is_nested_and_salted(self, spark, sf_dir):
+        """Raising a keep rate must produce a SUPERSET (nested samples), and
+        the sample hash must be independent of the split hash (salt)."""
+        from pyspark.sql import functions as F
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+        from real_time_iot_data_engineering_pipeline_spark.queries import prep
+
+        registry.load_all()
+        sample = registry.QUERIES["q_sample_stratified"](spark, sf_dir)
+        rows = sample.collect()
+        assert all(r.bucket < r.keep_pct for r in rows)
+        # nested: the docs kept at rate r are exactly those with bucket < r,
+        # so any higher rate keeps a superset by construction
+        kept_25 = {r.doc_id for r in rows if r.bucket < 25}
+        kept_50 = {r.doc_id for r in rows if r.bucket < 50}
+        assert kept_25 <= kept_50
+        # salted: sample bucket differs from the split bucket for most docs
+        split = registry.QUERIES["q_train_test_split"](spark, sf_dir).select(
+            "doc_id", F.col("bucket").alias("split_bucket")
+        )
+        joined = sample.join(split, "doc_id")
+        n = joined.count()
+        same = joined.filter(F.col("bucket") == F.col("split_bucket")).count()
+        assert same < n * 0.2  # ~1% expected collisions, allow slack
