@@ -1,0 +1,142 @@
+"""Streaming document ingest — the LLM-data tier's streaming story.
+
+A corpus rarely arrives as a finished parquet table; it streams in from
+crawlers/loaders.  This topology applies the tier's batch semantics
+(queries/text.py) at ingest time:
+
+    doc stream -> content-hash exact dedup WITHIN WATERMARK (the streaming
+    twin of q_doc_dedup_exact's normalize+sha256) -> quality gate (minimum
+    word count) -> accepted/rejected appends + one stats row per batch
+
+Dedup state is bounded by the event-time watermark exactly like the IoT
+pipeline's `dropDuplicatesWithinWatermark` (a crawler re-fetching the same
+page minutes apart dedups; a legitimate re-publication past the horizon
+re-enters — the right trade for unbounded crawls, and the only bounded-state
+option at 100 TB).
+
+Scale: the hash/gate are shuffle-free projections; dedup shuffles on the
+uniform 256-bit content hash; appends are epoch-keyed (idempotent under
+replay, same protocol as the router sink).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("fetched_at", T.StringType()),  # ISO-8601; parsed below
+    ]
+)
+
+DOC_WATERMARK_DELAY = "1 minute"
+MIN_WORDS = 5  # quality gate: fewer words -> rejected
+
+
+def read_doc_file_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """JSONL document stream (file seam, same pattern as the event stream)."""
+    return (
+        spark.readStream.schema(DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+
+def ingest_doc_stream(raw: DataFrame) -> DataFrame:
+    """Parse + watermark + content-hash dedup + quality flag.
+
+    The content hash is the SAME normalization as q_doc_dedup_exact
+    (lowercase, trimmed, whitespace-collapsed -> sha256), so a document
+    that would dedup in the batch pipeline dedups here too."""
+    parsed = (
+        raw.withColumn("fetched_at", F.to_timestamp("fetched_at"))
+        .filter(F.col("fetched_at").isNotNull())
+        .filter(F.col("text").isNotNull())
+    )
+    normalized = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    deduped = (
+        parsed.withColumn("content_hash", F.sha2(normalized, 256))
+        .withWatermark("fetched_at", DOC_WATERMARK_DELAY)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    return deduped.withColumn("n_words", n_words).withColumn(
+        "accepted", n_words >= MIN_WORDS
+    )
+
+
+class DocIngestSink:
+    """foreachBatch body splitting accepted/rejected docs and appending one
+    stats row per epoch — epoch-keyed directories, idempotent on replay."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        epoch = int(epoch_id)
+        accepted = batch_df.filter("accepted").drop("accepted")
+        rejected = batch_df.filter(~F.col("accepted")).drop("accepted")
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(self.root, "docs", f"epoch={epoch}")
+        )
+        if not rejected.isEmpty():
+            rejected.write.mode("overwrite").parquet(
+                os.path.join(self.root, "rejects", f"epoch={epoch}")
+            )
+        batch_df.agg(
+            F.lit(epoch).alias("epoch"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.count(F.when(F.col("accepted"), 1)).alias("n_accepted"),
+            F.count(F.when(~F.col("accepted"), 1)).alias("n_rejected"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.root, "stats", f"epoch={epoch}")
+        )
+
+    def read_docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "docs", "epoch=*"))
+
+    def read_rejects(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "rejects", "epoch=*"))
+
+    def read_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "stats", "epoch=*"))
+
+
+def run_doc_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    timeout_seconds: float = 180.0,
+) -> DocIngestSink:
+    """Drain source_dir through dedup -> gate -> append with AvailableNow."""
+    sink = DocIngestSink(spark, out_dir)
+    stream = ingest_doc_stream(
+        read_doc_file_stream(spark, source_dir, max_files_per_trigger)
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .queryName("doc-ingest")
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_seconds)
+    finally:
+        if q.isActive:
+            q.stop()
+    return sink

@@ -1,0 +1,64 @@
+"""Streaming document-ingest golden tests: content-hash dedup within the
+watermark, the word-count quality gate, and per-batch stats — the LLM-data
+tier's batch semantics (queries/text.py) applied at ingest time."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from real_time_iot_data_engineering_pipeline_spark.streaming.doc_pipeline import (
+    run_doc_ingest,
+)
+
+GOOD = "the quick brown fox jumps over the lazy dog today"
+OTHER = "a completely different document with plenty of useful words inside"
+
+
+def _write(src: str, name: str, rows: list[dict], seq: int) -> None:
+    path = os.path.join(src, name)
+    with open(path, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    os.utime(path, (time.time() + seq, time.time() + seq))
+
+
+def doc(doc_id, text, fetched_at, source="crawl"):
+    return dict(doc_id=doc_id, text=text, source=source, fetched_at=fetched_at)
+
+
+def test_doc_ingest_dedups_gates_and_counts(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(
+        str(src),
+        "f1.json",
+        [
+            doc(1, GOOD, "2024-01-19 10:00:00"),
+            doc(2, "too short", "2024-01-19 10:00:05"),  # gated: 2 words
+        ],
+        seq=0,
+    )
+    _write(
+        str(src),
+        "f2.json",
+        [
+            # same CONTENT as doc 1 (re-cased + padded) within the
+            # watermark horizon -> dedup drops it
+            doc(3, "  " + GOOD.upper() + " ", "2024-01-19 10:00:30"),
+            doc(4, OTHER, "2024-01-19 10:00:40"),
+        ],
+        seq=1,
+    )
+
+    sink = run_doc_ingest(spark, str(src), str(tmp_path / "out"))
+
+    assert {r.doc_id for r in sink.read_docs().collect()} == {1, 4}
+    rejects = sink.read_rejects().collect()
+    assert [r.doc_id for r in rejects] == [2]
+    assert rejects[0].n_words == 2
+
+    stats = {r.epoch: (r.n_unique, r.n_accepted, r.n_rejected)
+             for r in sink.read_stats().collect()}
+    assert stats[0] == (2, 1, 1)  # docs 1+2 unique; 2 gated
+    assert stats[1] == (1, 1, 0)  # doc 3 deduped away; only 4 remains
