@@ -231,3 +231,127 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("bucket") < F.col("keep_pct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (overlapping character windows)
+# ---------------------------------------------------------------------------
+
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 50
+_CHUNK_STEP = CHUNK_CHARS - CHUNK_OVERLAP
+
+
+@register(
+    "q_doc_chunk",
+    oracle=f"""
+    WITH offs AS (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(n_chars - {CHUNK_OVERLAP}, 1),
+                                      {_CHUNK_STEP})) AS off,
+               text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((off - 1) / {_CHUNK_STEP} AS INT) AS chunk_id,
+           CAST(off AS INT) AS char_start,
+           substr(text, off, {CHUNK_CHARS}) AS chunk
+    FROM offs
+    """,
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into {CHUNK_CHARS}-char windows with {CHUNK_OVERLAP}
+    overlap — the chunking stage feeding embedding / retrieval pipelines.
+    The last chunk may be short; every character is covered and every
+    boundary region appears in two chunks.
+
+    Scale: explode over an arithmetic offset sequence inside codegen —
+    shuffle-free row fan-out (output rows ~ chars/{_CHUNK_STEP}), the same
+    shape as the multimodal frame sampler.  Uses the documents table's
+    n_chars column so both engines derive identical offset lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    offs = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.col("n_chars") - CHUNK_OVERLAP, F.lit(1)),
+                F.lit(_CHUNK_STEP),
+            )
+        ).alias("off"),
+    )
+    return offs.select(
+        "doc_id",
+        ((F.col("off") - 1) / _CHUNK_STEP).cast("int").alias("chunk_id"),
+        F.col("off").cast("int").alias("char_start"),
+        F.expr(f"substr(text, off, {CHUNK_CHARS})").alias("chunk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (cumulative-token binning)
+# ---------------------------------------------------------------------------
+
+PACK_TOKENS = 2048  # target tokens per training sequence
+PACK_SHARD_DOCS = 1000  # docs per packing shard (bounds the window state)
+
+
+@register(
+    "q_sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(doc_id // {PACK_SHARD_DOCS} AS BIGINT) AS shard,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST((cum - n_tokens) // {PACK_TOKENS} AS INT) AS seq_in_shard,
+           CAST(cum - n_tokens - ((cum - n_tokens) // {PACK_TOKENS}) * {PACK_TOKENS}
+                AS INT) AS token_offset
+    FROM packed
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: assign each document a training-sequence
+    slot of ~{PACK_TOKENS} whitespace-tokens by cumulative token count —
+    the packing stage that turns a cleaned corpus into fixed-budget
+    training rows (docs are not split; a doc starts at token_offset inside
+    sequence seq_in_shard of its shard).
+
+    Scale: packing is inherently sequential, so it runs per SHARD of
+    {PACK_SHARD_DOCS} docs (deterministic doc_id ranges) — the window state
+    is bounded, shards pack embarrassingly parallel after one shard-keyed
+    shuffle, and contiguity-within-shard is exactly the trade production
+    packers make (pack within partition, never globally)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") / PACK_SHARD_DOCS).cast("bigint").alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    seq = F.floor(start / PACK_TOKENS)
+    return packed.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        seq.cast("int").alias("seq_in_shard"),
+        (start - seq * PACK_TOKENS).cast("int").alias("token_offset"),
+    )

@@ -75,6 +75,8 @@ _DRIVER_PRIORITY = (
     "q_embed_centroids",
     "q_doc_dup_groups",
     "q_sample_stratified",
+    "q_doc_chunk",
+    "q_sequence_pack",
 )
 
 
