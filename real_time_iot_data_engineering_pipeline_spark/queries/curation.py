@@ -1,0 +1,414 @@
+"""Beyond-reference corpus-curation operators over `documents` /
+`embeddings`: test-set decontamination, repetition-based quality filtering,
+and semantic (embedding-space) deduplication — the three curation stages a
+training-data pipeline runs after near-dup removal and before mixing.
+
+Public-method provenance (published papers, not the reference repo):
+
+- 13-gram test-set decontamination: Brown et al. 2020 (GPT-3, appendix C)
+  flag training documents sharing any 13-gram with an evaluation set.
+- Repetition filters: Rae et al. 2021 (Gopher, table A1) drop documents
+  whose duplicate-token or most-frequent-n-gram character fractions are
+  high (thresholds here re-calibrated to the synthetic fixture's measured
+  distribution so keep/drop is non-trivially exercised).
+- Semantic dedup: Abbas et al. 2023 (SemDeDup) cluster embeddings, then
+  search for near-duplicates only WITHIN each cluster — cutting the pair
+  space from O(N^2) to sum of per-cluster squares.
+
+Design rules follow queries/text.py and queries/similarity.py: JVM-side
+string/array expressions only (no Python in the hot path), portable md5
+hashing, planted fixtures derived identically in both engines so the
+interesting behavior (contamination recall, dup flags) is oracle-CHECKED,
+and floats quantized with fround on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination (13-gram overlap)
+# ---------------------------------------------------------------------------
+
+NGRAM = 13  # GPT-3's decontamination n
+
+# Same md5 split buckets as queries/prep.py::q_train_test_split, so the
+# "evaluation set" here is exactly that operator's test split.
+_BUCKET_SPARK = (
+    "cast(cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) "
+    "AS bigint) % 100 AS int)"
+)
+_BUCKET_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 "
+    "AS INT)"
+)
+
+# Planted contamination: every 4th doc gets a 13-token canary whose last
+# token varies over 16 groups — train and test docs in the same group then
+# share exactly one 13-gram (plus whatever the fixture's planted exact-dup
+# documents already share), so decontamination RECALL is oracle-checked.
+_CANARY = (
+    " eval canary alpha bravo charlie delta echo foxtrot golf hotel india"
+    " juliet group"
+)
+N_CANARY_GROUPS = 16
+
+_DECON_CORPUS_DUCK = f"""
+    SELECT doc_id, {_BUCKET_DUCK} AS bucket,
+           CASE WHEN doc_id % 4 = 0
+                THEN text || '{_CANARY}' || CAST(doc_id % {N_CANARY_GROUPS} AS VARCHAR)
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+def _decon_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(_CANARY),
+        (F.col("doc_id") % N_CANARY_GROUPS).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(_BUCKET_SPARK).alias("bucket"),
+        F.when(F.col("doc_id") % 4 == 0, planted).otherwise(F.col("text")).alias(
+            "text"
+        ),
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH corpus AS ({_DECON_CORPUS_DUCK}),
+    toks AS (
+        SELECT doc_id, bucket, string_split_regex(trim(text), '\\s+') AS toks
+        FROM corpus
+    ),
+    offs AS (
+        SELECT doc_id, bucket, toks,
+               unnest(generate_series(1, len(toks) - {NGRAM - 1})) AS i
+        FROM toks WHERE len(toks) >= {NGRAM}
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, bucket,
+               md5(array_to_string(toks[i:i + {NGRAM - 1}], ' ')) AS h
+        FROM offs
+    ),
+    tst AS (SELECT DISTINCT h FROM grams WHERE bucket >= 90),
+    cnt AS (
+        SELECT g.doc_id, count(*) AS c
+        FROM grams g JOIN tst USING (h)
+        WHERE g.bucket < 80
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(cnt.c, 0) AS INT) AS n_contaminated,
+           coalesce(cnt.c, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM corpus WHERE bucket < 80) d
+    LEFT JOIN cnt USING (doc_id)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag every TRAIN document that shares at
+    least one {NGRAM}-gram (whitespace tokens) with any TEST document —
+    the GPT-3-style overlap filter that keeps evaluation benchmarks out of
+    the training corpus.  Output: one row per train doc with the count of
+    distinct shared {NGRAM}-grams.
+
+    Scale: the evaluation set is SMALL by nature (benchmarks, not corpora),
+    so its distinct n-gram hash set is broadcast and the training corpus
+    never shuffles to be checked — n-grams are md5-hashed before the join
+    so only 32-byte keys move, never text.  N-gram generation is an
+    explode over an arithmetic sequence inside codegen (same shape as
+    q_doc_chunk).  The final count join-back is doc_id-keyed and AQE picks
+    its strategy.  If the eval set ever outgrew broadcast, the same plan
+    degrades gracefully to a hash-hash equi-join on the gram hash."""
+    corpus = _decon_corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", "bucket", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= NGRAM)
+    offs = toks.select(
+        "doc_id",
+        "bucket",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (NGRAM - 1))).alias("i"),
+    )
+    grams = offs.select(
+        "doc_id",
+        "bucket",
+        F.md5(F.array_join(F.expr(f"slice(toks, i, {NGRAM})"), " ")).alias("h"),
+    ).distinct()
+    tst = grams.filter(F.col("bucket") >= 90).select("h").distinct()
+    cnt = (
+        grams.filter(F.col("bucket") < 80)
+        .join(F.broadcast(tst), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    train = corpus.filter(F.col("bucket") < 80).select("doc_id")
+    return train.join(cnt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("c"), F.lit(0)).cast("int").alias("n_contaminated"),
+        (F.coalesce(F.col("c"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality filter (Gopher-style)
+# ---------------------------------------------------------------------------
+
+# Thresholds calibrated to the fixture's measured distributions (median
+# dup-token fraction 0.50, p90 top-bigram char fraction 0.126) so both
+# keep=true and keep=false occur; Gopher's published values target natural
+# web text, not 54-token word salad.
+DUP_TOKEN_MAX = 0.6
+TOP_BIGRAM_MAX = 0.125
+
+
+@register(
+    "q_repetition_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, length(text) AS nc,
+               string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, nc, len(toks) AS n_tokens,
+               {fround_sql("1.0 - len(list_distinct(toks))::DOUBLE / len(toks)")}
+                   AS dup_token_frac
+        FROM t
+    ),
+    offs AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2
+    ),
+    bgc AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg, count(*) AS c
+        FROM offs GROUP BY doc_id, bg
+    ),
+    top AS (
+        SELECT doc_id, max(struct_pack(c := c, bg := bg)) AS m
+        FROM bgc GROUP BY doc_id
+    ),
+    joined AS (
+        SELECT d.doc_id, d.n_tokens, d.dup_token_frac,
+               top.m.bg AS top_bigram,
+               {fround_sql("(top.m.c * length(top.m.bg))::DOUBLE / d.nc")}
+                   AS top_bigram_frac
+        FROM d JOIN top USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, dup_token_frac,
+           top_bigram, top_bigram_frac,
+           dup_token_frac <= {DUP_TOKEN_MAX}
+               AND top_bigram_frac <= {TOP_BIGRAM_MAX} AS keep
+    FROM joined
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per document, the duplicate-token
+    fraction (1 - distinct/total) and the character fraction covered by the
+    most frequent bigram; keep = both under threshold.  These are the
+    cheap repetition signals that drop boilerplate / degenerate generations
+    before training.
+
+    Scale: dup_token_frac is fully array-native inside codegen (no shuffle
+    at all — array_distinct per row).  The top-bigram pass explodes
+    bigrams and aggregates keyed by (doc_id, bigram) — partial aggregation
+    collapses repeats map-side, the shuffle key is high-cardinality and
+    skew-free, and the per-doc argmax is a struct max (one more doc_id-keyed
+    partial agg), the same min-over-struct idiom as q_embed_centroids.
+    Tie-break on (count, bigram) is lexicographic in BOTH engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        F.split(F.trim("text"), r"\s+").alias("toks"),
+    )
+    d = t.select(
+        "doc_id",
+        "nc",
+        F.size("toks").alias("n_tokens"),
+        fround(
+            1.0 - F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 4
+        ).alias("dup_token_frac"),
+    )
+    offs = t.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+    )
+    bgc = (
+        offs.select(
+            "doc_id",
+            F.expr("concat(element_at(toks, i), ' ', element_at(toks, i + 1))").alias(
+                "bg"
+            ),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    top = bgc.groupBy("doc_id").agg(F.max(F.struct("c", "bg")).alias("m"))
+    joined = d.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        F.col("m.bg").alias("top_bigram"),
+        fround(
+            (F.col("m.c") * F.length("m.bg")).cast("double") / F.col("nc"), 4
+        ).alias("top_bigram_frac"),
+    )
+    return joined.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "dup_token_frac",
+        "top_bigram",
+        "top_bigram_frac",
+        (
+            (F.col("dup_token_frac") <= DUP_TOKEN_MAX)
+            & (F.col("top_bigram_frac") <= TOP_BIGRAM_MAX)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: cluster-scoped embedding near-dup removal)
+# ---------------------------------------------------------------------------
+
+DIM = 64
+N_CENTROIDS = 8  # same deterministic seeds as q_embed_centroids (vec_id < 8)
+# Production SemDeDup uses ~0.95+; the fixture's embeddings are near-uniform
+# (max within-cluster cosine 0.53), so the threshold is set at the measured
+# p99.9 so the keep/drop branch is non-trivially exercised AND oracle-checked.
+SEMDEDUP_THRESH = 0.4
+
+_EMB_D_SPARK = "transform(embedding, x -> cast(x AS double))"
+_NORM_SPARK = (
+    "sqrt(aggregate(transform(embedding, x -> cast(x AS double)), "
+    "cast(0 AS double), (acc, x) -> acc + x * x))"
+)
+_NORM_DUCK = (
+    f"sqrt(list_sum(list_transform(generate_series(1, {DIM}), "
+    "i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))"
+)
+_SEED_DIST_DUCK = f"""
+    list_sum(list_transform(generate_series(1, {DIM}),
+             i -> (c.emb[i] - s.semb[i]) * (c.emb[i] - s.semb[i])))
+"""
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+               {_NORM_DUCK} AS nrm
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS semb
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    a AS (
+        SELECT c.vec_id, c.emb, c.nrm,
+               min(struct_pack(d := {_SEED_DIST_DUCK}, c := s.cid)).c AS cid
+        FROM c, s
+        GROUP BY c.vec_id, c.emb, c.nrm
+    ),
+    p AS (
+        SELECT y.vec_id, count(*) AS c
+        FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE list_sum(list_transform(generate_series(1, {DIM}),
+                       i -> x.emb[i] * y.emb[i])) / (x.nrm * y.nrm)
+              >= {SEMDEDUP_THRESH}
+        GROUP BY y.vec_id
+    )
+    SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id,
+           CAST(coalesce(p.c, 0) AS INT) AS n_near,
+           coalesce(p.c, 0) > 0 AS is_dup
+    FROM a LEFT JOIN p USING (vec_id)
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: assign every embedding to its nearest seed centroid (same
+    deterministic assignment as q_embed_centroids), then flag a vector as a
+    duplicate iff some LOWER vec_id in the SAME cluster has cosine >=
+    {SEMDEDUP_THRESH} — keep-first-id semantic dedup whose pair search never
+    leaves a cluster.  The kept corpus is `WHERE NOT is_dup`.
+
+    Scale: this is the whole point of SemDeDup — pairing is cluster-local,
+    so the pair space is sum(cluster_size^2), not N^2, and in production k
+    grows with N (k ~ N/5000) keeping cluster sizes bounded; the fixture
+    pins k={N_CENTROIDS} seeds for determinism.  Seeds broadcast for
+    assignment (the corpus never shuffles to be scored); the self-join
+    shuffles each side once on cluster_id; cosine is a zip_with/aggregate
+    dot product inside codegen, accumulated in identical element order in
+    both engines so the threshold compare is bit-deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "vec_id",
+        F.expr(_EMB_D_SPARK).alias("emb"),
+        F.expr(_NORM_SPARK).alias("nrm"),
+    )
+    s = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.expr(_EMB_D_SPARK).alias("semb")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(emb, semb, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 AS double), (acc, x) -> acc + x)"
+    )
+    a = (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.struct(dist.alias("d"), F.col("cid").alias("c")).alias("dc"),
+        )
+        .groupBy("vec_id")
+        # first(emb)/first(nrm) are deterministic: all rows in a vec_id
+        # group fan out from one corpus row (see q_embed_centroids).
+        .agg(
+            F.min("dc").alias("m"),
+            F.first("emb").alias("emb"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", F.col("m.c").alias("cid"), "emb", "nrm")
+    )
+    x = a.select(
+        F.col("vec_id").alias("x_id"),
+        F.col("cid").alias("x_cid"),
+        F.col("emb").alias("x_emb"),
+        F.col("nrm").alias("x_nrm"),
+    )
+    y = a.select(
+        F.col("vec_id").alias("y_id"),
+        F.col("cid").alias("y_cid"),
+        F.col("emb").alias("y_emb"),
+        F.col("nrm").alias("y_nrm"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(x_emb, y_emb, (x, y) -> x * y), "
+        "cast(0 AS double), (acc, x) -> acc + x)"
+    ) / (F.col("x_nrm") * F.col("y_nrm"))
+    near = (
+        x.join(y, (F.col("x_cid") == F.col("y_cid")) & (F.col("x_id") < F.col("y_id")))
+        .filter(cos >= SEMDEDUP_THRESH)
+        .groupBy("y_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return a.select("vec_id", "cid").join(
+        near, a["vec_id"] == near["y_id"], "left"
+    ).select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cluster_id"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("int").alias("n_near"),
+        (F.coalesce(F.col("c"), F.lit(0)) > 0).alias("is_dup"),
+    )

@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "queries.marts",
     "queries.windows",
     "queries.prep",
+    "queries.curation",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -77,6 +78,10 @@ _DRIVER_PRIORITY = (
     "q_sample_stratified",
     "q_doc_chunk",
     "q_sequence_pack",
+    # new in round 3 (corpus curation: decontamination, quality, semdedup)
+    "q_decontaminate",
+    "q_repetition_filter",
+    "q_semantic_dedup",
 )
 
 

@@ -1,0 +1,115 @@
+"""Golden checks for the curation tier, INDEPENDENT of the DuckDB oracles:
+decontamination recall re-derived in pure Python (hashlib md5 buckets +
+planted canary groups), semantic dedup vs a numpy brute-force twin, and
+repetition metrics vs per-row recomputation.  The oracle-parity test covers
+hash-exactness; these pin the SEMANTICS (recall on the plant, cluster-scoped
+pairing, argmax tie-breaks) against a second, non-SQL derivation."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from real_time_iot_data_engineering_pipeline_spark import registry
+from real_time_iot_data_engineering_pipeline_spark.queries.curation import (
+    DUP_TOKEN_MAX,
+    N_CANARY_GROUPS,
+    N_CENTROIDS,
+    SEMDEDUP_THRESH,
+    TOP_BIGRAM_MAX,
+)
+
+registry.load_all()
+
+
+def _bucket(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+
+def test_decontaminate_flags_every_canary_collision(spark, sf_dir):
+    """Every TRAIN doc planted with a canary whose group also occurs among
+    planted TEST docs must be flagged — recall 1.0 on the known plant."""
+    ids = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).doc_id.to_numpy()
+    buckets = np.array([_bucket(int(i)) for i in ids])
+    planted = ids % 4 == 0
+    test_groups = set((ids[(buckets >= 90) & planted] % N_CANARY_GROUPS).tolist())
+    expected = set(
+        ids[
+            (buckets < 80)
+            & planted
+            & np.isin(ids % N_CANARY_GROUPS, list(test_groups))
+        ].tolist()
+    )
+    assert expected, "fixture must produce at least one canary collision"
+
+    out = registry.QUERIES["q_decontaminate"](spark, sf_dir).toPandas()
+    flagged = set(out.loc[out.contaminated, "doc_id"].tolist())
+    assert expected <= flagged
+    # output grain is exactly the train split, and flags agree with counts
+    assert set(out.doc_id) == set(ids[buckets < 80].tolist())
+    assert (out.loc[~out.contaminated, "n_contaminated"] == 0).all()
+    assert (out.loc[out.contaminated, "n_contaminated"] > 0).all()
+
+
+def test_semantic_dedup_matches_numpy_brute_force(spark, sf_dir):
+    emb = (
+        pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = emb.vec_id.to_numpy()
+    M = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    seeds = M[ids < N_CENTROIDS]
+    d2 = ((M[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    cid = d2.argmin(axis=1)  # argmin ties -> lowest cluster id, as in SQL
+    nrm = np.linalg.norm(M, axis=1)
+    cos = (M @ M.T) / np.outer(nrm, nrm)
+
+    out = (
+        registry.QUERIES["q_semantic_dedup"](spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (out.vec_id.to_numpy() == ids).all()
+    assert (out.cluster_id.to_numpy() == cid).all()
+    for j in range(len(ids)):
+        mask = (cid == cid[j]) & (ids < ids[j])
+        expected = int((cos[j, mask] >= SEMDEDUP_THRESH).sum())
+        assert out.n_near.iloc[j] == expected, f"vec_id={ids[j]}"
+        assert bool(out.is_dup.iloc[j]) == (expected > 0)
+
+
+def test_repetition_metrics_recompute(spark, sf_dir):
+    out = (
+        registry.QUERIES["q_repetition_filter"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).set_index("doc_id")
+    assert set(out.index) == set(docs.index)
+    # filter must actually split the corpus, not rubber-stamp it
+    assert out.keep.any() and (~out.keep).any()
+
+    for doc_id in list(out.index)[:25]:
+        text = docs.loc[doc_id, "text"]
+        toks = re.split(r"\s+", text.strip())
+        row = out.loc[doc_id]
+        assert row.n_tokens == len(toks)
+        assert abs(row.dup_token_frac - (1 - len(set(toks)) / len(toks))) < 1e-3
+        cnt = Counter(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        best_bg, best_c = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+        assert row.top_bigram == best_bg
+        assert abs(row.top_bigram_frac - best_c * len(best_bg) / len(text)) < 1e-3
+        assert bool(row.keep) == (
+            row.dup_token_frac <= DUP_TOKEN_MAX
+            and row.top_bigram_frac <= TOP_BIGRAM_MAX
+        )

@@ -154,3 +154,27 @@ class TestPrepPlans:
             assert pf and "agg_date" in pf[0] and "event_type" in pf[0]
         finally:
             spark.sql("DROP TABLE IF EXISTS test_aggs_loc")
+
+
+class TestCurationPlans:
+    def test_decontaminate_broadcasts_eval_ngram_set(self, spark, sf_dir):
+        """The eval set is small by nature; the train corpus must be checked
+        against a BROADCAST n-gram hash set — never reshuffled on gram
+        hashes, and never paired via nested loops."""
+        plan = plan_of(spark, sf_dir, "q_decontaminate")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_semantic_dedup_pairs_inside_clusters_only(self, spark, sf_dir):
+        """SemDeDup's pair join must be an equi-join on cluster id (pair
+        space = sum of per-cluster squares), not a cross product."""
+        plan = plan_of(spark, sf_dir, "q_semantic_dedup")
+        assert "CartesianProduct" not in plan
+        assert "cid" in plan and "Join" in plan
+
+    def test_repetition_filter_aggregates_partially(self, spark, sf_dir):
+        """Bigram counting must collapse repeats map-side (partial_count)
+        before the (doc_id, bigram)-keyed exchange."""
+        plan = plan_of(spark, sf_dir, "q_repetition_filter")
+        assert "partial_count" in plan or "Partial" in plan
+        assert "CartesianProduct" not in plan
