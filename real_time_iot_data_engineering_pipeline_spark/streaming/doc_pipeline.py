@@ -39,6 +39,23 @@ DOC_WIRE_SCHEMA = T.StructType(
 DOC_WATERMARK_DELAY = "1 minute"
 MIN_WORDS = 5  # quality gate: fewer words -> rejected
 
+# Static source-policy dimension for stream-static enrichment: license
+# class, mixture weight, and an allow flag per source.  In production this
+# is a small catalog table; sources absent from it are DENIED by default
+# (an unknown crawler must not leak into the training corpus silently).
+SOURCE_POLICY_SCHEMA = "source string, license string, mix_weight double, allowed boolean"
+DEFAULT_SOURCE_POLICY = [
+    ("curated", "permissive", 1.0, True),
+    ("wiki", "permissive", 1.0, True),
+    ("crawl", "mixed", 0.25, True),
+    ("forum", "research-only", 0.1, True),
+    ("paywalled", "restricted", 0.0, False),
+]
+
+
+def default_source_policy(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DEFAULT_SOURCE_POLICY, SOURCE_POLICY_SCHEMA)
+
 
 def read_doc_file_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
@@ -51,12 +68,22 @@ def read_doc_file_stream(
     )
 
 
-def ingest_doc_stream(raw: DataFrame) -> DataFrame:
-    """Parse + watermark + content-hash dedup + quality flag.
+def ingest_doc_stream(raw: DataFrame, policy: DataFrame | None = None) -> DataFrame:
+    """Parse + watermark + content-hash dedup + quality flag, optionally
+    followed by stream-static source-policy enrichment.
 
     The content hash is the SAME normalization as q_doc_dedup_exact
     (lowercase, trimmed, whitespace-collapsed -> sha256), so a document
-    that would dedup in the batch pipeline dedups here too."""
+    that would dedup in the batch pipeline dedups here too.
+
+    When `policy` (a STATIC source-dimension DataFrame, see
+    SOURCE_POLICY_SCHEMA) is given, the deduped stream is enriched via a
+    stream-static BROADCAST left join on `source` — Structured Streaming
+    re-plans the static side each micro-batch, so a catalog refresh is
+    picked up without restarting the query, and the dimension rides with
+    every executor instead of shuffling the stream.  Sources missing from
+    the policy are DENIED by default; rejected rows carry a typed
+    `reject_reason` ('short_text' | 'blocked_source') for the DLQ."""
     parsed = (
         raw.withColumn("fetched_at", F.to_timestamp("fetched_at"))
         .filter(F.col("fetched_at").isNotNull())
@@ -69,8 +96,25 @@ def ingest_doc_stream(raw: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
     n_words = F.size(F.split(F.trim("text"), r"\s+"))
-    return deduped.withColumn("n_words", n_words).withColumn(
-        "accepted", n_words >= MIN_WORDS
+    base = deduped.withColumn("n_words", n_words)
+    if policy is None:
+        return base.withColumn("accepted", F.col("n_words") >= MIN_WORDS).withColumn(
+            "reject_reason",
+            F.when(F.col("n_words") < MIN_WORDS, F.lit("short_text")),
+        )
+    allowed = F.coalesce(F.col("allowed"), F.lit(False))
+    return (
+        base.join(F.broadcast(policy), "source", "left")
+        .withColumn("license", F.coalesce(F.col("license"), F.lit("unknown")))
+        .withColumn("mix_weight", F.coalesce(F.col("mix_weight"), F.lit(0.0)))
+        .withColumn("allowed", allowed)
+        .withColumn("accepted", (F.col("n_words") >= MIN_WORDS) & allowed)
+        .withColumn(
+            "reject_reason",
+            F.when(F.col("n_words") < MIN_WORDS, F.lit("short_text")).when(
+                ~allowed, F.lit("blocked_source")
+            ),
+        )
     )
 
 
@@ -120,11 +164,13 @@ def run_doc_ingest(
     out_dir: str,
     max_files_per_trigger: int = 1,
     timeout_seconds: float = 180.0,
+    policy: DataFrame | None = None,
 ) -> DocIngestSink:
-    """Drain source_dir through dedup -> gate -> append with AvailableNow."""
+    """Drain source_dir through dedup -> gate [-> policy join] -> append
+    with AvailableNow."""
     sink = DocIngestSink(spark, out_dir)
     stream = ingest_doc_stream(
-        read_doc_file_stream(spark, source_dir, max_files_per_trigger)
+        read_doc_file_stream(spark, source_dir, max_files_per_trigger), policy
     )
     q = (
         stream.writeStream.outputMode("update")

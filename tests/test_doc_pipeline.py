@@ -62,3 +62,51 @@ def test_doc_ingest_dedups_gates_and_counts(spark, tmp_path):
              for r in sink.read_stats().collect()}
     assert stats[0] == (2, 1, 1)  # docs 1+2 unique; 2 gated
     assert stats[1] == (1, 1, 0)  # doc 3 deduped away; only 4 remains
+
+
+def test_doc_ingest_stream_static_policy_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: allowed sources pass with license +
+    mix_weight attached, blocked sources are rejected with a typed reason,
+    and sources ABSENT from the policy are denied by default."""
+    from pyspark.sql import functions as F
+
+    from real_time_iot_data_engineering_pipeline_spark.streaming.doc_pipeline import (
+        default_source_policy,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(
+        str(src),
+        "f1.json",
+        [
+            doc(1, GOOD, "2024-01-19 10:00:00", source="wiki"),
+            doc(2, OTHER, "2024-01-19 10:00:05", source="paywalled"),  # blocked
+            doc(3, GOOD + " again", "2024-01-19 10:00:10", source="mystery"),
+            doc(4, "too short", "2024-01-19 10:00:15", source="wiki"),  # gated
+        ],
+        seq=0,
+    )
+
+    sink = run_doc_ingest(
+        spark, str(src), str(tmp_path / "out"), policy=default_source_policy(spark)
+    )
+
+    docs = {r.doc_id: r for r in sink.read_docs().collect()}
+    assert set(docs) == {1}
+    assert docs[1].license == "permissive" and docs[1].mix_weight == 1.0
+
+    rejects = {r.doc_id: r.reject_reason for r in sink.read_rejects().collect()}
+    assert rejects == {2: "blocked_source", 3: "blocked_source", 4: "short_text"}
+
+    # the same enrichment join over a batch frame must plan as broadcast
+    batch = spark.createDataFrame(
+        [(1, GOOD, "wiki", "2024-01-19 10:00:00")],
+        "doc_id long, text string, source string, fetched_at string",
+    )
+    enriched = batch.join(
+        F.broadcast(default_source_policy(spark)), "source", "left"
+    )
+    assert "BroadcastHashJoin" in (
+        enriched._jdf.queryExecution().executedPlan().toString()
+    )
