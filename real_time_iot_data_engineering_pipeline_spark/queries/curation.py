@@ -24,6 +24,7 @@ and floats quantized with fround on both sides.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -381,6 +382,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("nrm").alias("nrm"),
         )
         .select("vec_id", F.col("m.c").alias("cid"), "emb", "nrm")
+        # The assignment feeds the self-join TWICE plus the final
+        # join-back; persisting materializes the K-candidate scoring once
+        # instead of three times (the same iterative-reuse pattern as
+        # q_doc_dup_groups' edge list; footprint = corpus embeddings,
+        # disk-spillable).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     x = a.select(
         F.col("vec_id").alias("x_id"),

@@ -37,6 +37,8 @@ _QUERY_MODULES = (
     "queries.windows",
     "queries.prep",
     "queries.curation",
+    "queries.report",
+    "queries.sketches",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -44,8 +46,8 @@ _QUERY_MODULES = (
 # all modules load, so queries that still need a hard-signal CORRECTNESS row
 # (new this round, or past the 50-cut in a previous round) are guaranteed to
 # land inside the window.  Everything not listed follows in registration
-# order; the ~17 queries that fall outside the window as a result are all
-# double-verified (green rows in both CORRECTNESS_r01 and CORRECTNESS_r02).
+# order; every query that falls outside the window as a result already
+# holds a green driver row (CORRECTNESS_r01 and/or _r02).
 _DRIVER_PRIORITY = (
     # never driver-verified as of round 2 (fell past the 50-query cut)
     "q_token_count",
@@ -82,6 +84,12 @@ _DRIVER_PRIORITY = (
     "q_decontaminate",
     "q_repetition_filter",
     "q_semantic_dedup",
+    # new in round 3 (corpus reporting)
+    "q_vocab_topk",
+    "q_corpus_stats",
+    # new in round 3 (summary sketches)
+    "q_quantile_summary",
+    "q_distinct_users",
 )
 
 

@@ -178,3 +178,20 @@ class TestCurationPlans:
         plan = plan_of(spark, sf_dir, "q_repetition_filter")
         assert "partial_count" in plan or "Partial" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestReportPlans:
+    def test_vocab_topk_avoids_global_sort(self, spark, sf_dir):
+        """Global top-k must plan as TakeOrderedAndProject (per-partition
+        top-k + driver merge of #partitions x k rows), never a full sort
+        exchange of the whole vocabulary."""
+        plan = plan_of(spark, sf_dir, "q_vocab_topk")
+        assert "TakeOrderedAndProject" in plan
+        assert "partial_count" in plan or "Partial" in plan
+
+    def test_corpus_stats_broadcasts_grand_total(self, spark, sf_dir):
+        """The doc_share ratio must come from a broadcast join-back of the
+        1-row total, not a single-partition window over the aggregate."""
+        plan = plan_of(spark, sf_dir, "q_corpus_stats")
+        assert "Broadcast" in plan
+        assert "Window" not in plan
