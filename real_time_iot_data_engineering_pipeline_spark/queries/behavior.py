@@ -1,0 +1,222 @@
+"""Behavioral / reshaping analytics over `events`: wide pivot, heavy
+hitters, sequential funnel, and cohort retention.
+
+These are the product-analytics queries a user of the reference pipeline
+writes the week after the dashboards exist (the reference's Learning
+Guide stops at flat aggregates): which device types dominate each day
+(pivot), which (type, sensor) pairs flood the stream (heavy hitters), how
+often does the view -> click -> purchase sequence complete (funnel), and
+how long do sensors keep reporting after first contact (retention).
+
+Scale design (SCALE.md "Behavioral analytics"):
+- pivot: explicit value vocabulary (no hidden distinct-scan job); compiles
+  to ONE pass of conditional partial aggregates — shuffle carries
+  days x |vocab| cells, not rows.
+- heavy hitters: exact two-phase groupBy (partial agg collapses map-side);
+  the sketch twin (count-min) is quality-pinned in tests/test_behavior.py,
+  mirroring the sketches-family contract.
+- funnel: each stage is an equi-join on the HIGH-cardinality user key with
+  the time ordering as a residual predicate — never a per-user sort of the
+  whole stream; stage inputs are pre-filtered to their event type so join
+  sides shrink monotonically.
+- retention: first-seen derivation is a partial-agg min; the cohort matrix
+  is days x offsets cells after a distinct on (cohort, offset, user).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+
+# The fixture's device/event vocabulary (TESTDATA.md).  Supplying it to
+# pivot() skips the extra distinct-values job Spark otherwise runs, and at
+# 100 TB the vocabulary is schema knowledge, not something to rediscover.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# Heavy-hitter support threshold: pairs at or above this count.
+_HH_MIN_COUNT = 15
+
+_FUNNEL_WINDOW_HOURS = 24
+
+
+@register(
+    "q_pivot_daily",
+    oracle=f"""
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           {fround_sql("avg(value) FILTER (WHERE event_type = 'click')")} AS click,
+           {fround_sql("avg(value) FILTER (WHERE event_type = 'error')")} AS error,
+           {fround_sql("avg(value) FILTER (WHERE event_type = 'purchase')")} AS purchase,
+           {fround_sql("avg(value) FILTER (WHERE event_type = 'signup')")} AS signup,
+           {fround_sql("avg(value) FILTER (WHERE event_type = 'view')")} AS view
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide reshape: one row per day, one mean-value column per
+    event type.  With the vocabulary passed explicitly, Spark's pivot
+    compiles to conditional aggregates in a single pass — the plan is
+    identical to hand-written FILTER aggregates and shuffles only
+    days x |vocab| cells."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(fround(F.avg("value"), 4))
+    )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+    SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, user_id
+    HAVING count(*) >= {_HH_MIN_COUNT}
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-pair mining: (device type, sensor) combinations at or
+    above the support threshold — the flood/hot-key detector.  Exact is a
+    two-phase partial aggregate (map-side collapse, then HAVING on the
+    merged counts); the bounded-memory twin for an unbounded key domain is
+    a count-min sketch, quality-pinned against these exact counts in
+    tests/test_behavior.py (overestimate-only, eps*N additive bound)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= _HH_MIN_COUNT)
+    )
+
+
+@register(
+    "q_funnel",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+        FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+        GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(1 + (c.user_id IS NOT NULL)::INT
+                  + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stages,
+           coalesce(p.t_purchase <= v.t_view + INTERVAL {_FUNNEL_WINDOW_HOURS} HOUR,
+                    FALSE) AS converted
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel view -> click -> purchase per user: earliest view,
+    earliest click strictly after it, earliest purchase strictly after
+    that; `converted` = full sequence inside 24 h of the first view.
+
+    Each stage joins on the HIGH-cardinality user key (hash join) with the
+    time ordering as a residual — the stream is never per-user sorted, and
+    stage inputs are type-pruned before the join so sides shrink
+    monotonically."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+
+    def stage(event_type: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == event_type).select("user_id", "ts")
+
+    v = stage("view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (
+        stage("click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        stage("purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("stages"),
+            F.coalesce(
+                F.col("t_purchase")
+                <= F.expr(
+                    f"timestampadd(HOUR, {_FUNNEL_WINDOW_HOURS}, t_view)"
+                ),
+                F.lit(False),
+            ).alias("converted"),
+        )
+    )
+
+
+@register(
+    "q_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS cohort_day
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day,
+                          date_trunc('day', CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+               AS offset_days,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    WHERE e.ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: sensors grouped by first-contact day, with
+    the distinct count still reporting at each day offset.  First-seen is a
+    partial-agg min on the high-cardinality user key; the join back is
+    user-keyed (hash); the matrix itself is days x offsets cells after the
+    two-phase distinct."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day"))
+            .cast("long")
+            .alias("offset_days"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )

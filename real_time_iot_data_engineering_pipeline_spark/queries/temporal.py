@@ -1,0 +1,337 @@
+"""Temporal join / rollup family: as-of join, interval (range) join, and a
+hypertable-style multi-granularity rollup.
+
+The brief's custom-operator list names exactly these (as-of join, range
+join, hypertable rollup) as operators Spark lacks as single calls but a
+time-series user of the reference pipeline needs on day one: attach the
+most recent calibration to each reading, count readings inside maintenance
+windows, and serve hour/day/total aggregates from one pass.
+
+All three are expressed as compositions of built-in DataFrame ops (option
+(a) of the brief's custom-operator ladder) — no UDFs, no mapInPandas — so
+Catalyst/Tungsten keep whole-stage codegen end-to-end.
+
+Fixture derivations (everything comes from `events`, TESTDATA.md):
+- calibrations = rows where event_id % 97 == 0 (irregular, data-driven
+  timestamps — an equi-join cannot express the match), deduped per
+  (event_type, ts) by max(value) so both engines pick the same row;
+- maintenance intervals = rows where event_id % 211 == 0, each spanning
+  [ts, ts + (1 + event_id % 7) hours) — variable multi-hour widths so the
+  bucketed join genuinely explodes intervals across buckets.
+
+Scale design (SCALE.md "Temporal" section):
+- as-of join: the textbook plan (window over key ORDER BY ts) dies on
+  low-cardinality keys — 5 event types would mean 5 straggler partitions
+  at 100 TB.  Instead: bucket time (hour), run the ordered window inside
+  (key, bucket) — cardinality keys x hours, parallelism grows with the
+  time range — and close the per-bucket boundary with a carry-in computed
+  on the keys x buckets summary table (metadata-scale, the only
+  low-cardinality window, explicitly bounded).
+- range join: never an inequality-only join (BroadcastNestedLoop / O(n*m)).
+  Intervals explode to the hour-buckets they cover, events equi-join on
+  (key, bucket) with the precise range predicate as a residual; an event's
+  bucket is unique so no post-join dedup is needed.
+- rollup: Spark's Expand produces all grouping sets in ONE scan with
+  map-side partial aggregation (shuffle = levels x group cardinality, not
+  levels x data) — the continuous-aggregate answer to running N jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+
+# Sampling moduli for the fixture-derived dimension tables (arbitrary primes
+# so calibration/interval timestamps are irregular w.r.t. wall-clock).
+_CALIB_MOD = 97
+_INTERVAL_MOD = 211
+
+# As-of bucket granularity.  Finer buckets = more (key, bucket) partitions =
+# more parallelism; the carry-in summary stays keys x buckets (metadata
+# scale).  Hour gives 5 x ~720 = 3,600 partitions on the 30-day fixture and
+# scales linearly with the covered time range on a cluster.
+_ASOF_BUCKET = "hour"
+
+_CALIB_STRUCT = "struct<calib_ts:timestamp_ntz,calib_value:double>"
+
+
+def _events_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _calibrations(ev: DataFrame) -> DataFrame:
+    """Irregular per-type calibration table sampled from the stream; deduped
+    per (event_type, ts) so the as-of match is unique on both engines."""
+    return (
+        ev.filter((F.col("event_id") % _CALIB_MOD == 0) & F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").alias("calib_ts"))
+        .agg(F.max("value").alias("calib_value"))
+    )
+
+
+def asof_join(
+    events: DataFrame,
+    calib: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+) -> DataFrame:
+    """Bucketed two-phase as-of join: attach the most recent calibration row
+    at-or-before each event's timestamp (inclusive, like DuckDB ASOF and
+    pandas merge_asof).  Events with no prior calibration keep NULLs; NULL
+    event timestamps never match.
+
+    Phase 1 (parallel): union calibrations into the event stream, window
+    inside (key, hour-bucket) ordered by (ts, calib-first) and carry the
+    last calibration struct forward — partitions are keys x hours, never
+    keys alone.
+    Phase 2 (metadata-scale): each bucket's carry-in (the last calibration
+    strictly before the bucket) comes from a window over the per-(key,
+    bucket) summary — keys x buckets rows, broadcast back onto the events.
+    """
+    bucket = F.date_trunc(_ASOF_BUCKET, F.col(ts)).alias("_bucket")
+
+    dated = events.filter(F.col(ts).isNotNull())
+    cal = calib.withColumn("_bucket", F.date_trunc(_ASOF_BUCKET, "calib_ts"))
+
+    # Per-(key, bucket) last calibration: max over struct orders by calib_ts
+    # first, and (key, _bucket, calib_ts) is unique after the dedup above.
+    last_in_bucket = cal.groupBy(key, "_bucket").agg(
+        F.max(F.struct("calib_ts", "calib_value")).alias("_cs")
+    )
+    # Bucket spine = every (key, bucket) that holds an event or calibration;
+    # the carry-in for a bucket is the latest calibration in any EARLIER
+    # bucket.  This is the one low-cardinality window in the operator and it
+    # runs over keys x buckets summary rows only.
+    spine = (
+        dated.select(key, bucket)
+        .unionByName(cal.select(key, "_bucket"))
+        .distinct()
+    )
+    w_carry = (
+        Window.partitionBy(key)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = spine.join(last_in_bucket, [key, "_bucket"], "left").select(
+        key,
+        "_bucket",
+        F.last("_cs", ignorenulls=True).over(w_carry).alias("_carry"),
+    )
+
+    # Tagged union: calibrations sort before events at equal timestamps so
+    # the running last() makes the match inclusive (ts >= calib_ts).
+    ev_tagged = dated.select(
+        "event_id",
+        F.col(ts),
+        F.col(key),
+        "value",
+        bucket,
+        F.lit(0).alias("_is_calib"),
+        F.lit(None).cast(_CALIB_STRUCT).alias("_cs"),
+    )
+    cal_tagged = cal.select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("calib_ts").alias(ts),
+        F.col(key),
+        F.lit(None).cast("double").alias("value"),
+        F.col("_bucket"),
+        F.lit(1).alias("_is_calib"),
+        F.struct("calib_ts", "calib_value").alias("_cs"),
+    )
+    w_asof = (
+        Window.partitionBy(key, "_bucket")
+        .orderBy(F.col(ts).asc(), F.col("_is_calib").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = (
+        ev_tagged.unionByName(cal_tagged)
+        .withColumn("_cs", F.last("_cs", ignorenulls=True).over(w_asof))
+        .filter(F.col("_is_calib") == 0)
+    )
+    matched = (
+        within.join(F.broadcast(carry), [key, "_bucket"], "left")
+        .withColumn("_cs", F.coalesce("_cs", "_carry"))
+        .select(
+            "event_id",
+            ts,
+            key,
+            "value",
+            F.col("_cs.calib_ts").alias("calib_ts"),
+            F.col("_cs.calib_value").alias("calib_value"),
+        )
+    )
+    # NULL-timestamp events can never match but must survive (left-join
+    # semantics, mirroring ASOF LEFT JOIN).
+    null_ts = events.filter(F.col(ts).isNull()).select(
+        "event_id",
+        ts,
+        key,
+        "value",
+        F.lit(None).cast("timestamp_ntz").alias("calib_ts"),
+        F.lit(None).cast("double").alias("calib_value"),
+    )
+    return matched.unionByName(null_ts)
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH calib AS (
+        SELECT event_type,
+               CAST(ts AS TIMESTAMP) AS calib_ts,
+               max(value) AS calib_value
+        FROM events
+        WHERE event_id % 97 = 0 AND ts IS NOT NULL
+        GROUP BY event_type, CAST(ts AS TIMESTAMP)
+    )
+    SELECT e.event_id,
+           CAST(e.ts AS TIMESTAMP) AS ts,
+           e.event_type,
+           e.value,
+           c.calib_ts,
+           c.calib_value
+    FROM events e ASOF LEFT JOIN calib c
+      ON e.event_type = c.event_type AND CAST(e.ts AS TIMESTAMP) >= c.calib_ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-recent-calibration attach: every reading joined to the latest
+    calibration row at-or-before its event time for the same device type —
+    the canonical time-series enrichment an equi-join cannot express.
+    Oracle uses DuckDB's native ASOF LEFT JOIN; the Spark plan is the
+    bucketed two-phase composition in asof_join() above."""
+    ev = _events_ntz(spark, sf_dir)
+    return asof_join(ev, _calibrations(ev))
+
+
+@register(
+    "q_range_join",
+    oracle=f"""
+    WITH iv AS (
+        SELECT event_id AS interval_id,
+               event_type,
+               CAST(ts AS TIMESTAMP) AS start_ts,
+               CAST(ts AS TIMESTAMP)
+                   + INTERVAL 1 HOUR * (1 + event_id % 7) AS end_ts
+        FROM events
+        WHERE event_id % 211 = 0 AND ts IS NOT NULL
+    )
+    SELECT iv.interval_id,
+           iv.event_type,
+           iv.start_ts,
+           iv.end_ts,
+           CAST(count(e.event_id) AS BIGINT) AS n_events,
+           {fround_sql("avg(e.value)")} AS avg_value
+    FROM iv LEFT JOIN events e
+      ON e.event_type = iv.event_type
+     AND CAST(e.ts AS TIMESTAMP) >= iv.start_ts
+     AND CAST(e.ts AS TIMESTAMP) < iv.end_ts
+    GROUP BY iv.interval_id, iv.event_type, iv.start_ts, iv.end_ts
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: per maintenance window, the count and mean of
+    same-type readings whose timestamp falls inside [start, end).
+
+    Plan shape: intervals explode to the hour-buckets they cover
+    (sequence + explode), events carry their own hour-bucket, and the join
+    is a BROADCAST equi-join on (event_type, bucket) with the precise range
+    check as a residual predicate — never an inequality-only
+    BroadcastNestedLoop.  An event's bucket is unique, so each event meets
+    each interval at most once and no dedup is needed.  Empty intervals are
+    restored by a final broadcast left join (n_events = 0, avg NULL on both
+    engines)."""
+    ev = _events_ntz(spark, sf_dir)
+    iv = ev.filter(
+        (F.col("event_id") % _INTERVAL_MOD == 0) & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_id").alias("interval_id"),
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        F.expr("timestampadd(HOUR, CAST(1 + event_id % 7 AS INT), ts)").alias(
+            "end_ts"
+        ),
+    )
+    iv_exp = iv.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "start_ts"),
+                F.date_trunc(
+                    "hour", F.expr("timestampadd(MICROSECOND, -1, end_ts)")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    ev_b = ev.filter(F.col("ts").isNotNull()).select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.date_trunc("hour", "ts").alias("_bucket"),
+    )
+    hits = ev_b.join(
+        F.broadcast(iv_exp),
+        on=[
+            ev_b.event_type == iv_exp.event_type,
+            ev_b._bucket == iv_exp._bucket,
+            ev_b.ts >= iv_exp.start_ts,
+            ev_b.ts < iv_exp.end_ts,
+        ],
+        how="inner",
+    ).groupBy("interval_id").agg(
+        F.count("event_id").cast("long").alias("n_events"),
+        fround(F.avg("value"), 4).alias("avg_value"),
+    )
+    return (
+        iv.join(F.broadcast(hits), "interval_id", "left")
+        .select(
+            "interval_id",
+            "event_type",
+            "start_ts",
+            "end_ts",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "q_rollup_hypertable",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('day', CAST(ts AS TIMESTAMP)) AS event_date,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS event_hour,
+           CAST(GROUPING(event_type, event_date, event_hour) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           {fround_sql("avg(value)")} AS avg_value,
+           {fround_sql("sum(value)")} AS sum_value
+    FROM events
+    GROUP BY ROLLUP(event_type, event_date, event_hour)
+    """,
+)
+def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the type -> day -> hour
+    hierarchy (plus the grand total) materialized in ONE pass via ROLLUP —
+    Spark's Expand emits all four grouping sets before a partial aggregate,
+    so the scan happens once and the shuffle carries levels x groups rows,
+    not levels x data.  gid (grouping_id) disambiguates aggregate levels
+    from genuine NULL group values; both engines use the same bit order."""
+    ev = _events_ntz(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("event_date"),
+        F.hour("ts").cast("long").alias("event_hour"),
+        "value",
+    )
+    return base.rollup("event_type", "event_date", "event_hour").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n"),
+        fround(F.avg("value"), 4).alias("avg_value"),
+        fround(F.sum("value"), 4).alias("sum_value"),
+    )

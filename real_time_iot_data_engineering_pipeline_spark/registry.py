@@ -39,6 +39,8 @@ _QUERY_MODULES = (
     "queries.curation",
     "queries.report",
     "queries.sketches",
+    "queries.temporal",
+    "queries.behavior",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -90,6 +92,15 @@ _DRIVER_PRIORITY = (
     # new in round 3 (summary sketches)
     "q_quantile_summary",
     "q_distinct_users",
+    # new in round 3 (temporal joins / hypertable rollup)
+    "q_asof_join",
+    "q_range_join",
+    "q_rollup_hypertable",
+    # new in round 3 (behavioral analytics)
+    "q_pivot_daily",
+    "q_heavy_hitters",
+    "q_funnel",
+    "q_retention",
 )
 
 

@@ -44,5 +44,29 @@ def register_aggregates(
     )
 
 
+def register_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str = "user_id",
+    n_buckets: int = 16,
+    sort_by: str | None = None,
+) -> None:
+    """Persist a table hash-bucketed on its join key.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT any Exchange: each task reads matching bucket files from both
+    sides, so the repeated fact<->dim / fact<->fact joins the reference
+    re-runs per sync cycle (mongo_to_postgres_sync.py's keyed upserts) pay
+    the shuffle ONCE at write time and never again — at 100 TB the
+    dominant cost of every keyed join simply disappears from the read
+    path.  Adding sortBy(join key) also pre-sorts bucket files, letting
+    SortMergeJoin skip its per-task sort when each bucket holds one file.
+    Plan-asserted in tests/test_plans.py::TestCatalog."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_by)
+    if sort_by is not None:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table)
+
+
 def table_exists(spark: SparkSession, table: str = AGG_TABLE) -> bool:
     return spark.catalog.tableExists(table)

@@ -1,0 +1,100 @@
+"""Behavioral-analytics family: sketch-quality twin for heavy hitters and
+plan-shape pins (oracle parity for the four registered queries runs in
+tests/test_oracle_parity.py).
+
+The count-min twin mirrors the sketches-family contract: the REGISTERED
+query is exact (oracle-checkable bit-for-bit); the bounded-memory sketch is
+quality-tested against the exact result with the sketch's OWN guarantee —
+count-min never under-counts, and over-counts by at most eps * N with
+confidence 1 - delta.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_iot_data_engineering_pipeline_spark import registry
+from real_time_iot_data_engineering_pipeline_spark.queries.behavior import (
+    _HH_MIN_COUNT,
+)
+from real_time_iot_data_engineering_pipeline_spark.sources import load_table
+
+registry.load_all()
+
+_EPS = 0.005
+_CONFIDENCE = 0.99
+_SEED = 42
+
+
+class TestCountMinTwin:
+    def test_cms_brackets_exact_heavy_hitters(self, spark, sf_dir):
+        """For every exact heavy hitter, the count-min estimate must satisfy
+        true <= est <= true + eps * N (the sketch's one-sided error bound).
+        At 100 TB the sketch replaces the exact groupBy when the pair
+        domain itself is too large to shuffle: fixed O(width x depth)
+        memory, mergeable across partitions."""
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "pair", F.concat_ws("\x1f", "event_type", "user_id")
+        )
+        n_total = ev.count()
+        # The count_min_sketch AGGREGATE builds the sketch distributed —
+        # per-partition sketches merged map-side (the mergeability that
+        # makes it the 100 TB path); deserialize driver-side to query it.
+        blob = ev.agg(
+            F.count_min_sketch(
+                "pair", F.lit(_EPS), F.lit(_CONFIDENCE), F.lit(_SEED)
+            ).alias("s")
+        ).head()["s"]
+        jvm = spark._jvm
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(blob))
+        )
+        exact = {
+            (r["event_type"], r["user_id"]): r["n"]
+            for r in registry.QUERIES["q_heavy_hitters"](spark, sf_dir).collect()
+        }
+        assert exact, "fixture produced no heavy hitters — threshold too high"
+        slack = _EPS * n_total
+        for (etype, uid), true_n in exact.items():
+            est = cms.estimateCount(f"{etype}\x1f{uid}")
+            assert est >= true_n, f"CMS under-counted {etype}/{uid}: {est} < {true_n}"
+            assert est <= true_n + slack, (
+                f"CMS over-counted beyond eps*N: {est} > {true_n} + {slack}"
+            )
+
+    def test_threshold_filters_something(self, spark, sf_dir):
+        """The support threshold must actually prune (the query is a HAVING,
+        not a full group dump)."""
+        ev = load_table(spark, sf_dir, "events")
+        all_pairs = ev.groupBy("event_type", "user_id").count().count()
+        hh = registry.QUERIES["q_heavy_hitters"](spark, sf_dir).count()
+        assert 0 < hh < all_pairs
+        assert _HH_MIN_COUNT > 1
+
+
+class TestBehaviorPlans:
+    def _plan(self, spark, sf_dir, name):
+        df = registry.QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_pivot_is_single_pass(self, spark, sf_dir):
+        """Explicit pivot vocabulary => one scan, conditional partial
+        aggregates, no join and no separate distinct-values pass."""
+        plan = self._plan(spark, sf_dir, "q_pivot_daily")
+        assert plan.count("FileScan parquet") == 1
+        assert "Join" not in plan
+        assert "partial_" in plan or "Partial" in plan
+
+    def test_funnel_joins_are_hash_not_nested_loop(self, spark, sf_dir):
+        """Every funnel stage joins on the high-cardinality user key; the
+        time ordering must be a residual predicate, never the join itself."""
+        plan = self._plan(spark, sf_dir, "q_funnel")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_retention_two_phase_distinct(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "q_retention")
+        assert "CartesianProduct" not in plan
+        assert "partial_" in plan or "Partial" in plan

@@ -114,6 +114,40 @@ class TestCatalogRegistration:
         finally:
             spark.sql("DROP TABLE IF EXISTS test_aggs")
 
+    def test_bucketed_tables_join_without_exchange(self, spark, sf_dir):
+        """Co-located join: two tables bucketed on the join key with equal
+        bucket counts must SortMergeJoin with ZERO Exchange — the write-once
+        shuffle that removes every subsequent keyed join's shuffle at 100 TB.
+        Broadcast is disabled for the assertion so the bucketed path (what a
+        non-broadcastable 100 TB side would take) is the one pinned."""
+        from pyspark.sql import functions as F
+
+        from real_time_iot_data_engineering_pipeline_spark.sinks.catalog import (
+            register_bucketed,
+        )
+        from real_time_iot_data_engineering_pipeline_spark.sources import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        facts = ev.select("event_id", "user_id", "event_type", "value")
+        dims = ev.groupBy("user_id").agg(F.count("*").alias("n_total"))
+        try:
+            register_bucketed(facts, "test_bkt_facts", "user_id", 8, sort_by="user_id")
+            register_bucketed(dims, "test_bkt_dims", "user_id", 8, sort_by="user_id")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                j = spark.table("test_bkt_facts").join(
+                    spark.table("test_bkt_dims"), "user_id"
+                )
+                plan = j._jdf.queryExecution().executedPlan().toString()
+                assert "SortMergeJoin" in plan
+                assert "Exchange" not in plan, "bucketed join still shuffles"
+                assert j.count() > 0
+            finally:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        finally:
+            spark.sql("DROP TABLE IF EXISTS test_bkt_facts")
+            spark.sql("DROP TABLE IF EXISTS test_bkt_dims")
+
 
 class TestPrepPlans:
     def test_pii_redact_and_split_are_shuffle_free(self, spark, sf_dir):

@@ -1,0 +1,156 @@
+"""Semantic golden tests for the temporal family (as-of join, range join,
+hypertable rollup) plus plan-shape pins.
+
+Oracle parity for all three registered queries runs in
+tests/test_oracle_parity.py; here we exercise the as-of operator's edge
+semantics on a hand-built frame where the expected answer is computed by
+eye — the cases a fixture-level hash can silently get right for the wrong
+reason (carry-in across empty buckets, equal-timestamp inclusivity,
+before-first-calibration NULLs, NULL-timestamp passthrough).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from real_time_iot_data_engineering_pipeline_spark import registry
+from real_time_iot_data_engineering_pipeline_spark.queries.temporal import asof_join
+
+registry.load_all()
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+_EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+_CALIB_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("calib_ts", TimestampNTZType()),
+        StructField("calib_value", DoubleType()),
+    ]
+)
+
+
+class TestAsofSemantics:
+    @pytest.fixture(scope="class")
+    def result(self, spark):
+        events = spark.createDataFrame(
+            [
+                # before any calibration -> NULL match
+                (1, _ts("2024-01-01 00:10:00"), "a", 1.0),
+                # exactly at a calibration timestamp -> inclusive match
+                (2, _ts("2024-01-01 01:00:00"), "a", 2.0),
+                # same bucket, after the calibration
+                (3, _ts("2024-01-01 01:30:00"), "a", 3.0),
+                # two empty hours later -> carry-in must skip empty buckets
+                (4, _ts("2024-01-01 03:45:00"), "a", 4.0),
+                # second calibration supersedes the first within its bucket
+                (5, _ts("2024-01-01 04:30:00"), "a", 5.0),
+                # other key never sees key "a" calibrations
+                (6, _ts("2024-01-01 02:00:00"), "b", 6.0),
+                # NULL timestamp survives with NULL match
+                (7, None, "a", 7.0),
+            ],
+            schema=_EVENT_SCHEMA,
+        )
+        calib = spark.createDataFrame(
+            [
+                ("a", _ts("2024-01-01 01:00:00"), 10.0),
+                ("a", _ts("2024-01-01 04:00:00"), 40.0),
+                ("b", _ts("2024-01-01 02:30:00"), 20.0),  # after event 6
+            ],
+            schema=_CALIB_SCHEMA,
+        )
+        rows = asof_join(events, calib).collect()
+        return {r["event_id"]: r for r in rows}
+
+    def test_before_first_calibration_is_null(self, result):
+        assert result[1]["calib_ts"] is None
+        assert result[1]["calib_value"] is None
+
+    def test_equal_timestamp_matches_inclusively(self, result):
+        assert result[2]["calib_value"] == 10.0
+        assert result[2]["calib_ts"] == _ts("2024-01-01 01:00:00")
+
+    def test_within_bucket_match(self, result):
+        assert result[3]["calib_value"] == 10.0
+
+    def test_carry_in_skips_empty_buckets(self, result):
+        """Event at 03:45 sits two empty hours past the 01:00 calibration;
+        the carry-in chain must bridge buckets with no calibrations."""
+        assert result[4]["calib_value"] == 10.0
+        assert result[4]["calib_ts"] == _ts("2024-01-01 01:00:00")
+
+    def test_newer_calibration_supersedes(self, result):
+        assert result[5]["calib_value"] == 40.0
+
+    def test_keys_are_isolated(self, result):
+        """Key b's only calibration is AFTER its event — no cross-key leak
+        from key a's earlier calibrations."""
+        assert result[6]["calib_value"] is None
+
+    def test_null_timestamp_survives_unmatched(self, result):
+        assert result[7]["value"] == 7.0
+        assert result[7]["calib_value"] is None
+
+    def test_row_count_preserved(self, result):
+        assert len(result) == 7
+
+
+class TestTemporalPlans:
+    def _plan(self, spark, sf_dir, name):
+        df = registry.QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_asof_windows_are_bucketed(self, spark, sf_dir):
+        """The per-event window must partition by (key, bucket) — a window
+        keyed by event_type alone is the 5-straggler plan at 100 TB.  The
+        only key-alone window allowed is the carry-in over the metadata-
+        scale bucket spine."""
+        plan = self._plan(spark, sf_dir, "q_asof_join")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # main window partitions by both key and bucket
+        assert any(
+            "_bucket" in ln and "windowspecdefinition" in ln and "_is_calib" in ln
+            for ln in plan.splitlines()
+        ), "per-event as-of window is not (key, bucket)-partitioned"
+
+    def test_range_join_is_broadcast_equi_with_residual(self, spark, sf_dir):
+        """Interval join must be a broadcast HASH join on (key, bucket) with
+        the range check as a residual — an inequality-only join plans as
+        BroadcastNestedLoop, which is O(n x m) at scale."""
+        plan = self._plan(spark, sf_dir, "q_range_join")
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_rollup_is_single_pass_expand(self, spark, sf_dir):
+        """All four grouping sets must come from ONE scan via Expand with
+        partial aggregation — not N separate jobs."""
+        plan = self._plan(spark, sf_dir, "q_rollup_hypertable")
+        assert "Expand" in plan
+        assert "partial_count" in plan or "Partial" in plan
+        # one scan of events, not four
+        assert plan.count("FileScan parquet") == 1
