@@ -180,6 +180,42 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_click_attribution",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           c.value AS click_value
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: every (view, click) pair for the same user with
+    the click inside [view_ts, view_ts + 10 min] — the attribution join.
+
+    This is the BATCH TWIN of the stream-stream interval join
+    (streaming/stream_join.py::attribute_clicks): it calls the SAME
+    operator code — withWatermark is a no-op in batch — so the oracle
+    check here certifies the join semantics and the golden tests in
+    tests/test_stream_join.py certify the streaming-only behavior (state
+    eviction, outer-side NULL emission after watermark).  The join key
+    (user) is high-cardinality, so the equi-join hash-shuffles both sides
+    and the time window rides as a residual predicate."""
+    from ..streaming.stream_join import attribute_clicks
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return attribute_clicks(views, clicks)
+
+
+@register(
     "q_retention",
     oracle="""
     WITH first_seen AS (

@@ -1,0 +1,227 @@
+"""Relational analytics over the TPC-H-ish warehouse tables (customer /
+orders / lineitem / supplier / nation / region, TESTDATA.md).
+
+The reference's batch tier serves flat per-table aggregates; a user who
+lands warehouse tables next to the stream immediately writes multi-join
+analytical SQL over them.  This family exercises the join-planning
+machinery the single-table families cannot: multi-way join ordering,
+broadcast dimension chains, star-schema pruning, semi joins with
+cross-side residuals, and top-k termination over joined aggregates.
+
+Scale design (SCALE.md "Relational analytics"):
+- dimension chains (region -> nation -> supplier/customer) broadcast —
+  each is KBs; the fact tables (orders, lineitem) NEVER broadcast and
+  join each other on their natural key via shuffle hash/sort-merge,
+  which AQE can convert or skew-split at runtime;
+- filters sit on the scan side of every join (predicate pushdown is
+  plan-asserted) so the fact join sees post-filter cardinality;
+- top-k over the joined aggregate terminates via TakeOrderedAndProject
+  (per-partition top-k, driver merges partitions x k rows);
+- the EXISTS form is a LeftSemi with the time-ordering residual inside
+  the join condition — one pass, no distinct, no post-join dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q_ship_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {fround_sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+      AND l_shipdate  > TIMESTAMP '1996-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-revenue top-10 (TPC-H Q3 shape): segment-filtered
+    customers x pre-cutoff orders x post-cutoff lineitems, ranked by
+    discounted revenue.  Customers broadcast (dimension-sized after the
+    segment filter); orders<->lineitem is the one fact-fact shuffle; the
+    top-10 terminates as TakeOrderedAndProject with l_orderkey as the
+    deterministic tiebreak."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(fround(F.sum(F.expr(_REVENUE)), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_region_revenue",
+    oracle=f"""
+    SELECT n_name,
+           {fround_sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): six-way star join — the
+    region->nation dimension chain prunes suppliers/customers to one
+    region BEFORE the fact joins, every dimension broadcasts, and the
+    c_nationkey = s_nationkey residual ("customer and supplier in the
+    same nation") rides the lineitem<->supplier join."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(fround(F.sum(F.expr(_REVENUE)), 4).alias("revenue"))
+    )
+
+
+@register(
+    "q_priority_fill",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey
+                    AND l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_priority_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): quarterly orders with at
+    least one lineitem shipped after the order date, counted per priority.
+    The EXISTS compiles to ONE LeftSemi join with the cross-side
+    l_shipdate > o_orderdate residual inside the join condition — no
+    distinct pass, no row duplication to undo."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+@register(
+    "q_returned_revenue",
+    oracle=f"""
+    SELECT c_custkey,
+           c_name,
+           {fround_sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    revenue lost to returns.  Aggregates on the high-cardinality customer
+    key BEFORE attaching the name (broadcast join-back), so the shuffle
+    carries (custkey, partial sum) pairs, and the top-20 terminates as
+    TakeOrderedAndProject with c_custkey as the deterministic tiebreak."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(fround(F.sum(F.expr(_REVENUE)), 4).alias("revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "queries.sketches",
     "queries.temporal",
     "queries.behavior",
+    "queries.relational",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -101,6 +102,13 @@ _DRIVER_PRIORITY = (
     "q_heavy_hitters",
     "q_funnel",
     "q_retention",
+    # new in round 3 (relational multi-join analytics)
+    "q_ship_priority",
+    "q_region_revenue",
+    "q_priority_fill",
+    "q_returned_revenue",
+    # new in round 3 (stream-stream join batch twin)
+    "q_click_attribution",
 )
 
 

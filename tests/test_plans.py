@@ -214,6 +214,50 @@ class TestCurationPlans:
         assert "CartesianProduct" not in plan
 
 
+class TestRelationalPlans:
+    """Multi-join analytics: pin the shapes that survive a 100x scale-up —
+    pushed-down scan filters, semi-join EXISTS, top-k termination — without
+    pinning fixture-size join-strategy choices (broadcast vs sort-merge on
+    the fact-fact edge is AQE's call)."""
+
+    def test_ship_priority_topk_and_pushdown(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q_ship_priority")
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # date filters must reach the orders/lineitem scans
+        assert plan.count("PushedFilters: [") >= 3
+        assert "LessThan(o_orderdate" in plan and "GreaterThan(l_shipdate" in plan
+
+    def test_region_revenue_dimension_chain_broadcasts(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q_region_revenue")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # region filter prunes before the fact joins
+        assert "EqualTo(r_name,ASIA)" in plan
+
+    def test_priority_fill_is_left_semi(self, spark, sf_dir):
+        """EXISTS must compile to ONE LeftSemi join with the cross-side
+        l_shipdate > o_orderdate residual — no distinct, no re-dedup."""
+        plan = plan_of(spark, sf_dir, "q_priority_fill")
+        assert "LeftSemi" in plan
+        assert "Distinct" not in plan and "Deduplicate" not in plan
+
+    def test_returned_revenue_aggregates_before_name_attach(self, spark, sf_dir):
+        """The customer-name attach must happen AFTER the per-key aggregate
+        (broadcast join-back of (custkey, sum) pairs), so the shuffle never
+        carries the name column."""
+        plan = plan_of(spark, sf_dir, "q_returned_revenue")
+        assert "TakeOrderedAndProject" in plan
+        exchanges = [
+            ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+        ]
+        assert all("c_name" not in ln for ln in exchanges), (
+            "customer name rides a shuffle: " + "\n".join(exchanges)
+        )
+
+
 class TestReportPlans:
     def test_vocab_topk_avoids_global_sort(self, spark, sf_dir):
         """Global top-k must plan as TakeOrderedAndProject (per-partition
