@@ -34,6 +34,52 @@ _REVENUE = "l_extendedprice * (1 - l_discount)"
 
 
 @register(
+    "q_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {fround_sql("sum(l_quantity)")} AS sum_qty,
+           {fround_sql("sum(l_extendedprice)")} AS sum_base_price,
+           {fround_sql("sum(l_extendedprice * (1 - l_discount))")} AS sum_disc_price,
+           {fround_sql("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")} AS sum_charge,
+           {fround_sql("avg(l_quantity)")} AS avg_qty,
+           {fround_sql("avg(l_extendedprice)")} AS avg_price,
+           {fround_sql("avg(l_discount)")} AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape): the canonical scan-heavy
+    aggregate — 8 running aggregates over computed expressions, grouped by
+    two low-cardinality flags.  Everything stays inside whole-stage
+    codegen; partial aggregation collapses each partition to at most
+    |flags x statuses| rows before the one tiny shuffle, so the query is
+    pure scan bandwidth at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fround(F.sum("l_quantity"), 4).alias("sum_qty"),
+            fround(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            fround(F.sum(disc_price), 4).alias("sum_disc_price"),
+            fround(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias(
+                "sum_charge"
+            ),
+            fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            fround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            fround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+@register(
     "q_ship_priority",
     oracle=f"""
     SELECT l_orderkey,

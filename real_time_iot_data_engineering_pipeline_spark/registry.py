@@ -109,6 +109,8 @@ _DRIVER_PRIORITY = (
     "q_returned_revenue",
     # new in round 3 (stream-stream join batch twin)
     "q_click_attribution",
+    # new in round 3 (relational: pricing summary)
+    "q_pricing_summary",
 )
 
 

@@ -221,3 +221,94 @@ class TestPrepProperties:
         n = joined.count()
         same = joined.filter(F.col("bucket") == F.col("split_bucket")).count()
         assert same < n * 0.2  # ~1% expected collisions, allow slack
+
+
+class TestAsofJoinProperty:
+    """The bucketed two-phase as-of join vs pandas merge_asof (backward,
+    allow_exact_matches) on random keyed time series — random data walks
+    the carry-in chain across arbitrary empty-bucket gaps, which the
+    fixture oracle only samples."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=0, max_value=20000),  # ~5.5h span
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        calibs=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=0, max_value=20000),
+                st.integers(min_value=0, max_value=100),
+            ),
+            min_size=0,
+            max_size=20,
+        ),
+    )
+    def test_matches_pandas_merge_asof(self, spark, events, calibs):
+        import datetime as dt
+
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.temporal import (
+            asof_join,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+
+        def ts(s):
+            return base + dt.timedelta(seconds=s)
+
+        ev_rows = [
+            (i, ts(s), k, float(i)) for i, (k, s) in enumerate(events)
+        ]
+        # unique (key, ts) on the calibration side (the operator's and the
+        # fixture derivation's precondition) — keep max value like _calibrations
+        cal = {}
+        for k, s, v in calibs:
+            cal[(k, s)] = max(cal.get((k, s), -1.0), float(v))
+        cal_rows = [(k, ts(s), v) for (k, s), v in sorted(cal.items())]
+
+        ev_df = spark.createDataFrame(
+            ev_rows,
+            "event_id long, ts timestamp_ntz, event_type string, value double",
+        )
+        cal_df = spark.createDataFrame(
+            cal_rows or [],
+            "event_type string, calib_ts timestamp_ntz, calib_value double",
+        )
+        got = {
+            r["event_id"]: (r["calib_ts"], r["calib_value"])
+            for r in asof_join(ev_df, cal_df).collect()
+        }
+
+        left = pd.DataFrame(
+            ev_rows, columns=["event_id", "ts", "event_type", "value"]
+        ).sort_values("ts", kind="stable")
+        right = pd.DataFrame(
+            cal_rows, columns=["event_type", "calib_ts", "calib_value"]
+        ).sort_values("calib_ts", kind="stable")
+        if right.empty:
+            expected = {i: (None, None) for i, _, _, _ in ev_rows}
+        else:
+            merged = pd.merge_asof(
+                left,
+                right,
+                left_on="ts",
+                right_on="calib_ts",
+                by="event_type",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            expected = {
+                int(r.event_id): (
+                    None if pd.isna(r.calib_ts) else r.calib_ts.to_pydatetime(),
+                    None if pd.isna(r.calib_value) else float(r.calib_value),
+                )
+                for r in merged.itertuples()
+            }
+        assert got == expected
