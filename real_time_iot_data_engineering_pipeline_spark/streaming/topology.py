@@ -18,6 +18,11 @@ exactly how Spark expresses topic fan-out; both share the source listing,
 and each is exactly-once through its own checkpoint.  The Mongo->Postgres
 hop disappears: the keyed sink IS the queryable table (sinks/catalog.py
 registers it for SQL access).
+
+Optional branches fan out from the same validated stream: a per-batch
+quality monitor (with_monitor) and the stream-stream attribution join
+(with_attribution — views joined to clicks within the window,
+streaming/stream_join.py), each with its own checkpoint.
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ from .pipeline import (
     windowed_aggregate,
 )
 from .router import validated_stream
+from .stream_join import attribute_clicks, split_by_type
 
 
 class TopologyResult:
@@ -46,14 +52,20 @@ class TopologyResult:
         agg_sink: KeyedParquetSink,
         dlq_dir: str,
         monitor: QualityMonitorSink | None = None,
+        attribution_dir: str | None = None,
     ):
         self.spark = spark
         self.aggregates = agg_sink
         self.dlq_dir = dlq_dir
         self.monitor = monitor
+        self.attribution_dir = attribution_dir
 
     def read_dlq(self) -> DataFrame:
         return self.spark.read.parquet(self.dlq_dir + "/epoch=*")
+
+    def read_attribution(self) -> DataFrame:
+        assert self.attribution_dir is not None
+        return self.spark.read.parquet(self.attribution_dir + "/epoch=*")
 
 
 def run_topology(
@@ -65,6 +77,7 @@ def run_topology(
     window_family: str = "tumbling",
     monitor_now=None,
     with_monitor: bool = False,
+    with_attribution: bool = False,
 ) -> TopologyResult:
     """Drain source_dir through the full validate->route->dedup->window->
     upsert topology with Trigger.AvailableNow on both branches.
@@ -124,10 +137,36 @@ def run_topology(
 
     q_dlq = start(dlq, "topology-dlq", write_dlq)
 
+    # optional attribution branch: stream-stream interval join of the
+    # VALIDATED stream against itself (view -> click within the window),
+    # append-mode, its own checkpoint — the fourth consumer of the shared
+    # source listing
+    attribution_dir = None
+    q_attr = None
+    if with_attribution:
+        attribution_dir = os.path.join(out_dir, "attribution")
+        valid_events = validated.filter("is_valid").drop(
+            "failure_reasons", "is_valid"
+        )
+        attributed = attribute_clicks(
+            split_by_type(valid_events, "view"),
+            split_by_type(valid_events, "click"),
+        )
+
+        def write_attr(batch_df: DataFrame, epoch_id: int) -> None:
+            if not batch_df.isEmpty():
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(attribution_dir, f"epoch={int(epoch_id)}")
+                )
+
+        q_attr = start(attributed, "topology-attribution", write_attr, mode="append")
+
     # optional monitoring branch (Learning Guide §5-6): per-batch quality
     # metrics + alert verdicts over the SAME validated stream
     monitor = None
     queries = [q_main, q_dlq]
+    if q_attr is not None:
+        queries.append(q_attr)
     if with_monitor:
         monitor = QualityMonitorSink(
             spark, os.path.join(out_dir, "monitor"), now=monitor_now
@@ -141,4 +180,4 @@ def run_topology(
         for q in queries:
             if q.isActive:
                 q.stop()
-    return TopologyResult(spark, agg_sink, dlq_dir, monitor)
+    return TopologyResult(spark, agg_sink, dlq_dir, monitor, attribution_dir)

@@ -167,3 +167,45 @@ def test_topology_quality_monitor_alerts_per_batch(spark, tmp_path):
     quiet = rows[1]
     assert quiet.n_total == 2 and quiet.dlq_share == 0.0
     assert not quiet.any_alert
+
+
+def test_topology_attribution_branch(spark, tmp_path):
+    """with_attribution=True adds the stream-stream interval join as a
+    fourth consumer of the same source: validated views join validated
+    clicks within the 10-minute window; invalid events never reach the
+    join; the agg/DLQ branches are unaffected."""
+    src = tmp_path / "src"
+    src.mkdir()
+    write_file(
+        str(src),
+        "f1.json",
+        [
+            dict(ev(1, "2024-01-19 10:00:00", user_id=1, value=2.0),
+                 props='{"k": 1}', event_type="view"),
+            dict(ev(2, "2024-01-19 10:05:00", user_id=1, value=3.0),
+                 props='{"k": 1}', event_type="click"),
+            # out-of-range click would match the view but must be DLQ'd
+            # before the join sees it
+            dict(ev(3, "2024-01-19 10:06:00", user_id=1, value=500.0),
+                 props='{"k": 1}', event_type="click"),
+            # different user: no pair
+            dict(ev(4, "2024-01-19 10:01:00", user_id=2, value=5.0),
+                 props='{"k": 1}', event_type="click"),
+        ],
+        seq=0,
+    )
+
+    result = run_topology(
+        spark, str(src), str(tmp_path / "out"), with_attribution=True
+    )
+
+    pairs = {
+        (r.view_id, r.click_id): r for r in result.read_attribution().collect()
+    }
+    assert set(pairs) == {(1, 2)}, f"unexpected attribution pairs: {set(pairs)}"
+    assert pairs[(1, 2)].user_id == 1 and pairs[(1, 2)].click_value == 3.0
+
+    # the other branches still behave: 3 valid events aggregated, 1 DLQ row
+    assert [r.event_id for r in result.read_dlq().collect()] == [3]
+    agg_total = sum(r["count"] for r in result.aggregates.read().collect())
+    assert agg_total == 3
