@@ -256,7 +256,26 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "end_ts"
         ),
     )
-    iv_exp = iv.withColumn(
+    return range_join(ev, iv)
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+) -> DataFrame:
+    """Bucketed interval join: per interval, the count and mean value of
+    same-key events with start_ts <= event ts < end_ts.
+
+    `intervals` must carry (interval_id, key, start_ts, end_ts) with
+    end_ts > start_ts.  Intervals explode to the hour-buckets they cover;
+    events equi-join on (key, bucket) broadcast-side with the precise
+    range predicate as a residual — the explode factor is bounded by
+    interval width / bucket width, and an event's unique bucket means no
+    post-join dedup.  Intervals with no events survive with n_events = 0
+    and NULL avg (the broadcast left join-back)."""
+    iv_exp = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
@@ -268,20 +287,20 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    ev_b = ev.filter(F.col("ts").isNotNull()).select(
+    ev_b = events.filter(F.col(ts).isNotNull()).select(
         "event_id",
-        "event_type",
-        "ts",
+        F.col(key),
+        F.col(ts),
         "value",
-        F.date_trunc("hour", "ts").alias("_bucket"),
+        F.date_trunc("hour", ts).alias("_bucket"),
     )
     hits = ev_b.join(
         F.broadcast(iv_exp),
         on=[
-            ev_b.event_type == iv_exp.event_type,
-            ev_b._bucket == iv_exp._bucket,
-            ev_b.ts >= iv_exp.start_ts,
-            ev_b.ts < iv_exp.end_ts,
+            ev_b[key] == iv_exp[key],
+            ev_b["_bucket"] == iv_exp["_bucket"],
+            ev_b[ts] >= iv_exp.start_ts,
+            ev_b[ts] < iv_exp.end_ts,
         ],
         how="inner",
     ).groupBy("interval_id").agg(
@@ -289,10 +308,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.avg("value"), 4).alias("avg_value"),
     )
     return (
-        iv.join(F.broadcast(hits), "interval_id", "left")
+        intervals.join(F.broadcast(hits), "interval_id", "left")
         .select(
             "interval_id",
-            "event_type",
+            key,
             "start_ts",
             "end_ts",
             F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),

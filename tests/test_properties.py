@@ -312,3 +312,79 @@ class TestAsofJoinProperty:
                 for r in merged.itertuples()
             }
         assert got == expected
+
+
+class TestRangeJoinProperty:
+    """The bucketed interval join vs a brute-force python model on random
+    intervals — random widths (seconds to many hours) exercise explode
+    widths and bucket-boundary edges the fixed fixture derivation (whole
+    hours, >=1h) never hits."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=0, max_value=30000),
+            ),
+            min_size=1,
+            max_size=50,
+        ),
+        intervals=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=0, max_value=30000),  # start second
+                st.integers(min_value=1, max_value=30000),  # width seconds
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+    )
+    def test_matches_brute_force(self, spark, events, intervals):
+        import datetime as dt
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.temporal import (
+            range_join,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+
+        def ts(s):
+            return base + dt.timedelta(seconds=s)
+
+        ev_rows = [(i, ts(s), k, float(i)) for i, (k, s) in enumerate(events)]
+        iv_rows = [
+            (j, k, ts(s), ts(s + w))
+            for j, (k, s, w) in enumerate(intervals)
+        ]
+        ev_df = spark.createDataFrame(
+            ev_rows,
+            "event_id long, ts timestamp_ntz, event_type string, value double",
+        )
+        iv_df = spark.createDataFrame(
+            iv_rows,
+            "interval_id long, event_type string, "
+            "start_ts timestamp_ntz, end_ts timestamp_ntz",
+        )
+        got = {
+            r["interval_id"]: (r["n_events"], r["avg_value"])
+            for r in range_join(ev_df, iv_df).collect()
+        }
+
+        from real_time_iot_data_engineering_pipeline_spark.functions.rounding import (
+            fround,
+        )
+        from pyspark.sql import functions as F
+
+        expected = {}
+        for j, k, s, e in iv_rows:
+            vals = [v for (_, t, ek, v) in ev_rows if ek == k and s <= t < e]
+            if vals:
+                # same fround quantization as the operator
+                mean = sum(vals) / len(vals)
+                import math
+                q = math.floor(mean * 1e4 * (1 + 1e-12) + 0.5) / 1e4
+                expected[j] = (len(vals), q)
+            else:
+                expected[j] = (0, None)
+        assert got == expected
