@@ -320,6 +320,65 @@ def range_join(
     )
 
 
+_GAP_HOURS = 24
+
+
+@register(
+    "q_reading_gaps",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id,
+               CAST(ts AS TIMESTAMP) AS ts,
+               lead(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS next_ts
+        FROM events
+        WHERE ts IS NOT NULL
+    )
+    SELECT user_id,
+           ts AS gap_start,
+           next_ts AS gap_end,
+           CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS BIGINT)
+               AS gap_seconds
+    FROM ordered
+    WHERE next_ts - ts > INTERVAL {_GAP_HOURS} HOUR
+    """,
+)
+def q_reading_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-outage detection: consecutive readings from the same sensor
+    more than 24 hours apart — the gap/island operator every IoT fleet
+    monitor needs (the reference's freshness check only sees the LAST
+    reading; this finds every historical outage).
+
+    Scale: one window over the HIGH-cardinality sensor key ordered by
+    (ts, event_id) — partitions shard across executors; lead(1) needs no
+    frame buffer.  The gap predicate compares raw microsecond timestamps
+    (timestampadd), and the reported duration truncates both endpoints to
+    whole seconds first (the repo's cross-engine duration convention —
+    Spark's timestampdiff counts complete units, DuckDB's epoch floors)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .filter(
+            F.col("next_ts") > F.expr(f"timestampadd(HOUR, {_GAP_HOURS}, ts)")
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("gap_start"),
+            F.col("next_ts").alias("gap_end"),
+            F.expr(
+                "timestampdiff(SECOND, date_trunc('second', ts),"
+                " date_trunc('second', next_ts))"
+            )
+            .cast("long")
+            .alias("gap_seconds"),
+        )
+    )
+
+
 @register(
     "q_rollup_hypertable",
     oracle=f"""

@@ -111,6 +111,8 @@ _DRIVER_PRIORITY = (
     "q_click_attribution",
     # new in round 3 (relational: pricing summary)
     "q_pricing_summary",
+    # new in round 3 (temporal: sensor outage gaps)
+    "q_reading_gaps",
 )
 
 
