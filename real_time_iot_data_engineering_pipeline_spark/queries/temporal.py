@@ -91,6 +91,13 @@ def asof_join(
     Phase 2 (metadata-scale): each bucket's carry-in (the last calibration
     strictly before the bucket) comes from a window over the per-(key,
     bucket) summary — keys x buckets rows, broadcast back onto the events.
+
+    Preconditions: `calib` unique per (key, ts) — dedupe first (as
+    _calibrations does) or the match is engine-nondeterministic.  The
+    carry broadcast assumes keys x buckets stays dimension-sized (true
+    for device-type keys); for million-sensor keys drop the broadcast
+    hint and let the carry join shuffle on (key, bucket) — same plan
+    shape, and the carry window then partitions by a high-card key too.
     """
     bucket = F.date_trunc(_ASOF_BUCKET, F.col(ts)).alias("_bucket")
 
