@@ -7,7 +7,7 @@ sort, and grand-total ratios WITHOUT a single-partition window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fround, fround_sql
@@ -15,6 +15,7 @@ from ..registry import register
 from ..sources import load_table
 
 VOCAB_K = 100
+TFIDF_K = 3
 
 
 @register(
@@ -97,4 +98,169 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("n_docs").cast("double") / F.col("total_docs"), 4).alias(
             "doc_share"
         ),
+    )
+
+
+@register(
+    "q_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT f.doc_id, f.token, f.tf,
+               {fround_sql("f.tf * ln(n.n_docs / d.df)", 6)} AS score6,
+               {fround_sql("f.tf * ln(n.n_docs / d.df)", 4)} AS score
+        FROM tf f JOIN df d USING (token), n
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS term_rank, token, tf, score
+    FROM (
+        SELECT doc_id, token, tf, score,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score6 DESC, token
+               ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {TFIDF_K}
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_K} TF-IDF terms: tf(t,d) * ln(N / df(t)),
+    ranked per doc (ties broken by token) — the keyword/topic signal a
+    corpus card or quality classifier reads per document.
+
+    Scale: tf is a partial agg on the high-cardinality (doc_id, token)
+    key; df is a partial agg over the tf table (never re-reads text).
+    The df lookup is a plain equi-join on token — AQE converts it to a
+    runtime broadcast when the vocabulary is small (here, and for any
+    Zipf-headed corpus after a min-df cut) and falls back to sort-merge
+    for a 100M-term web-scale vocabulary; nothing in the plan assumes
+    the vocab fits on one executor.  The per-doc top-{TFIDF_K} is a
+    rank-filtered window over doc_id — a high-cardinality partition key,
+    so Catalyst applies WindowGroupLimit (partial top-k before the
+    exchange) and no partition ever sees more than its own docs.
+
+    Cross-engine determinism: ranking uses the score quantized to 6 dp
+    (fround bias 1e-12 >> the ~1-ulp ln() divergence between Java
+    Math.log and libm), with the token as total tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("raw")
+        )
+        .select("doc_id", F.lower("raw").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    base = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            fround(base, 6).alias("score6"),
+            fround(base, 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score6"), "token")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_K)
+        .select("doc_id", "term_rank", "token", "tf", "score")
+    )
+
+
+@register(
+    "q_mixture_weights",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS n_tokens,
+               CAST(CAST(substr(source, 4) AS INT) + 1 AS DOUBLE) AS w
+        FROM documents
+        GROUP BY source
+    ),
+    t AS (
+        SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens,
+               sum(w) AS total_w
+        FROM s
+    ),
+    r AS (
+        SELECT source, n_tokens,
+               (w / t.total_w) / (n_tokens / t.total_tokens) AS raw_rate,
+               w / t.total_w AS target_share,
+               n_tokens / t.total_tokens AS token_share
+        FROM s, t
+    ),
+    m AS (SELECT max(raw_rate) AS max_rate FROM r)
+    SELECT source, n_tokens,
+           {fround_sql("token_share")} AS token_share,
+           {fround_sql("target_share")} AS target_share,
+           {fround_sql("raw_rate / m.max_rate")} AS sample_rate,
+           CAST(floor(n_tokens * {fround_sql("raw_rate / m.max_rate")})
+                AS BIGINT) AS sampled_tokens
+    FROM r, m
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (the static DoReMi/Pile-style step):
+    given a target weight per source (here the deterministic weight
+    index(source)+1, renormalized over observed sources), compute each
+    source's actual token share and the downsampling rate that realizes
+    the target mixture without upsampling — the most over-represented
+    source keeps rate 1.0 and everything else scales below it — plus
+    the resulting token budget per source.
+
+    Scale: one partial agg keyed by source (tiny output regardless of
+    input size), then two broadcast join-backs of 1-row totals (grand
+    token/weight sums, then the max raw rate) — the q_city_avg_compare
+    idiom; no single-partition window anywhere, and the full corpus is
+    read exactly once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("long").alias("n_tokens"),
+        F.first(
+            (F.substring("source", 4, 10).cast("int") + F.lit(1)).cast("double")
+        ).alias("w"),
+    )
+    t = s.agg(
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.sum("w").alias("total_w"),
+    )
+    r = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tokens",
+        (F.col("w") / F.col("total_w")).alias("target_share"),
+        (F.col("n_tokens") / F.col("total_tokens")).alias("token_share"),
+        (
+            (F.col("w") / F.col("total_w"))
+            / (F.col("n_tokens") / F.col("total_tokens"))
+        ).alias("raw_rate"),
+    )
+    m = r.agg(F.max("raw_rate").alias("max_rate"))
+    rate = fround(F.col("raw_rate") / F.col("max_rate"), 4)
+    return r.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_tokens",
+        fround(F.col("token_share"), 4).alias("token_share"),
+        fround(F.col("target_share"), 4).alias("target_share"),
+        rate.alias("sample_rate"),
+        F.floor(F.col("n_tokens") * rate).cast("long").alias("sampled_tokens"),
     )

@@ -87,9 +87,11 @@ _DRIVER_PRIORITY = (
     "q_decontaminate",
     "q_repetition_filter",
     "q_semantic_dedup",
-    # new in round 3 (corpus reporting)
+    # new in round 3 (corpus reporting + mixing)
     "q_vocab_topk",
     "q_corpus_stats",
+    "q_tfidf_topterms",
+    "q_mixture_weights",
     # new in round 3 (summary sketches)
     "q_quantile_summary",
     "q_distinct_users",

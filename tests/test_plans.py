@@ -83,6 +83,24 @@ class TestPushdownAndJoins:
         plan = plan_of(spark, sf_dir, "q_embed_knn")
         assert "WindowGroupLimit" in plan and "Partial" in plan
 
+    def test_tfidf_topk_uses_window_group_limit(self, spark, sf_dir):
+        """q_tfidf_topterms' per-doc top-3 partitions by the
+        high-cardinality doc_id, so the rank filter must compile to a
+        Partial WindowGroupLimit; the df lookup must be a hash equi-join,
+        never a cartesian over the vocabulary."""
+        plan = plan_of(spark, sf_dir, "q_tfidf_topterms")
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_mixture_weights_has_no_window(self, spark, sf_dir):
+        """q_mixture_weights' grand-total ratios come from broadcast
+        join-backs of 1-row aggregates (q_city_avg_compare idiom) — a
+        Window over the per-source aggregate would serialize on one
+        partition at scale."""
+        plan = plan_of(spark, sf_dir, "q_mixture_weights")
+        assert "Window" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
     def test_rank_adaptive_paths(self, spark, sf_dir, monkeypatch):
         """q_rank_per_group: plain single window below the scale switch
         (local fixtures), bucketed two-phase plan above it — the rewrite

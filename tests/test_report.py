@@ -1,0 +1,81 @@
+"""Semantic golden tests for the corpus-reporting/mixing operators.
+
+Oracle parity (tests/test_oracle_parity.py) proves Spark == DuckDB; these
+assert the *semantics* both engines must share are the intended ones —
+an identical-but-wrong formula would pass parity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from real_time_iot_data_engineering_pipeline_spark import registry
+
+registry.load_all()
+
+
+class TestTfidfTopterms:
+    def test_rank_bounds_and_per_doc_cardinality(self, spark, sf_dir):
+        rows = registry.QUERIES["q_tfidf_topterms"](spark, sf_dir).collect()
+        assert rows
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            assert 1 <= r.term_rank <= 3
+            assert r.tf >= 1
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_rows in by_doc.values():
+            ranks = sorted(r.term_rank for r in doc_rows)
+            assert ranks == list(range(1, len(ranks) + 1))  # dense, no dup ranks
+            # score is non-increasing with rank
+            ordered = sorted(doc_rows, key=lambda r: r.term_rank)
+            for a, b in zip(ordered, ordered[1:]):
+                assert a.score >= b.score - 1e-9
+
+    def test_matches_hand_computed_tfidf(self, spark, sf_dir):
+        """Recompute tf * ln(N/df) in pure Python for one document and
+        check the engine's winner matches."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        n_docs = len(docs)
+        df_counts: dict[str, int] = {}
+        toks_by_doc = {}
+        for d in docs:
+            toks = [t.lower() for t in d.text.strip().split()]
+            toks_by_doc[d.doc_id] = toks
+            for t in set(toks):
+                df_counts[t] = df_counts.get(t, 0) + 1
+        target = docs[0].doc_id
+        toks = toks_by_doc[target]
+        scores = {
+            t: toks.count(t) * math.log(n_docs / df_counts[t]) for t in set(toks)
+        }
+        expect_top = sorted(scores, key=lambda t: (-round(scores[t], 6), t))[0]
+        got = {
+            r.term_rank: r.token
+            for r in registry.QUERIES["q_tfidf_topterms"](spark, sf_dir)
+            .where(f"doc_id = {target}")
+            .collect()
+        }
+        assert got[1] == expect_top
+
+
+class TestMixtureWeights:
+    def test_rates_realize_target_mixture_by_downsampling_only(self, spark, sf_dir):
+        rows = registry.QUERIES["q_mixture_weights"](spark, sf_dir).collect()
+        assert rows
+        rates = {r.source: r.sample_rate for r in rows}
+        # downsampling only: every rate in (0, 1], and the binding source is 1.0
+        assert all(0 < v <= 1.0 for v in rates.values())
+        assert math.isclose(max(rates.values()), 1.0, abs_tol=1e-9)
+        for r in rows:
+            assert 0 <= r.sampled_tokens <= r.n_tokens
+            # shares are shares
+            assert 0 < r.token_share <= 1 and 0 < r.target_share <= 1
+        # post-sampling mixture approaches the target ordering: a source with
+        # a higher target share must not end up with fewer sampled tokens per
+        # unit of target weight than one with a lower target share by more
+        # than rounding slack.
+        scaled = sorted(
+            (r.target_share, r.sampled_tokens) for r in rows
+        )
+        ratios = [s / t for t, s in scaled if t > 0]
+        assert max(ratios) / min(ratios) < 1.2  # near-proportional allocation
