@@ -256,3 +256,47 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "offset_days")
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience set operations (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_audience_setops",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT user_id, 'both' AS segment
+    FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+    UNION ALL
+    SELECT user_id, 'purchase_only' AS segment
+    FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+    UNION ALL
+    SELECT user_id, 'error_only' AS segment
+    FROM (SELECT user_id FROM e EXCEPT SELECT user_id FROM p)
+    """,
+)
+def q_audience_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience segmentation via relational set operations: sensors that
+    both purchased and errored (INTERSECT), purchased cleanly (EXCEPT), or
+    only errored — the symmetric-difference breakdown behind any
+    "affected users" incident report.
+
+    Scale: INTERSECT/EXCEPT compile to hash-partitioned aggregates /
+    left-semi and left-anti joins on the HIGH-cardinality user key — the
+    two distinct inputs collapse map-side first, so the shuffled sides are
+    |distinct users|, not |events|; no broadcast, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    e = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return (
+        p.intersect(e).select("user_id", F.lit("both").alias("segment"))
+        .unionAll(
+            p.subtract(e).select("user_id", F.lit("purchase_only").alias("segment"))
+        )
+        .unionAll(
+            e.subtract(p).select("user_id", F.lit("error_only").alias("segment"))
+        )
+    )

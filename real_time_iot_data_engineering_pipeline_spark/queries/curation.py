@@ -419,3 +419,89 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("c"), F.lit(0)).cast("int").alias("n_near"),
         (F.coalesce(F.col("c"), F.lit(0)) > 0).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line-level dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+# Documents in the fixture carry no newlines, so "lines" are deterministic
+# non-overlapping 10-word windows — same re-lining on both engines, so the
+# cross-doc share statistics are oracle-CHECKED.  (On real web text the
+# split would be '\n'; only this one expression changes.)
+_LINE_WORDS = 10
+
+
+@register(
+    "q_paragraph_dedup",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    lines AS (
+        SELECT doc_id,
+               md5(array_to_string(w[i*{_LINE_WORDS}+1 : i*{_LINE_WORDS}+{_LINE_WORDS}], ' ')) AS h
+        FROM t, unnest(range(CAST(ceil(len(w) / {_LINE_WORDS}.0) AS BIGINT))) r(i)
+    ),
+    counts AS (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM lines GROUP BY h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           {fround_sql("sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)"
+                       " / CAST(count(*) AS DOUBLE)")} AS dup_line_ratio
+    FROM lines JOIN counts USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-level duplication profile, the CCNet / Common
+    Crawl curation step that doc-level dedup misses: boilerplate lines
+    (headers, footers, licence blurbs) repeat across otherwise-distinct
+    pages.  Each document is split into fixed 10-word lines; a line is
+    "duplicated" when its content appears in >= 2 DISTINCT documents; the
+    per-document output (n_lines, n_dup_lines, dup_line_ratio) is the
+    removal signal a cleaner thresholds on.
+
+    Scale: lines explode to ~n_words/10 rows per doc but carry only
+    (doc_id, md5) — 32-char hashes, never the text, ride both shuffles.
+    The global frequency pass is a partial-agg groupBy on the hash
+    (map-side count-distinct collapse), and the join back is a
+    hash-partitioned equi-join on the same key — no broadcast of the
+    (corpus-sized) counts table, no all-pairs anything."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # size(w) >= 1 for any non-NULL text (split('') -> ['']), so the
+    # sequence upper bound is always >= 0 — it can never step downward.
+    lines = (
+        docs.select("doc_id", F.expr(r"split(trim(text), '\\s+')").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform("
+                    f"sequence(0, cast(ceil(size(w) / {_LINE_WORDS}.0) as int) - 1),"
+                    f" i -> md5(array_join(slice(w, i*{_LINE_WORDS}+1, {_LINE_WORDS}),"
+                    f" ' ')))"
+                )
+            ).alias("h"),
+        )
+    )
+    counts = lines.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        lines.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_lines"),
+            fround(
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("dup_line_ratio"),
+        )
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import fround, fround_sql
 from ..registry import register
 from ..sources import load_table
+from .text import _QUALITY_EXPR_DUCK, _WORDS_SPARK, quality_score_col
 
 VOCAB_K = 100
 TFIDF_K = 3
@@ -263,4 +264,89 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("target_share"), 4).alias("target_share"),
         rate.alias("sample_rate"),
         F.floor(F.col("n_tokens") * rate).cast("long").alias("sampled_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum quality buckets
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 10
+
+
+@register(
+    "q_quality_buckets",
+    oracle=rf"""
+    WITH feat AS (
+        SELECT doc_id, lang, n_chars,
+               string_split_regex(trim(lower(text)), '\s+') AS _words
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang, {fround_sql(_QUALITY_EXPR_DUCK)} AS q
+        FROM (
+            SELECT lang, n_chars, len(_words) AS n_words,
+                   len(list_filter(_words,
+                                   w -> w IN ('the', 'a', 'of', 'and', 'is')))
+                       AS n_stop
+            FROM feat
+        )
+        WHERE n_words > 0
+    ),
+    bucketed AS (
+        SELECT lang, least(CAST(floor(q * {_N_BUCKETS}) AS BIGINT),
+                           {_N_BUCKETS - 1}) AS bucket, q
+        FROM scored
+    )
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {fround_sql("min(q)")} AS min_score,
+           {fround_sql("max(q)")} AS max_score,
+           {fround_sql("avg(q)")} AS avg_score,
+           {fround_sql("count(*) / sum(count(*)) OVER (PARTITION BY lang)")}
+               AS lang_share
+    FROM bucketed
+    GROUP BY lang, bucket
+    """,
+)
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: documents binned into 10 fixed-width quality
+    bands per language, with per-band counts, score stats, and the band's
+    share of its language — the table a data-mixing/curriculum schedule is
+    written against.
+
+    Fixed score thresholds are chosen over ntile() DELIBERATELY: a global
+    (or per-lang — languages are low-cardinality) ntile is a single-
+    partition sort, the classic scale killer this repo engineers away
+    (SCALE.md "Analytics"), while threshold binning is a pure projection
+    ahead of one partial-agg groupBy.  The only window runs over the
+    ALREADY-AGGREGATED langs x 10 table — metadata scale, same bounded
+    pattern as the as-of carry-in summary."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_words", F.expr(_WORDS_SPARK)
+    )
+    q = fround(quality_score_col(), 4)
+    scored = docs.filter(F.size("_words") > 0).select(
+        "lang", q.alias("q")
+    )
+    bucket = F.least(
+        F.floor(F.col("q") * _N_BUCKETS), F.lit(_N_BUCKETS - 1)
+    ).cast("long")
+    agg = scored.withColumn("bucket", bucket).groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        fround(F.min("q"), 4).alias("min_score"),
+        fround(F.max("q"), 4).alias("max_score"),
+        fround(F.avg("q"), 4).alias("avg_score"),
+    )
+    per_lang = Window.partitionBy("lang")
+    return agg.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        "min_score",
+        "max_score",
+        "avg_score",
+        fround(F.col("n_docs") / F.sum("n_docs").over(per_lang), 4).alias(
+            "lang_share"
+        ),
     )

@@ -420,3 +420,105 @@ def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.avg("value"), 4).alias("avg_value"),
         fround(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap fill (sensor-dropout imputation) and cube summary
+# ---------------------------------------------------------------------------
+
+# Simulated dropout: the fixture has no NULL readings, so both engines mask
+# the same deterministic subset (event_id % 13) before filling — the fill
+# path is then oracle-CHECKED on real missing values, not vacuously green.
+_DROPOUT_MOD = 13
+
+
+@register(
+    "q_gap_fill",
+    oracle=f"""
+    WITH masked AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_id % {_DROPOUT_MOD} = 0 THEN NULL
+                    ELSE value END AS reading
+        FROM events
+        WHERE ts IS NOT NULL
+    )
+    SELECT event_id, user_id, ts,
+           (reading IS NULL) AS was_missing,
+           {fround_sql("last_value(reading IGNORE NULLS) OVER ("
+                       "PARTITION BY user_id ORDER BY ts, event_id "
+                       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")}
+               AS value_filled
+    FROM masked
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill sensor dropout: each missing reading takes the sensor's
+    most recent prior value (LOCF — last observation carried forward), the
+    standard imputation before rate/derivative features.  The reference's
+    null policy (SURVEY §2.2 q_null_policy) can only drop or constant-fill;
+    this repairs from the sensor's own history.
+
+    Scale: one running window over the HIGH-cardinality sensor key ordered
+    by (ts, event_id) — partitions shard across executors, and
+    last(ignorenulls) keeps O(1) frame state (it folds the running frame,
+    never buffers it).  Readings with no prior observation stay NULL on
+    both engines (no default is invented)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % _DROPOUT_MOD == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("reading").isNull().alias("was_missing"),
+        fround(F.last("reading", ignorenulls=True).over(w), 4).alias("value_filled"),
+    )
+
+
+@register(
+    "q_cube_summary",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('day', CAST(ts AS TIMESTAMP)) AS event_date,
+           CAST(GROUPING(event_type, event_date) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           {fround_sql("avg(value)")} AS avg_value,
+           {fround_sql("sum(value)")} AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, event_date)
+    """,
+)
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tabulated summary over CUBE(event_type, event_date): per-cell,
+    per-type, per-day, and grand-total aggregates from ONE scan — the
+    grouping-sets companion to q_rollup_hypertable's hierarchy (ROLLUP
+    walks prefixes; CUBE materializes all 2^k subsets, which is what a
+    dashboard slicing independently by type and day serves from).
+
+    Scale: same Expand machinery as ROLLUP — the scan happens once,
+    partial aggregation collapses map-side, and the shuffle carries
+    4 x group-cardinality rows, not 4 x data.  gid disambiguates
+    aggregate levels from genuine NULL group values."""
+    ev = _events_ntz(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("event_date"),
+        "value",
+    )
+    return base.cube("event_type", "event_date").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n"),
+        fround(F.avg("value"), 4).alias("avg_value"),
+        fround(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -602,6 +602,22 @@ _QUALITY_EXPR_DUCK = (
 )
 
 
+def quality_score_col():
+    """Quality score in [0,1] over a frame carrying `_words` (tokenized via
+    _WORDS_SPARK) and `n_chars` — the single Spark-side source of truth for
+    the scoring formula (_QUALITY_EXPR_DUCK is its DuckDB twin); shared by
+    q_quality_score here and q_quality_buckets in queries/report.py."""
+    n_words = F.size("_words").cast("long")
+    n_stop = F.expr(_marker_score_spark("en")).cast("long")
+    awl = F.col("n_chars").cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    return (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + F.when(awl.between(3.0, 10.0), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+
+
 @register(
     "q_quality_score",
     oracle=rf"""
@@ -631,11 +647,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.expr(_marker_score_spark("en")).cast("long")
     awl = F.col("n_chars").cast("double") / n_words
     stop_ratio = n_stop.cast("double") / n_words
-    score = (
-        F.least(n_words / 100.0, F.lit(1.0)) * 0.5
-        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
-        + F.when(awl.between(3.0, 10.0), F.lit(0.2)).otherwise(F.lit(0.0))
-    )
+    score = quality_score_col()
     return docs.filter(n_words > 0).select(
         "doc_id",
         "n_chars",

@@ -117,6 +117,20 @@ _DRIVER_PRIORITY = (
     "q_reading_gaps",
 )
 
+# Added AFTER the 50-query window filled (the slots above are this round's
+# must-verify set: never-driver-verified + new/rewritten queries).  These
+# order immediately after the window (positions 51+), hold green local
+# parity rows (tests/test_oracle_parity.py), and are next round's
+# front-load candidates once the slots above convert to hard CORRECTNESS
+# rows.
+_NEXT_ROUND_PRIORITY = (
+    "q_gap_fill",
+    "q_cube_summary",
+    "q_paragraph_dedup",
+    "q_quality_buckets",
+    "q_audience_setops",
+)
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; oracle=None means rows-only check (non-SQL-expressible)."""
@@ -139,9 +153,14 @@ def load_all() -> None:
     pkg = __name__.rsplit(".", 1)[0]
     for mod in _QUERY_MODULES:
         import_module(f"{pkg}.{mod}")
-    prioritized = [n for n in _DRIVER_PRIORITY if n in QUERIES]
-    rest = [n for n in QUERIES if n not in _DRIVER_PRIORITY]
-    ordered = prioritized + rest
+    front = [
+        n
+        for group in (_DRIVER_PRIORITY, _NEXT_ROUND_PRIORITY)
+        for n in group
+        if n in QUERIES
+    ]
+    rest = [n for n in QUERIES if n not in set(front)]
+    ordered = front + rest
     for reg in (QUERIES, ORACLES):
         reordered = {n: reg[n] for n in ordered if n in reg}
         reg.clear()

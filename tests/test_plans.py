@@ -291,3 +291,56 @@ class TestReportPlans:
         plan = plan_of(spark, sf_dir, "q_corpus_stats")
         assert "Broadcast" in plan
         assert "Window" not in plan
+
+
+class TestRound3LateOpPlans:
+    """Plan shapes for the post-window round-3 operators (gap fill, cube,
+    paragraph dedup, quality buckets, audience set ops)."""
+
+    def test_gap_fill_window_is_keyed_not_global(self, spark, sf_dir):
+        """LOCF forward fill must window over the high-cardinality sensor
+        key — a SinglePartition window would serialize the whole stream."""
+        plan = plan_of(spark, sf_dir, "q_gap_fill")
+        assert "Window" in plan
+        assert "SinglePartition" not in plan
+        assert "hashpartitioning(user_id" in plan
+
+    def test_cube_summary_expands_in_one_scan(self, spark, sf_dir):
+        """CUBE must plan as ONE scan feeding Expand + partial aggregate,
+        not four separate aggregation jobs."""
+        plan = plan_of(spark, sf_dir, "q_cube_summary")
+        assert "Expand" in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_paragraph_dedup_shuffles_hashes_not_text(self, spark, sf_dir):
+        """The cross-doc line-frequency join must ride md5 hashes; the text
+        column must never reach an exchange."""
+        plan = plan_of(spark, sf_dir, "q_paragraph_dedup")
+        assert "CartesianProduct" not in plan
+        exchanges = [
+            ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+        ]
+        assert exchanges and all("text" not in ln for ln in exchanges), (
+            "document text rides a shuffle: " + "\n".join(exchanges)
+        )
+
+    def test_quality_buckets_window_only_after_aggregate(self, spark, sf_dir):
+        """Threshold binning is a projection + partial-agg groupBy; the
+        lang_share window must consume the aggregated langs x 10 table
+        (its input exchange carries the agg keys), never the raw docs."""
+        plan = plan_of(spark, sf_dir, "q_quality_buckets")
+        assert "SinglePartition" not in plan
+        window_idx = plan.find("Window")
+        agg_idx = plan.find("HashAggregate")
+        assert window_idx != -1 and agg_idx != -1
+        # executedPlan prints top-down: the window node sits ABOVE (before)
+        # the aggregate it consumes.
+        assert window_idx < agg_idx
+
+    def test_audience_setops_are_semi_anti_joins(self, spark, sf_dir):
+        """INTERSECT/EXCEPT must compile to LeftSemi/LeftAnti on distinct
+        inputs — never a cross product or a full outer reconciliation."""
+        plan = plan_of(spark, sf_dir, "q_audience_setops")
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
