@@ -86,16 +86,31 @@ def is_large_input(sf_dir: str, name: str = "events") -> bool:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes events.ts to TIMESTAMP_NTZ.
 
+    The fixture generator has shipped events.ts as either parquet
+    TIMESTAMP(NANOS) (which Spark can only read as a raw long, via
+    spark.sql.legacy.parquet.nanosAsLong) or TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (which Spark reads natively as TIMESTAMP_NTZ).
+    Branch on the type Spark actually inferred so both vintages normalize
+    to the same TIMESTAMP_NTZ column.
+
     SIDE EFFECT: loading `events` sets spark.sql.legacy.parquet.nanosAsLong
-    on the CALLER's session (required by the driver contract — the verify
-    driver's session doesn't set it, and Spark offers no per-read knob for
-    TIMESTAMP(NANOS) columns).  The flag persists for later parquet reads in
-    that session; it only affects files with nanosecond timestamps."""
+    on the CALLER's session (the verify driver's session doesn't set it, and
+    Spark offers no per-read knob for TIMESTAMP(NANOS) columns).  The flag
+    persists for later parquet reads in that session; it only affects files
+    with nanosecond timestamps."""
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # Runtime-settable; required to read TIMESTAMP(NANOS) columns even
         # when the caller's session (e.g. the verify driver's) didn't set it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr(_NS_TO_NTZ))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            return df.withColumn("ts", F.expr(_NS_TO_NTZ))
+        if ts_type == "timestamp":
+            # Instant-typed read (session without NTZ inference): reinterpret
+            # the wall-clock in the session tz (UTC, pinned in session.py) as
+            # naive, matching DuckDB's naive TIMESTAMP view of the file.
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df  # already TIMESTAMP_NTZ
     return spark.read.parquet(path)
