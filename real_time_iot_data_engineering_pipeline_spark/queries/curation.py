@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import fround, fround_sql
 from ..registry import register
 from ..sources import load_table
+from .text import _QUALITY_EXPR_DUCK, quality_score_col
 
 # ---------------------------------------------------------------------------
 # Test-set decontamination (13-gram overlap)
@@ -503,5 +504,131 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*").cast("double"),
                 4,
             ).alias("dup_line_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup survivor selection
+# ---------------------------------------------------------------------------
+
+# Near-dup clusters with QUALITY-VARIED members: every 6th sufficiently long
+# doc also appears truncated to its first 30 words (lower length credit) and
+# extended with a stopword-rich tail (higher length + stopword credit), so
+# the quality argmax genuinely picks different variants per cluster — unlike
+# first-wins dedup, where the original always survives.  Cluster key = md5
+# of the first 20 normalized words (all three variants share it by
+# construction); planting requires >= 40 words so the truncation is real
+# and the 20-word prefix is stable.
+_SURV_TAIL = " the a of and is" * 10
+_SURV_MIN_WORDS = 40
+_SURV_TRUNC = 30
+_SURV_PREFIX = 20
+
+_SURV_CORPUS_DUCK = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 300000,
+           array_to_string(string_split_regex(trim(text), '\\s+')[1:{_SURV_TRUNC}], ' ')
+    FROM documents
+    WHERE doc_id % 6 = 0
+      AND len(string_split_regex(trim(text), '\\s+')) >= {_SURV_MIN_WORDS}
+    UNION ALL
+    SELECT doc_id + 400000, text || '{_SURV_TAIL}'
+    FROM documents
+    WHERE doc_id % 6 = 0
+      AND len(string_split_regex(trim(text), '\\s+')) >= {_SURV_MIN_WORDS}
+"""
+
+
+def _survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim("text"), r"\s+")
+    eligible = (F.col("doc_id") % 6 == 0) & (F.size(words) >= _SURV_MIN_WORDS)
+    trunc = docs.filter(eligible).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, _SURV_TRUNC)).alias("text"),
+    )
+    ext = docs.filter(eligible).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_SURV_TAIL)).alias("text"),
+    )
+    return docs.unionByName(trunc).unionByName(ext)
+
+
+@register(
+    "q_dedup_survivor",
+    oracle=f"""
+    WITH corpus AS ({_SURV_CORPUS_DUCK}),
+    members AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   string_split_regex(trim(lower(text)), '\\s+')[1:{_SURV_PREFIX}],
+                   ' ')) AS cluster_key,
+               len(text) AS n_chars,
+               len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS n_stop
+        FROM corpus WHERE text IS NOT NULL
+    ),
+    scored AS (
+        SELECT doc_id, cluster_key, {fround_sql(_QUALITY_EXPR_DUCK)} AS q
+        FROM members WHERE n_words > 0
+    ),
+    groups AS (
+        SELECT cluster_key,
+               CAST(count(*) AS BIGINT) AS n_members,
+               max(q) AS survivor_score
+        FROM scored GROUP BY cluster_key
+    )
+    SELECT g.cluster_key,
+           g.n_members,
+           min(s.doc_id) AS survivor_id,
+           g.survivor_score,
+           g.n_members - 1 AS n_dropped
+    FROM groups g JOIN scored s
+      ON s.cluster_key = g.cluster_key AND s.q = g.survivor_score
+    GROUP BY g.cluster_key, g.n_members, g.survivor_score
+    """,
+)
+def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection for dup clusters: instead of
+    first-wins (min doc_id, q_doc_dedup_exact), each cluster keeps its
+    HIGHEST-QUALITY member (ties -> min doc_id) — the canonicalization
+    step curation pipelines run so dedup doesn't discard a clean page in
+    favor of an earlier-crawled truncated copy.
+
+    Scale: members carry only (doc_id, 32-char cluster key, one double);
+    the argmax is ONE partial-aggregated groupBy via max(struct(q, -id))
+    — the scored-vs-groups self-join the SQL form implies never runs."""
+    corpus = _survivor_corpus(spark, sf_dir).filter(F.col("text").isNotNull())
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    members = corpus.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(words, 1, _SURV_PREFIX))).alias(
+            "cluster_key"
+        ),
+        F.length("text").alias("n_chars"),
+        words.alias("_words"),
+    )
+    scored = members.filter(F.size("_words") > 0).select(
+        "doc_id",
+        "cluster_key",
+        fround(quality_score_col(), 4).alias("q"),
+    )
+    return (
+        scored.groupBy("cluster_key")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max(
+                F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+            ).alias("m"),
+        )
+        .select(
+            "cluster_key",
+            "n_members",
+            (-F.col("m.nid")).alias("survivor_id"),
+            F.col("m.q").alias("survivor_score"),
+            (F.col("n_members") - 1).alias("n_dropped"),
         )
     )

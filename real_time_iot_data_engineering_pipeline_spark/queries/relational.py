@@ -271,3 +271,79 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               {fround_sql("min(l_extendedprice / l_quantity)")} AS unit_cost
+        FROM lineitem
+        WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, min(unit_cost) AS min_cost FROM ps GROUP BY l_partkey
+    ),
+    pick AS (
+        SELECT ps.l_partkey, best.min_cost, min(ps.l_suppkey) AS pick_suppkey
+        FROM ps JOIN best
+          ON ps.l_partkey = best.l_partkey AND ps.unit_cost = best.min_cost
+        GROUP BY ps.l_partkey, best.min_cost
+    )
+    SELECT p_partkey, p_name, p_brand, s_name, n_name, min_cost
+    FROM pick
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = pick_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    ORDER BY min_cost DESC, p_partkey
+    LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part (TPC-H Q2 shape, with observed unit
+    cost from lineitem standing in for the partsupp catalog the fixtures
+    don't ship).  The classic correlated scalar subquery — "the supplier
+    whose cost equals the minimum cost for that part" — expressed directly
+    in its decorrelated form: the per-part argmin collapses into ONE
+    aggregation via min(struct(cost, suppkey)), so Spark never runs the
+    subquery per row and never joins the costs table against itself.
+
+    Scale: lineitem shuffles once on (partkey, suppkey) for the unit-cost
+    agg; the argmin reuses the partkey hash distribution (co-partitioned,
+    AQE-coalesced); part/supplier/nation attach as broadcast dims; top-100
+    terminates as TakeOrderedAndProject.  The self-join the SQL form
+    implies (ps JOIN best) never materializes — struct-min is one pass."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        fround(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_cost"
+        )
+    )
+    pick = (
+        ps.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_cost", "l_suppkey")).alias("m"))
+        .select(
+            "l_partkey",
+            F.col("m.unit_cost").alias("min_cost"),
+            F.col("m.l_suppkey").alias("pick_suppkey"),
+        )
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        pick.join(F.broadcast(part), pick.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), pick.pick_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("p_partkey", "p_name", "p_brand", "s_name", "n_name", "min_cost")
+        .orderBy(F.desc("min_cost"), F.asc("p_partkey"))
+        .limit(100)
+    )

@@ -350,3 +350,65 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_share"
         ),
     )
+
+
+@register(
+    "q_length_histogram",
+    oracle=rf"""
+    WITH feat AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    b AS (
+        SELECT n_tokens,
+               CAST(floor(log2(n_tokens)) AS BIGINT) AS bucket
+        FROM feat WHERE n_tokens > 0
+    )
+    SELECT bucket,
+           CAST(power(2, bucket) AS BIGINT)       AS bucket_lo,
+           CAST(power(2, bucket + 1) - 1 AS BIGINT) AS bucket_hi,
+           CAST(count(*) AS BIGINT)               AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)          AS total_tokens,
+           {fround_sql("count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM b)")}
+               AS doc_share,
+           {fround_sql("sum(n_tokens) / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM b)")}
+               AS token_share
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram: the sequence-length
+    distribution a packing/batching planner reads before choosing context
+    length and pack targets (bucket k covers [2^k, 2^(k+1)) tokens), with
+    each bucket's share of documents and of total tokens.
+
+    Scale: one projection computes the token count, the bucket agg is a
+    partial agg on a ~20-value key, and the grand totals come from a
+    single-row aggregate BROADCAST back onto the bucket rows — no
+    single-partition window ever sees the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_tokens = F.size(F.expr(_WORDS_SPARK)).cast("long")
+    feat = docs.select(n_tokens.alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    b = feat.withColumn(
+        "bucket", F.floor(F.log2("n_tokens")).cast("long")
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    totals = agg.agg(
+        F.sum("n_docs").cast("double").alias("_all_docs"),
+        F.sum("total_tokens").cast("double").alias("_all_tokens"),
+    )
+    return agg.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("bucket_lo"),
+        (F.pow(F.lit(2.0), F.col("bucket") + 1) - 1).cast("long").alias("bucket_hi"),
+        "n_docs",
+        "total_tokens",
+        fround(F.col("n_docs") / F.col("_all_docs"), 4).alias("doc_share"),
+        fround(F.col("total_tokens") / F.col("_all_tokens"), 4).alias("token_share"),
+    )

@@ -129,6 +129,9 @@ _NEXT_ROUND_PRIORITY = (
     "q_paragraph_dedup",
     "q_quality_buckets",
     "q_audience_setops",
+    "q_min_cost_supplier",
+    "q_length_histogram",
+    "q_dedup_survivor",
 )
 
 

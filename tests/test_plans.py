@@ -344,3 +344,40 @@ class TestRound3LateOpPlans:
         assert "LeftSemi" in plan
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound3LatePlans:
+    def test_min_cost_supplier_argmin_is_one_pass(self, spark, sf_dir):
+        """The correlated-subquery form must stay decorrelated: one
+        aggregation chain (partkey,suppkey) -> partkey via struct-min, dims
+        broadcast, top-100 as TakeOrderedAndProject — and the ps-vs-best
+        self-join the SQL shape implies must never materialize (lineitem
+        scans once)."""
+        plan = plan_of(spark, sf_dir, "q_min_cost_supplier")
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("FileScan parquet") == 4  # lineitem + 3 dims, once each
+
+    def test_length_histogram_totals_broadcast(self, spark, sf_dir):
+        """Grand totals must attach to the ~20 bucket rows via a broadcast
+        of a single-row aggregate — no SinglePartition exchange over data
+        and no window."""
+        plan = plan_of(spark, sf_dir, "q_length_histogram")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "Window" not in plan
+
+    def test_dedup_survivor_shuffles_key_not_text(self, spark, sf_dir):
+        """The quality argmax is one partial-aggregated groupBy on the
+        cluster key; document text must never ride the shuffle, and the
+        scored-vs-groups self-join in the oracle SQL must not appear
+        (corpus scans feed exactly one aggregate chain)."""
+        plan = plan_of(spark, sf_dir, "q_dedup_survivor")
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        exchanges = [
+            ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+        ]
+        assert exchanges and all("text" not in ln for ln in exchanges), (
+            "text rides a shuffle: " + "\n".join(exchanges)
+        )
