@@ -575,3 +575,178 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.avg("val"), 4).alias("centroid"),
         F.count("*").cast("long").alias("n_members"),
     ).select("cluster_id", F.col("dim").cast("int").alias("dim"), "centroid", "n_members")
+
+
+# ---------------------------------------------------------------------------
+# Semantic test-set decontamination (train vs eval, broadcast band join)
+# ---------------------------------------------------------------------------
+
+DECON_COS = 0.95
+
+# md5 split buckets (same convention as queries/prep.py::q_train_test_split):
+# bucket >= 97 is the 3% held-out eval set, the rest is training corpus.
+_VBUCKET_SPARK = (
+    "cast(cast(conv(substr(md5(cast(vec_id AS string)), 1, 15), 16, 10) "
+    "AS bigint) % 100 AS int)"
+)
+_VBUCKET_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 100 "
+    "AS INT)"
+)
+_EVAL_CUT = 97
+
+# Planted contamination: every 3rd eval vector re-enters the TRAINING side
+# under vec_id+20000 with the near-dup perturbation (+0.05 on dim 1,
+# cosine ~0.999) — so decontamination recall is oracle-checked, exactly
+# like the n-gram variant (queries/curation.py::q_decontaminate).
+_DECON_TRAIN_DUCK = f"""
+    SELECT vec_id, embedding FROM embeddings WHERE {_VBUCKET_DUCK} < {_EVAL_CUT}
+    UNION ALL
+    SELECT vec_id + 20000 AS vec_id,
+           list_transform(generate_series(1, {DIM}),
+                          i -> CASE WHEN i = 1 THEN embedding[i] + 0.05::FLOAT
+                                    ELSE embedding[i] END) AS embedding
+    FROM embeddings
+    WHERE {_VBUCKET_DUCK} >= {_EVAL_CUT} AND vec_id % 3 = 0
+"""
+_DECON_EVAL_DUCK = f"""
+    SELECT vec_id, embedding FROM embeddings WHERE {_VBUCKET_DUCK} >= {_EVAL_CUT}
+"""
+
+
+def _decon_sides(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket = F.expr(_VBUCKET_SPARK)
+    train = emb.filter(bucket < _EVAL_CUT)
+    eval_ = emb.filter(bucket >= _EVAL_CUT)
+    planted = eval_.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {DIM}), "
+            "i -> CASE WHEN i = 1 THEN element_at(embedding, i) + cast(0.05 AS float) "
+            "ELSE element_at(embedding, i) END)"
+        ).alias("embedding"),
+    )
+    return train.unionByName(planted), eval_
+
+
+@register(
+    "q_semantic_decontaminate",
+    oracle=f"""
+    WITH train0 AS ({_DECON_TRAIN_DUCK}),
+    eval0 AS ({_DECON_EVAL_DUCK}),
+    t0 AS (
+        SELECT vec_id AS train_id,
+               list_transform(embedding, x -> x::DOUBLE) AS t_emb,
+               {_NORM_DUCK} AS t_norm
+        FROM train0
+    ),
+    e0 AS (
+        SELECT vec_id AS eval_id,
+               list_transform(embedding, x -> x::DOUBLE) AS e_emb,
+               {_NORM_DUCK} AS e_norm
+        FROM eval0
+    ),
+    ts AS (
+        SELECT train_id, t_emb, t_norm,
+               {_SIG_DUCK_ND.replace("emb_d", "t_emb")} AS sig
+        FROM t0
+    ),
+    es AS (
+        SELECT eval_id, e_emb, e_norm,
+               {_SIG_DUCK_ND.replace("emb_d", "e_emb")} AS sig
+        FROM e0
+    ),
+    tb AS (
+        SELECT train_id, t_emb, t_norm, b.band,
+               substr(sig, b.band * {_BAND_BITS_ND} + 1, {_BAND_BITS_ND}) AS band_key
+        FROM ts, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+    ),
+    eb AS (
+        SELECT eval_id, e_emb, e_norm, b.band,
+               substr(sig, b.band * {_BAND_BITS_ND} + 1, {_BAND_BITS_ND}) AS band_key
+        FROM es, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT t.train_id, t.t_emb, t.t_norm, e.eval_id, e.e_emb, e.e_norm
+        FROM tb t JOIN eb e ON t.band = e.band AND t.band_key = e.band_key
+    ),
+    scored AS (
+        SELECT train_id, eval_id,
+               {fround_sql(
+                   f"list_sum(list_transform(generate_series(1, {DIM}), "
+                   "i -> t_emb[i] * e_emb[i])) / (t_norm * e_norm)"
+               )} AS cos_sim
+        FROM cand
+    ),
+    flagged AS (
+        SELECT train_id, max(cos_sim) AS best_cos
+        FROM scored WHERE cos_sim >= {DECON_COS}
+        GROUP BY train_id
+    )
+    SELECT f.train_id,
+           min(s.eval_id) AS matched_eval_id,
+           f.best_cos AS cos_sim
+    FROM flagged f JOIN scored s
+      ON s.train_id = f.train_id AND s.cos_sim = f.best_cos
+    GROUP BY f.train_id, f.best_cos
+    """,
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic test-set decontamination: flag training vectors whose
+    embedding cosine against ANY held-out eval vector is >= 0.95 —
+    the embedding-space sibling of 13-gram decontamination
+    (queries/curation.py::q_decontaminate), catching paraphrased
+    contamination that exact n-grams miss.  Output: one row per
+    contaminated training vector with its best-matching eval item.
+
+    Scale: the asymmetry is the whole design — eval sets are thousands of
+    rows while the training corpus is the 100 TB side, so the eval band
+    table BROADCASTS and the training side never shuffles: band explode,
+    broadcast hash join, cosine filter, then a partial-agg argmax per
+    train id.  Contrast with q_embed_near_dup, whose corpus self-join has
+    no small side and must shuffle on band keys."""
+    train, eval_ = _decon_sides(spark, sf_dir)
+    t = train.select(
+        F.col("vec_id").alias("train_id"),
+        F.expr(_EMB_D_SPARK).alias("emb_d"),
+        F.expr(_NORM_SPARK).alias("t_norm"),
+    ).withColumn("sig", F.expr(_SIG_SPARK_ND)).withColumnRenamed("emb_d", "t_emb")
+    e = eval_.select(
+        F.col("vec_id").alias("eval_id"),
+        F.expr(_EMB_D_SPARK).alias("emb_d"),
+        F.expr(_NORM_SPARK).alias("e_norm"),
+    ).withColumn("sig", F.expr(_SIG_SPARK_ND)).withColumnRenamed("emb_d", "e_emb")
+    band = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
+    key = F.expr(f"substr(sig, band * {_BAND_BITS_ND} + 1, {_BAND_BITS_ND})")
+    tb = t.select("train_id", "t_emb", "t_norm", "sig", band).withColumn(
+        "band_key", key
+    )
+    eb = e.select("eval_id", "e_emb", "e_norm", "sig", band).withColumn(
+        "band_key", key
+    )
+    cand = tb.join(F.broadcast(eb), ["band", "band_key"]).dropDuplicates(
+        ["train_id", "eval_id"]
+    )
+    dot = F.expr(
+        "aggregate(zip_with(t_emb, e_emb, (x, y) -> x * y), "
+        "cast(0 AS double), (acc, x) -> acc + x)"
+    )
+    scored = cand.select(
+        "train_id",
+        "eval_id",
+        fround(dot / (F.col("t_norm") * F.col("e_norm")), 4).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= DECON_COS)
+    return (
+        scored.groupBy("train_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos_sim"), (-F.col("eval_id")).alias("nid"))
+            ).alias("m")
+        )
+        .select(
+            "train_id",
+            (-F.col("m.nid")).alias("matched_eval_id"),
+            F.col("m.cos_sim").alias("cos_sim"),
+        )
+    )

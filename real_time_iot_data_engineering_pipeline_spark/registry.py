@@ -132,6 +132,7 @@ _NEXT_ROUND_PRIORITY = (
     "q_min_cost_supplier",
     "q_length_histogram",
     "q_dedup_survivor",
+    "q_semantic_decontaminate",
 )
 
 

@@ -381,3 +381,12 @@ class TestRound3LatePlans:
         assert exchanges and all("text" not in ln for ln in exchanges), (
             "text rides a shuffle: " + "\n".join(exchanges)
         )
+
+    def test_semantic_decontaminate_broadcasts_eval_side(self, spark, sf_dir):
+        """Eval sets are tiny; the training corpus is the 100 TB side. The
+        band join must broadcast the eval band table so training vectors
+        never shuffle — a SortMergeJoin here would shuffle the corpus."""
+        plan = plan_of(spark, sf_dir, "q_semantic_decontaminate")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
