@@ -1,0 +1,220 @@
+"""Corpus ranking / LM-quality scoring over `documents` (beyond-reference
+LLM-data tier): BM25 relevance ranking against a query-term set, and a
+unigram-LM negative-log-likelihood quality filter (the shape of CCNet's
+LM-perplexity filter, with the corpus's own unigram model standing in for
+the external KenLM).
+
+Scale design (both operators):
+- Tokenization is one codegen split+explode pass; all downstream joins move
+  (doc_id, token, count) rows — text never rides a shuffle.
+- Vocabulary joins are plain equi-joins on token: AQE broadcasts the vocab
+  when it is small (any Zipf-headed corpus after the term filter / min-df
+  cut) and falls back to sort-merge for a web-scale vocabulary; nothing
+  assumes the vocab fits on one executor.
+- Scalar corpus statistics (N docs, avg doc length, total tokens) reduce to
+  single-row aggregates and broadcast.
+- BM25 prunes to the query terms BEFORE the (doc, token) aggregate, so the
+  scored relation is |matched docs| x |terms|, not the full posting list;
+  top-k terminates via TakeOrderedAndProject.
+
+Cross-engine determinism: ln() may differ by 1 ulp between Java Math.log
+and libm, and double summation order differs between engines, so ranking /
+verdicts use scores quantized at 6 dp via fround (bias 1e-12 >> both error
+sources) with doc_id as the total tiebreak — same protocol as
+report.q_tfidf_topterms.  Shared double literals (K1, B, thresholds) are
+spelled identically in both engines so the bit patterns match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+
+BM25_TERMS = ("spark", "stream", "join")
+BM25_K = 20
+# BM25 constants; K1P1 is a single literal (NOT 1.0+K1 — the sum rounds
+# differently than the literal 2.2 in IEEE double, and both engines must
+# see the same bits).
+K1 = "1.2"
+K1P1 = "2.2"
+B = "0.75"
+NLL_KEEP = "3.45"
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+_TOKS_DUCK = """
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+"""
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+
+
+@register(
+    "q_bm25_rank",
+    oracle=f"""
+    WITH toks AS ({_TOKS_DUCK}),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+    ),
+    ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    adl AS (SELECT avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks WHERE token IN ({_TERMS_SQL})
+        GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               sum(
+                   ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * {K1P1})
+                   / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / a.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl USING (doc_id), ndocs n, adl a
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_terms,
+           {fround_sql("score")} AS bm25
+    FROM scored
+    ORDER BY {fround_sql("score", 6)} DESC, doc_id
+    LIMIT {BM25_K}
+    """,
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_K} documents by BM25 relevance to the query terms
+    {BM25_TERMS} (k1=1.2, b=0.75, idf = ln((N-df+.5)/(df+.5)+1)).
+
+    Scale: the term filter lands immediately after the explode, so the
+    (doc, token) aggregate only sees postings for the |query| terms; df
+    derives from that filtered table (never re-reads text); doc length
+    and the two scalar stats come from one extra token pass that
+    partial-aggregates to one row per doc / one row total.  The final
+    ranking is TakeOrderedAndProject over |matched docs| rows."""
+    toks = _toks(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    ndocs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").cast("double").alias("n_docs"))
+    )
+    adl = dl.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    k1, k1p1, b = (F.expr(f"CAST({s} AS DOUBLE)") for s in (K1, K1P1, B))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * k1p1)
+        / (
+            F.col("tf")
+            + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(df, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ndocs))
+        .crossJoin(F.broadcast(adl))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(contrib).alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            fround(F.col("score"), 4).alias("bm25"),
+            fround(F.col("score"), 6).alias("_r"),
+        )
+        .orderBy(F.desc("_r"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .drop("_r")
+    )
+
+
+@register(
+    "q_unigram_ppl",
+    oracle=f"""
+    WITH toks AS ({_TOKS_DUCK}),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks GROUP BY doc_id, token
+    ),
+    vocab AS (
+        SELECT token, CAST(sum(tf) AS DOUBLE) AS c FROM tf GROUP BY token
+    ),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+    perdoc AS (
+        SELECT tf.doc_id,
+               CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               sum(tf.tf * (0.0 - ln(v.c / s.t))) / sum(tf.tf) AS nll
+        FROM tf JOIN vocab v USING (token), total s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           {fround_sql("nll")} AS avg_nll,
+           {fround_sql("nll", 6)} <= {NLL_KEEP} AS keep
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+)
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: train a unigram model on the corpus
+    itself (p(t) = count(t)/total), score every document by its mean
+    token negative log-likelihood, and emit a keep verdict at
+    avg_nll <= {NLL_KEEP} — the CCNet LM-filter shape (low nll = typical
+    text, high nll = rare-token noise), with the corpus unigram model
+    standing in for the external KenLM the container doesn't ship.
+
+    Scale: the model "training" is ONE aggregate over the (doc, token)
+    tf table (which partial-aggregates before its shuffle); scoring
+    re-joins tf to the vocab on token — AQE broadcasts small vocabs,
+    sort-merge otherwise — and reduces per doc.  Everything after the
+    explode moves counts, never text.  The verdict compares the 6 dp
+    quantized score so both engines agree at the threshold boundary."""
+    tf = (
+        _toks(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").cast("double").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("t"))
+    nll_t = F.lit(0.0) - F.log(F.col("c") / F.col("t"))
+    perdoc = (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (F.sum(F.col("tf") * nll_t) / F.sum("tf")).alias("nll"),
+        )
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_tokens",
+        fround(F.col("nll"), 4).alias("avg_nll"),
+        (fround(F.col("nll"), 6) <= F.expr(f"CAST({NLL_KEEP} AS DOUBLE)")).alias(
+            "keep"
+        ),
+    ).orderBy("doc_id")

@@ -347,3 +347,129 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("min_cost"), F.asc("p_partkey"))
         .limit(100)
     )
+
+
+@register(
+    "q_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 200
+    )
+    SELECT c.c_name,
+           o.o_orderkey,
+           o.o_orderdate,
+           o.o_totalprice,
+           {fround_sql("sum(l.l_quantity)")} AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): an aggregate used as a FILTER
+    — "orders whose total quantity exceeds 200" — then re-joined to its
+    own detail rows plus the customer dimension.  The IN-subquery form
+    becomes an explicit aggregate + semi-style equi-join, which is what a
+    decorrelating optimizer produces anyway, but written directly so the
+    plan is deterministic.
+
+    Scale: lineitem shuffles ONCE on l_orderkey for the qualifying-key
+    aggregate; the detail re-join reuses that same hash distribution
+    (co-partitioned, AQE-coalesced, no second full shuffle of lineitem
+    beyond the join itself); the qualifying-key set is a tiny fraction of
+    orders (sum > 200 selects ~5%) so AQE typically demotes that side to a
+    broadcast at runtime.  customer attaches as a broadcast dim AFTER the
+    fact aggregation; top-100 terminates via TakeOrderedAndProject.
+
+    Reference parity: the reference has no multi-join tier (batch_layer
+    serves single-table aggregates) — this extends the warehouse family
+    beyond it, per the round brief."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("order_qty"))
+        .filter(F.col("order_qty") > 200)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.big_orderkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(fround(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q_disjunctive_revenue",
+    oracle=f"""
+    SELECT p.p_brand,
+           {fround_sql("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate revenue (TPC-H Q19 shape): an OR-of-ANDs
+    join predicate mixing columns from BOTH sides — the classic test of
+    predicate decomposition.  Catalyst splits the disjunction into its
+    single-side implications: the part scan receives
+    `p_brand IN (...) AND p_size <= 35`-style pushed filters, the
+    lineitem scan receives the OR of the quantity ranges (l_quantity
+    between 1 and 40), and only the mixed residual is evaluated on the
+    joined rows — so both scans prune BEFORE the join instead of
+    filtering its cross product after.
+
+    Scale: part (post-filter, dimension-sized) broadcasts; lineitem never
+    shuffles — scan, pushed range filter, broadcast hash probe, partial
+    agg to |brands| rows.  The whole query is one codegen pass over the
+    fact scan at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            fround(F.sum(F.expr(_REVENUE)), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )

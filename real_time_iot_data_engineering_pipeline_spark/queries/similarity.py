@@ -750,3 +750,129 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.cos_sim").alias("cos_sim"),
         )
     )
+
+
+# -- int8 scalar quantization ------------------------------------------------
+#
+# Shared expression builders so the Spark query and the DuckDB oracle apply
+# IDENTICAL double arithmetic in IDENTICAL order (same IEEE ops on the same
+# bits -> bitwise-equal codes; no tolerance needed).  `x`/`mins_i`/`maxs_i`
+# are engine-specific sub-expressions for the element and its per-dimension
+# corpus min/max.
+
+
+def _qcode(x: str, mins_i: str, maxs_i: str) -> str:
+    """Asymmetric uint8 code: round((x-dmin)/(dmax-dmin)*255) with the same
+    deterministic upward bias as fround, so both engines land on the same
+    side of every .5 boundary (the operand is always >= 0)."""
+    return (
+        f"CASE WHEN {maxs_i} = {mins_i} THEN 0 "
+        f"ELSE CAST(floor(({x} - {mins_i}) / ({maxs_i} - {mins_i}) "
+        f"* 255.0 * (1 + 1e-12) + 0.5) AS BIGINT) END"
+    )
+
+
+def _qerr(x: str, mins_i: str, maxs_i: str) -> str:
+    code = _qcode(x, mins_i, maxs_i)
+    dq = f"({mins_i} + CAST({code} AS DOUBLE) / 255.0 * ({maxs_i} - {mins_i}))"
+    return f"(({x} - {dq}) * ({x} - {dq}))"
+
+
+_QX_SPARK = "CAST(x AS DOUBLE)"
+_QMIN_SPARK = "element_at(mins, i + 1)"
+_QMAX_SPARK = "element_at(maxs, i + 1)"
+_QX_DUCK = "e.embedding[i]::DOUBLE"
+_QMIN_DUCK = "s.mins[i]"
+_QMAX_DUCK = "s.maxs[i]"
+
+
+@register(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH dims AS (
+        SELECT i,
+               min(embedding[i]::DOUBLE) AS dmin,
+               max(embedding[i]::DOUBLE) AS dmax
+        FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        GROUP BY i
+    ),
+    srow AS (
+        SELECT list(dmin ORDER BY i) AS mins, list(dmax ORDER BY i) AS maxs
+        FROM dims
+    )
+    SELECT e.vec_id,
+           CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                i -> {_qcode(_QX_DUCK, _QMIN_DUCK, _QMAX_DUCK)})) AS BIGINT)
+               AS qsum,
+           CAST(list_min(list_transform(generate_series(1, {DIM}),
+                i -> {_qcode(_QX_DUCK, _QMIN_DUCK, _QMAX_DUCK)})) AS BIGINT)
+               AS qmin,
+           CAST(list_max(list_transform(generate_series(1, {DIM}),
+                i -> {_qcode(_QX_DUCK, _QMIN_DUCK, _QMAX_DUCK)})) AS BIGINT)
+               AS qmax,
+           {fround_sql(
+               "list_sum(list_transform(generate_series(1, " + str(DIM) + "), "
+               "i -> " + _qerr(_QX_DUCK, _QMIN_DUCK, _QMAX_DUCK) + ")) / "
+               + str(DIM) + ".0",
+               8,
+           )} AS mse
+    FROM embeddings e, srow s
+    ORDER BY e.vec_id
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus (the standard
+    memory/bandwidth reduction before ANN serving: 4 bytes/dim -> 1).
+    Two-pass: (1) per-dimension corpus min/max, (2) per-vector uint8
+    codes + reconstruction MSE against the dequantized vector.
+
+    Scale design: the stats pass posexplodes to (dim, value) pairs but
+    partial aggregation collapses every partition to DIM rows before the
+    shuffle, so the exchange moves #partitions x 64 rows regardless of
+    corpus size; the 64-entry min/max arrays then reach every executor as
+    a single-row broadcast (one BroadcastNestedLoopJoin row — the
+    degenerate-but-correct shape for scalar broadcast), and the code/MSE
+    pass is a shuffle-free codegen projection over the corpus scan.  At
+    100 TB the quantization pass is pure scan bandwidth.
+
+    The code arithmetic is built from the same expression strings as the
+    DuckDB oracle, so codes are bitwise-identical across engines and the
+    hash check is exact (no tolerance)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_EMB_D_SPARK).alias("emb")
+    )
+    stats = (
+        emb.select(F.posexplode("emb").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("dmin"), F.max("val").alias("dmax"))
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, dmin))), s -> s.dmin)"
+            ).alias("mins"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, dmax))), s -> s.dmax)"
+            ).alias("maxs"),
+        )
+    )
+    codes = f"transform(emb, (x, i) -> {_qcode(_QX_SPARK, _QMIN_SPARK, _QMAX_SPARK)})"
+    errs = f"transform(emb, (x, i) -> {_qerr(_QX_SPARK, _QMIN_SPARK, _QMAX_SPARK)})"
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.expr(
+                f"CAST(aggregate({codes}, 0L, (acc, c) -> acc + c) AS BIGINT)"
+            ).alias("qsum"),
+            F.expr(f"CAST(array_min({codes}) AS BIGINT)").alias("qmin"),
+            F.expr(f"CAST(array_max({codes}) AS BIGINT)").alias("qmax"),
+            fround(
+                F.expr(
+                    f"aggregate({errs}, CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+                )
+                / float(DIM),
+                8,
+            ).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )

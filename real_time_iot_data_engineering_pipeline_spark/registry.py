@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "queries.temporal",
     "queries.behavior",
     "queries.relational",
+    "queries.ranking",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -133,6 +134,11 @@ _NEXT_ROUND_PRIORITY = (
     "q_length_histogram",
     "q_dedup_survivor",
     "q_semantic_decontaminate",
+    "q_large_orders",
+    "q_disjunctive_revenue",
+    "q_embed_quantize",
+    "q_bm25_rank",
+    "q_unigram_ppl",
 )
 
 

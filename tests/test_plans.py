@@ -390,3 +390,74 @@ class TestRound3LatePlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound3FinalPlans:
+    def test_large_orders_reuses_lineitem_distribution(self, spark, sf_dir):
+        """Q18 shape: the qualifying-key agg and the detail re-join both
+        hash on l_orderkey, customer attaches broadcast, and top-100
+        terminates via TakeOrderedAndProject (never a global sort)."""
+        plan = plan_of(spark, sf_dir, "q_large_orders")
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan  # customer dim
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_disjunctive_revenue_pushes_single_side_implications(
+        self, spark, sf_dir
+    ):
+        """Q19 shape: Catalyst must decompose the OR-of-ANDs into
+        per-side pushed filters — the lineitem scan receives the quantity
+        ranges, the part scan receives brand/size — and part broadcasts,
+        so the fact side never shuffles before the final |brands|-row agg."""
+        plan = plan_of(spark, sf_dir, "q_disjunctive_revenue")
+        li_scan = [
+            ln
+            for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "lineitem" in ln
+        ]
+        assert li_scan and "l_quantity" in li_scan[0].split("PushedFilters")[-1]
+        part_scan = [
+            ln
+            for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "part" in ln and "l_" not in ln
+        ]
+        assert part_scan and "p_brand" in part_scan[0].split("PushedFilters")[-1]
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_embed_quantize_stats_collapse_before_shuffle(self, spark, sf_dir):
+        """The per-dim stats pass must partial-aggregate (each partition
+        collapses to DIM rows pre-shuffle) and reach the code pass as a
+        single-row broadcast; the code/MSE projection itself must not
+        shuffle the corpus (no hash exchange keyed on corpus rows after
+        the stats join)."""
+        plan = plan_of(spark, sf_dir, "q_embed_quantize")
+        assert "partial" in plan.lower()  # map-side combine on the stats agg
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("FileScan parquet") == 2  # corpus read: stats + codes
+
+
+class TestRankingPlans:
+    def test_bm25_filters_terms_before_posting_agg(self, spark, sf_dir):
+        """The query-term filter must land before the (doc, token)
+        aggregate (the posting list is |terms| wide, not |vocab|), the
+        scalar stats must arrive as broadcasts, and the final top-k must
+        terminate via TakeOrderedAndProject — never a global sort."""
+        plan = plan_of(spark, sf_dir, "q_bm25_rank")
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_unigram_ppl_moves_counts_not_text(self, spark, sf_dir):
+        """After the explode, every exchange must carry (doc_id, token,
+        count) — the text column must not appear in any Exchange — and
+        the tf aggregate must partial-aggregate map-side."""
+        plan = plan_of(spark, sf_dir, "q_unigram_ppl")
+        assert "partial" in plan.lower()
+        for ln in plan.splitlines():
+            if "Exchange" in ln:
+                assert "text" not in ln
+        assert "CartesianProduct" not in plan

@@ -124,3 +124,43 @@ class TestMultimodal:
         assert row.byte_len > 0 and row.width == row.byte_len % 640 + 1
         # the plan must actually cross into Python via mapInPandas
         assert "MapInPandas" in feats._jdf.queryExecution().executedPlan().toString()
+
+
+class TestQuantization:
+    def test_quantize_matches_numpy_recompute(self, spark, sf_dir):
+        """q_embed_quantize's codes and MSE re-derived independently in
+        numpy (float64, same asymmetric-uint8 formula) must match the
+        engine output exactly for codes and to float tolerance for MSE —
+        a third implementation guarding the shared Spark/DuckDB
+        expression builder against a both-engines-wrong bug."""
+        import numpy as np
+
+        rows = (
+            registry.QUERIES["q_embed_quantize"](spark, sf_dir)
+            .orderBy("vec_id")
+            .limit(50)
+            .collect()
+        )
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        mat = np.stack(
+            tbl.sort_values("vec_id")["embedding"]
+            .map(lambda v: np.asarray(v, dtype=np.float32).astype(np.float64))
+            .to_numpy()
+        )
+        ids = tbl.sort_values("vec_id")["vec_id"].to_numpy()
+        dmin, dmax = mat.min(axis=0), mat.max(axis=0)
+        span = dmax - dmin
+        t = np.where(span == 0, 0.0, (mat - dmin) / np.where(span == 0, 1, span))
+        codes = np.floor(t * 255.0 * (1 + 1e-12) + 0.5).astype(np.int64)
+        codes = np.where(span == 0, 0, codes)
+        dq = dmin + codes / 255.0 * span
+        mse = ((mat - dq) ** 2).sum(axis=1) / mat.shape[1]
+        by_id = {int(i): k for k, i in enumerate(ids)}
+        for r in rows:
+            k = by_id[r["vec_id"]]
+            assert r["qsum"] == int(codes[k].sum()), r["vec_id"]
+            assert r["qmin"] == int(codes[k].min())
+            assert r["qmax"] == int(codes[k].max())
+            assert abs(r["mse"] - mse[k]) < 1e-6
