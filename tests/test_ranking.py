@@ -1,0 +1,80 @@
+"""Golden tests for queries/ranking.py: recompute BM25 and the unigram-LM
+NLL filter in pure Python (collections.Counter + math.log) and compare to
+the engine output — a third implementation guarding the shared formula
+against a both-engines-wrong bug (the DuckDB oracle alone can't catch a
+mistake that is symmetric in the Spark query and the SQL twin).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pyarrow.parquet as pq
+import pytest
+
+from real_time_iot_data_engineering_pipeline_spark import registry
+from real_time_iot_data_engineering_pipeline_spark.queries.ranking import (
+    BM25_K,
+    BM25_TERMS,
+    NLL_KEEP,
+)
+
+registry.load_all()
+
+_WS = re.compile(r"\s+")
+
+
+def _tokenized_corpus(sf_dir: str) -> dict[int, list[str]]:
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    return {
+        int(r.doc_id): _WS.split(r.text.strip().lower())
+        for r in tbl.itertuples()
+    }
+
+
+class TestRankingGoldens:
+    def test_bm25_matches_python_recompute(self, spark, sf_dir):
+        docs = _tokenized_corpus(sf_dir)
+        n_docs = float(len(docs))
+        dl = {d: float(len(t)) for d, t in docs.items()}
+        avgdl = sum(dl.values()) / n_docs
+        tf = {
+            d: {t: float(c) for t, c in Counter(toks).items() if t in BM25_TERMS}
+            for d, toks in docs.items()
+        }
+        df = Counter(t for perdoc in tf.values() for t in perdoc)
+        k1, b = 1.2, 0.75
+        scores = {}
+        for d, perdoc in tf.items():
+            if not perdoc:
+                continue
+            s = 0.0
+            for t, f in perdoc.items():
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += idf * (f * 2.2) / (f + k1 * (1.0 - b + b * dl[d] / avgdl))
+            scores[d] = s
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_K]
+        rows = registry.QUERIES["q_bm25_rank"](spark, sf_dir).collect()
+        assert len(rows) == BM25_K
+        for row, (doc_id, score) in zip(rows, expect):
+            assert row["doc_id"] == doc_id
+            assert row["bm25"] == pytest.approx(score, abs=2e-4)
+
+    def test_unigram_ppl_matches_python_recompute(self, spark, sf_dir):
+        docs = _tokenized_corpus(sf_dir)
+        vocab = Counter(t for toks in docs.values() for t in toks)
+        total = float(sum(vocab.values()))
+        rows = registry.QUERIES["q_unigram_ppl"](spark, sf_dir).collect()
+        assert len(rows) == len(docs)
+        keeps = {r["keep"] for r in rows}
+        assert keeps == {True, False}, "threshold must split the corpus"
+        for r in rows[:100]:
+            toks = docs[r["doc_id"]]
+            assert r["n_tokens"] == len(toks)
+            nll = sum(-math.log(vocab[t] / total) for t in toks) / len(toks)
+            assert r["avg_nll"] == pytest.approx(nll, abs=2e-4)
+            assert r["keep"] == (round(nll, 5) <= float(NLL_KEEP)) or abs(
+                nll - float(NLL_KEEP)
+            ) < 1e-4
