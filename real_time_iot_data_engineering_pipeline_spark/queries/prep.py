@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import fround, fround_sql
 from ..registry import register
 from ..sources import load_table
 
@@ -354,4 +355,60 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         seq.cast("int").alias("seq_in_shard"),
         (start - seq * PACK_TOKENS).cast("int").alias("token_offset"),
+    )
+
+
+@register(
+    "q_winsorize",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT event_type,
+               {fround_sql("quantile_cont(value, 0.05)", 6)} AS lo,
+               {fround_sql("quantile_cont(value, 0.95)", 6)} AS hi
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_id,
+           e.event_type,
+           {fround_sql("e.value")} AS value,
+           {fround_sql("least(greatest(e.value, b.lo), b.hi)")} AS clipped,
+           (e.value < b.lo OR e.value > b.hi) AS was_clipped
+    FROM events e
+    JOIN bounds b USING (event_type)
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (robust feature clipping): clamp each
+    event's value to its event type's [p05, p95] band and flag the
+    outliers — the standard tail-taming step before z-scoring or model
+    features, complementing q_outlier_flag's stddev rule with a
+    distribution-free one.
+
+    Scale: per-type bounds are a partial-aggregated exact-percentile pass
+    (hash-accumulating, no per-group sort — same contract as
+    q_quantile_summary; approx_percentile is the unbounded-domain
+    production twin), and the |types|-row bounds table broadcasts back
+    onto the stream — no window over low-cardinality event_type, no
+    second shuffle of the fact rows.
+
+    Cross-engine determinism: the two engines' percentile interpolation
+    can differ in the last ulp, so the BOUNDS are quantized at 6 dp on
+    both sides before any comparison — the clip and the flag then compare
+    raw values against bit-identical bounds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    bounds = ev.groupBy("event_type").agg(
+        fround(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        fround(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        fround(F.col("value"), 4).alias("value"),
+        fround(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 4)
+        .alias("clipped"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
     )

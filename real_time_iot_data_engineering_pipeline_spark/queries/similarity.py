@@ -876,3 +876,98 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH q AS ({_QUERIES_DUCK}),
+    c AS ({_CORPUS_DUCK}),
+    scored AS (
+        SELECT q.query_id, q.label AS q_label,
+               c.neighbor_id, c.label AS c_label,
+               {_DOT_DUCK} / (q.q_norm * c.c_norm) AS cos_sim
+        FROM q, c
+        WHERE c.neighbor_id <> q.query_id
+    ),
+    pos AS (
+        SELECT query_id, neighbor_id, cos_sim FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM scored WHERE c_label = q_label
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT query_id, neighbor_id, cos_sim FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM scored WHERE c_label <> q_label
+        ) WHERE rn = 1
+    )
+    SELECT p.query_id,
+           p.neighbor_id AS pos_id,
+           {fround_sql("p.cos_sim")} AS pos_sim,
+           n.neighbor_id AS neg_id,
+           {fround_sql("n.cos_sim")} AS neg_sim
+    FROM pos p JOIN neg n USING (query_id)
+    ORDER BY p.query_id
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: for each query
+    vector, the most similar SAME-label corpus vector (the positive) and
+    the most similar DIFFERENT-label vector (the hard negative — the
+    examples that actually move a contrastive loss, vs easy random
+    negatives).
+
+    Scale: identical shape to q_embed_knn — the query batch broadcasts,
+    the corpus scans without shuffling, and each branch's top-1 is a
+    rank-limited window (WindowGroupLimit Partial: every partition ships
+    at most 1 candidate per query per branch).  The corpus is scanned
+    once per branch; at 100 TB either accept 2 scan passes (they
+    pipeline) or cache the scored relation — the plan never materializes
+    the |corpus| x |queries| cross product beyond the streamed broadcast
+    probe.  Dot products are bit-identical across engines (same element
+    fold order), so ranking needs no quantization."""
+    q = (
+        _query_side(spark, sf_dir)
+        .withColumnRenamed("label", "q_label")
+    )
+    c = (
+        _corpus_side(spark, sf_dir)
+        .withColumnRenamed("label", "c_label")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "c_label",
+            (F.expr(_DOT_SPARK) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    pos = _topk_over_candidates(
+        scored.filter(F.col("c_label") == F.col("q_label")), 1
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("cos_sim").alias("pos_sim"),
+    )
+    neg = _topk_over_candidates(
+        scored.filter(F.col("c_label") != F.col("q_label")), 1
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("cos_sim").alias("neg_sim"),
+    )
+    return (
+        pos.join(neg, "query_id")
+        .select("query_id", "pos_id", "pos_sim", "neg_id", "neg_sim")
+        .orderBy("query_id")
+    )

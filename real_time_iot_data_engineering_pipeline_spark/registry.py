@@ -139,6 +139,8 @@ _NEXT_ROUND_PRIORITY = (
     "q_embed_quantize",
     "q_bm25_rank",
     "q_unigram_ppl",
+    "q_hard_negatives",
+    "q_winsorize",
 )
 
 

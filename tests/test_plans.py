@@ -461,3 +461,26 @@ class TestRankingPlans:
             if "Exchange" in ln:
                 assert "text" not in ln
         assert "CartesianProduct" not in plan
+
+
+class TestMiningAndClippingPlans:
+    def test_hard_negatives_broadcasts_queries_no_cartesian_shuffle(
+        self, spark, sf_dir
+    ):
+        """Both contrastive branches must be broadcast probes of the
+        query batch with WindowGroupLimit top-1 (each partition ships at
+        most one candidate per query per branch) — never a CartesianProduct
+        and never a corpus-wide hash exchange before ranking."""
+        plan = plan_of(spark, sf_dir, "q_hard_negatives")
+        assert "CartesianProduct" not in plan
+        assert "WindowGroupLimit" in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_winsorize_bounds_broadcast_back_no_window(self, spark, sf_dir):
+        """The per-type percentile bounds must partial-aggregate and
+        broadcast back onto the fact rows — no Window over the
+        low-cardinality event_type and no second shuffle of events."""
+        plan = plan_of(spark, sf_dir, "q_winsorize")
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
