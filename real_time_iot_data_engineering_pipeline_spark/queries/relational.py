@@ -473,3 +473,137 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {fround_sql("sum(volume)")} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral shipping volume (TPC-H Q7 shape): revenue between a
+    nation PAIR in both directions, by shipment year.  The signature
+    planner feature is the disjunction over the (supplier-nation,
+    customer-nation) pair — it cannot be pushed to either scan alone,
+    but each disjunct's single-side implication CAN: both nation dims
+    pre-filter to the 2-nation set before the fact joins.
+
+    Scale: nation -> supplier and nation -> customer chains broadcast
+    (each dimension-sized after the 2-nation prune); lineitem and orders
+    join on l_orderkey as the one fact-fact shuffle (AQE-convertible /
+    skew-splittable); the pair disjunction evaluates as the residual on
+    the joined row; the final agg is |2 x 2 x years| rows."""
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nations.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nations.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            fround(F.sum(F.expr(_REVENUE)), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q_dormant_rich",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT {fround_sql("avg(c_acctbal)", 6)} AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_custkey, c.c_name,
+           {fround_sql("c.c_acctbal")} AS acctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+    """,
+)
+def q_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers (TPC-H Q22 shape): a scalar
+    aggregate subquery (global positive-balance average) feeding a
+    filter, then NOT EXISTS against orders — the canonical
+    scalar-subquery + anti-join pattern.
+
+    Scale: the scalar average is a single-row partial aggregate that
+    broadcasts into the filter (never a SinglePartition exchange of
+    customer rows); the NOT EXISTS is a LeftAnti equi-join on custkey —
+    the orders side ships only its join column through the exchange, and
+    the anti join needs no pre-distinct (semi/anti semantics dedup for
+    free).  The average is quantized at 6 dp on both engines so the
+    threshold comparison cannot flip on summation-order ulps."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(fround(F.avg("c_acctbal"), 6).alias("ab"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(
+            "c_custkey",
+            "c_name",
+            fround(F.col("c_acctbal"), 4).alias("acctbal"),
+        )
+        .orderBy("c_custkey")
+    )

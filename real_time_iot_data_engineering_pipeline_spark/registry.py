@@ -141,6 +141,8 @@ _NEXT_ROUND_PRIORITY = (
     "q_unigram_ppl",
     "q_hard_negatives",
     "q_winsorize",
+    "q_nation_volume",
+    "q_dormant_rich",
 )
 
 

@@ -484,3 +484,30 @@ class TestMiningAndClippingPlans:
         assert "Window" not in plan
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestBilateralAndAntiPlans:
+    def test_nation_volume_broadcasts_pruned_dims(self, spark, sf_dir):
+        """Q7 shape: the 2-nation prune must reach the nation scans as
+        pushed filters, supplier/customer chains broadcast, and the only
+        non-broadcast join is the lineitem<->orders fact join."""
+        plan = plan_of(spark, sf_dir, "q_nation_volume")
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in plan
+        nation_scans = [
+            ln
+            for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "nation" in ln and "n_name" in ln
+        ]
+        assert nation_scans and "PushedFilters: [In(n_name" in nation_scans[0]
+
+    def test_dormant_rich_is_left_anti_with_scalar_broadcast(
+        self, spark, sf_dir
+    ):
+        """Q22 shape: the global-average threshold must arrive as a
+        single-row broadcast (no SinglePartition shuffle of customers)
+        and the NOT EXISTS must compile to a LeftAnti equi-join."""
+        plan = plan_of(spark, sf_dir, "q_dormant_rich")
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
