@@ -607,3 +607,61 @@ def q_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "q_promo_share",
+    oracle=f"""
+    SELECT {fround_sql(
+        "100.0 * sum(CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END) "
+        "/ sum(l.l_extendedprice * (1 - l.l_discount))"
+    )} AS promo_share,
+           {fround_sql(
+        "sum(CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)"
+    )} AS promo_revenue,
+           {fround_sql("sum(l.l_extendedprice * (1 - l.l_discount))")} AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (TPC-H Q14 shape): the conditional-
+    aggregate-over-join pattern — one scan computes both the guarded and
+    the unguarded sum, and the report is their ratio.  The alternative
+    (two filtered subqueries self-joined) would scan lineitem twice;
+    the CASE form is the one-pass shape every reporting layer should
+    emit.
+
+    Scale: the shipdate range pushes into the lineitem scan; part
+    broadcasts; both sums partial-aggregate to ONE row per partition, so
+    the query is a single codegen pass over the pruned fact scan at
+    100 TB.  The ratio divides two engine-identical ordered sums and is
+    quantized at 4 dp (summation-order ulps are 1e-16 relative, far
+    below the fround bias)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            fround(F.lit(100.0) * F.sum(promo_rev) / F.sum(rev), 4).alias(
+                "promo_share"
+            ),
+            fround(F.sum(promo_rev), 4).alias("promo_revenue"),
+            fround(F.sum(rev), 4).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -143,6 +143,7 @@ _NEXT_ROUND_PRIORITY = (
     "q_winsorize",
     "q_nation_volume",
     "q_dormant_rich",
+    "q_promo_share",
 )
 
 

@@ -511,3 +511,20 @@ class TestBilateralAndAntiPlans:
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestConditionalAggPlans:
+    def test_promo_share_is_one_pass_with_pushed_range(self, spark, sf_dir):
+        """Q14 shape: the shipdate range must reach the lineitem scan as
+        PushedFilters, part must broadcast, and both the guarded and
+        unguarded sums must come from ONE aggregate (single lineitem
+        scan, no self-join)."""
+        plan = plan_of(spark, sf_dir, "q_promo_share")
+        li_scan = [
+            ln
+            for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "lineitem" in ln
+        ]
+        assert li_scan and "l_shipdate" in li_scan[0].split("PushedFilters")[-1]
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("FileScan parquet") == 2  # lineitem + part, once each
