@@ -218,3 +218,67 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     ).orderBy("doc_id")
+
+
+ENTROPY_MIN = "2.7"
+
+
+@register(
+    "q_token_entropy",
+    oracle=f"""
+    WITH toks AS ({_TOKS_DUCK}),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks GROUP BY doc_id, token
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf) AS ent
+        FROM tf
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           {fround_sql("ent")} AS entropy,
+           {fround_sql("ent", 6)} >= {ENTROPY_MIN} AS diverse
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy (Shannon, natural log)
+    with a diversity verdict at entropy >= {ENTROPY_MIN} nats — the
+    distributional-narrowness signal that complements the Gopher
+    repetition filter (q_repetition_filter): a doc can pass the
+    dup-token/bigram fractions yet still cycle a tiny vocabulary, which
+    entropy catches directly.
+
+    Scale: one explode pass reduces to (doc, token, tf); entropy then
+    uses the identity H = ln(N) - sum(tf*ln(tf))/N so the whole metric
+    is ONE further partial-aggregated groupBy on doc_id — no window, no
+    share-computation shuffle, and text never rides an exchange.  Both
+    engines evaluate the identical identity, and the verdict compares
+    the 6 dp quantized entropy so they agree at the threshold."""
+    tf = (
+        _toks(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    perdoc = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        (
+            F.log(F.sum("tf"))
+            - F.sum(F.col("tf") * F.log("tf")) / F.sum("tf")
+        ).alias("ent"),
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        fround(F.col("ent"), 4).alias("entropy"),
+        (fround(F.col("ent"), 6) >= F.expr(f"CAST({ENTROPY_MIN} AS DOUBLE)")).alias(
+            "diverse"
+        ),
+    ).orderBy("doc_id")

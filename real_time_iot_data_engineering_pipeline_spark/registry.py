@@ -144,6 +144,7 @@ _NEXT_ROUND_PRIORITY = (
     "q_nation_volume",
     "q_dormant_rich",
     "q_promo_share",
+    "q_token_entropy",
 )
 
 

@@ -528,3 +528,18 @@ class TestConditionalAggPlans:
         assert li_scan and "l_shipdate" in li_scan[0].split("PushedFilters")[-1]
         assert "BroadcastHashJoin" in plan
         assert plan.count("FileScan parquet") == 2  # lineitem + part, once each
+
+
+class TestEntropyPlans:
+    def test_token_entropy_is_two_aggregates_no_window(self, spark, sf_dir):
+        """The H = ln(N) - sum(tf*ln(tf))/N identity must keep the plan
+        to two partial-aggregated groupBys — no Window operator, no
+        SinglePartition exchange, and text never rides an exchange."""
+        plan = plan_of(spark, sf_dir, "q_token_entropy")
+        assert "Window" not in plan
+        assert "partial" in plan.lower()
+        for ln in plan.splitlines():
+            if "Exchange" in ln:
+                assert "text" not in ln
+                assert "SinglePartition" not in ln
+        assert "CartesianProduct" not in plan
