@@ -78,3 +78,46 @@ class TestRankingGoldens:
             assert r["keep"] == (round(nll, 5) <= float(NLL_KEEP)) or abs(
                 nll - float(NLL_KEEP)
             ) < 1e-4
+
+
+class TestQualityContracts:
+    def test_quantize_error_bound(self, spark, sf_dir):
+        """Uint8 quantization's reconstruction error is bounded by the
+        quantization step: per-dim error <= (span/255)/2, so per-vector
+        MSE <= mean of (span_d/510)^2.  Validates the operator's quality
+        contract, not just cross-engine equality."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        mat = np.stack(
+            tbl["embedding"]
+            .map(lambda v: np.asarray(v, dtype=np.float32).astype(np.float64))
+            .to_numpy()
+        )
+        span = mat.max(axis=0) - mat.min(axis=0)
+        bound = float(np.mean((span / 510.0) ** 2)) * 1.001  # fp slack
+        rows = registry.QUERIES["q_embed_quantize"](spark, sf_dir).collect()
+        assert rows and all(r["mse"] <= bound for r in rows)
+
+    def test_winsorize_clip_invariants(self, spark, sf_dir):
+        """Every clipped value must lie inside its type's [lo, hi] band,
+        the flag must fire exactly when clipping changed the value, and
+        at most ~10% of rows per type may be clipped (p05/p95 bounds)."""
+        from collections import Counter
+
+        rows = registry.QUERIES["q_winsorize"](spark, sf_dir).collect()
+        assert rows
+        clipped_by_type: Counter = Counter()
+        total_by_type: Counter = Counter()
+        for r in rows:
+            total_by_type[r["event_type"]] += 1
+            if r["was_clipped"]:
+                clipped_by_type[r["event_type"]] += 1
+                assert r["clipped"] != r["value"]
+            else:
+                assert r["clipped"] == r["value"]
+        for t, n in total_by_type.items():
+            # p05/p95 exact bounds clip at most ~10% (+ slack for ties
+            # and the 4dp output rounding at tiny per-type counts)
+            assert clipped_by_type[t] <= 0.12 * n + 2, t
