@@ -46,9 +46,16 @@ NLL_KEEP = "3.45"
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-_TOKS_DUCK = """
+# Explicit whitespace class instead of \s: Java regex \s includes \x0B but
+# RE2's (DuckDB) does not, so the two engines would tokenize a document
+# containing a vertical tab differently.  Spelling the class out makes the
+# definitions identical by construction in Spark, DuckDB, and the Python
+# golden recompute (tests/test_ranking.py).
+WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
+_TOKS_DUCK = f"""
     SELECT doc_id,
-           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+           unnest(string_split_regex(trim(lower(text)), '{WS_CLASS}')) AS token
     FROM documents
 """
 
@@ -56,7 +63,7 @@ _TOKS_DUCK = """
 def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        F.explode(F.split(F.trim(F.lower("text")), WS_CLASS)).alias("token"),
     )
 
 

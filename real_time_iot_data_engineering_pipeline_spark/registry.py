@@ -53,78 +53,8 @@ _QUERY_MODULES = (
 # order; every query that falls outside the window as a result already
 # holds a green driver row (CORRECTNESS_r01 and/or _r02).
 _DRIVER_PRIORITY = (
-    # never driver-verified as of round 2 (fell past the 50-query cut)
-    "q_token_count",
-    "q_lang_id",
-    "q_quality_score",
-    "q_doc_fingerprint",
-    "q_embed_knn",
-    "q_embed_knn_lsh",
-    "q_embed_ivf",
-    "q_embed_near_dup",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_multimodal_framesample",
-    "q_mart_daily_sql",
-    "q_sliding_agg",
-    "q_session_agg",
-    # new in round 3
-    "q_mart_hourly_sql",
-    "q_mart_location_sql",
-    "q_quality_alerts",
-    # rewritten/modified in round 3 — prior rows no longer certify the new code
-    "q_rank_per_group",
-    "q_topk_per_group",
-    "q_validate_iot",
-    # new in round 3 (training-data prep + clustering)
-    "q_pii_redact",
-    "q_train_test_split",
-    "q_embed_centroids",
-    "q_doc_dup_groups",
-    "q_sample_stratified",
-    "q_doc_chunk",
-    "q_sequence_pack",
-    # new in round 3 (corpus curation: decontamination, quality, semdedup)
-    "q_decontaminate",
-    "q_repetition_filter",
-    "q_semantic_dedup",
-    # new in round 3 (corpus reporting + mixing)
-    "q_vocab_topk",
-    "q_corpus_stats",
-    "q_tfidf_topterms",
-    "q_mixture_weights",
-    # new in round 3 (summary sketches)
-    "q_quantile_summary",
-    "q_distinct_users",
-    # new in round 3 (temporal joins / hypertable rollup)
-    "q_asof_join",
-    "q_range_join",
-    "q_rollup_hypertable",
-    # new in round 3 (behavioral analytics)
-    "q_pivot_daily",
-    "q_heavy_hitters",
-    "q_funnel",
-    "q_retention",
-    # new in round 3 (relational multi-join analytics)
-    "q_ship_priority",
-    "q_region_revenue",
-    "q_priority_fill",
-    "q_returned_revenue",
-    # new in round 3 (stream-stream join batch twin)
-    "q_click_attribution",
-    # new in round 3 (relational: pricing summary)
-    "q_pricing_summary",
-    # new in round 3 (temporal: sensor outage gaps)
-    "q_reading_gaps",
-)
-
-# Added AFTER the 50-query window filled (the slots above are this round's
-# must-verify set: never-driver-verified + new/rewritten queries).  These
-# order immediately after the window (positions 51+), hold green local
-# parity rows (tests/test_oracle_parity.py), and are next round's
-# front-load candidates once the slots above convert to hard CORRECTNESS
-# rows.
-_NEXT_ROUND_PRIORITY = (
+    # round-3 additions that landed past the 50-query cut (held local parity
+    # rows only through round 3 — promoted here for hard driver rows)
     "q_gap_fill",
     "q_cube_summary",
     "q_paragraph_dedup",
@@ -145,7 +75,19 @@ _NEXT_ROUND_PRIORITY = (
     "q_dormant_rich",
     "q_promo_share",
     "q_token_entropy",
+    # modified in round 3 (commit f12495c dropped a distinct shuffle; minhash
+    # oracle touched) — prior r02 rows no longer certify the current code
+    "q_doc_dedup_minhash",
+    "q_doc_ngram_jaccard",
 )
+
+# Added AFTER the 50-query window filled (the slots above are this round's
+# must-verify set: never-driver-verified + new/rewritten queries).  These
+# order immediately after the window (positions 51+), hold green local
+# parity rows (tests/test_oracle_parity.py), and are next round's
+# front-load candidates once the slots above convert to hard CORRECTNESS
+# rows.
+_NEXT_ROUND_PRIORITY: tuple[str, ...] = ()
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
