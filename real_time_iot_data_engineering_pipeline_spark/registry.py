@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "queries.behavior",
     "queries.relational",
     "queries.ranking",
+    "queries.serve",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -79,6 +80,10 @@ _DRIVER_PRIORITY = (
     # oracle touched) — prior r02 rows no longer certify the current code
     "q_doc_dedup_minhash",
     "q_doc_ngram_jaccard",
+    # new in round 4 (serving layer — reference api spec read paths)
+    "q_serve_latest",
+    "q_serve_analytics",
+    "q_serve_health",
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's
