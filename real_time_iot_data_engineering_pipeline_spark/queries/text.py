@@ -798,3 +798,64 @@ def q_doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("dup_group"),
         (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
     )
+
+
+_DUP_GROUPS_CC_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+    ),
+    nodes AS (
+        SELECT doc_id FROM ({_NEAR_CORPUS_SQL})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    )
+    SELECT node AS doc_id,
+           min(r) AS dup_group,
+           (node = min(r)) AS is_keeper
+    FROM reach
+    GROUP BY node
+"""
+
+
+@register("q_doc_dup_groups_cc", oracle=_DUP_GROUPS_CC_ORACLE)
+def q_doc_dup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-duplicate group assignment: true connected components over
+    the MinHash/LSH pair graph via alternating large-star/small-star
+    (functions/components.py) — the unbounded-diameter companion to
+    q_doc_dup_groups's fixed-3-round form.  dup_group is the minimum doc_id
+    of the component (the star-center fixpoint), so a curator's keeper rule
+    is identical to the bounded variant's on short components and CORRECT
+    (not merely deterministic) on deep chains.
+
+    The oracle is genuinely independent: DuckDB computes min-reachable-id
+    per node by recursive transitive closure, a different algorithm family
+    from the star iteration — agreement pins exact-CC semantics, not just
+    both engines running the same unrolled rounds.
+
+    Scale: each star round is one groupBy-min plus one edge join, O(|E|)
+    with partial aggregation, converging in O(log^2 n) rounds independent
+    of component diameter; the oracle's closure would be O(n * component)
+    and exists only for the fixture-scale comparison."""
+    from ..functions.components import connected_components
+
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = _near_corpus(spark, sf_dir).select("doc_id")
+    labels = connected_components(
+        nodes,
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        id_col="doc_id",
+    )
+    return labels.select(
+        "doc_id",
+        F.col("component").alias("dup_group"),
+        (F.col("doc_id") == F.col("component")).alias("is_keeper"),
+    )

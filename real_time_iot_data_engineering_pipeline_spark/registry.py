@@ -84,6 +84,8 @@ _DRIVER_PRIORITY = (
     "q_serve_latest",
     "q_serve_analytics",
     "q_serve_health",
+    # new in round 4 (exact CC over the LSH dup graph, large/small-star)
+    "q_doc_dup_groups_cc",
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's

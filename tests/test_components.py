@@ -1,0 +1,130 @@
+"""Property tests for functions/components.py: the alternating
+large-star/small-star iteration must equal a pure-Python union-find (a
+third, independent implementation) on adversarial topologies — deep paths
+beyond any fixed round count, cycles, hubs, merged components, isolated
+nodes — plus seeded random graphs.  Also pins the fixpoint claim the
+bounded q_doc_dup_groups explicitly does NOT make: deep chains converge."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from real_time_iot_data_engineering_pipeline_spark.functions.components import (
+    connected_components,
+)
+from real_time_iot_data_engineering_pipeline_spark import registry
+
+registry.load_all()
+
+
+def union_find(nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = {n: n for n in nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # Component label = min node id (find() roots at the min because unions
+    # always parent the larger root under the smaller).
+    return {n: find(n) for n in nodes}
+
+
+def run_cc(spark, nodes, edges, **kw) -> dict[int, int]:
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    rows = connected_components(ndf, edf, **kw).collect()
+    assert len(rows) == len(nodes), "exactly one label per node"
+    return {r["id"]: r["component"] for r in rows}
+
+
+CASES = {
+    "deep_path_d20": (list(range(21)), [(i, i + 1) for i in range(20)]),
+    "deep_path_reversed_ids": (
+        list(range(21)),
+        [(20 - i, 19 - i) for i in range(20)],
+    ),
+    "cycle": (list(range(12)), [(i, (i + 1) % 12) for i in range(12)]),
+    "star_hub_max_id": (list(range(10)), [(9, i) for i in range(9)]),
+    "two_chains_merged_at_tail": (
+        list(range(14)),
+        [(i, i + 1) for i in range(6)]
+        + [(i, i + 1) for i in range(7, 13)]
+        + [(6, 13)],
+    ),
+    "isolated_nodes": ([1, 2, 3, 4, 5], [(1, 2)]),
+    "complete_k6": (
+        list(range(6)),
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],
+    ),
+    "self_loops_and_dups": ([1, 2, 3], [(1, 1), (1, 2), (2, 1), (1, 2)]),
+}
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_matches_union_find_on_adversarial_topologies(spark, case):
+    nodes, edges = CASES[case]
+    assert run_cc(spark, nodes, edges) == union_find(nodes, edges)
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1337])
+def test_matches_union_find_on_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    n = 60
+    nodes = sorted(rng.sample(range(10_000), n))  # sparse, non-contiguous ids
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(int(n * 1.2))
+    ]
+    assert run_cc(spark, nodes, edges) == union_find(nodes, edges)
+
+
+def test_deep_path_exceeds_bounded_rounds(spark):
+    """Diameter-20 path: 3 label-propagation rounds provably cannot finish
+    (labels move <= 3 hops), but the star iteration reaches the fixpoint —
+    every node labeled with the path's minimum."""
+    nodes, edges = CASES["deep_path_d20"]
+    got = run_cc(spark, nodes, edges)
+    assert set(got.values()) == {0}
+
+
+def test_unconverged_raises_instead_of_lying(spark):
+    with pytest.raises(RuntimeError, match="converge"):
+        run_cc(
+            spark,
+            list(range(40)),
+            [(i, i + 1) for i in range(39)],
+            max_rounds=1,
+        )
+
+
+def test_dup_groups_cc_agrees_with_union_find_on_fixture(spark, sf_dir):
+    """The registered query's labels ARE the true components of its own
+    candidate-pair graph (independent of the DuckDB oracle, which checks the
+    same thing by recursive closure)."""
+    from real_time_iot_data_engineering_pipeline_spark.queries.text import (
+        _minhash_pairs,
+        _near_corpus,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").collect()
+    ]
+    nodes = [r["doc_id"] for r in _near_corpus(spark, sf_dir).select("doc_id").collect()]
+    expect = union_find(nodes, pairs)
+    rows = registry.QUERIES["q_doc_dup_groups_cc"](spark, sf_dir).collect()
+    got = {r["doc_id"]: r["dup_group"] for r in rows}
+    assert got == expect
+    keepers = {r["doc_id"] for r in rows if r["is_keeper"]}
+    assert keepers == set(expect.values())
