@@ -6,7 +6,9 @@ crawlers/loaders.  This topology applies the tier's batch semantics
 
     doc stream -> content-hash exact dedup WITHIN WATERMARK (the streaming
     twin of q_doc_dedup_exact's normalize+sha256) -> quality gate (minimum
-    word count) -> accepted/rejected appends + one stats row per batch
+    word count) [-> source-policy enrichment] [-> curation gates: Gopher
+    repetition + heuristic quality score] -> accepted/rejected appends +
+    one stats row per batch
 
 Dedup state is bounded by the event-time watermark exactly like the IoT
 pipeline's `dropDuplicatesWithinWatermark` (a crawler re-fetching the same
@@ -38,6 +40,10 @@ DOC_WIRE_SCHEMA = T.StructType(
 
 DOC_WATERMARK_DELAY = "1 minute"
 MIN_WORDS = 5  # quality gate: fewer words -> rejected
+# Curation-gate thresholds: the repetition bound is the SAME constant as the
+# batch q_repetition_filter (queries/curation.py DUP_TOKEN_MAX); the quality
+# floor gates on the shared quality_score_col() formula (queries/text.py).
+QUALITY_MIN = 0.3
 
 # Static source-policy dimension for stream-static enrichment: license
 # class, mixture weight, and an allow flag per source.  In production this
@@ -68,9 +74,14 @@ def read_doc_file_stream(
     )
 
 
-def ingest_doc_stream(raw: DataFrame, policy: DataFrame | None = None) -> DataFrame:
+def ingest_doc_stream(
+    raw: DataFrame,
+    policy: DataFrame | None = None,
+    with_curation_gates: bool = False,
+) -> DataFrame:
     """Parse + watermark + content-hash dedup + quality flag, optionally
-    followed by stream-static source-policy enrichment.
+    followed by stream-static source-policy enrichment and the batch
+    curation gates.
 
     The content hash is the SAME normalization as q_doc_dedup_exact
     (lowercase, trimmed, whitespace-collapsed -> sha256), so a document
@@ -82,8 +93,19 @@ def ingest_doc_stream(raw: DataFrame, policy: DataFrame | None = None) -> DataFr
     re-plans the static side each micro-batch, so a catalog refresh is
     picked up without restarting the query, and the dimension rides with
     every executor instead of shuffling the stream.  Sources missing from
-    the policy are DENIED by default; rejected rows carry a typed
-    `reject_reason` ('short_text' | 'blocked_source') for the DLQ."""
+    the policy are DENIED by default.
+
+    `with_curation_gates` applies the LLM-tier's batch filters at ingest
+    time, reusing the batch formulas verbatim: the Gopher duplicate-token
+    fraction against queries/curation.py's DUP_TOKEN_MAX and the heuristic
+    quality score (queries/text.py::quality_score_col) against QUALITY_MIN.
+    Both are pure per-row column expressions — no state, no extra shuffle —
+    so the 100 TB ingest path curates at wire speed and only clean
+    documents ever reach the (stateful, shuffling) downstream stages.
+
+    Rejected rows carry a typed `reject_reason` ('short_text' |
+    'blocked_source' | 'repetitive' | 'low_quality', first matching rule
+    wins) for the DLQ; `accepted` is exactly reject_reason IS NULL."""
     parsed = (
         raw.withColumn("fetched_at", F.to_timestamp("fetched_at"))
         .filter(F.col("fetched_at").isNotNull())
@@ -96,25 +118,40 @@ def ingest_doc_stream(raw: DataFrame, policy: DataFrame | None = None) -> DataFr
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
     n_words = F.size(F.split(F.trim("text"), r"\s+"))
-    base = deduped.withColumn("n_words", n_words)
-    if policy is None:
-        return base.withColumn("accepted", F.col("n_words") >= MIN_WORDS).withColumn(
-            "reject_reason",
-            F.when(F.col("n_words") < MIN_WORDS, F.lit("short_text")),
+    df = deduped.withColumn("n_words", n_words)
+    rejects: list[tuple] = [(F.col("n_words") < MIN_WORDS, "short_text")]
+    if policy is not None:
+        allowed = F.coalesce(F.col("allowed"), F.lit(False))
+        df = (
+            df.join(F.broadcast(policy), "source", "left")
+            .withColumn("license", F.coalesce(F.col("license"), F.lit("unknown")))
+            .withColumn("mix_weight", F.coalesce(F.col("mix_weight"), F.lit(0.0)))
+            .withColumn("allowed", allowed)
         )
-    allowed = F.coalesce(F.col("allowed"), F.lit(False))
-    return (
-        base.join(F.broadcast(policy), "source", "left")
-        .withColumn("license", F.coalesce(F.col("license"), F.lit("unknown")))
-        .withColumn("mix_weight", F.coalesce(F.col("mix_weight"), F.lit(0.0)))
-        .withColumn("allowed", allowed)
-        .withColumn("accepted", (F.col("n_words") >= MIN_WORDS) & allowed)
-        .withColumn(
-            "reject_reason",
-            F.when(F.col("n_words") < MIN_WORDS, F.lit("short_text")).when(
-                ~allowed, F.lit("blocked_source")
-            ),
+        rejects.append((~F.col("allowed"), "blocked_source"))
+    if with_curation_gates:
+        from ..queries.curation import DUP_TOKEN_MAX
+        from ..queries.text import _WORDS_SPARK, quality_score_col
+
+        toks = F.expr(_WORDS_SPARK)
+        dup_frac = F.when(
+            F.size(toks) > 0,
+            1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        ).otherwise(F.lit(1.0))
+        df = (
+            df.withColumn("_words", toks)
+            .withColumn("n_chars", F.length(F.trim("text")))
+            .withColumn("dup_token_frac", dup_frac)
+            .withColumn("quality_score", quality_score_col())
+            .drop("_words")
         )
+        rejects.append((F.col("dup_token_frac") > DUP_TOKEN_MAX, "repetitive"))
+        rejects.append((F.col("quality_score") < QUALITY_MIN, "low_quality"))
+    reason = F.when(rejects[0][0], F.lit(rejects[0][1]))
+    for cond, label in rejects[1:]:
+        reason = reason.when(cond, F.lit(label))
+    return df.withColumn("reject_reason", reason).withColumn(
+        "accepted", F.col("reject_reason").isNull()
     )
 
 
@@ -165,12 +202,15 @@ def run_doc_ingest(
     max_files_per_trigger: int = 1,
     timeout_seconds: float = 180.0,
     policy: DataFrame | None = None,
+    with_curation_gates: bool = False,
 ) -> DocIngestSink:
-    """Drain source_dir through dedup -> gate [-> policy join] -> append
-    with AvailableNow."""
+    """Drain source_dir through dedup -> gate [-> policy join]
+    [-> curation gates] -> append with AvailableNow."""
     sink = DocIngestSink(spark, out_dir)
     stream = ingest_doc_stream(
-        read_doc_file_stream(spark, source_dir, max_files_per_trigger), policy
+        read_doc_file_stream(spark, source_dir, max_files_per_trigger),
+        policy,
+        with_curation_gates=with_curation_gates,
     )
     q = (
         stream.writeStream.outputMode("update")

@@ -110,3 +110,57 @@ def test_doc_ingest_stream_static_policy_enrichment(spark, tmp_path):
     assert "BroadcastHashJoin" in (
         enriched._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_doc_ingest_curation_gates(spark, tmp_path):
+    """Gate stage active: the Gopher repetition bound and the quality floor
+    reject at ingest with typed reasons, reusing the batch formulas —
+    a doc passing the batch q_repetition_filter threshold passes here."""
+    from real_time_iot_data_engineering_pipeline_spark.queries.curation import (
+        DUP_TOKEN_MAX,
+    )
+    from real_time_iot_data_engineering_pipeline_spark.streaming.doc_pipeline import (
+        QUALITY_MIN,
+    )
+
+    # 12 tokens, 2 distinct -> dup_token_frac 10/12 = 0.83 > 0.6.
+    repetitive = "spam ham " * 6
+    # DISTINCT tokens (repetition gate stays quiet) but no stopwords and
+    # implausibly long words -> score < 0.3 (length credit 8/100*0.5 =
+    # 0.04, stopword credit 0, word-length credit 0 since avg len > 10).
+    lowq = " ".join(f"qqqqqqqqqqqqqqq{i}" for i in range(8))
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(
+        str(src),
+        "f1.json",
+        [
+            doc(1, GOOD, "2024-01-19 10:00:00"),
+            doc(2, repetitive.strip(), "2024-01-19 10:00:05"),
+            doc(3, lowq, "2024-01-19 10:00:10"),
+            doc(4, "tiny", "2024-01-19 10:00:15"),  # short_text outranks gates
+        ],
+        seq=0,
+    )
+
+    sink = run_doc_ingest(
+        spark, str(src), str(tmp_path / "out"), with_curation_gates=True
+    )
+
+    docs = {r.doc_id: r for r in sink.read_docs().collect()}
+    assert set(docs) == {1}
+    assert docs[1].dup_token_frac <= DUP_TOKEN_MAX
+    assert docs[1].quality_score >= QUALITY_MIN
+
+    rejects = {r.doc_id: r for r in sink.read_rejects().collect()}
+    assert {d: r.reject_reason for d, r in rejects.items()} == {
+        2: "repetitive",
+        3: "low_quality",
+        4: "short_text",
+    }
+    assert rejects[2].dup_token_frac > DUP_TOKEN_MAX
+    assert rejects[3].quality_score < QUALITY_MIN
+
+    stats = {r.epoch: (r.n_unique, r.n_accepted, r.n_rejected)
+             for r in sink.read_stats().collect()}
+    assert stats[0] == (4, 1, 3)
