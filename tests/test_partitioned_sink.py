@@ -1,0 +1,136 @@
+"""Partition-pruned MERGE mode of KeyedParquetSink: a merge touching one
+partition must (1) keep every other partition's files byte-identical —
+copied forward, never re-read/re-encoded — (2) produce exactly the same
+table as the whole-table merge, and (3) stay last-write-wins + replay-
+idempotent.  This retires the SCALE.md whole-table-rewrite caveat."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from real_time_iot_data_engineering_pipeline_spark.sinks.keyed_parquet import (
+    KeyedParquetSink,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "day string, k long, v double")
+
+
+def _partition_files(sink, day: str) -> dict[str, str]:
+    """{relative parquet file path: sha256} for one live partition dir."""
+    current = sink._current()
+    pdir = os.path.join(current, f"day={day}")
+    out = {}
+    for root, _dirs, files in os.walk(pdir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                rel = os.path.relpath(p, current)
+                out[rel] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+    return out
+
+
+def test_partition_col_must_be_a_key():
+    with pytest.raises(ValueError, match="must be one of key_cols"):
+        KeyedParquetSink(None, "/tmp/x", ["k"], partition_col="day")
+
+
+def test_untouched_partitions_are_byte_identical(spark, tmp_path):
+    sink = KeyedParquetSink(
+        spark, str(tmp_path / "t"), ["day", "k"], partition_col="day"
+    )
+    sink.upsert(
+        _rows(
+            spark,
+            [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0), ("2024-01-02", 1, 30.0)],
+        ),
+        epoch_id=0,
+    )
+    day1_before = _partition_files(sink, "2024-01-01")
+    assert day1_before, "day-1 partition must exist"
+
+    # Merge touching ONLY day 2: update one key, insert another.
+    sink.upsert(
+        _rows(spark, [("2024-01-02", 1, 31.0), ("2024-01-02", 9, 90.0)]),
+        epoch_id=1,
+    )
+
+    assert _partition_files(sink, "2024-01-01") == day1_before, (
+        "files of an untouched partition must carry over byte-identical"
+    )
+    got = {(r.day, r.k): r.v for r in sink.read().collect()}
+    assert got == {
+        ("2024-01-01", 1): 10.0,
+        ("2024-01-01", 2): 20.0,
+        ("2024-01-02", 1): 31.0,
+        ("2024-01-02", 9): 90.0,
+    }
+
+
+def test_partitioned_merge_equals_whole_table_merge(spark, tmp_path):
+    batches = [
+        [("2024-01-01", 1, 1.0), ("2024-01-02", 2, 2.0), ("2024-01-03", 3, 3.0)],
+        [("2024-01-02", 2, 22.0), ("2024-01-02", 5, 5.0)],
+        [("2024-01-01", 1, 111.0), ("2024-01-04", 7, 7.0)],
+    ]
+    plain = KeyedParquetSink(spark, str(tmp_path / "plain"), ["day", "k"])
+    pruned = KeyedParquetSink(
+        spark, str(tmp_path / "pruned"), ["day", "k"], partition_col="day"
+    )
+    for epoch, data in enumerate(batches):
+        plain.upsert(_rows(spark, data), epoch)
+        pruned.upsert(_rows(spark, data), epoch)
+    key = lambda r: (r.day, r.k)  # noqa: E731
+    assert sorted(
+        [(r.day, r.k, r.v) for r in pruned.read().collect()]
+    ) == sorted([(r.day, r.k, r.v) for r in plain.read().collect()])
+
+
+def test_replay_same_epoch_is_idempotent(spark, tmp_path):
+    sink = KeyedParquetSink(
+        spark, str(tmp_path / "t"), ["day", "k"], partition_col="day"
+    )
+    sink.upsert(_rows(spark, [("2024-01-01", 1, 1.0)]), epoch_id=0)
+    batch = [("2024-01-01", 1, 2.0), ("2024-01-02", 2, 9.0)]
+    sink.upsert(_rows(spark, batch), epoch_id=1)
+    before = sorted((r.day, r.k, r.v) for r in sink.read().collect())
+    sink.upsert(_rows(spark, batch), epoch_id=1)  # streaming replay contract
+    after = sorted((r.day, r.k, r.v) for r in sink.read().collect())
+    assert after == before == [
+        ("2024-01-01", 1, 2.0),
+        ("2024-01-02", 2, 9.0),
+    ]
+
+
+def test_merge_scan_prunes_to_touched_partitions(spark, tmp_path):
+    """The existing-table read inside a pruned merge must push the partition
+    filter into the scan: with the touched-day filter applied, the planned
+    scan's partition count is 1 of 3."""
+    from pyspark.sql import functions as F
+
+    sink = KeyedParquetSink(
+        spark, str(tmp_path / "t"), ["day", "k"], partition_col="day"
+    )
+    sink.upsert(
+        _rows(
+            spark,
+            [("2024-01-01", 1, 1.0), ("2024-01-02", 2, 2.0), ("2024-01-03", 3, 3.0)],
+        ),
+        epoch_id=0,
+    )
+    scan = sink._read_version(sink._current()).filter(
+        F.col("day").isin(["2024-01-02"])
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    [scan_line] = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    pf = scan_line.split("PartitionFilters: [")[1].split("]")[0]
+    assert "2024-01-02" in pf, (
+        f"touched-day predicate must be a PartitionFilter, got: {pf}"
+    )
+    assert "DataFilters: []" in scan_line, (
+        "the day predicate must prune partitions, not filter rows post-scan"
+    )
