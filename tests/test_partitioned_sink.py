@@ -134,3 +134,70 @@ def test_merge_scan_prunes_to_touched_partitions(spark, tmp_path):
     assert "DataFilters: []" in scan_line, (
         "the day predicate must prune partitions, not filter rows post-scan"
     )
+
+
+def test_incremental_mart_refresh_over_partitioned_sink(spark, sf_dir):
+    """End-to-end: the dbt-style incremental daily-mart refresh
+    (queries/marts.py) writing through the partition-pruned sink keyed on
+    (user_id, reading_date) and partitioned by reading_date.  A late batch
+    for the newest day re-merges ONLY that day's partition; every earlier
+    day's files carry over byte-identical."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_iot_data_engineering_pipeline_spark.queries.marts import (
+        mart_daily_incremental_refresh,
+    )
+    from real_time_iot_data_engineering_pipeline_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-20 00:00:00"
+    sink = KeyedParquetSink(
+        spark,
+        os.path.join(tempfile.mkdtemp(), "mart"),
+        ["user_id", "reading_date"],
+        partition_col="reading_date",
+    )
+    # Initial load: everything before the cutoff.
+    mart_daily_incremental_refresh(
+        spark, events.filter(F.col("ts") < cutoff), sink, epoch_id=0
+    )
+    current = sink._current()
+    before = {}
+    for entry in os.listdir(current):
+        if entry.startswith("reading_date=") and "2024-01-19" not in entry:
+            pdir = os.path.join(current, entry)
+            for f in sorted(os.listdir(pdir)):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(pdir, f), "rb") as fh:
+                        before[(entry, f)] = hashlib.sha256(fh.read()).hexdigest()
+    assert before, "mart must have written pre-boundary day partitions"
+
+    # Late data arrives; refresh reprocesses >= high-water day only.
+    processed = mart_daily_incremental_refresh(spark, events, sink, epoch_id=1)
+    min_day = processed.agg(F.min("reading_date")).collect()[0][0]
+    assert str(min_day).startswith("2024-01-19"), (
+        "refresh must reprocess from the boundary day, not the full history"
+    )
+
+    current2 = sink._current()
+    after = {}
+    for entry, f in before:
+        with open(os.path.join(current2, entry, f), "rb") as fh:
+            after[(entry, f)] = hashlib.sha256(fh.read()).hexdigest()
+    assert after == before, "pre-boundary day partitions must be untouched"
+
+    # And the refreshed table equals the from-scratch mart.
+    from real_time_iot_data_engineering_pipeline_spark.queries.marts import (
+        daily_mart_frame,
+    )
+
+    full = daily_mart_frame(spark, events)
+    # The partition column moves to the end on read-back and exceptAll
+    # compares positionally — re-project to the mart's column order.
+    got = sink.read().select(*full.columns)
+    assert got.count() == full.count()
+    assert got.exceptAll(full).count() == 0 and full.exceptAll(got).count() == 0
