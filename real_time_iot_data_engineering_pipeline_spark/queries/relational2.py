@@ -1,0 +1,627 @@
+"""Second relational-analytics tier: the remaining classic TPC-H plan
+shapes, adapted to the fixture schema (TESTDATA.md ships no partsupp and
+no l_shipmode/l_commitdate/l_receiptdate, so Q11/Q16/Q20/Q21 use the
+lineitem bridge and `l_shipdate - o_orderdate` lateness instead — the
+PLAN shape each query exercises is preserved even where the business
+constant differs).
+
+Why these matter beyond parity: each one is a distinct physical-plan
+pattern the first relational tier (relational.py) does not cover —
+
+- scalar-aggregate-only (Q6): no shuffle at all, pure scan+partial agg;
+- global-scalar broadcast into a filter (Q11, Q15, Q17): an aggregate
+  over the whole input feeds a comparison on every row/group WITHOUT a
+  SinglePartition exchange of the data side — the scalar is computed,
+  broadcast, and the filter stays distributed;
+- join-condition residual on an OUTER join (Q13): the filter must sit in
+  the join ON-clause, not WHERE (WHERE would turn the left join inner);
+- conditional share inside one aggregate (Q8): numerator CASE inside
+  sum, single pass, no self-join;
+- decorrelated EXISTS/NOT-EXISTS pair (Q21): the textbook correlated
+  double-subquery compiled to ONE aggregation over the fact + a
+  join-back — no per-row subquery execution, no double scan of the
+  outer;
+- nested semi-join chain (Q20): IN(IN(...)) compiled to LeftSemi joins
+  that never widen the row.
+
+Reference parity: the reference's Spark tier (reference
+spark/streaming_job.py) exposes only single-table aggregates; this
+module is part of the beyond-reference warehouse tier SURVEY.md §2.9
+plans for training-data/warehouse users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp_ntz")
+
+
+@register(
+    "q_forecast_revenue",
+    oracle=f"""
+    SELECT {fround_sql("sum(l_extendedprice * l_discount)")} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change scalar aggregate (TPC-H Q6 shape): the
+    purest scan query in the suite — four pushed-down predicates, two
+    aggregates, zero joins, zero GROUP BY.  The plan is scan -> partial
+    agg -> single-row final agg; at 100 TB the cost is exactly parquet
+    scan bandwidth over the (shipdate-prunable) row groups, which makes
+    this the canonical query for checking that predicate pushdown and
+    column pruning reach the reader (plan-asserted in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            fround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_mkt_share",
+    oracle=f"""
+    SELECT o_year,
+           {fround_sql("sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END) / sum(rev)")} AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS rev,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_mkt_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): the share a supplier
+    nation holds of revenue delivered into a region, by order year.  The
+    distinctive pattern is the CONDITIONAL NUMERATOR — `sum(CASE WHEN
+    supp_nation = X THEN rev END) / sum(rev)` in ONE aggregation pass —
+    where a naive translation runs two aggregates and joins them.  All
+    five dimension hops (customer/supplier nation chains) broadcast;
+    orders<->lineitem is the only fact-fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ts("1996-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select(F.col("n_nationkey").alias("cust_nationkey"))
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(asia_nations, F.col("c_nationkey") == F.col("cust_nationkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            fround(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           year(o_orderdate) AS o_year,
+           {fround_sql(
+               "sum(l_extendedprice * (1 - l_discount)"
+               " - 0.6 * p_retailprice * l_quantity)"
+           )} AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape; the fixture has no
+    ps_supplycost, so cost is the documented 0.6 * p_retailprice proxy):
+    profit per supplier nation per year over name-matched parts.  The
+    LIKE filter sits on the part scan and the part dim broadcasts, so
+    the selective predicate prunes the fact join via the broadcast hash
+    table rather than a post-join filter; nation/supplier broadcast; the
+    only shuffle partners lineitem with orders."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(fround(F.sum(amount), 4).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q_important_parts",
+    oracle=f"""
+    SELECT l_partkey AS partkey,
+           {fround_sql("sum(l_extendedprice * (1 - l_discount))")} AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) > (
+        SELECT 0.001 * sum(l_extendedprice * (1 - l_discount))
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+    )
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape, lineitem value
+    standing in for partsupp inventory value): parts whose traded value
+    from one nation's suppliers exceeds a fraction of that nation's
+    total.  The plan pattern is GLOBAL-SCALAR BROADCAST: the per-part
+    aggregate is computed once, the grand total is derived from the SAME
+    aggregate (a second tiny agg over ~|parts| rows, not a second fact
+    scan), and the threshold joins back as a broadcast nested-loop of a
+    single row — the fact table is scanned exactly once."""
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(value).alias("_raw_value"))
+    )
+    total = per_part.agg(
+        (F.sum("_raw_value") * 0.001).alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_raw_value") > F.col("_threshold"))
+        .select(
+            "partkey", fround(F.col("_raw_value"), 4).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@register(
+    "q_custdist",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): histogram of
+    per-customer non-urgent order counts INCLUDING zero-order customers.
+    Two things make this a distinct plan: (1) the priority filter lives
+    in the LEFT JOIN's ON-clause — in WHERE it would discard the NULL
+    rows and silently drop zero-order customers; (2) the double
+    aggregation (per-customer count, then histogram of counts) where the
+    second agg's input is already tiny.  count(o_orderkey) counts
+    non-null matches only, which is what makes the zero bucket appear."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {fround_sql("sum(l_extendedprice * (1 - l_discount))")} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape, the view +
+    scalar-max pattern): revenue per supplier over one quarter, keeping
+    every supplier tied at the maximum.  The per-supplier aggregate is
+    computed ONCE and reused for both the max and the final filter
+    (Spark reuses the exchange; no second fact scan), and the max joins
+    back as a broadcast single row.  Revenue is quantized to 4 dp BEFORE
+    the max comparison on both engines so tie membership is identical by
+    construction."""
+    # The explicit isNotNull matches the non-null requirement the join
+    # side pushes into its scan, making the two rev subtrees byte-identical
+    # so AQE's exchange reuse computes the aggregate once (plan-asserted).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+        & F.col("l_suppkey").isNotNull()
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_part_supplier_count",
+    oracle="""
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    LIMIT 40
+    """,
+)
+def q_part_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier diversity per part group (TPC-H Q16 shape; lineitem is
+    the part<->supplier bridge since the fixture ships no partsupp, and
+    negative account balance stands in for the complaints comment
+    filter): distinct suppliers per (brand, size) excluding blacklisted
+    suppliers.  The exclusion compiles to a broadcast LEFT ANTI join
+    (NOT IN over a provably non-null key set), applied BEFORE the
+    count-distinct so excluded rows never reach the expensive agg; the
+    count-distinct itself is Spark's two-phase partial-distinct expand,
+    not a global distinct shuffle."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad_supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+        .limit(40)
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle=f"""
+    SELECT {fround_sql("sum(l_extendedprice) / 7.0")} AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+        SELECT l_partkey AS t_partkey,
+               {fround_sql("0.2 * avg(l_quantity)")} AS qty_threshold
+        FROM lineitem
+        GROUP BY l_partkey
+    ) ON p_partkey = t_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < qty_threshold
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): revenue from
+    lineitems whose quantity is below 20% of the PER-PART average — the
+    canonical correlated scalar subquery, decorrelated to one per-part
+    aggregate joined back to the fact.  The brand filter broadcasts into
+    both the fact scan and (via the join) the threshold side; the
+    threshold (one row per part, dimension-sized) broadcasts, so the
+    fact is scanned twice but never shuffled.  The threshold is
+    quantized to 4 dp on both engines so boundary membership can't flip
+    on summation order."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(fround(0.2 * F.avg("l_quantity"), 4).alias("qty_threshold"))
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(thresholds), F.col("p_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(fround(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_excess_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey
+          HAVING sum(l_quantity) > 400
+      )
+    ORDER BY s_suppkey
+    """,
+)
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-volume suppliers of a part family (TPC-H Q20 shape): the
+    nested IN(IN(...)) chain — suppliers in one nation who shipped more
+    than a threshold quantity of red parts in 1996.  Both IN-subqueries
+    compile to semi-join shapes that never widen the fact row: the part
+    filter broadcasts as a LeftSemi into the lineitem scan, the
+    per-supplier HAVING aggregate reduces to supplier cardinality before
+    touching the supplier table, and the nation filter broadcasts.  No
+    distinct, no exists-loop, one fact scan."""
+    red_parts = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    heavy = (
+        li.join(red_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 400)
+        .select("l_suppkey")
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return (
+        supp.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders      ON o_orderkey = l1.l_orderkey
+    JOIN nation      ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape; "late" is
+    `l_shipdate > o_orderdate + 90 days` since the fixture has no
+    commit/receipt dates): for finished orders with at least two
+    suppliers, count per supplier the orders where THEY were the only
+    late one.  The oracle states it with the textbook correlated
+    EXISTS / NOT EXISTS pair; this implementation DECORRELATES both into
+    one per-order aggregate — n_suppliers and n_late_suppliers via two
+    count-distincts over the same grouping — joined back to the late
+    rows.  One extra aggregation instead of two correlated per-row
+    subqueries; the fact joins itself through an aggregate of
+    |orders| rows, never row-by-row."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    with_orders = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).withColumn(
+        "_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_order = with_orders.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(
+            F.when(F.col("_late"), F.col("l_suppkey"))
+        ).alias("_n_late_supp"),
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
+        .select("n_nationkey")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    lone_late = (
+        with_orders.filter(F.col("_late"))
+        .join(
+            per_order.filter(
+                (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
+            ).select(F.col("l_orderkey").alias("_ok")),
+            F.col("l_orderkey") == F.col("_ok"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        lone_late.groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )

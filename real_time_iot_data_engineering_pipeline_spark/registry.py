@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "queries.temporal",
     "queries.behavior",
     "queries.relational",
+    "queries.relational2",
     "queries.ranking",
     "queries.serve",
 )
@@ -86,6 +87,17 @@ _DRIVER_PRIORITY = (
     "q_serve_health",
     # new in round 4 (exact CC over the LSH dup graph, large/small-star)
     "q_doc_dup_groups_cc",
+    # new in round 4 (second relational tier: remaining TPC-H plan shapes)
+    "q_forecast_revenue",
+    "q_mkt_share",
+    "q_product_profit",
+    "q_important_parts",
+    "q_custdist",
+    "q_top_supplier",
+    "q_part_supplier_count",
+    "q_small_qty_revenue",
+    "q_excess_suppliers",
+    "q_waiting_suppliers",
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's

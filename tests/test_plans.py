@@ -543,3 +543,102 @@ class TestEntropyPlans:
                 assert "text" not in ln
                 assert "SinglePartition" not in ln
         assert "CartesianProduct" not in plan
+
+
+class TestRelational2Plans:
+    def test_forecast_revenue_is_scan_plus_scalar_agg(self, spark, sf_dir):
+        """Q6 shape: all four predicates reach the reader, no join, no
+        GROUP BY shuffle beyond the single-row final agg."""
+        plan = plan_of(spark, sf_dir, "q_forecast_revenue")
+        scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+        assert len(scan) == 1
+        pushed = scan[0].split("PushedFilters")[-1]
+        assert "l_shipdate" in pushed and "l_discount" in pushed
+        assert "Join" not in plan
+
+    def test_mkt_share_single_pass_conditional_share(self, spark, sf_dir):
+        """Q8 shape: numerator and denominator come from ONE aggregate —
+        exactly one lineitem scan — and every dimension hop broadcasts
+        (the only SortMergeJoin partner allowed is orders)."""
+        plan = plan_of(spark, sf_dir, "q_mkt_share")
+        li_scans = [
+            ln
+            for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "lineitem" in ln
+        ]
+        assert len(li_scans) == 1
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_important_parts_threshold_broadcasts_single_fact_scan(
+        self, spark, sf_dir
+    ):
+        """Q11 shape: the 0.1% threshold must join back as a broadcast of
+        ONE row, and the per-part aggregate's shuffle must be computed
+        once — AQE's exchange reuse dedupes the two identical subtrees at
+        runtime, so the assertion is on the FINAL adaptive plan."""
+        df = registry.QUERIES["q_important_parts"](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_top_supplier_exchange_reused_at_runtime(self, spark, sf_dir):
+        """Q15 shape, runtime counterpart: the quarterly per-supplier
+        aggregate must be shuffled once and reused for the max side."""
+        df = registry.QUERIES["q_top_supplier"](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+
+    def test_custdist_filter_stays_in_outer_join(self, spark, sf_dir):
+        """Q13 shape: the priority predicate must be a join residual, not
+        a pre-join filter on orders (which would drop zero-order
+        customers only accidentally) — assert the left outer survives."""
+        plan = plan_of(spark, sf_dir, "q_custdist")
+        assert "LeftOuter" in plan
+
+    def test_top_supplier_reuses_revenue_aggregate(self, spark, sf_dir):
+        """Q15 shape: the quarterly revenue aggregate feeds both the max
+        and the final filter; Spark must reuse the exchange (or at worst
+        rescan the pre-aggregated side), never shuffle lineitem twice."""
+        plan = plan_of(spark, sf_dir, "q_top_supplier")
+        assert "ReusedExchange" in plan or plan.count("FileScan parquet") <= 3
+        assert "CartesianProduct" not in plan
+
+    def test_part_supplier_count_excludes_via_broadcast_anti(self, spark, sf_dir):
+        """Q16 shape: NOT IN over the blacklist compiles to a broadcast
+        LEFT ANTI applied before the count-distinct expand."""
+        plan = plan_of(spark, sf_dir, "q_part_supplier_count")
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_small_qty_revenue_threshold_broadcasts(self, spark, sf_dir):
+        """Q17 shape: the per-part 0.2*avg threshold is dimension-sized
+        and must broadcast back; the brand-filtered fact side must not
+        shuffle on partkey."""
+        plan = plan_of(spark, sf_dir, "q_small_qty_revenue")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_excess_suppliers_is_semi_join_chain(self, spark, sf_dir):
+        """Q20 shape: both IN-subqueries stay semi joins — the row never
+        widens with part or supplier payload columns."""
+        plan = plan_of(spark, sf_dir, "q_excess_suppliers")
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_waiting_suppliers_decorrelates_to_one_aggregate(self, spark, sf_dir):
+        """Q21 shape: the EXISTS/NOT-EXISTS pair must appear as ONE
+        per-order aggregate joined back — lineitem is scanned at most
+        twice (once for flags, once for the join-back side), with no
+        per-row correlated execution and no cartesian."""
+        plan = plan_of(spark, sf_dir, "q_waiting_suppliers")
+        li_scans = [
+            ln
+            for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "lineitem" in ln
+        ]
+        assert len(li_scans) <= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
