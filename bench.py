@@ -80,6 +80,7 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in names:
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -104,7 +105,10 @@ def main() -> None:
     # to BENCH_DETAIL.json (committed, judge-readable); stdout gets ONE
     # compact line with the totals plus the headline-per-family timings,
     # sized to survive the capture.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
     with open(detail_path, "w") as f:
         json.dump(summary, f, separators=(",", ":"))
         f.write("\n")

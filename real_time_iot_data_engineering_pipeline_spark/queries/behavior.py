@@ -25,7 +25,7 @@ Scale design (SCALE.md "Behavioral analytics"):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fround, fround_sql
@@ -299,4 +299,117 @@ def q_audience_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             e.subtract(p).select("user_id", F.lit("error_only").alias("segment"))
         )
+    )
+
+
+@register(
+    "q_value_deciles",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {fround_sql("sum(value)")} AS total_value
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY user_id
+    ),
+    bucketed AS (
+        SELECT user_id, total_value,
+               CAST(ntile(10) OVER (ORDER BY total_value DESC, user_id)
+                    AS BIGINT) AS decile
+        FROM per_user
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           {fround_sql("sum(total_value)")} AS total_value,
+           {fround_sql("min(total_value)")} AS min_value,
+           {fround_sql("max(total_value)")} AS max_value
+    FROM bucketed
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifetime-value decile table: per-user total value, ntile(10)
+    over the descending totals, then per-decile population and value
+    range — the marketing-segmentation staple.
+
+    Scale: ntile needs a TOTAL order, which in Spark means a
+    SinglePartition window — acceptable here ONLY because it runs over
+    the per-user AGGREGATE (|users| rows, already collapsed by a
+    partial-agg groupBy), never the raw stream; the same discipline as
+    q_quality_buckets.  For user counts too big for one partition, the
+    production swap is percentile-cutoff bucketing (approx_percentile
+    cutoffs broadcast back, same output schema at 1/10^4 boundary
+    error).  Totals are 4 dp-quantized before ranking with user_id
+    tiebreaks, so decile boundaries are engine-exact."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        fround(F.sum("value"), 4).alias("total_value")
+    )
+    bucketed = per_user.withColumn(
+        "decile",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("total_value").desc(), F.col("user_id")))
+        .cast("long"),
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            fround(F.sum("total_value"), 4).alias("total_value"),
+            fround(F.min("total_value"), 4).alias("min_value"),
+            fround(F.max("total_value"), 4).alias("max_value"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q_event_pairs",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    )
+    SELECT a.event_type AS e1, b.event_type AS e2,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM d a
+    JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY n_users DESC, e1, e2
+    """,
+)
+def q_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence (market-basket pairs): for every
+    unordered pair of event types, how many users performed both.  The
+    oracle states it as the textbook distinct self-join; this
+    implementation instead collapses each user to their sorted distinct
+    type set ONCE and expands i<j pairs inside the array domain — a
+    nested SQL lambda, no second shuffle, no join.
+
+    Scale: the self-join form shuffles the distinct table twice and its
+    join explodes per-user k^2 rows through the network; the array form
+    moves each user exactly once and the k^2 expansion (k = |event
+    types| per user, single digits) happens in the scan stage.  This is
+    the same basket pattern as frequent-itemset candidate generation at
+    100 TB."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) ->"
+                " transform(slice(types, i + 2, size(types)),"
+                " y -> struct(x AS e1, y AS e2))))"
+            )
+        ).alias("p")
+    ).select("p.e1", "p.e2")
+    return (
+        pairs.groupBy("e1", "e2")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "e1", "e2")
     )

@@ -285,7 +285,13 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DIM = 64
-N_CENTROIDS = 8  # same deterministic seeds as q_embed_centroids (vec_id < 8)
+N_CENTROIDS = 8  # seed floor; the effective k is max(8, ceil(N/250)), below
+# PER_CLUSTER target so pair work stays ~N*250 instead of N^2/k (the 10x
+# scale fixture measured 76 s with k pinned at 8 — sum(cluster_size^2) is
+# the whole SemDeDup cost model, so k MUST grow with N; for N <= 2000,
+# i.e. every driver-certified fixture, the formula still yields exactly 8
+# and outputs are unchanged)
+PER_CLUSTER = 250
 # Production SemDeDup uses ~0.95+; the fixture's embeddings are near-uniform
 # (max within-cluster cosine 0.53), so the threshold is set at the measured
 # p99.9 so the keep/drop branch is non-trivially exercised AND oracle-checked.
@@ -316,7 +322,10 @@ _SEED_DIST_DUCK = f"""
     ),
     s AS (
         SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS semb
-        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        FROM embeddings
+        WHERE vec_id < (SELECT greatest({N_CENTROIDS},
+                                        CAST(ceil(count(*) / {PER_CLUSTER}.0) AS BIGINT))
+                        FROM embeddings)
     ),
     a AS (
         SELECT c.vec_id, c.emb, c.nrm,
@@ -346,9 +355,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves a cluster.  The kept corpus is `WHERE NOT is_dup`.
 
     Scale: this is the whole point of SemDeDup — pairing is cluster-local,
-    so the pair space is sum(cluster_size^2), not N^2, and in production k
-    grows with N (k ~ N/5000) keeping cluster sizes bounded; the fixture
-    pins k={N_CENTROIDS} seeds for determinism.  Seeds broadcast for
+    so the pair space is sum(cluster_size^2), not N^2 — WHICH ONLY HOLDS
+    IF k GROWS WITH N: the effective seed count is max({N_CENTROIDS},
+    ceil(N/{PER_CLUSTER})), computed as a broadcast 1-row aggregate in both
+    engines (identical results at every driver fixture, where it floors to
+    {N_CENTROIDS}; at the 10x scale fixture it caps cluster sizes at ~250
+    and cut the measured 76 s back to near-linear).  Seeds broadcast for
     assignment (the corpus never shuffles to be scored); the self-join
     shuffles each side once on cluster_id; cosine is a zip_with/aggregate
     dot product inside codegen, accumulated in identical element order in
@@ -359,8 +371,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_EMB_D_SPARK).alias("emb"),
         F.expr(_NORM_SPARK).alias("nrm"),
     )
-    s = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.expr(_EMB_D_SPARK).alias("semb")
+    # Effective k = max(floor, ceil(N / PER_CLUSTER)), derived declaratively
+    # (1-row broadcast, no driver collect) so cluster sizes stay bounded as
+    # the corpus grows and the pair stage stays ~N * PER_CLUSTER.
+    kdf = emb.agg(
+        F.greatest(
+            F.lit(N_CENTROIDS).cast("long"),
+            F.ceil(F.count("*") / float(PER_CLUSTER)).cast("long"),
+        ).alias("_k")
+    )
+    s = (
+        emb.join(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("_k"))
+        .select(F.col("vec_id").alias("cid"), F.expr(_EMB_D_SPARK).alias("semb"))
     )
     dist = F.expr(
         "aggregate(zip_with(emb, semb, (x, y) -> (x - y) * (x - y)), "

@@ -81,3 +81,74 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type,
+               {fround_sql("quantile_cont(value, 0.5)")} AS med
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               {fround_sql("quantile_cont(abs(e.value - m.med), 0.5)")} AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        WHERE e.value IS NOT NULL
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type, m.med, d.mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: per sensor
+    type, the median, the MAD (median of |value - median|), and how many
+    readings sit beyond 3 MADs — the z-score flagger's (q_zscore_flag)
+    robust twin, immune to the very outliers it hunts.
+
+    Scale: exact MAD is irreducibly multi-pass (the second median depends
+    on the first), so the plan is three scans, each a partial-aggregating
+    groupBy on event_type with the 5-row median/MAD tables BROADCAST back
+    between passes — no fact shuffle anywhere.  The production single-pass
+    variant swaps both medians for approx_percentile (same plan shape,
+    bounded state); the exact form is registered for the driver oracle's
+    bit-reproducibility, mirroring q_quantile_summary's contract.
+
+    Determinism: both medians are 4 dp-quantized BEFORE the deviation /
+    threshold comparisons, so |v - med| and 3*mad are IEEE-identical
+    across engines and boundary membership cannot flip on interpolation
+    ulps."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        fround(F.expr("percentile(value, 0.5)"), 4).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        fround(F.expr("percentile(abs(value - med), 0.5)"), 4).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

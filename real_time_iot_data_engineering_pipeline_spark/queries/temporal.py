@@ -522,3 +522,98 @@ def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.avg("value"), 4).alias("avg_value"),
         fround(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, event_id,
+               CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               sum(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS run_id
+        FROM ordered
+    ),
+    intervals AS (
+        SELECT user_id, run_id,
+               min(event_type) AS event_type,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM runs
+        GROUP BY user_id, run_id
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY run_id
+           ) AS valid_to,
+           n_events,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+            IS NULL) AS is_current
+    FROM intervals
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 derivation: compress each user's
+    event stream into contiguous runs of the same event_type, emitting
+    [valid_from, valid_to) validity intervals with the open current run
+    flagged — the standard islands/CDC-snapshot operator for turning an
+    append-only log into a dimension table.
+
+    Scale: the classic gaps-and-islands plan — change flags via lag(1),
+    run ids via a running sum, both windows over the HIGH-cardinality
+    user key with the SAME (user_id) partitioning, so the whole derivation
+    rides ONE shuffle; the interval close (lead over run_id) then operates
+    on the already-collapsed runs table, which is orders of magnitude
+    smaller than the input.  No self-join, no per-user collect.
+
+    Determinism: BOTH windows (the lag flags and the run-id prefix sum)
+    order by the same total order (ts, event_id — event_id is unique), so
+    run boundaries are row-exact on both engines; min(event_type) inside
+    a run is constant by construction and min(ts)/count collapse
+    identically."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w_ord = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w_ord)), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    intervals = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run_id")
+    return intervals.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w_run).isNull().alias("is_current"),
+    )

@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "queries.relational",
     "queries.relational2",
     "queries.ranking",
+    "queries.corpus",
     "queries.serve",
 )
 
@@ -98,6 +99,14 @@ _DRIVER_PRIORITY = (
     "q_small_qty_revenue",
     "q_excess_suppliers",
     "q_waiting_suppliers",
+    # new in round 4 (corpus n-gram/sparse-similarity + robust stats tier)
+    "q_bigram_topk",
+    "q_pmi_collocations",
+    "q_sparse_cosine_topk",
+    "q_scd2_intervals",
+    "q_mad_outliers",
+    "q_value_deciles",
+    "q_event_pairs",
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's

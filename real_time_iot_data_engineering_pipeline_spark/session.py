@@ -29,9 +29,18 @@ def build_session(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
 
+    # In local mode executors share the driver JVM, whose default 1 GiB heap
+    # is 32-way-divided across task slots — measured to OOM at the 10x-of-
+    # sf0.1 scale fixture while the host has 128 GiB.  Sized here (takes
+    # effect because the JVM launches on first session build); a real
+    # cluster overrides per-executor memory in spark-submit instead.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         # Reference session tuning (streaming_job.py:172-189)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

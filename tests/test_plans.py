@@ -642,3 +642,55 @@ class TestRelational2Plans:
         assert len(li_scans) <= 2
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestCorpusAndRobustStatsPlans:
+    def test_bigram_expansion_is_join_free(self, spark, sf_dir):
+        """Bigrams expand inside the array domain (SQL lambda in the scan
+        stage); the textbook self-join/posexplode-align form would put a
+        Join in the plan."""
+        plan = plan_of(spark, sf_dir, "q_bigram_topk")
+        assert "Join" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_pmi_joins_without_cartesian(self, spark, sf_dir):
+        """Unigram<->bigram joins are key joins; the two scalar totals ride
+        broadcast single rows, never a CartesianProduct."""
+        plan = plan_of(spark, sf_dir, "q_pmi_collocations")
+        assert "CartesianProduct" not in plan
+
+    def test_sparse_cosine_prunes_with_window_group_limit(self, spark, sf_dir):
+        """The per-doc top-8 TF-IDF cut must compile to WindowGroupLimit
+        (partial per-partition top-k before the full window sort), and the
+        posting-list self-join must stay an equi-join on token."""
+        plan = plan_of(spark, sf_dir, "q_sparse_cosine_topk")
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_scd2_rides_one_shuffle(self, spark, sf_dir):
+        """Gaps-and-islands: lag flags, run-id prefix sum, per-run collapse
+        and the interval-close window all share the user_id partitioning —
+        exactly one hash exchange in the whole plan."""
+        plan = plan_of(spark, sf_dir, "q_scd2_intervals")
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_mad_medians_broadcast_back(self, spark, sf_dir):
+        """Exact MAD's three passes exchange only the 5-row median/MAD
+        tables (broadcast); the events fact must never shuffle."""
+        plan = plan_of(spark, sf_dir, "q_mad_outliers")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_value_deciles_single_partition_only_after_agg(self, spark, sf_dir):
+        """ntile's total order runs on the per-user aggregate: one hash
+        shuffle (the groupBy), then the SinglePartition window, then the
+        decile agg reuses that partitioning — no further exchanges."""
+        plan = plan_of(spark, sf_dir, "q_value_deciles")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SinglePartition" in plan
+
+    def test_event_pairs_expand_in_array_domain(self, spark, sf_dir):
+        """The i<j pair expansion is a nested lambda over the per-user type
+        set — no self-join anywhere in the plan."""
+        plan = plan_of(spark, sf_dir, "q_event_pairs")
+        assert "Join" not in plan
