@@ -164,18 +164,21 @@ class KeyedParquetSink:
                 json.dump(deduped.schema.jsonValue(), f)
         else:
             deduped.write.mode("overwrite").parquet(out)
+        self._commit(version, prev_version)
+
+    def _commit(self, version: str, prev_version: str | None) -> None:
+        """Atomically swing CURRENT to `version`, then GC with a lag of 1
+        (ADVICE r02): keep the version the pointer referenced until this
+        commit, so a reader that resolved the OLD pointer just before the
+        swap can finish its lazy parquet scan.  An out-of-band reader is
+        safe as long as it consumes within one commit interval; the
+        streaming foreachBatch driver (single writer) is always safe."""
         tmp_ptr = self._pointer + ".tmp"
         with open(tmp_ptr, "w") as f:
             f.write(version)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp_ptr, self._pointer)  # the one atomic commit point
-        # GC with a lag of 1 (ADVICE r02): keep the version the pointer
-        # referenced until this commit, so a reader that resolved the OLD
-        # pointer just before the swap can finish its lazy parquet scan.
-        # An out-of-band reader is safe as long as it consumes within one
-        # upsert interval; the streaming foreachBatch driver (single
-        # writer) is always safe.
         keep = {version, prev_version}
         for entry in os.listdir(self.root):
             path = os.path.join(self.root, entry)
@@ -204,6 +207,76 @@ class KeyedParquetSink:
                 and not os.path.exists(os.path.join(out, entry))
             ):
                 shutil.copytree(src, os.path.join(out, entry))
+
+    def compact(self, max_files_per_partition: int = 1) -> dict:
+        """Small-file compaction — the maintenance half of every streaming
+        sink: each micro-batch merge writes one file per shuffle task per
+        touched partition, so a month of 30-second batches leaves thousands
+        of KB-sized files per partition and read amplification grows
+        unbounded (the OPTIMIZE / rewrite_data_files operation of the
+        Delta/Iceberg world, reduced to its parquet-directory essence).
+
+        Partitions whose parquet file count exceeds `max_files_per_partition`
+        are rewritten to single files; every other partition's files carry
+        into the new version BYTE-IDENTICAL without being read or decoded.
+        The rewrite is per-partition-directory local — data never shuffles
+        and the partition column never round-trips through value encoding.
+        Commits through the same atomic CURRENT-pointer swap as upsert, so
+        readers see either the old or the compacted table, never a mix, and
+        a crash mid-compaction leaves the table untouched.  Returns
+        {"compacted": n, "skipped": n} partition counts (whole-table
+        semantics when the sink is unpartitioned)."""
+        current = self._current()
+        if current is None:
+            return {"compacted": 0, "skipped": 0}
+        prev_version = os.path.basename(current)
+
+        def _nfiles(d: str) -> int:
+            return sum(
+                1
+                for fn in os.listdir(d)
+                if fn.endswith(".parquet") and not fn.startswith("_")
+            )
+
+        version = f"v{prev_version}-compact-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, version)
+        if self.partition_col is None:
+            if _nfiles(current) <= max_files_per_partition:
+                return {"compacted": 0, "skipped": 1}
+            df = self._read_version(current)
+            df.coalesce(max_files_per_partition).write.mode("overwrite").parquet(out)
+            self._commit(version, prev_version)
+            return {"compacted": 1, "skipped": 0}
+
+        prefix = f"{self.partition_col}="
+        part_dirs = [
+            e
+            for e in sorted(os.listdir(current))
+            if e.startswith(prefix) and os.path.isdir(os.path.join(current, e))
+        ]
+        todo = [
+            e for e in part_dirs if _nfiles(os.path.join(current, e)) > max_files_per_partition
+        ]
+        if not todo:
+            return {"compacted": 0, "skipped": len(part_dirs)}
+        os.makedirs(out, exist_ok=True)
+        for entry in part_dirs:
+            src = os.path.join(current, entry)
+            if entry in set(todo):
+                # Leaf-directory read: the partition column lives in the
+                # dirname, not the files, and writing back under the same
+                # dirname preserves the layout without re-encoding values.
+                df = self.spark.read.parquet(src)
+                df.coalesce(max_files_per_partition).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(out, entry))
+            else:
+                shutil.copytree(src, os.path.join(out, entry))
+        schema_src = os.path.join(current, _SCHEMA_FILE)
+        if os.path.exists(schema_src):
+            shutil.copy(schema_src, os.path.join(out, _SCHEMA_FILE))
+        self._commit(version, prev_version)
+        return {"compacted": len(todo), "skipped": len(part_dirs) - len(todo)}
 
     def foreach_batch(self, retry_attempts: int = 1):
         """Adapter for writeStream.foreachBatch.  retry_attempts > 1 wraps

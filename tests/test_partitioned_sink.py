@@ -201,3 +201,88 @@ def test_incremental_mart_refresh_over_partitioned_sink(spark, sf_dir):
     got = sink.read().select(*full.columns)
     assert got.count() == full.count()
     assert got.exceptAll(full).count() == 0 and full.exceptAll(got).count() == 0
+
+
+@pytest.fixture
+def fragmented_writes(spark):
+    """Disable AQE partition coalescing so the merge write emits one file
+    per shuffle partition — the fragmentation profile a real-sized stream
+    produces (at test data sizes AQE would coalesce everything to 1 file
+    and there would be nothing to compact)."""
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def _nfiles(sink, day: str) -> int:
+    pdir = os.path.join(sink._current(), f"day={day}")
+    return sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
+
+
+def test_compact_merges_small_files_and_preserves_data(spark, tmp_path, fragmented_writes):
+    sink = KeyedParquetSink(
+        spark, str(tmp_path / "t"), ["day", "k"], partition_col="day"
+    )
+    # Many keys spread over shuffle partitions -> several files per
+    # partition dir after the merge write.
+    data = [("2024-01-0%d" % (1 + i % 2), i, float(i)) for i in range(40)]
+    sink.upsert(_rows(spark, data).repartition(8), epoch_id=1)
+    assert _nfiles(sink, "2024-01-01") > 1
+    before = sorted(sink.read().collect())
+
+    res = sink.compact(max_files_per_partition=1)
+    assert res["compacted"] == 2 and res["skipped"] == 0
+    assert _nfiles(sink, "2024-01-01") == 1
+    assert _nfiles(sink, "2024-01-02") == 1
+    assert sorted(sink.read().collect()) == before
+
+    # Already compact -> no-op: same version stays live, nothing rewritten.
+    ptr_before = sink._current()
+    res2 = sink.compact(max_files_per_partition=1)
+    assert res2 == {"compacted": 0, "skipped": 2}
+    assert sink._current() == ptr_before
+
+
+def test_compact_leaves_tight_partitions_byte_identical(spark, tmp_path, fragmented_writes):
+    sink = KeyedParquetSink(
+        spark, str(tmp_path / "t"), ["day", "k"], partition_col="day"
+    )
+    sink.upsert(_rows(spark, [("2024-01-01", 1, 1.0)]).coalesce(1), epoch_id=1)
+    # Partition 01 now has exactly one file; fragment partition 02 only.
+    sink.upsert(
+        _rows(
+            spark, [("2024-01-02", k, float(k)) for k in range(2, 30)]
+        ).repartition(8),
+        epoch_id=2,
+    )
+    tight = _partition_files(sink, "2024-01-01")
+    assert len(tight) == 1 and _nfiles(sink, "2024-01-02") > 1
+    before = sorted(sink.read().collect())
+
+    res = sink.compact(max_files_per_partition=1)
+    assert res["compacted"] == 1 and res["skipped"] == 1
+    # The tight partition's file carried forward byte-identical.
+    assert _partition_files(sink, "2024-01-01") == tight
+    assert _nfiles(sink, "2024-01-02") == 1
+    assert sorted(sink.read().collect()) == before
+    # Upserts keep working against the compacted version.
+    sink.upsert(_rows(spark, [("2024-01-02", 2, 99.0)]).coalesce(1), epoch_id=3)
+    rows = {(r["day"], r["k"]): r["v"] for r in sink.read().collect()}
+    assert rows[("2024-01-02", 2)] == 99.0
+
+
+def test_compact_unpartitioned_whole_table(spark, tmp_path, fragmented_writes):
+    sink = KeyedParquetSink(spark, str(tmp_path / "t"), ["day", "k"])
+    sink.upsert(
+        _rows(spark, [("d", k, float(k)) for k in range(30)]).repartition(8),
+        epoch_id=1,
+    )
+    current = sink._current()
+    n_before = sum(1 for f in os.listdir(current) if f.endswith(".parquet"))
+    assert n_before > 1
+    before = sorted(sink.read().collect())
+    res = sink.compact(max_files_per_partition=1)
+    assert res == {"compacted": 1, "skipped": 0}
+    current = sink._current()
+    assert sum(1 for f in os.listdir(current) if f.endswith(".parquet")) == 1
+    assert sorted(sink.read().collect()) == before
