@@ -413,3 +413,97 @@ def q_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy(F.col("n_users").desc(), "e1", "e2")
     )
+
+
+@register(
+    "q_behavior_signatures",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    sigs AS (
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY event_type) AS signature,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM d
+        GROUP BY user_id
+    )
+    SELECT signature, n_types,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM sigs
+    GROUP BY signature, n_types
+    ORDER BY n_users DESC, signature
+    """,
+)
+def q_behavior_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-signature segmentation: collapse each user's distinct
+    event types into one canonical ordered CSV signature, then count the
+    population of every signature — the segmentation table behind "how
+    many users view+click but never purchase".
+
+    Scale: the ordered-list aggregate (DuckDB string_agg ... ORDER BY) is
+    expressed in Spark as array_join(array_sort(collect_set())) —
+    collect_set's state is bounded by |event types| (single digits), NOT
+    by user activity, so the aggregate is safe at any fan-in; sorting
+    happens per user over that tiny set, never as a global sort.  Both
+    engines canonicalize by the same byte order, making the signature
+    string hash-comparable.  The second aggregate runs over |signatures|
+    (<= 2^|types|) rows — metadata scale."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    sigs = d.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "signature"
+        ),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    return (
+        sigs.groupBy("signature", "n_types")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "signature")
+    )
+
+
+@register(
+    "q_first_touch",
+    oracle=f"""
+    SELECT user_id,
+           min(struct_pack(ts := CAST(ts AS TIMESTAMP), id := event_id,
+                           et := event_type)).et AS first_type,
+           min(CAST(ts AS TIMESTAMP)) AS first_ts,
+           max(struct_pack(ts := CAST(ts AS TIMESTAMP), id := event_id,
+                           et := event_type)).et AS last_type,
+           max(CAST(ts AS TIMESTAMP)) AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution base: each user's first and last
+    event type and timestamp plus their event count — the argmin/argmax
+    aggregate surface (min_by/max_by over a struct ordering key in Spark;
+    DuckDB 1.0's arg_min only takes scalar orderings, so the oracle uses
+    the equivalent min-over-(ordering, payload)-struct idiom, the same
+    trick as q_semantic_dedup's assignment) — replacing the
+    window-rank-filter idiom with a SINGLE partial-aggregating pass.
+
+    Scale: where row_number()=1 would sort every user's history inside a
+    window, min_by keeps one (ordering, payload) candidate per group per
+    map task and merges — no per-user sort, no window state, one shuffle
+    of |users| pre-reduced rows.  Ordering is the total (ts, event_id)
+    struct so ties at equal timestamps resolve identically on both
+    engines (struct comparison is lexicographic in both)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", ordkey).alias("first_type"),
+        F.min("ts").alias("first_ts"),
+        F.max_by("event_type", ordkey).alias("last_type"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("n_events"),
+    )

@@ -316,3 +316,60 @@ def q_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.orderBy(F.col("cosine").desc(), "doc_a", "doc_b").limit(50)
+
+
+# Keyword pattern: explicit character classes only (identical semantics in
+# Java regex and RE2), leftmost non-overlapping matching in both engines.
+KEYWORD_PATTERN = "[a-z]*(?:scan|sort|hash)[a-z]*"
+
+
+@register(
+    "q_keyword_extract",
+    oracle=f"""
+    SELECT keyword, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '{KEYWORD_PATTERN}'))
+                   AS keyword
+        FROM documents
+        WHERE text IS NOT NULL
+    )
+    GROUP BY keyword
+    ORDER BY n DESC, keyword
+    LIMIT 20
+    """,
+)
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based keyword extraction: every match of a domain keyword
+    pattern across the corpus, with occurrence and document counts — the
+    regexp_extract_all + explode (generator/UDTF-style) surface, distinct
+    from the split-tokenizers elsewhere: ONE regex pass yields multiple
+    rows per document.
+
+    Scale: the extraction is a scan-stage projection (codegen regex, no
+    Python); only matched keywords explode into rows, so output volume
+    tracks match density, not corpus size.  The pattern is built from
+    explicit character classes so Java regex and RE2 match identically
+    (same discipline as WS_CLASS); the regex rides the PYTHON API with
+    F.lit, never F.expr, so backslash classes can't be escape-corrupted
+    (repo gotcha, queries/prep.py)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(KEYWORD_PATTERN), 0
+                )
+            ).alias("keyword"),
+        )
+        .groupBy("keyword")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n").desc(), "keyword")
+        .limit(20)
+    )

@@ -617,3 +617,106 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.lead("valid_from").over(w_run).isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('day', CAST(ts AS TIMESTAMP)) AS event_date,
+           CAST(GROUPING(event_type, event_date) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           {fround_sql("avg(value)")} AS avg_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, event_date), (event_type), (event_date))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third grouping-family member beside
+    ROLLUP (q_rollup_hypertable) and CUBE (q_cube_summary): exactly the
+    (type, day), (type), (day) marginals, WITHOUT the grand total a CUBE
+    would force — the shape a dashboard with two independent filters but
+    no 'all data' view serves.
+
+    Scale: identical Expand machinery — one scan, each row replicated
+    once per grouping set, partial aggregation collapses map-side, the
+    shuffle carries 3 x group-cardinality rows.  grouping_id (gid)
+    disambiguates a genuine NULL group value from an aggregate level.
+    Expressed through Spark SQL (GROUPING SETS has no DataFrame-API
+    equivalent), same as the marts family."""
+    ev = _events_ntz(spark, sf_dir)
+    ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("event_date"), "value"
+    ).createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, event_date,
+               CAST(grouping_id(event_type, event_date) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               (floor((avg(value)) * 1e4 * (1 + 1e-12) + 0.5) / 1e4) AS avg_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type, event_date), (event_type), (event_date))
+        """
+    )
+
+
+@register(
+    "q_missing_days",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS d0,
+               date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS d1
+        FROM events WHERE ts IS NOT NULL
+    ),
+    calendar AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    observed AS (
+        SELECT DISTINCT event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT t.event_type, c.day
+    FROM types t CROSS JOIN calendar c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM observed o
+        WHERE o.event_type = t.event_type AND o.day = c.day
+    )
+    ORDER BY t.event_type, c.day
+    """,
+)
+def q_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-gap detection via a GENERATED calendar dimension: for
+    every event type, which days inside the stream's global [min, max]
+    range have no events at all — the completeness check behind "is this
+    sensor family silently down" that q_reading_gaps (per-sensor
+    consecutive-gap) cannot answer, because a day with zero rows leaves
+    nothing to lag over.
+
+    Scale: the calendar is sequence()-generated from a broadcast 1-row
+    min/max aggregate — dimension tables you don't have are CHEAPER to
+    generate than to store; |days| x |types| candidate rows (metadata-
+    scale) anti-join the distinct observed pairs, and the distinct
+    collapses map-side before its shuffle.  The fact is scanned twice
+    (bounds + observed), both times reduced before moving."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    calendar = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    observed = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    return (
+        types.crossJoin(F.broadcast(calendar))
+        .join(observed, ["event_type", "day"], "left_anti")
+        .orderBy("event_type", "day")
+    )

@@ -107,6 +107,13 @@ _DRIVER_PRIORITY = (
     "q_mad_outliers",
     "q_value_deciles",
     "q_event_pairs",
+    # new in round 4 (function-surface batch: grouping sets, generated
+    # calendar anti-join, ordered-list agg, argmin/argmax, regex UDTF)
+    "q_grouping_sets",
+    "q_missing_days",
+    "q_behavior_signatures",
+    "q_first_touch",
+    "q_keyword_extract",
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's

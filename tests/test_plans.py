@@ -694,3 +694,40 @@ class TestCorpusAndRobustStatsPlans:
         set — no self-join anywhere in the plan."""
         plan = plan_of(spark, sf_dir, "q_event_pairs")
         assert "Join" not in plan
+
+
+class TestFunctionSurfacePlans:
+    def test_grouping_sets_expand_single_scan(self, spark, sf_dir):
+        """GROUPING SETS must compile to one Expand over one scan — three
+        grouping levels, not three jobs."""
+        plan = plan_of(spark, sf_dir, "q_grouping_sets")
+        assert "Expand" in plan
+        assert plan.count("FileScan parquet") == 1
+
+    def test_missing_days_generates_calendar_and_anti_joins(self, spark, sf_dir):
+        """The calendar is sequence()-generated and cross-joins |types|
+        rows via broadcast; the absence check is a LeftAnti on the
+        distinct observed pairs — no per-day scan loop."""
+        plan = plan_of(spark, sf_dir, "q_missing_days")
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_behavior_signatures_no_window(self, spark, sf_dir):
+        """Signature canonicalization is a bounded-state collect_set
+        aggregate — no Window, no global sort before the final top."""
+        plan = plan_of(spark, sf_dir, "q_behavior_signatures")
+        assert "Window" not in plan
+
+    def test_first_touch_is_one_aggregate_no_window(self, spark, sf_dir):
+        """min_by/max_by replace the row_number()=1 idiom: one partial-
+        aggregating pass, no Window operator, no per-user sort."""
+        plan = plan_of(spark, sf_dir, "q_first_touch")
+        assert "Window" not in plan
+        assert "partial" in plan.lower()
+
+    def test_keyword_extract_is_join_free_generate(self, spark, sf_dir):
+        """regexp_extract_all + explode is a scan-stage Generate — no join
+        anywhere, aggregation over matches only."""
+        plan = plan_of(spark, sf_dir, "q_keyword_extract")
+        assert "Generate" in plan
+        assert "Join" not in plan
