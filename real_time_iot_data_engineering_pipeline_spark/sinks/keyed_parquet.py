@@ -62,11 +62,19 @@ class KeyedParquetSink:
         root: str,
         key_cols: list[str],
         partition_col: str | None = None,
+        merge_schema: bool = False,
     ):
         """partition_col enables partition-pruned merges.  It must be one of
         key_cols (a key must never move between partitions, or last-write-
         wins could keep both versions) and should hold date/int/string
-        values so Spark's partition-directory round-trip is lossless."""
+        values so Spark's partition-directory round-trip is lossless.
+
+        merge_schema enables ADDITIVE schema evolution (Delta's
+        mergeSchema): a batch may introduce columns the table lacks (old
+        rows read back NULL) or omit columns the table has (the batch's
+        rows get NULL) — the merged schema is the union by name.  Off by
+        default: an unexpected schema drift then fails the batch loudly
+        instead of silently widening the table."""
         if partition_col is not None and partition_col not in key_cols:
             raise ValueError(
                 f"partition_col {partition_col!r} must be one of key_cols "
@@ -76,6 +84,7 @@ class KeyedParquetSink:
         self.root = root
         self.key_cols = list(key_cols)
         self.partition_col = partition_col
+        self.merge_schema = merge_schema
         os.makedirs(root, exist_ok=True)
 
     @property
@@ -145,7 +154,9 @@ class KeyedParquetSink:
                     r[0] for r in incoming.select(pcol).distinct().collect()
                 ]
                 existing = existing.filter(F.col(pcol).isin(touched))
-            merged = existing.unionByName(incoming)
+            merged = existing.unionByName(
+                incoming, allowMissingColumns=self.merge_schema
+            )
         else:
             merged = incoming
         w = Window.partitionBy(*self.key_cols).orderBy(F.col(_EPOCH_COL).desc())

@@ -286,3 +286,42 @@ def test_compact_unpartitioned_whole_table(spark, tmp_path, fragmented_writes):
     current = sink._current()
     assert sum(1 for f in os.listdir(current) if f.endswith(".parquet")) == 1
     assert sorted(sink.read().collect()) == before
+
+
+def test_merge_schema_adds_columns_additively(spark, tmp_path):
+    sink = KeyedParquetSink(
+        spark,
+        str(tmp_path / "t"),
+        ["day", "k"],
+        partition_col="day",
+        merge_schema=True,
+    )
+    sink.upsert(_rows(spark, [("2024-01-01", 1, 1.0), ("2024-01-02", 2, 2.0)]), 1)
+    widened = spark.createDataFrame(
+        [("2024-01-02", 3, 3.0, "fresh")], "day string, k long, v double, note string"
+    )
+    sink.upsert(widened, 2)
+    rows = {(r["day"], r["k"]): r for r in sink.read().collect()}
+    assert set(rows[("2024-01-02", 3)].asDict()) == {"day", "k", "v", "note"}
+    assert rows[("2024-01-02", 3)]["note"] == "fresh"
+    # Old rows — including ones in an UNTOUCHED partition read through the
+    # widened stored schema — come back with NULL for the new column.
+    assert rows[("2024-01-01", 1)]["note"] is None
+    assert rows[("2024-01-02", 2)]["note"] is None
+    # A later batch may omit the evolved column; its rows get NULL.
+    sink.upsert(_rows(spark, [("2024-01-01", 9, 9.0)]), 3)
+    rows = {(r["day"], r["k"]): r for r in sink.read().collect()}
+    assert rows[("2024-01-01", 9)]["note"] is None
+    assert rows[("2024-01-02", 3)]["note"] == "fresh"
+
+
+def test_schema_drift_fails_loudly_by_default(spark, tmp_path):
+    from pyspark.errors import AnalysisException
+
+    sink = KeyedParquetSink(spark, str(tmp_path / "t"), ["day", "k"])
+    sink.upsert(_rows(spark, [("2024-01-01", 1, 1.0)]), 1)
+    widened = spark.createDataFrame(
+        [("2024-01-01", 2, 2.0, "x")], "day string, k long, v double, note string"
+    )
+    with pytest.raises(AnalysisException):
+        sink.upsert(widened, 2)

@@ -388,3 +388,103 @@ class TestRangeJoinProperty:
             else:
                 expected[j] = (0, None)
         assert got == expected
+
+
+class TestScd2Model:
+    """q_scd2_intervals vs a direct Python fold over the same ordering —
+    the islands logic is easy to get subtly wrong at run boundaries, so
+    the window implementation is checked against the obvious sequential
+    model on the real fixture."""
+
+    def test_matches_sequential_fold(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        registry.load_all()
+        from real_time_iot_data_engineering_pipeline_spark.sources import (
+            load_table,
+        )
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("ts").isNotNull())
+            .select("user_id", "event_type", "ts", "event_id")
+            .collect()
+        )
+        by_user = defaultdict(list)
+        for r in ev:
+            by_user[r["user_id"]].append(r)
+        expected = {}
+        for uid, rows in by_user.items():
+            rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+            runs = []
+            for r in rows:
+                if not runs or runs[-1]["type"] != r["event_type"]:
+                    runs.append(
+                        {"type": r["event_type"], "from": r["ts"], "n": 0}
+                    )
+                runs[-1]["n"] += 1
+            for i, run in enumerate(runs):
+                nxt = runs[i + 1]["from"] if i + 1 < len(runs) else None
+                expected[(uid, run["from"])] = (
+                    run["type"],
+                    nxt,
+                    run["n"],
+                    nxt is None,
+                )
+
+        got = registry.QUERIES["q_scd2_intervals"](spark, sf_dir).collect()
+        assert len(got) == len(expected)
+        for r in got:
+            exp = expected[(r["user_id"], r["valid_from"])]
+            assert (
+                r["event_type"],
+                r["valid_to"],
+                r["n_events"],
+                r["is_current"],
+            ) == exp
+
+
+class TestMadModel:
+    """q_mad_outliers vs numpy medians (quantized the same way)."""
+
+    def test_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        registry.load_all()
+        from real_time_iot_data_engineering_pipeline_spark.sources import (
+            load_table,
+        )
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_type", "value")
+            .collect()
+        )
+        vals = {}
+        for r in ev:
+            vals.setdefault(r["event_type"], []).append(r["value"])
+
+        def q4(x):
+            import math
+
+            return math.floor(x * 1e4 * (1 + 1e-12) + 0.5) / 1e4
+
+        got = {
+            r["event_type"]: r
+            for r in registry.QUERIES["q_mad_outliers"](spark, sf_dir).collect()
+        }
+        assert set(got) == set(vals)
+        for et, xs in vals.items():
+            a = np.asarray(xs, dtype=float)
+            med = q4(float(np.median(a)))
+            mad = q4(float(np.median(np.abs(a - med))))
+            n_out = int((np.abs(a - med) > 3 * mad).sum())
+            r = got[et]
+            assert r["med"] == pytest.approx(med, abs=1e-9)
+            assert r["mad"] == pytest.approx(mad, abs=1e-9)
+            assert (r["n"], r["n_outliers"]) == (len(xs), n_out)
