@@ -289,13 +289,20 @@ class KeyedParquetSink:
         self._commit(version, prev_version)
         return {"compacted": len(todo), "skipped": len(part_dirs) - len(todo)}
 
-    def foreach_batch(self, retry_attempts: int = 1):
+    def foreach_batch(self, retry_attempts: int = 1, compact_every: int = 0):
         """Adapter for writeStream.foreachBatch.  retry_attempts > 1 wraps
         the upsert in exponential-backoff retry (sinks/retry.py), mirroring
         the reference's tenacity wrapper around each Mongo batch write
         (streaming_job.py:535-550) — a transient sink failure retries
         without killing the streaming query; a persistent one still fails
-        the batch so checkpointing can replay it."""
+        the batch so checkpointing can replay it.
+
+        compact_every > 0 runs compact() after every Nth epoch — inline
+        maintenance so a long-running stream can't fragment its own table
+        unboundedly.  Keyed on epoch_id (not a call counter) so replays
+        stay idempotent: re-running epoch N re-runs the same maintenance
+        decision.  Compaction failures propagate like upsert failures —
+        the batch replays, and compact() is a no-op when already tight."""
         from .retry import with_retry
 
         def _fn(batch_df: DataFrame, epoch_id: int) -> None:
@@ -306,5 +313,9 @@ class KeyedParquetSink:
                     lambda: self.upsert(batch_df, epoch_id),
                     max_attempts=retry_attempts,
                 )
+            if compact_every > 0 and int(epoch_id) % compact_every == (
+                compact_every - 1
+            ):
+                self.compact()
 
         return _fn

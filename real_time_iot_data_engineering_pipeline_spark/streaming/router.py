@@ -107,3 +107,49 @@ def run_router(
         if query.isActive:
             query.stop()
     return sink
+
+
+class ReplayResult:
+    """Outcome of a DLQ replay: `recovered` rows now pass validation (the
+    quarantine metadata stripped, ready for re-ingest); `still_failing`
+    rows keep their CURRENT failure reasons (which may differ from the
+    reasons they were quarantined under, if rules changed)."""
+
+    def __init__(self, recovered: DataFrame, still_failing: DataFrame):
+        self.recovered = recovered
+        self.still_failing = still_failing
+
+
+def replay_dlq(spark: SparkSession, dlq_dir: str) -> ReplayResult:
+    """Re-drive quarantined events through the CURRENT validation rules —
+    the operational second half of every dead-letter queue (the reference
+    only ever writes its dlq topic; nothing reads it back).  After a rule
+    fix or an upstream data repair, rows that now validate come back
+    clean for re-ingest; the rest stay quarantined with refreshed
+    reasons, so the DLQ never silently accumulates rows that would pass
+    today's rules.
+
+    Re-ingest contract: recovered rows feed the SAME batch/stream entry
+    points as fresh data (the windowed aggregate + keyed upsert, or the
+    incremental mart refresh) — aggregate repair is a recompute of the
+    affected windows over valid+recovered input, exactly the
+    mart_daily_incremental_refresh pattern, not an in-place aggregate
+    edit.
+
+    Scale: validation is the same shuffle-free single-projection rule
+    pass as ingest; the replay reads only the DLQ (quarantine-sized, not
+    corpus-sized) and epoch subdirectories prune by partition discovery."""
+    dlq = spark.read.parquet(os.path.join(dlq_dir, "epoch=*"))
+    bare = dlq.drop("validation_failures", "data_quality_flag")
+    revalidated = validated_stream(bare)
+    recovered = (
+        revalidated.filter("is_valid")
+        .drop("failure_reasons", "is_valid")
+    )
+    still_failing = (
+        revalidated.filter(~F.col("is_valid"))
+        .withColumnRenamed("failure_reasons", "validation_failures")
+        .withColumn("data_quality_flag", F.lit("invalid"))
+        .drop("is_valid")
+    )
+    return ReplayResult(recovered, still_failing)

@@ -325,3 +325,17 @@ def test_schema_drift_fails_loudly_by_default(spark, tmp_path):
     )
     with pytest.raises(AnalysisException):
         sink.upsert(widened, 2)
+
+
+def test_foreach_batch_periodic_compaction(spark, tmp_path, fragmented_writes):
+    sink = KeyedParquetSink(
+        spark, str(tmp_path / "t"), ["day", "k"], partition_col="day"
+    )
+    fn = sink.foreach_batch(compact_every=2)
+    fn(_rows(spark, [("2024-01-01", k, 1.0) for k in range(20)]).repartition(8), 0)
+    assert _nfiles(sink, "2024-01-01") > 1  # epoch 0: no maintenance yet
+    fn(_rows(spark, [("2024-01-01", k, 2.0) for k in range(20)]).repartition(8), 1)
+    # epoch 1 (2nd of every pair) triggered compact()
+    assert _nfiles(sink, "2024-01-01") == 1
+    rows = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert rows == {k: 2.0 for k in range(20)}

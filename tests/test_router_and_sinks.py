@@ -126,3 +126,53 @@ class TestPartitionWriter:
         assert len(rows) == 2500
         assert {r["id"] for r in rows} == set(range(2500))
         assert all(r["v"] == r["id"] * 2 for r in rows)
+
+
+class TestDlqReplay:
+    def test_replay_recovers_now_valid_rows(self, spark, tmp_path):
+        """A DLQ holds rows quarantined under OLD conditions: replay must
+        re-drive them through the CURRENT rules — rows that now pass come
+        back clean (quarantine metadata gone), the rest keep refreshed
+        reasons.  Simulated by planting one genuinely-clean row in the
+        DLQ (as an upstream repair / rule relaxation would leave it)
+        beside one that still breaks the range rule."""
+        from pyspark.sql import functions as F
+
+        from real_time_iot_data_engineering_pipeline_spark.streaming.router import (
+            replay_dlq,
+        )
+
+        dlq_dir = tmp_path / "dlq"
+        rows = [
+            dict(
+                ev(1, "2024-01-19 10:00:00", value=5.0),
+                props='{"k": 7}',
+                event_type="click",
+            ),  # passes today's rules -> recovered
+            dict(
+                ev(2, "2024-01-19 10:00:01", value=500.0),
+                props='{"k": 7}',
+                event_type="click",
+            ),  # still out_of_range -> stays quarantined
+        ]
+        df = spark.createDataFrame(
+            [
+                dict(
+                    r,
+                    validation_failures="some_old_reason",
+                    data_quality_flag="invalid",
+                )
+                for r in rows
+            ]
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        df.write.parquet(str(dlq_dir / "epoch=0"))
+
+        res = replay_dlq(spark, str(dlq_dir))
+        rec = res.recovered.collect()
+        assert [r.event_id for r in rec] == [1]
+        assert "validation_failures" not in res.recovered.columns
+        assert "data_quality_flag" not in res.recovered.columns
+        still = res.still_failing.collect()
+        assert [r.event_id for r in still] == [2]
+        assert still[0].validation_failures == "out_of_range:value"
+        assert still[0].data_quality_flag == "invalid"
