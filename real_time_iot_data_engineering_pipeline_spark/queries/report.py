@@ -412,3 +412,106 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("n_docs") / F.col("_all_docs"), 4).alias("doc_share"),
         fround(F.col("total_tokens") / F.col("_all_tokens"), 4).alias("token_share"),
     )
+
+
+@register(
+    "q_profile_events",
+    oracle=f"""
+    WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) - count(event_id) AS BIGINT) AS null_event_id,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS nd_event_id,
+               {fround_sql("min(event_id)")} AS min_event_id,
+               {fround_sql("max(event_id)")} AS max_event_id,
+               CAST(count(*) - count(user_id) AS BIGINT) AS null_user_id,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+               {fround_sql("min(user_id)")} AS min_user_id,
+               {fround_sql("max(user_id)")} AS max_user_id,
+               CAST(count(*) - count(value) AS BIGINT) AS null_value,
+               CAST(count(DISTINCT value) AS BIGINT) AS nd_value,
+               {fround_sql("min(value)")} AS min_value,
+               {fround_sql("max(value)")} AS max_value,
+               CAST(count(*) - count(event_type) AS BIGINT) AS null_event_type,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+               min(event_type) AS smin_event_type,
+               max(event_type) AS smax_event_type
+        FROM events
+    )
+    SELECT 'event_id' AS column_name, n, null_event_id AS n_null,
+           nd_event_id AS n_distinct, min_event_id AS min_num,
+           max_event_id AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM agg
+    UNION ALL
+    SELECT 'user_id', n, null_user_id, nd_user_id, min_user_id,
+           max_user_id, NULL, NULL FROM agg
+    UNION ALL
+    SELECT 'value', n, null_value, nd_value, min_value, max_value,
+           NULL, NULL FROM agg
+    UNION ALL
+    SELECT 'event_type', n, null_event_type, nd_event_type,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           smin_event_type, smax_event_type FROM agg
+    ORDER BY column_name
+    """,
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profiler: per column, row count, null count,
+    exact distinct count, and min/max (numeric columns in the numeric
+    slots, string columns in the string slots) — the DESCRIBE/data-card
+    table every ingestion pipeline emits before anything else runs.
+
+    Scale: ALL sixteen statistics come from ONE aggregate over ONE scan —
+    the multi-count-distinct compiles to a single Expand (4x row
+    replication, partial-aggregated map-side), not four jobs; the wide
+    1-row result is then unpivoted to the per-column layout with stack()
+    (Spark's UNPIVOT generator), which is a projection of the single row
+    — reshaping happens after aggregation, so it is free.  Profiling N
+    columns at 100 TB costs exactly one scan regardless of N."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.count("*") - F.count("event_id")).cast("long").alias("null_event_id"),
+        F.count_distinct("event_id").cast("long").alias("nd_event_id"),
+        fround(F.min("event_id"), 4).alias("min_event_id"),
+        fround(F.max("event_id"), 4).alias("max_event_id"),
+        (F.count("*") - F.count("user_id")).cast("long").alias("null_user_id"),
+        F.count_distinct("user_id").cast("long").alias("nd_user_id"),
+        fround(F.min("user_id"), 4).alias("min_user_id"),
+        fround(F.max("user_id"), 4).alias("max_user_id"),
+        (F.count("*") - F.count("value")).cast("long").alias("null_value"),
+        F.count_distinct("value").cast("long").alias("nd_value"),
+        fround(F.min("value"), 4).alias("min_value"),
+        fround(F.max("value"), 4).alias("max_value"),
+        (F.count("*") - F.count("event_type"))
+        .cast("long")
+        .alias("null_event_type"),
+        F.count_distinct("event_type").cast("long").alias("nd_event_type"),
+        F.min("event_type").alias("smin_event_type"),
+        F.max("event_type").alias("smax_event_type"),
+    )
+    return agg.select(
+        F.expr(
+            """
+            stack(4,
+              'event_id',  null_event_id,  nd_event_id,
+                  min_event_id, max_event_id,
+                  CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'user_id',   null_user_id,   nd_user_id,
+                  min_user_id, max_user_id,
+                  CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'value',     null_value,     nd_value,
+                  min_value, max_value,
+                  CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'event_type', null_event_type, nd_event_type,
+                  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                  smin_event_type, smax_event_type
+            ) AS (column_name, n_null, n_distinct,
+                  min_num, max_num, min_str, max_str)
+            """
+        ),
+        F.col("n"),
+    ).select(
+        "column_name", "n", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    ).orderBy("column_name")

@@ -114,6 +114,7 @@ _DRIVER_PRIORITY = (
     "q_behavior_signatures",
     "q_first_touch",
     "q_keyword_extract",
+    "q_profile_events",
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's

@@ -731,3 +731,11 @@ class TestFunctionSurfacePlans:
         plan = plan_of(spark, sf_dir, "q_keyword_extract")
         assert "Generate" in plan
         assert "Join" not in plan
+
+    def test_profile_single_scan_with_expand(self, spark, sf_dir):
+        """All per-column statistics (including 4 count-distincts) must
+        come from ONE scan — Expand handles the distinct replication and
+        stack() reshapes after aggregation."""
+        plan = plan_of(spark, sf_dir, "q_profile_events")
+        assert plan.count("FileScan parquet") == 1
+        assert "Expand" in plan
