@@ -78,6 +78,7 @@ def run_topology(
     monitor_now=None,
     with_monitor: bool = False,
     with_attribution: bool = False,
+    compact_every: int = 0,
 ) -> TopologyResult:
     """Drain source_dir through the full validate->route->dedup->window->
     upsert topology with Trigger.AvailableNow on both branches.
@@ -87,7 +88,11 @@ def run_topology(
     APPEND output mode (a session emits exactly once, when the watermark
     passes its end and it can no longer merge) — update mode is a Spark
     error for them; the keyed upsert sink is mode-agnostic, so only the
-    writer's outputMode changes."""
+    writer's outputMode changes.
+
+    compact_every > 0 runs the sink's small-file compaction after every
+    Nth epoch inside foreachBatch (sinks/keyed_parquet.py) — the
+    long-running-stream maintenance knob."""
     agg_sink = KeyedParquetSink(spark, os.path.join(out_dir, "aggs"), AGG_KEY_COLS)
     dlq_dir = os.path.join(out_dir, "dlq")
 
@@ -117,7 +122,7 @@ def run_topology(
     q_main = start(
         main,
         "topology-main",
-        agg_sink.foreach_batch(retry_attempts=3),
+        agg_sink.foreach_batch(retry_attempts=3, compact_every=compact_every),
         mode="append" if window_family == "session" else "update",
     )
 

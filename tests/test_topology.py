@@ -209,3 +209,33 @@ def test_topology_attribution_branch(spark, tmp_path):
     assert [r.event_id for r in result.read_dlq().collect()] == [3]
     agg_total = sum(r["count"] for r in result.aggregates.read().collect())
     assert agg_total == 3
+
+
+def test_topology_inline_compaction(spark, tmp_path):
+    """compact_every wires the sink's small-file maintenance into the live
+    stream: after the run, the aggregate table holds at most one parquet
+    file (unpartitioned sink -> whole-table compaction) and the data is
+    unchanged by it."""
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}', event_type="click")
+    write_file(
+        str(src), "f1.json",
+        [dict(ev(1, "2024-01-19 10:00:00", value=2.0), **valid_kwargs)],
+        seq=0,
+    )
+    write_file(
+        str(src), "f2.json",
+        [dict(ev(2, "2024-01-19 10:07:00", value=4.0), **valid_kwargs)],
+        seq=1,
+    )
+    res = run_topology(
+        spark, str(src), str(tmp_path / "out"), compact_every=1
+    )
+    current = res.aggregates._current()
+    n_files = sum(1 for f in os.listdir(current) if f.endswith(".parquet"))
+    assert n_files == 1
+    rows = res.aggregates.read().collect()
+    assert {r["window_start"].minute for r in rows} == {0, 5}
