@@ -46,6 +46,17 @@ EVENT_WIRE_SCHEMA = T.StructType(
     ]
 )
 
+# Reader-side corrupt capture: a line that is not valid JSON parses to an
+# all-null row in PERMISSIVE mode and would vanish into the hygiene filters
+# — the reference's validator instead quarantines the RAW message
+# (validation_consumer.py malformed-JSON branch).  Capturing the raw line
+# in CORRUPT_COL preserves the payload so the DLQ keeps what was actually
+# received, not a row of nulls.
+CORRUPT_COL = "_corrupt_record"
+EVENT_WIRE_SCHEMA_WITH_CORRUPT = T.StructType(
+    EVENT_WIRE_SCHEMA.fields + [T.StructField(CORRUPT_COL, T.StringType())]
+)
+
 WATERMARK_DELAY = "1 minute"  # streaming_job.py:81,303
 WINDOW_DURATION = "5 minutes"  # streaming_job.py:80,306
 MICRO_BATCH_INTERVAL = "10 seconds"  # streaming_job.py:82,736
@@ -68,8 +79,10 @@ def read_event_file_stream(
     makes watermark progression deterministic — files are picked up in
     modification-time order, the reference's offset order."""
     return (
-        spark.readStream.schema(EVENT_WIRE_SCHEMA)
+        spark.readStream.schema(EVENT_WIRE_SCHEMA_WITH_CORRUPT)
         .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(source_dir)
     )
 
@@ -78,10 +91,17 @@ def parse_event_stream(raw: DataFrame) -> DataFrame:
     """Parse + hygiene filters, mirroring parse_kafka_messages
     (streaming_job.py:233-271): string ts -> timestamp, then drop rows with
     an unparseable timestamp or a null key (:264-267)."""
+    cols = raw.columns
+    hygiene = F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    if CORRUPT_COL in cols:
+        # Malformed lines survive the hygiene filters so the topology can
+        # quarantine them WITH their raw payload; well-formed rows with an
+        # unparseable ts / null key are dropped here exactly as before
+        # (streaming_job.py:264-267).
+        hygiene = hygiene | F.col(CORRUPT_COL).isNotNull()
     return (
         raw.withColumn("ts", F.to_timestamp("ts"))
-        .filter(F.col("ts").isNotNull())
-        .filter(F.col("user_id").isNotNull())
+        .filter(hygiene)
     )
 
 
@@ -191,7 +211,14 @@ def run_pipeline(
     scanning spark.streams.active, which misattributes when other queries
     share the session."""
     raw = read_event_file_stream(spark, source_dir, max_files_per_trigger)
-    agg = windowed_aggregate(parse_event_stream(raw))
+    # The plain pipeline has no DLQ branch: malformed lines are dropped
+    # here (the topology variant quarantines them with their raw payload).
+    parsed = (
+        parse_event_stream(raw)
+        .filter(F.col(CORRUPT_COL).isNull())
+        .drop(CORRUPT_COL)
+    )
+    agg = windowed_aggregate(parsed)
     sink = KeyedParquetSink(spark, sink_dir, AGG_KEY_COLS)
     writer = (
         agg.writeStream.outputMode("update")

@@ -36,6 +36,7 @@ from ..sinks import KeyedParquetSink
 from .monitor import QualityMonitorSink
 from .pipeline import (
     AGG_KEY_COLS,
+    CORRUPT_COL,
     dedup_stream,
     parse_event_stream,
     read_event_file_stream,
@@ -115,7 +116,11 @@ def run_topology(
     # dedup_stream sets the event-time watermark; the chained aggregation
     # must NOT redefine it (multiple stateful operators share one watermark)
     main = windowed_aggregate(
-        dedup_stream(validated.filter("is_valid").drop("failure_reasons", "is_valid")),
+        dedup_stream(
+            validated.filter("is_valid").drop(
+                "failure_reasons", "is_valid", CORRUPT_COL
+            )
+        ),
         watermark_delay=None,
         family=window_family,
     )
@@ -126,10 +131,23 @@ def run_topology(
         mode="append" if window_family == "session" else "update",
     )
 
-    # DLQ path: invalid -> append with reasons (validation_consumer.py:557-563)
+    # DLQ path: invalid -> append with reasons (validation_consumer.py:557-563).
+    # Malformed-JSON rows (all-null columns, raw line captured at the reader)
+    # are tagged with a leading malformed:json reason and keep the raw
+    # payload — the quarantine holds what was received, not a row of nulls.
     dlq = (
         validated.filter(~F.col("is_valid"))
+        .withColumn(
+            "failure_reasons",
+            F.when(
+                F.col(CORRUPT_COL).isNotNull(),
+                F.concat_ws(
+                    ";", F.lit("malformed:json"), F.col("failure_reasons")
+                ),
+            ).otherwise(F.col("failure_reasons")),
+        )
         .withColumnRenamed("failure_reasons", "validation_failures")
+        .withColumnRenamed(CORRUPT_COL, "raw_payload")
         .withColumn("data_quality_flag", F.lit("invalid"))
         .drop("is_valid")
     )
@@ -151,7 +169,7 @@ def run_topology(
     if with_attribution:
         attribution_dir = os.path.join(out_dir, "attribution")
         valid_events = validated.filter("is_valid").drop(
-            "failure_reasons", "is_valid"
+            "failure_reasons", "is_valid", CORRUPT_COL
         )
         attributed = attribute_clicks(
             split_by_type(valid_events, "view"),

@@ -475,11 +475,13 @@ class TestStreamingDedupBucketKey:
 
 
 class TestCorruptInput:
-    def test_malformed_json_lines_are_dropped_not_fatal(self, spark, tmp_path):
-        """Kafka delivers arbitrary bytes; the reference's validator drops
-        undecodable messages (validation_consumer.py:481-490).  The file
-        source + schema gives null columns for corrupt lines, and the parse
-        stage's null filters drop them without failing the query."""
+    def test_malformed_json_lines_survive_with_raw_payload(self, spark, tmp_path):
+        """Kafka delivers arbitrary bytes; the reference's validator
+        quarantines undecodable messages WITH their raw payload
+        (validation_consumer.py:481-490).  The reader captures the raw line
+        in _corrupt_record, the parse stage keeps it alive for the DLQ
+        branch, and well-formed rows with an unparseable ts or null key are
+        still dropped at parse exactly as before."""
         src = tmp_path / "src"
         src.mkdir()
         path = src / "f1.json"
@@ -504,8 +506,15 @@ class TestCorruptInput:
             .start()
         )
         q.awaitTermination(120)
-        rows = spark.sql("SELECT event_id FROM corrupt_out").collect()
-        assert [r.event_id for r in rows] == [1]
+        rows = spark.sql(
+            "SELECT event_id, _corrupt_record FROM corrupt_out"
+            " ORDER BY event_id NULLS LAST"
+        ).collect()
+        # valid row 1 + the malformed line (null columns, raw payload kept);
+        # bad-ts and null-key rows are gone.
+        assert [r.event_id for r in rows] == [1, None]
+        assert rows[0]._corrupt_record is None
+        assert rows[1]._corrupt_record == "this is not json at all"
 
 
 class TestStateStoreAndTrigger:

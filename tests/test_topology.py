@@ -239,3 +239,32 @@ def test_topology_inline_compaction(spark, tmp_path):
     assert n_files == 1
     rows = res.aggregates.read().collect()
     assert {r["window_start"].minute for r in rows} == {0, 5}
+
+
+def test_topology_quarantines_malformed_json_with_payload(spark, tmp_path):
+    """A non-JSON line must land in the DLQ with a leading malformed:json
+    reason and its raw payload — never silently vanish, never reach the
+    aggregate."""
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}', event_type="click")
+    write_file(
+        str(src), "f1.json",
+        [dict(ev(1, "2024-01-19 10:00:00", value=2.0), **valid_kwargs)],
+        seq=0,
+    )
+    path = src / "f2.json"
+    with open(path, "w") as f:
+        f.write("%%% totally not json %%%\n")
+    import os as _os
+
+    st = _os.stat(src / "f1.json")
+    _os.utime(path, (st.st_mtime + 10, st.st_mtime + 10))
+
+    res = run_topology(spark, str(src), str(tmp_path / "out"))
+    assert res.aggregates.read().count() == 1  # only the valid event
+    dlq = res.read_dlq().collect()
+    bad = [r for r in dlq if r.raw_payload is not None]
+    assert len(bad) == 1
+    assert bad[0].raw_payload == "%%% totally not json %%%"
+    assert bad[0].validation_failures.startswith("malformed:json")
