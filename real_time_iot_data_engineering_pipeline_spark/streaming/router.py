@@ -48,17 +48,33 @@ class RouterSink:
         self.dlq_dir = os.path.join(root, "dlq")
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from .pipeline import CORRUPT_COL
+
         if batch_df.isEmpty():
             return
+        has_corrupt = CORRUPT_COL in batch_df.columns
         validated = validated_stream(batch_df)
         valid = validated.filter("is_valid").withColumn(
             "data_quality_flag", F.lit("valid")
         )
-        dlq = (
-            validated.filter(~F.col("is_valid"))
-            .withColumnRenamed("failure_reasons", "validation_failures")
-            .withColumn("data_quality_flag", F.lit("invalid"))
-        )
+        if has_corrupt:
+            valid = valid.drop(CORRUPT_COL)
+        dlq = validated.filter(~F.col("is_valid"))
+        if has_corrupt:
+            # Same quarantine contract as the topology DLQ branch: the raw
+            # undecodable line is preserved, tagged malformed:json first.
+            dlq = dlq.withColumn(
+                "failure_reasons",
+                F.when(
+                    F.col(CORRUPT_COL).isNotNull(),
+                    F.concat_ws(
+                        ";", F.lit("malformed:json"), F.col("failure_reasons")
+                    ),
+                ).otherwise(F.col("failure_reasons")),
+            ).withColumnRenamed(CORRUPT_COL, "raw_payload")
+        dlq = dlq.withColumnRenamed(
+            "failure_reasons", "validation_failures"
+        ).withColumn("data_quality_flag", F.lit("invalid"))
         # per-epoch subdirs => replaying an epoch overwrites its own output
         # instead of appending duplicates (exactly-once with checkpointing)
         valid.drop("is_valid").write.mode("overwrite").parquet(

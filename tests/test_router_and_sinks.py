@@ -176,3 +176,34 @@ class TestDlqReplay:
         assert [r.event_id for r in still] == [2]
         assert still[0].validation_failures == "out_of_range:value"
         assert still[0].data_quality_flag == "invalid"
+
+
+    def test_router_quarantines_malformed_with_payload(self, spark, tmp_path):
+        """The router's DLQ gets the same malformed:json + raw_payload
+        contract as the topology branch."""
+        import os as _os
+
+        src = tmp_path / "src"
+        src.mkdir()
+        good = dict(
+            ev(1, "2024-01-19 10:00:00", value=5.0),
+            props='{"k": 7}',
+            event_type="click",
+        )
+        write_file(str(src), "f1.json", [good], seq=0)
+        path = src / "f2.json"
+        with open(path, "w") as f:
+            f.write("<<garbage>>\n")
+        st = _os.stat(src / "f1.json")
+        _os.utime(path, (st.st_mtime + 10, st.st_mtime + 10))
+
+        sink = run_router(
+            spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        valid = sink.read_valid(spark).collect()
+        assert [r.event_id for r in valid] == [1]
+        assert "raw_payload" not in sink.read_valid(spark).columns
+        bad = sink.read_dlq(spark).filter("raw_payload IS NOT NULL").collect()
+        assert len(bad) == 1
+        assert bad[0].raw_payload == "<<garbage>>"
+        assert bad[0].validation_failures.startswith("malformed:json")
