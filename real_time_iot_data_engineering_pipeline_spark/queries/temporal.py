@@ -720,3 +720,81 @@ def q_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(observed, ["event_type", "day"], "left_anti")
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+               CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP)
+                            > lag(CAST(ts AS TIMESTAMP)) OVER w
+                              + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    tagged AS (
+        SELECT user_id, event_id, event_type, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_seq
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM tagged
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization: assign every event to a per-user session
+    id (a new session starts after a >30-minute silence), then collapse
+    to per-session bounds and composition — the gaps-and-islands twin of
+    q_session_agg, which uses Spark's session_window AGGREGATE and so can
+    never hand back row-level session membership (needed for funnels and
+    per-session sequences).
+
+    Scale: same one-shuffle discipline as q_scd2_intervals — the gap
+    flag (lag), the session counter (running sum) and the collapse all
+    share the user_id hash partitioning, with both windows ordered by
+    the total (ts, event_id) key so session boundaries are row-exact on
+    both engines.  The 30-minute gap compares raw timestamps — no
+    rounding, no epoch arithmetic to diverge."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_ts = F.lag("ts").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    tagged = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+    )

@@ -115,6 +115,7 @@ _DRIVER_PRIORITY = (
     "q_first_touch",
     "q_keyword_extract",
     "q_profile_events",
+    "q_sessionize",
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's

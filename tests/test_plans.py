@@ -739,3 +739,10 @@ class TestFunctionSurfacePlans:
         plan = plan_of(spark, sf_dir, "q_profile_events")
         assert plan.count("FileScan parquet") == 1
         assert "Expand" in plan
+
+    def test_sessionize_rides_one_shuffle(self, spark, sf_dir):
+        """Sessionization shares q_scd2_intervals' discipline: gap flag,
+        session counter and per-session collapse all reuse the user_id
+        partitioning — exactly one hash exchange."""
+        plan = plan_of(spark, sf_dir, "q_sessionize")
+        assert plan.count("Exchange hashpartitioning") == 1
