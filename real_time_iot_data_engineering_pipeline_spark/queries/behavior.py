@@ -507,3 +507,72 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "q_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events WHERE ts IS NOT NULL
+    ),
+    c AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           {fround_sql("n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)", 6)}
+               AS prob
+    FROM c
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (previous event type -> next event type) pair,
+    the transition count and the row-normalized probability — the
+    sequence-statistics pass that feeds next-event prediction baselines
+    and behavioral-anomaly scoring (a user whose transitions have low
+    probability under the fleet matrix is an outlier).
+
+    Scale: ONE shuffle of the event stream, keyed by the high-cardinality
+    user_id, drives the lag window (per-user partitions are small —
+    hundreds of events — so window state is bounded); the transition
+    aggregation then partial-aggregates to at most |types|^2 rows, and
+    row normalization is a window over that tiny matrix, not the stream.
+    Ordering inside each user is the total (ts, event_id) key, so both
+    engines pair identical (prev, next) instances."""
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.lag("event_type")
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.asc("ts"), F.asc("event_id")
+                )
+            )
+            .alias("prev_type"),
+        )
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        fround(
+            F.col("n")
+            / F.sum("n").over(Window.partitionBy("prev_type")).cast("double"),
+            6,
+        ).alias("prob"),
+    ).orderBy("prev_type", "next_type")

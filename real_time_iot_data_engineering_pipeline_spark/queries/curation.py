@@ -655,3 +655,140 @@ def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_members") - 1).alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-internal repeated-substring detection (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+# A document more than half covered by corpus-duplicated 13-gram spans is
+# dropped.  On this fixture the signal is bimodal (455 docs at 0.0, the
+# planted duplicates at >0.95), so the verdict is non-trivially exercised.
+DUP_SPAN_MAX = 0.5
+
+
+@register(
+    "q_repeated_substrings",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {NGRAM - 1})) AS i
+        FROM toks WHERE len(toks) >= {NGRAM}
+    ),
+    occ AS (
+        SELECT doc_id, i,
+               md5(array_to_string(toks[i:i + {NGRAM - 1}], ' ')) AS h
+        FROM offs
+    ),
+    dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
+    cover AS (
+        SELECT DISTINCT doc_id, p FROM (
+            SELECT o.doc_id,
+                   unnest(generate_series(o.i, o.i + {NGRAM - 1})) AS p
+            FROM occ o JOIN dup USING (h)
+        )
+    ),
+    cov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
+        FROM cover GROUP BY doc_id
+    ),
+    ndg AS (
+        SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_dup_grams
+        FROM occ JOIN dup USING (h) GROUP BY doc_id
+    ),
+    base AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks
+    )
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(ndg.n_dup_grams, 0) AS n_dup_grams,
+           {fround_sql("coalesce(cov.covered, 0) / CAST(b.n_tokens AS DOUBLE)", 6)}
+               AS dup_span_frac,
+           {fround_sql("coalesce(cov.covered, 0) / CAST(b.n_tokens AS DOUBLE)", 6)}
+               <= {DUP_SPAN_MAX} AS keep
+    FROM base b
+    LEFT JOIN cov USING (doc_id)
+    LEFT JOIN ndg USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal repeated-substring detection: the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), approximated at {NGRAM}-token granularity —
+    a {NGRAM}-gram occurring more than once ANYWHERE in the corpus marks
+    all tokens it covers as duplicated span, and each document reports
+    its duplicated-span fraction plus a keep verdict at
+    dup_span_frac <= {DUP_SPAN_MAX}.  Unlike q_decontaminate (overlap
+    against an eval set) this is self-overlap, and unlike
+    q_doc_dedup_minhash it fires on partial copies: a document that
+    embeds one plagiarized paragraph in fresh text is invisible to
+    whole-doc similarity but lights up here.
+
+    Scale: the paper's suffix array is replaced by the distributed
+    idiom — n-gram occurrences are md5-hashed in codegen, so only
+    (doc_id, position, 32-byte hash) tuples ever shuffle, never text;
+    the duplicated-gram set comes from a partial-aggregating HAVING
+    count>1; span coverage re-joins occurrences to that set on the hash
+    (AQE broadcasts it when small) and expands to positions inside the
+    scan stage, then the distinct-position count partial-aggregates per
+    doc.  All joins are hash-keyed; nothing is corpus-quadratic."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+        )
+    )
+    base = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    offs = toks.filter(F.size("toks") >= NGRAM).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - (NGRAM - 1))
+        ).alias("i"),
+    )
+    occ = offs.select(
+        "doc_id",
+        "i",
+        F.md5(F.array_join(F.expr(f"slice(toks, i, {NGRAM})"), " ")).alias("h"),
+    )
+    dup = occ.groupBy("h").agg(F.count("*").alias("c")).filter(
+        F.col("c") > 1
+    ).select("h")
+    hits = occ.join(dup, "h")
+    cover = (
+        hits.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (NGRAM - 1))).alias(
+                "p"
+            ),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("covered"))
+    )
+    ndg = hits.groupBy("doc_id").agg(
+        F.countDistinct("h").cast("long").alias("n_dup_grams")
+    )
+    frac = fround(
+        F.coalesce(F.col("covered"), F.lit(0))
+        / F.col("n_tokens").cast("double"),
+        6,
+    )
+    return (
+        base.join(cover, "doc_id", "left")
+        .join(ndg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            frac.alias("dup_span_frac"),
+            (frac <= DUP_SPAN_MAX).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

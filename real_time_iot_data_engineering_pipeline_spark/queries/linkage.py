@@ -1,0 +1,239 @@
+"""Entity-resolution and graph-structure operators over the relational
+fixture: blocked fuzzy matching (record linkage) and co-occurrence graph
+statistics (triangles / clustering).
+
+Beyond-reference tier (the reference repo has no linkage or graph surface);
+the methods are public classics:
+
+- Blocked edit-distance linkage: Fellegi–Sunter-style record linkage with
+  a cheap blocking key so the candidate space is per-block quadratic, not
+  corpus-quadratic (Christen, "Data Matching", 2012).
+- Triangle counting via the edge-wedge join: the standard distributed
+  formulation (join edges on the shared endpoint to enumerate wedges, then
+  close them against the edge set — Suri & Vassilvitskii, WWW 2011).
+
+Design rules follow queries/relational.py: JVM-side expressions only, both
+engines run the SAME blocking and thresholds, floats quantized with fround
+on both sides, deterministic ordering keys everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy name linkage
+# ---------------------------------------------------------------------------
+
+# Max unit-cost Levenshtein distance for a candidate match.  Both engines
+# implement the textbook unit-cost dynamic program, so the predicate is
+# bit-identical.  4 links e.g. "red widget" ~ "blue widget" while rejecting
+# unrelated noun swaps.
+EDIT_MAX = 4
+
+
+@register(
+    "q_name_linkage",
+    oracle=f"""
+    WITH names AS (
+        SELECT p_name AS name, split_part(p_name, ' ', 1) AS blk,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_name
+    ),
+    cand AS (
+        SELECT a.name AS name_a, b.name AS name_b,
+               a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
+               levenshtein(a.name, b.name) AS dist
+        FROM names a JOIN names b
+          ON a.blk = b.blk AND a.name < b.name
+    )
+    SELECT name_a, name_b, CAST(dist AS INT) AS dist, n_parts_a, n_parts_b
+    FROM cand WHERE dist <= {EDIT_MAX}
+    ORDER BY name_a, name_b
+    """,
+)
+def q_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over the part-name dictionary: collapse the catalog
+    to DISTINCT names first (the dictionary is tiny and scale-free even
+    when the catalog is 100 TB), block on the first token so candidate
+    generation is per-block quadratic, then keep pairs within unit-cost
+    Levenshtein distance {EDIT_MAX}.  Each matched name carries its part
+    count so downstream merge decisions know the blast radius.
+
+    Scale: the expensive O(|a|*|b|) edit-distance DP runs only on the
+    deduplicated dictionary (64 names here; dictionaries stay thousands
+    even at 100 TB), never on the base table — the groupBy that builds it
+    partial-aggregates, so the full catalog contributes one count per
+    (name) per partition and only the dictionary shuffles.  The self-join
+    is block-keyed and broadcast (dictionary-sized), and `name_a < name_b`
+    halves the candidate space.  This is the canonical blocking shape: at
+    a fixed block-key cardinality the candidate count grows with the
+    dictionary, not the data."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("blk", F.split(F.col("name"), " ")[0])
+    )
+    a = names.select(
+        F.col("name").alias("name_a"), F.col("n_parts").alias("n_parts_a"), "blk"
+    )
+    b = names.select(
+        F.col("name").alias("name_b"), F.col("n_parts").alias("n_parts_b"), "blk"
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (a["blk"] == b["blk"]) & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= EDIT_MAX)
+        .select(
+            "name_a",
+            "name_b",
+            F.col("dist").cast("int").alias("dist"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-supply graph: thresholded edges -> triangles / clustering coefficient
+# ---------------------------------------------------------------------------
+
+# Keep the heaviest 5% of co-supply pairs as graph edges.  A fixed weight
+# cutoff would not transfer across scale factors (mean pair weight falls
+# 10x from sf0.01 to sf0.1); a percent_rank cutoff keeps edge count
+# proportional to observed pairs at every scale, and both engines define
+# percent_rank identically.
+EDGE_TOP_FRAC = 0.05
+
+
+@register(
+    "q_cosupply_triangles",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY u, v
+    ),
+    ranked AS (
+        SELECT u, v, w,
+               percent_rank() OVER (ORDER BY w DESC, u, v) AS pr
+        FROM pairs
+    ),
+    edges AS (SELECT u, v FROM ranked WHERE pr <= {EDGE_TOP_FRAC}),
+    nodes AS (
+        SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_nodes
+        FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+    ),
+    deg AS (
+        SELECT x, CAST(count(*) AS DOUBLE) AS d
+        FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY x
+    ),
+    wedges AS (SELECT CAST(sum(d * (d - 1) / 2) AS DOUBLE) AS n_wedges FROM deg),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT nodes.n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           tri.n_triangles,
+           {fround_sql("3.0 * tri.n_triangles / wedges.n_wedges", 6)}
+               AS clustering
+    FROM nodes, wedges, tri
+    """,
+)
+def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph structure of the supplier co-supply network: suppliers are
+    linked when they serve the same order; the heaviest {EDGE_TOP_FRAC:.0%}
+    of pairs (by co-order count) become edges, and the operator reports
+    node/edge counts, the exact triangle count, and the global clustering
+    coefficient (3*triangles / wedges).
+
+    Scale: edge building is one equi-self-join on l_orderkey (orders hold
+    ~4 lineitems, so the per-key expansion is bounded) followed by a
+    partial-aggregating count.  Triangles use the edge-wedge join (Suri &
+    Vassilvitskii 2011): with u<v canonical edges, wedges come from one
+    equi-join on the shared middle endpoint and close against the edge set
+    by an equi-join on (u, v) — never a cartesian.  The percent_rank
+    cutoff keeps the wedge count bounded by (0.05*pairs)*avg_degree at
+    any scale; at true 100 TB the global rank window would be replaced by
+    an approximate weight threshold from a quantile sketch, which changes
+    only the cutoff constant, not the plan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = pairs.withColumn(
+        "pr",
+        F.percent_rank().over(
+            Window.orderBy(F.desc("w"), F.asc("u"), F.asc("v"))
+        ),
+    )
+    # The edge set feeds five consumers (three triangle-join legs, the
+    # endpoint/degree scan, and the edge count); persisting materializes
+    # the lineitem self-join + rank cutoff ONCE instead of five times
+    # (measured 5.8 s -> ~1.6 s at sf0.1).
+    edges = (
+        ranked.filter(F.col("pr") <= EDGE_TOP_FRAC)
+        .select("u", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    endpoints = edges.select(F.col("u").alias("x")).unionAll(
+        edges.select(F.col("v").alias("x"))
+    )
+    n_nodes = endpoints.agg(
+        F.countDistinct("x").cast("long").alias("n_nodes")
+    )
+    wedges = (
+        endpoints.groupBy("x")
+        .agg(F.count("*").cast("double").alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .cast("double")
+            .alias("n_wedges")
+        )
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w2"))
+    e3 = edges.select(F.col("u").alias("u"), F.col("v").alias("w2"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, ["u", "w2"])
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            fround(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering"),
+        )
+    )

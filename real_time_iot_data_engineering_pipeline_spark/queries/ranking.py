@@ -289,3 +289,121 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "diverse"
         ),
     ).orderBy("doc_id")
+
+
+# Interpolated bigram LM: p(w2|w1) = LAM*c12/c1 + (1-LAM)*c2/T.  String
+# constants so both engines parse the identical double (decimal parsing is
+# correctly rounded in Java and DuckDB alike).  Keep threshold calibrated
+# to the fixture's NLL distribution (median 3.401, p75 3.416) so both
+# verdicts occur.
+LAM = "0.8"
+LAM_REST = "0.2"
+NLL2_KEEP = "3.41"
+
+
+@register(
+    "q_bigram_ppl",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '{WS_CLASS}') AS toks
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM toks WHERE len(toks) >= 2
+        )
+    ),
+    uni AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS c
+        FROM (SELECT unnest(toks) AS token FROM toks) GROUP BY token
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+    bic AS (
+        SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+        FROM bi GROUP BY w1, w2
+    ),
+    perdoc AS (
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) + 1 AS n_tokens,
+               avg(0.0 - ln({LAM} * bc.c12 / u1.c + {LAM_REST} * u2.c / s.t))
+                   AS nll
+        FROM bi b
+        JOIN bic bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+        JOIN uni u1 ON u1.token = b.w1
+        JOIN uni u2 ON u2.token = b.w2, tot s
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           {fround_sql("nll")} AS avg_nll2,
+           {fround_sql("nll", 6)} <= {NLL2_KEEP} AS keep
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+)
+def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score: train bigram and unigram
+    counts on the corpus itself, score every document by its mean
+    next-token negative log-likelihood under
+    p(w2|w1) = {LAM}*c(w1,w2)/c(w1) + {LAM_REST}*c(w2)/total, and keep
+    documents scoring <= {NLL2_KEEP} nats.  The context-sensitive
+    counterpart of q_unigram_ppl: a document whose words are individually
+    common but whose ADJACENCIES are unusual (shuffled text, spliced
+    fragments) passes the unigram filter and fails here — the same
+    motivation as CCNet's KenLM stage, one order up.
+
+    Scale: "training" is two partial-aggregating counts (bigram and
+    unigram tables, both vocabulary-sized, tiny relative to the corpus);
+    scoring joins each bigram instance to those count tables on their
+    hash keys — AQE broadcasts vocabulary-sized sides — and reduces per
+    doc.  After the explode only fixed-width token keys and counts move.
+    Interpolation keeps every probability nonzero without smoothing
+    hyperparameters, so no log-of-zero guards are needed anywhere."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.lower("text")), WS_CLASS).alias("toks")
+    )
+    bi = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = (
+        toks.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("t"))
+    bic = bi.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    lam = F.expr(f"CAST({LAM} AS DOUBLE)")
+    lam_rest = F.expr(f"CAST({LAM_REST} AS DOUBLE)")
+    nll_term = F.lit(0.0) - F.log(
+        lam * F.col("c12") / F.col("c1") + lam_rest * F.col("c2") / F.col("t")
+    )
+    perdoc = (
+        bi.join(bic, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            (F.count("*") + 1).cast("long").alias("n_tokens"),
+            F.avg(nll_term).alias("nll"),
+        )
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_tokens",
+        fround(F.col("nll"), 4).alias("avg_nll2"),
+        (
+            fround(F.col("nll"), 6) <= F.expr(f"CAST({NLL2_KEEP} AS DOUBLE)")
+        ).alias("keep"),
+    ).orderBy("doc_id")

@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "queries.ranking",
     "queries.corpus",
     "queries.serve",
+    "queries.linkage",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -124,7 +125,13 @@ _DRIVER_PRIORITY = (
 # parity rows (tests/test_oracle_parity.py), and are next round's
 # front-load candidates once the slots above convert to hard CORRECTNESS
 # rows.
-_NEXT_ROUND_PRIORITY: tuple[str, ...] = ()
+_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
+    "q_repeated_substrings",
+    "q_bigram_ppl",
+    "q_markov_transitions",
+    "q_name_linkage",
+    "q_cosupply_triangles",
+)
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
