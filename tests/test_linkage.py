@@ -1,0 +1,208 @@
+"""Model tests for the linkage/graph tier and the context-sensitive
+curation filters: each operator is checked against an INDEPENDENT pure-
+Python recompute (brute force, no blocking, no SQL) so the oracle parity
+suite isn't the only line of defense.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from real_time_iot_data_engineering_pipeline_spark import registry
+from real_time_iot_data_engineering_pipeline_spark.queries.linkage import (
+    EDGE_TOP_FRAC,
+    EDIT_MAX,
+)
+from real_time_iot_data_engineering_pipeline_spark.queries.curation import (
+    DUP_SPAN_MAX,
+    NGRAM,
+)
+
+registry.load_all()
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+class TestNameLinkage:
+    def test_matches_unblocked_brute_force(self, spark, sf_dir):
+        """The blocked join must find EXACTLY the brute-force pairs within
+        distance EDIT_MAX whose first tokens agree — and, on this fixture,
+        blocking must lose nothing: no cross-block pair is within
+        EDIT_MAX (adjective swaps cost more than noun swaps)."""
+        import pyarrow.parquet as pq
+
+        names = sorted(
+            set(
+                pq.read_table(f"{sf_dir}/part.parquet", columns=["p_name"])
+                .column("p_name")
+                .to_pylist()
+            )
+        )
+        brute = {
+            (a, b)
+            for i, a in enumerate(names)
+            for b in names[i + 1 :]
+            if _levenshtein(a, b) <= EDIT_MAX
+        }
+        blocked = {p for p in brute if p[0].split(" ")[0] == p[1].split(" ")[0]}
+        rows = registry.QUERIES["q_name_linkage"](spark, sf_dir).collect()
+        got = {(r["name_a"], r["name_b"]) for r in rows}
+        assert got == blocked
+        assert blocked, "fixture must produce at least one fuzzy match"
+        for r in rows:
+            assert r["dist"] == _levenshtein(r["name_a"], r["name_b"])
+
+
+class TestCosupplyTriangles:
+    def test_matches_networkx_on_same_edges(self, spark, sf_dir):
+        """Rebuild the thresholded edge set in pure Python and compare the
+        triangle count and clustering coefficient against networkx."""
+        nx = pytest.importorskip("networkx")
+        import pyarrow.parquet as pq
+
+        li = pq.read_table(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+        ).to_pydict()
+        per_order = defaultdict(list)
+        for o, s in zip(li["l_orderkey"], li["l_suppkey"]):
+            per_order[o].append(s)
+        w: Counter = Counter()
+        for supps in per_order.values():
+            ss = sorted(supps)
+            for i, u in enumerate(ss):
+                for v in ss[i + 1 :]:
+                    if u < v:
+                        w[(u, v)] += 1
+        ranked = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))
+        # percent_rank() <= f keeps ranks with (rank-1)/(n-1) <= f
+        n = len(ranked)
+        keep = [
+            p
+            for i, (p, _) in enumerate(ranked)
+            if (i / (n - 1)) <= EDGE_TOP_FRAC
+        ]
+        g = nx.Graph(keep)
+        tri = sum(nx.triangles(g).values()) // 3
+        row = registry.QUERIES["q_cosupply_triangles"](spark, sf_dir).collect()[0]
+        assert row["n_nodes"] == g.number_of_nodes()
+        assert row["n_edges"] == g.number_of_edges()
+        assert row["n_triangles"] == tri
+        wedges = sum(d * (d - 1) / 2 for _, d in g.degree())
+        assert row["clustering"] == pytest.approx(
+            3.0 * tri / wedges, abs=1e-5
+        )
+
+
+class TestMarkovTransitions:
+    def test_rows_are_probabilities(self, spark, sf_dir):
+        rows = registry.QUERIES["q_markov_transitions"](spark, sf_dir).collect()
+        assert rows
+        by_prev = defaultdict(float)
+        for r in rows:
+            assert 0.0 < r["prob"] <= 1.0
+            by_prev[r["prev_type"]] += r["prob"]
+        for prev, s in by_prev.items():
+            assert s == pytest.approx(1.0, abs=1e-4), prev
+
+    def test_counts_match_python_recompute(self, spark, sf_dir):
+        import pyarrow.parquet as pq
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        ).to_pydict()
+        seqs = defaultdict(list)
+        for u, t, e, ty in zip(
+            ev["user_id"], ev["ts"], ev["event_id"], ev["event_type"]
+        ):
+            if t is not None:
+                seqs[u].append((t, e, ty))
+        expect: Counter = Counter()
+        for hist in seqs.values():
+            hist.sort()
+            for (_, _, a), (_, _, b) in zip(hist, hist[1:]):
+                expect[(a, b)] += 1
+        got = {
+            (r["prev_type"], r["next_type"]): r["n"]
+            for r in registry.QUERIES["q_markov_transitions"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == dict(expect)
+
+
+class TestRepeatedSubstrings:
+    def test_planted_duplicates_are_flagged(self, spark, sf_dir):
+        """Exact-duplicate documents (the fixture plants full copies) share
+        every 13-gram, so each member of a dup group must show full span
+        coverage and keep=False; singleton docs must be untouched."""
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pydict()
+        by_text = defaultdict(list)
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            by_text[t].append(d)
+        dup_ids = {
+            d for ids in by_text.values() if len(ids) > 1 for d in ids
+        }
+        rows = registry.QUERIES["q_repeated_substrings"](spark, sf_dir).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        flagged = {d for d, r in by_id.items() if not r["keep"]}
+        # every whole-doc duplicate (with >= NGRAM tokens) must be flagged
+        for d in dup_ids:
+            if by_id[d]["n_tokens"] >= NGRAM:
+                assert by_id[d]["dup_span_frac"] == pytest.approx(1.0)
+                assert d in flagged
+        # and flagged docs beyond the planted ones must genuinely exceed
+        # the span threshold
+        for d in flagged:
+            assert by_id[d]["dup_span_frac"] > DUP_SPAN_MAX
+
+
+class TestBigramPpl:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        import re
+
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pydict()
+        toks = {
+            d: re.split(r"[ \t\n\r\f\x0b]+", t.strip().lower())
+            for d, t in zip(docs["doc_id"], docs["text"])
+        }
+        uni = Counter(w for ws in toks.values() for w in ws)
+        total = float(sum(uni.values()))
+        bic = Counter(
+            (a, b) for ws in toks.values() for a, b in zip(ws, ws[1:])
+        )
+        rows = registry.QUERIES["q_bigram_ppl"](spark, sf_dir).collect()
+        assert len(rows) == sum(1 for ws in toks.values() if len(ws) >= 2)
+        keeps = {r["keep"] for r in rows}
+        assert keeps == {True, False}, "threshold must split the corpus"
+        for r in rows[:100]:
+            ws = toks[r["doc_id"]]
+            assert r["n_tokens"] == len(ws)
+            nll = sum(
+                -math.log(
+                    0.8 * bic[(a, b)] / uni[a] + 0.2 * uni[b] / total
+                )
+                for a, b in zip(ws, ws[1:])
+            ) / (len(ws) - 1)
+            assert r["avg_nll2"] == pytest.approx(nll, abs=2e-4)
