@@ -576,3 +576,112 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("prob"),
     ).orderBy("prev_type", "next_type")
+
+
+# Two-sample comparison pair for the Welch test: the experiment frame
+# treats 'purchase' values as treatment and 'click' values as control.
+_TT_A = "purchase"
+_TT_B = "click"
+# Two-sided 5% critical value for the normal approximation (df here is
+# in the thousands, where t and z are indistinguishable at 3 decimals).
+_TT_CRIT = "1.96"
+
+
+@register(
+    "q_welch_ttest",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(value) AS BIGINT) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events
+        WHERE event_type IN ('{_TT_A}', '{_TT_B}') AND value IS NOT NULL
+        GROUP BY event_type
+    ),
+    w AS (
+        SELECT a.n AS n_a, b.n AS n_b,
+               a.m AS m_a, b.m AS m_b,
+               a.v / a.n AS se2_a, b.v / b.n AS se2_b
+        FROM s a, s b
+        WHERE a.event_type = '{_TT_A}' AND b.event_type = '{_TT_B}'
+    )
+    SELECT n_a, n_b,
+           {fround_sql("m_a")} AS mean_a,
+           {fround_sql("m_b")} AS mean_b,
+           {fround_sql("m_a - m_b", 6)} AS diff,
+           {fround_sql("(m_a - m_b) / sqrt(se2_a + se2_b)", 6)} AS t_stat,
+           {fround_sql(
+               "power(se2_a + se2_b, 2) / "
+               "(power(se2_a, 2) / (n_a - 1) + power(se2_b, 2) / (n_b - 1))",
+               2,
+           )} AS df,
+           abs({fround_sql("(m_a - m_b) / sqrt(se2_a + se2_b)", 6)})
+               > {_TT_CRIT} AS significant
+    FROM w
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between the
+    '{_TT_A}' and '{_TT_B}' value distributions: group means, the t
+    statistic, the Welch-Satterthwaite degrees of freedom, and a
+    two-sided 5% significance verdict — the A/B-experiment readout
+    every product pipeline bolts onto its event stream.
+
+    Scale: the entire test reduces to TWO partial-aggregating group
+    aggregates (count/mean/sample-variance per arm, computed in one
+    pass over the filtered stream); the test statistic itself is
+    arithmetic over a 2-row table.  No data volume appears anywhere
+    past the first aggregate, so the operator is scan-bound at any
+    scale — the canonical map-side-combine shape.  var_samp matches
+    between engines because both implement the n-1 denominator over
+    identical input bits."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin(_TT_A, _TT_B)
+            & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("value").cast("long").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = s.filter(F.col("event_type") == _TT_A).select(
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        (F.col("v") / F.col("n")).alias("se2_a"),
+    )
+    b = s.filter(F.col("event_type") == _TT_B).select(
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        (F.col("v") / F.col("n")).alias("se2_b"),
+    )
+    w = a.crossJoin(F.broadcast(b))
+    t_stat = fround(
+        (F.col("m_a") - F.col("m_b"))
+        / F.sqrt(F.col("se2_a") + F.col("se2_b")),
+        6,
+    )
+    df_expr = fround(
+        F.pow(F.col("se2_a") + F.col("se2_b"), 2)
+        / (
+            F.pow(F.col("se2_a"), 2) / (F.col("n_a") - 1)
+            + F.pow(F.col("se2_b"), 2) / (F.col("n_b") - 1)
+        ),
+        2,
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        fround(F.col("m_a"), 4).alias("mean_a"),
+        fround(F.col("m_b"), 4).alias("mean_b"),
+        fround(F.col("m_a") - F.col("m_b"), 6).alias("diff"),
+        t_stat.alias("t_stat"),
+        df_expr.alias("df"),
+        (F.abs(t_stat) > F.expr(f"CAST({_TT_CRIT} AS DOUBLE)")).alias(
+            "significant"
+        ),
+    )

@@ -798,3 +798,104 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.count_distinct("event_type").cast("long").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing over the daily series
+# ---------------------------------------------------------------------------
+
+# s_t = ALPHA*x_t + (1-ALPHA)*s_{t-1}, s_0 = x_0, in closed form
+#   s_t = BETA^t * (x_0 + ALPHA * sum_{i=1..t} x_i / BETA^i)
+# so one ordered cumulative-sum window computes every prefix.  String
+# constants so both engines parse identical doubles; BETA^-t stays < 5e4
+# over the fixture's 30-day series, far from overflow/precision loss.
+EWMA_ALPHA = "0.3"
+EWMA_BETA = "0.7"
+
+
+@register(
+    "q_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               avg(value) AS daily_avg
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type, day
+    ),
+    idx AS (
+        SELECT event_type, day, daily_avg,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS INT) - 1 AS t
+        FROM daily
+    ),
+    c AS (
+        SELECT event_type, day, daily_avg, t,
+               first_value(daily_avg) OVER w AS x0,
+               sum(CASE WHEN t = 0 THEN 0.0
+                        ELSE daily_avg / power({EWMA_BETA}, t) END)
+                   OVER (w ROWS UNBOUNDED PRECEDING) AS cum
+        FROM idx
+        WINDOW w AS (PARTITION BY event_type ORDER BY t)
+    )
+    SELECT event_type, day,
+           {fround_sql("daily_avg")} AS daily_avg,
+           {fround_sql(f"power({EWMA_BETA}, t) * (x0 + {EWMA_ALPHA} * cum)")}
+               AS ewma
+    FROM c
+    ORDER BY event_type, day
+    """,
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each event type's daily
+    mean series (alpha={EWMA_ALPHA}): the smoothing baseline that feeds
+    trend dashboards and drift alerts.  The recursion
+    s_t = a*x_t + (1-a)*s_(t-1) is rewritten in closed form as
+    beta^t * (x_0 + a * cumsum(x_i / beta^i)), so ONE ordered
+    cumulative-sum window produces the whole smoothed series — no
+    sequential UDF, no self-join per lag, no quadratic prefix fold.
+
+    Scale: the daily pre-aggregation partial-aggregates the raw stream
+    down to |types| x |days| rows before any window; the window then
+    partitions by event type over that tiny series.  Both engines
+    accumulate the cumulative sum in the same day order, so float
+    summation order is identical by construction (fround guards the
+    boundary anyway).  The beta^-t term bounds the usable window length
+    (~700 days in double precision at beta=0.7); production series
+    longer than that re-anchor the recursion per year-partition, which
+    changes constants, not the plan."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("daily_avg"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn(
+        "t", (F.row_number().over(w) - 1).cast("int")
+    )
+    beta = F.expr(f"CAST({EWMA_BETA} AS DOUBLE)")
+    alpha = F.expr(f"CAST({EWMA_ALPHA} AS DOUBLE)")
+    wt = Window.partitionBy("event_type").orderBy("t")
+    c = idx.select(
+        "event_type",
+        "day",
+        "daily_avg",
+        "t",
+        F.first("daily_avg").over(wt).alias("x0"),
+        F.sum(
+            F.when(F.col("t") == 0, F.lit(0.0)).otherwise(
+                F.col("daily_avg") / F.pow(beta, F.col("t"))
+            )
+        )
+        .over(wt.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    return c.select(
+        "event_type",
+        "day",
+        fround(F.col("daily_avg"), 4).alias("daily_avg"),
+        fround(
+            F.pow(beta, F.col("t")) * (F.col("x0") + alpha * F.col("cum")), 4
+        ).alias("ewma"),
+    ).orderBy("event_type", "day")

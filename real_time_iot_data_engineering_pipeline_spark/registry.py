@@ -131,6 +131,8 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_markov_transitions",
     "q_name_linkage",
     "q_cosupply_triangles",
+    "q_ewma_daily",
+    "q_welch_ttest",
 )
 
 

@@ -98,3 +98,34 @@ class TestBehaviorPlans:
         plan = self._plan(spark, sf_dir, "q_retention")
         assert "CartesianProduct" not in plan
         assert "partial_" in plan or "Partial" in plan
+
+
+class TestWelchTtest:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        import statistics
+
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).to_pydict()
+        groups = {"purchase": [], "click": []}
+        for t, v in zip(ev["event_type"], ev["value"]):
+            if t in groups and v is not None:
+                groups[t].append(v)
+        a, b = groups["purchase"], groups["click"]
+        se2a = statistics.variance(a) / len(a)
+        se2b = statistics.variance(b) / len(b)
+        t_stat = (statistics.fmean(a) - statistics.fmean(b)) / (
+            (se2a + se2b) ** 0.5
+        )
+        df = (se2a + se2b) ** 2 / (
+            se2a**2 / (len(a) - 1) + se2b**2 / (len(b) - 1)
+        )
+        row = registry.QUERIES["q_welch_ttest"](spark, sf_dir).collect()[0]
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        assert row["t_stat"] == pytest.approx(t_stat, abs=2e-4)
+        assert row["df"] == pytest.approx(df, rel=1e-3)
+        assert row["significant"] == (abs(t_stat) > 1.96)

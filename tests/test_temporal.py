@@ -154,3 +154,38 @@ class TestTemporalPlans:
         assert "partial_count" in plan or "Partial" in plan
         # one scan of events, not four
         assert plan.count("FileScan parquet") == 1
+
+
+class TestEwmaDaily:
+    def test_matches_pandas_ewm_recursive(self, spark, sf_dir):
+        """The closed-form window formulation must equal pandas'
+        ewm(alpha=0.3, adjust=False) — the textbook recursive definition —
+        on every (event_type, day) prefix."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        ).to_pandas()
+        ev = ev.dropna(subset=["ts", "value"])
+        ev["day"] = ev["ts"].dt.floor("D")
+        daily = (
+            ev.groupby(["event_type", "day"])["value"]
+            .mean()
+            .reset_index()
+            .sort_values(["event_type", "day"])
+        )
+        daily["ewma"] = daily.groupby("event_type")["value"].transform(
+            lambda s: s.ewm(alpha=0.3, adjust=False).mean()
+        )
+        rows = registry.QUERIES["q_ewma_daily"](spark, sf_dir).collect()
+        assert len(rows) == len(daily)
+        expect = {
+            (r.event_type, r.day): r.ewma for r in daily.itertuples()
+        }
+        for r in rows:
+            assert r["ewma"] == pytest.approx(
+                expect[(r["event_type"], r["day"])], abs=2e-4
+            )
