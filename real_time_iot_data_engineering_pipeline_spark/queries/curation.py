@@ -31,7 +31,15 @@ from pyspark.sql import functions as F
 from ..functions.rounding import fround, fround_sql
 from ..registry import register
 from ..sources import load_table
-from .text import _QUALITY_EXPR_DUCK, quality_score_col
+from .text import (
+    _EXACT_CORPUS_SQL,
+    _QUALITY_EXPR_DUCK,
+    _WORDS_SPARK,
+    _exact_corpus,
+    _marker_score_duck,
+    _marker_score_spark,
+    quality_score_col,
+)
 
 # ---------------------------------------------------------------------------
 # Test-set decontamination (13-gram overlap)
@@ -789,6 +797,164 @@ def q_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
             frac.alias("dup_span_frac"),
             (frac <= DUP_SPAN_MAX).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation recipe: one pass composing the standalone gates
+# ---------------------------------------------------------------------------
+
+# Gate thresholds (calibrated to the fixture's measured distributions so
+# every gate fires non-trivially: quality median 0.57, dup-token-frac
+# median 0.54, five zero-marker docs, and the derived corpus's planted
+# case-variant duplicates).
+PIPE_QUALITY_MIN = "0.5"
+PIPE_DUPFRAC_MAX = "0.6"
+
+_SC_EN = _marker_score_duck("en")
+_SC_DE = _marker_score_duck("de")
+_SC_FR = _marker_score_duck("fr")
+_SC_ES = _marker_score_duck("es")
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    feat AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars,
+               string_split_regex(trim(lower(text)), '\\s+') AS _words
+        FROM corpus
+    ),
+    scored AS (
+        SELECT doc_id,
+               len(_words) AS n_words,
+               greatest({_SC_EN}, {_SC_DE}, {_SC_FR}, {_SC_ES})
+                   AS lang_conf,
+               least(len(_words) / 100.0, 1.0) * 0.5
+                 + least(CAST({_SC_EN} AS DOUBLE) / len(_words) * 5.0, 1.0) * 0.3
+                 + CASE WHEN CAST(n_chars AS DOUBLE) / len(_words)
+                        BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END
+                   AS quality,
+               1.0 - CAST(len(list_distinct(_words)) AS DOUBLE) / len(_words)
+                   AS dup_token_frac,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+        FROM feat
+    ),
+    keeper AS (SELECT h, min(doc_id) AS keeper_id FROM scored GROUP BY h),
+    verdict AS (
+        SELECT s.doc_id,
+               CAST(s.n_words AS BIGINT) AS n_words,
+               CAST(s.lang_conf AS BIGINT) AS lang_conf,
+               {fround_sql("s.quality")} AS quality,
+               {fround_sql("s.dup_token_frac")} AS dup_token_frac,
+               s.doc_id <> k.keeper_id AS is_dup_copy,
+               CASE
+                 WHEN s.lang_conf < 1 THEN 'language'
+                 WHEN {fround_sql("s.quality", 6)} < {PIPE_QUALITY_MIN}
+                     THEN 'quality'
+                 WHEN {fround_sql("s.dup_token_frac", 6)} > {PIPE_DUPFRAC_MAX}
+                     THEN 'repetition'
+                 WHEN s.doc_id <> k.keeper_id THEN 'duplicate'
+               END AS drop_reason
+        FROM scored s JOIN keeper k USING (h)
+    )
+    SELECT doc_id, n_words, lang_conf, quality, dup_token_frac, is_dup_copy,
+           drop_reason IS NULL AS keep, drop_reason
+    FROM verdict
+    ORDER BY doc_id
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation recipe in ONE composed DataFrame plan: language
+    confidence (marker-word hits), heuristic quality score, duplicate-token
+    repetition fraction, and exact-dedup keeper election, cascaded into a
+    keep verdict with a first-failing-stage drop_reason
+    (language -> quality -> repetition -> duplicate) — the composition
+    proof that the standalone gates (q_lang_id, q_quality_score,
+    q_repetition_filter, q_doc_dedup_exact) chain into a single pipeline
+    without materialization barriers between stages.  Runs over the same
+    derived corpus as q_doc_dedup_exact so the duplicate gate fires on
+    its planted case-variant copies.
+
+    Scale: every per-document feature is computed in ONE projection inside
+    whole-stage codegen (the tokenization is shared across all four
+    gates — the plan tokenizes once, not four times); the only shuffle is
+    the content-hash groupBy for keeper election, which moves 32-byte
+    hashes, and the verdict re-join is hash-keyed with AQE choosing
+    broadcast when the group table is small.  Adding a gate adds a column
+    expression, not a pass — this is why the recipe form beats running
+    the four standalone operators back to back (4 corpus scans -> 1)."""
+    corpus = _exact_corpus(spark, sf_dir)
+    feat = corpus.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n_chars"),
+        F.expr(_WORDS_SPARK).alias("_words"),
+    )
+    scores = {
+        lang: F.expr(_marker_score_spark(lang)).cast("long")
+        for lang in ("en", "de", "fr", "es")
+    }
+    n_words = F.size("_words").cast("long")
+    quality = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.5
+        + F.least(
+            scores["en"].cast("double") / n_words * 5.0, F.lit(1.0)
+        )
+        * 0.3
+        + F.when(
+            (F.col("n_chars").cast("double") / n_words).between(3.0, 10.0),
+            F.lit(0.2),
+        ).otherwise(F.lit(0.0))
+    )
+    dupfrac = 1.0 - F.size(F.array_distinct("_words")).cast(
+        "double"
+    ) / n_words
+    scored = feat.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.greatest(*scores.values()).alias("lang_conf"),
+        quality.alias("quality"),
+        dupfrac.alias("dup_token_frac"),
+        F.md5(
+            F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+        ).alias("h"),
+    )
+    keeper = scored.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    qmin = F.expr(f"CAST({PIPE_QUALITY_MIN} AS DOUBLE)")
+    dmax = F.expr(f"CAST({PIPE_DUPFRAC_MAX} AS DOUBLE)")
+    joined = scored.join(keeper, "h")
+    drop_reason = (
+        F.when(F.col("lang_conf") < 1, F.lit("language"))
+        .when(fround(F.col("quality"), 6) < qmin, F.lit("quality"))
+        .when(
+            fround(F.col("dup_token_frac"), 6) > dmax, F.lit("repetition")
+        )
+        .when(F.col("doc_id") != F.col("keeper_id"), F.lit("duplicate"))
+    )
+    return (
+        joined.select(
+            "doc_id",
+            "n_words",
+            "lang_conf",
+            fround(F.col("quality"), 4).alias("quality"),
+            fround(F.col("dup_token_frac"), 4).alias("dup_token_frac"),
+            (F.col("doc_id") != F.col("keeper_id")).alias("is_dup_copy"),
+            drop_reason.alias("drop_reason"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "lang_conf",
+            "quality",
+            "dup_token_frac",
+            "is_dup_copy",
+            F.col("drop_reason").isNull().alias("keep"),
+            "drop_reason",
         )
         .orderBy("doc_id")
     )

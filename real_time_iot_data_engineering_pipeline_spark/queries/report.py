@@ -515,3 +515,61 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "n", "n_null", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
     ).orderBy("column_name")
+
+
+BPE_K = 50
+
+
+@register(
+    "q_bpe_pairs",
+    oracle=f"""
+    WITH words AS (
+        SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT substr(w, i, 2) AS pair
+        FROM (
+            SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+            FROM words WHERE length(w) >= 2
+        )
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_K}
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge statistics: the frequency of every
+    adjacent character pair WITHIN words, ranked — exactly the count
+    table from which BPE tokenizer training (Sennrich et al. 2016)
+    picks its next merge.  One iteration is the expensive, data-sized
+    step of tokenizer training (later iterations run on the shrinking
+    merged vocabulary), so this operator is the distributed kernel a
+    tokenizer pipeline runs over a 100 TB corpus before the driver-side
+    merge loop takes over on the aggregated counts.
+
+    Scale: pair extraction is an in-codegen explode over character
+    offsets (no UDF, no Python); the count partial-aggregates map-side
+    to at most |alphabet|^2 distinct pairs — hundreds of rows per
+    partition regardless of corpus size — and the global top-{BPE_K}
+    compiles to TakeOrderedAndProject, never a full sort."""
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_K)
+    )

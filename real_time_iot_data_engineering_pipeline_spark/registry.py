@@ -133,6 +133,8 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_cosupply_triangles",
     "q_ewma_daily",
     "q_welch_ttest",
+    "q_bpe_pairs",
+    "q_curation_pipeline",
 )
 
 

@@ -113,3 +113,76 @@ def test_repetition_metrics_recompute(spark, sf_dir):
             row.dup_token_frac <= DUP_TOKEN_MAX
             and row.top_bigram_frac <= TOP_BIGRAM_MAX
         )
+
+
+class TestCurationPipeline:
+    def test_cascade_matches_python_recompute(self, spark, sf_dir):
+        """Recompute all four gates per document in pure Python and check
+        the cascade (language -> quality -> repetition -> duplicate), the
+        keep flag, and the keeper election on the planted copies."""
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+        from real_time_iot_data_engineering_pipeline_spark.queries.text import (
+            _MARKERS,
+        )
+
+        raw = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pydict()
+        corpus = list(zip(raw["doc_id"], raw["text"])) + [
+            (d + 100000, "  " + t.upper() + " ")
+            for d, t in zip(raw["doc_id"], raw["text"])
+            if d % 7 == 0
+        ]
+        norm = {
+            d: re.sub(r"\s+", " ", t.strip()).lower() for d, t in corpus
+        }
+        keeper = {}
+        for d, _ in sorted(corpus):
+            keeper.setdefault(norm[d], d)
+        rows = registry.QUERIES["q_curation_pipeline"](spark, sf_dir).collect()
+        assert len(rows) == len(corpus)
+        by_id = {r["doc_id"]: r for r in rows}
+        reasons = Counter(r["drop_reason"] for r in rows)
+        assert set(reasons) == {
+            None,
+            "language",
+            "quality",
+            "repetition",
+            "duplicate",
+        }, "every gate (and keep) must fire on the fixture"
+        for d, t in corpus:
+            words = re.split(r"\s+", t.strip().lower())
+            n = len(words)
+            conf = max(
+                sum(w in mk for w in words) for mk in _MARKERS.values()
+            )
+            quality = (
+                min(n / 100.0, 1.0) * 0.5
+                + min(sum(w in _MARKERS["en"] for w in words) / n * 5.0, 1.0)
+                * 0.3
+                + (0.2 if 3.0 <= len(t) / n <= 10.0 else 0.0)
+            )
+            dupfrac = 1.0 - len(set(words)) / n
+            if conf < 1:
+                expect = "language"
+            elif round(quality, 6) < 0.5 - 1e-9:
+                expect = "quality"
+            elif round(dupfrac, 6) > 0.6 + 1e-9:
+                expect = "repetition"
+            elif keeper[norm[d]] != d:
+                expect = "duplicate"
+            else:
+                expect = None
+            r = by_id[d]
+            boundary = (
+                abs(quality - 0.5) < 1e-4 or abs(dupfrac - 0.6) < 1e-4
+            )
+            if not boundary:
+                assert r["drop_reason"] == expect, (d, expect, dict(r.asDict()))
+                assert r["keep"] == (expect is None)
+            assert r["is_dup_copy"] == (keeper[norm[d]] != d)

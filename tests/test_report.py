@@ -79,3 +79,32 @@ class TestMixtureWeights:
         )
         ratios = [s / t for t, s in scaled if t > 0]
         assert max(ratios) / min(ratios) < 1.2  # near-proportional allocation
+
+
+class TestBpePairs:
+    def test_matches_python_recompute_and_plan(self, spark, sf_dir):
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+        from real_time_iot_data_engineering_pipeline_spark.queries.report import (
+            BPE_K,
+        )
+
+        texts = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        ).column("text").to_pylist()
+        counts: Counter = Counter()
+        for t in texts:
+            for w in re.split(r"\s+", t.strip().lower()):
+                for i in range(len(w) - 1):
+                    counts[w[i : i + 2]] += 1
+        expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_K]
+        df = registry.QUERIES["q_bpe_pairs"](spark, sf_dir)
+        rows = [(r["pair"], r["n"]) for r in df.collect()]
+        assert rows == expect
+        # top-k must compile to TakeOrderedAndProject, not a global sort
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
