@@ -685,3 +685,261 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift detection: KS two-sample test and PSI
+# ---------------------------------------------------------------------------
+
+# KS asymptotic critical coefficient at alpha=0.05 (two-sided).
+_KS_CRIT = "1.358"
+# Mid-month split point for the PSI window comparison.
+_PSI_SPLIT = "2024-01-16"
+# Industry-standard PSI bands: < 0.1 stable, < 0.25 moderate, else shifted.
+# The fixture is stationary (natural PSI 0.004-0.009), so deterministic
+# second-half shifts are PLANTED — identically in both engines — to
+# exercise the non-stable verdicts (error x1.5 -> moderate, signup x2.5
+# -> shifted), the same planted-fixture idiom as q_decontaminate's
+# canaries.
+_PSI_STABLE = "0.1"
+_PSI_MODERATE = "0.25"
+
+
+@register(
+    "q_ks_test",
+    oracle=f"""
+    WITH base AS (
+        SELECT value FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    vals AS (
+        SELECT 'natural' AS cmp, 'a' AS side, value FROM base
+        UNION ALL
+        SELECT 'natural', 'b', value FROM events
+        WHERE event_type = 'view' AND value IS NOT NULL
+        UNION ALL
+        SELECT 'planted', 'a', value FROM base
+        UNION ALL
+        SELECT 'planted', 'b', value * 2.0 FROM base
+    ),
+    n AS (
+        SELECT cmp,
+               CAST(count(*) FILTER (side = 'a') AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (side = 'b') AS BIGINT) AS n_b
+        FROM vals GROUP BY cmp
+    ),
+    g AS (
+        SELECT cmp, value,
+               count(*) FILTER (side = 'a') AS ca,
+               count(*) FILTER (side = 'b') AS cb
+        FROM vals GROUP BY cmp, value
+    ),
+    c AS (
+        SELECT cmp,
+               sum(ca) OVER (PARTITION BY cmp ORDER BY value) AS cum_a,
+               sum(cb) OVER (PARTITION BY cmp ORDER BY value) AS cum_b
+        FROM g
+    ),
+    d AS (
+        SELECT c.cmp,
+               max(abs(c.cum_a / CAST(n.n_a AS DOUBLE)
+                       - c.cum_b / CAST(n.n_b AS DOUBLE))) AS d_raw
+        FROM c JOIN n USING (cmp) GROUP BY c.cmp
+    )
+    SELECT d.cmp, n.n_a, n.n_b,
+           {fround_sql("d.d_raw", 6)} AS d_stat,
+           {fround_sql(
+               f"{_KS_CRIT} * sqrt((n.n_a + n.n_b) / (CAST(n.n_a AS DOUBLE) * n.n_b))",
+               6,
+           )} AS crit,
+           {fround_sql("d.d_raw", 6)} > {fround_sql(
+               f"{_KS_CRIT} * sqrt((n.n_a + n.n_b) / (CAST(n.n_a AS DOUBLE) * n.n_b))",
+               6,
+           )} AS drift
+    FROM d JOIN n USING (cmp)
+    ORDER BY cmp
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample test: the supremum distance between
+    empirical CDFs, with the alpha=0.05 asymptotic critical value and a
+    drift verdict — the distribution-shape companion to q_welch_ttest's
+    mean comparison.  Two labeled comparisons run side by side: 'natural'
+    (purchase vs view values — stationary, no drift) and 'planted'
+    (purchase vs a deterministic 2x-scaled copy — drift fires at every
+    fixture size, since D~0.5 dominates even sf0.001's critical value), so both
+    verdicts are oracle-exercised.
+
+    Scale: the ECDF grid is the DISTINCT value table with conditional
+    counts (partial-aggregated before its shuffle); the running sums are a
+    window partitioned per comparison.  A single comparison's grid is one
+    ordered partition — the documented scale path replaces it with a
+    t-digest/binned ECDF whose grid is resolution-bounded, changing the
+    supremum's granularity, not the plan shape.  Everything is exact
+    integer cumulative counts divided once at the end, so both engines
+    see identical doubles."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.filter(F.col("event_type") == "purchase").select("value")
+    view = ev.filter(F.col("event_type") == "view").select("value")
+    vals = (
+        base.select(F.lit("natural").alias("cmp"), F.lit("a").alias("side"), "value")
+        .unionAll(view.select(F.lit("natural"), F.lit("b"), "value"))
+        .unionAll(base.select(F.lit("planted"), F.lit("a"), "value"))
+        .unionAll(
+            base.select(
+                F.lit("planted"), F.lit("b"), (F.col("value") * 2.0).alias("value")
+            )
+        )
+    )
+    n = vals.groupBy("cmp").agg(
+        F.count(F.when(F.col("side") == "a", 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("side") == "b", 1)).cast("long").alias("n_b"),
+    )
+    g = vals.groupBy("cmp", "value").agg(
+        F.count(F.when(F.col("side") == "a", 1)).alias("ca"),
+        F.count(F.when(F.col("side") == "b", 1)).alias("cb"),
+    )
+    w = Window.partitionBy("cmp").orderBy("value")
+    c = g.select(
+        "cmp",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    d = (
+        c.join(n, "cmp")
+        .groupBy("cmp")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") / F.col("n_a").cast("double")
+                    - F.col("cum_b") / F.col("n_b").cast("double")
+                )
+            ).alias("d_raw")
+        )
+    )
+    crit = fround(
+        F.expr(f"CAST({_KS_CRIT} AS DOUBLE)")
+        * F.sqrt(
+            (F.col("n_a") + F.col("n_b"))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        ),
+        6,
+    )
+    return (
+        d.join(n, "cmp")
+        .select(
+            "cmp",
+            "n_a",
+            "n_b",
+            fround(F.col("d_raw"), 6).alias("d_stat"),
+            crit.alias("crit"),
+            (fround(F.col("d_raw"), 6) > crit).alias("drift"),
+        )
+        .orderBy("cmp")
+    )
+
+
+@register(
+    "q_psi",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type,
+               CASE WHEN date_trunc('day', ts) < TIMESTAMP '{_PSI_SPLIT}'
+                        THEN value
+                    WHEN event_type = 'error' THEN value * 1.5
+                    WHEN event_type = 'signup' THEN value * 2.5
+                    ELSE value END AS value,
+               date_trunc('day', ts) < TIMESTAMP '{_PSI_SPLIT}' AS early
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    b AS (
+        SELECT event_type, early,
+               least(CAST(floor(value / 50.0) AS INT), 9) AS bin
+        FROM e
+    ),
+    c AS (
+        SELECT event_type, bin,
+               CAST(count(*) FILTER (early) AS BIGINT) AS ca,
+               CAST(count(*) FILTER (NOT early) AS BIGINT) AS cb
+        FROM b GROUP BY event_type, bin
+    ),
+    n AS (
+        SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+        FROM c GROUP BY event_type
+    ),
+    s AS (
+        SELECT c.event_type,
+               sum(((c.ca + 1.0) / (n.na + 10.0) - (c.cb + 1.0) / (n.nb + 10.0))
+                   * ln(((c.ca + 1.0) / (n.na + 10.0))
+                        / ((c.cb + 1.0) / (n.nb + 10.0)))) AS psi_raw
+        FROM c JOIN n USING (event_type)
+        GROUP BY c.event_type
+    )
+    SELECT event_type,
+           {fround_sql("psi_raw", 6)} AS psi,
+           CASE WHEN {fround_sql("psi_raw", 6)} < {_PSI_STABLE} THEN 'stable'
+                WHEN {fround_sql("psi_raw", 6)} < {_PSI_MODERATE} THEN 'moderate'
+                ELSE 'shifted' END AS stability
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event type between the first and
+    second half of the month: 10 fixed equi-width value bins, Laplace
+    (+1) smoothed shares, psi = sum((p-q)*ln(p/q)), classified against
+    the industry-standard 0.1/0.25 bands — the binned drift monitor a
+    feature store runs per column per day.  The deterministic planted
+    shift on 'error' makes the non-stable branches fire; the other four
+    types read 'stable' (natural PSI 0.004-0.009); signup's 2.5x shift
+    lands 'shifted', so all three classes are oracle-exercised.
+
+    Scale: fixed bin edges mean NO quantile pass — binning is a floor()
+    in codegen, counts partial-aggregate to |types| x 10 cells, and the
+    PSI reduction runs over that tiny table.  This is the shape that
+    survives 100 TB trivially: one scan, one cell-sized shuffle, no
+    global ordering anywhere (contrast q_ks_test, whose exact ECDF needs
+    per-comparison ordering — PSI is the resolution-bounded version)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    early = F.date_trunc("day", "ts") < F.lit(_PSI_SPLIT).cast("timestamp")
+    shifted = (
+        F.when(early, F.col("value"))
+        .when(F.col("event_type") == "error", F.col("value") * 1.5)
+        .when(F.col("event_type") == "signup", F.col("value") * 2.5)
+        .otherwise(F.col("value"))
+    )
+    b = ev.select(
+        "event_type",
+        early.alias("early"),
+        F.least(F.floor(shifted / 50.0).cast("int"), F.lit(9)).alias("bin"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("early"), 1)).cast("long").alias("ca"),
+        F.count(F.when(~F.col("early"), 1)).cast("long").alias("cb"),
+    )
+    n = c.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    p = (F.col("ca") + 1.0) / (F.col("na") + 10.0)
+    q = (F.col("cb") + 1.0) / (F.col("nb") + 10.0)
+    s = (
+        c.join(n, "event_type")
+        .groupBy("event_type")
+        .agg(F.sum((p - q) * F.log(p / q)).alias("psi_raw"))
+    )
+    psi6 = fround(F.col("psi_raw"), 6)
+    stability = (
+        F.when(psi6 < F.expr(f"CAST({_PSI_STABLE} AS DOUBLE)"), F.lit("stable"))
+        .when(
+            psi6 < F.expr(f"CAST({_PSI_MODERATE} AS DOUBLE)"),
+            F.lit("moderate"),
+        )
+        .otherwise(F.lit("shifted"))
+    )
+    return s.select(
+        "event_type",
+        psi6.alias("psi"),
+        stability.alias("stability"),
+    ).orderBy("event_type")

@@ -135,6 +135,8 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_welch_ttest",
     "q_bpe_pairs",
     "q_curation_pipeline",
+    "q_ks_test",
+    "q_psi",
 )
 
 

@@ -129,3 +129,95 @@ class TestWelchTtest:
         assert row["t_stat"] == pytest.approx(t_stat, abs=2e-4)
         assert row["df"] == pytest.approx(df, rel=1e-3)
         assert row["significant"] == (abs(t_stat) > 1.96)
+
+
+class TestDriftDetectors:
+    def test_ks_matches_python_ecdf(self, spark, sf_dir):
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).to_pydict()
+
+        def ks(a, b):
+            grid = sorted(set(a) | set(b))
+            sa = sorted(a)
+            sb = sorted(b)
+            import bisect
+
+            return max(
+                abs(
+                    bisect.bisect_right(sa, v) / len(a)
+                    - bisect.bisect_right(sb, v) / len(b)
+                )
+                for v in grid
+            )
+
+        purchase = [
+            v
+            for t, v in zip(ev["event_type"], ev["value"])
+            if t == "purchase" and v is not None
+        ]
+        view = [
+            v
+            for t, v in zip(ev["event_type"], ev["value"])
+            if t == "view" and v is not None
+        ]
+        rows = {
+            r["cmp"]: r
+            for r in registry.QUERIES["q_ks_test"](spark, sf_dir).collect()
+        }
+        nat = rows["natural"]
+        assert nat["d_stat"] == pytest.approx(ks(purchase, view), abs=2e-6)
+        crit = 1.358 * ((len(purchase) + len(view)) / (len(purchase) * len(view))) ** 0.5
+        assert nat["crit"] == pytest.approx(crit, abs=2e-6)
+        assert nat["drift"] == (nat["d_stat"] > nat["crit"])
+        pl = rows["planted"]
+        assert pl["d_stat"] == pytest.approx(
+            ks(purchase, [v * 2.0 for v in purchase]), abs=2e-6
+        )
+        assert {rows["natural"]["drift"], rows["planted"]["drift"]} == {
+            False,
+            True,
+        }, "both verdicts must be exercised"
+
+    def test_psi_matches_python_recompute(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "ts", "value"],
+        ).to_pandas()
+        ev = ev.dropna(subset=["ts", "value"])
+        split = __import__("pandas").Timestamp("2024-01-16")
+        expect = {}
+        for t, grp in ev.groupby("event_type"):
+            early = grp["ts"].dt.floor("D") < split
+            val = grp["value"].where(
+                early,
+                grp["value"]
+                * (1.5 if t == "error" else 2.5 if t == "signup" else 1.0),
+            )
+            bins = val.floordiv(50.0).clip(upper=9).astype(int)
+            ca = Counter(bins[early])
+            cb = Counter(bins[~early])
+            na, nb = early.sum(), (~early).sum()
+            psi = 0.0
+            for b in set(ca) | set(cb):
+                p = (ca.get(b, 0) + 1.0) / (na + 10.0)
+                q = (cb.get(b, 0) + 1.0) / (nb + 10.0)
+                psi += (p - q) * math.log(p / q)
+            expect[t] = psi
+        rows = registry.QUERIES["q_psi"](spark, sf_dir).collect()
+        classes = set()
+        for r in rows:
+            assert r["psi"] == pytest.approx(expect[r["event_type"]], abs=2e-6)
+            classes.add(r["stability"])
+        assert classes == {"stable", "moderate", "shifted"}
