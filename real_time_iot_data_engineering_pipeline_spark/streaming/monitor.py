@@ -76,3 +76,78 @@ class QualityMonitorSink:
     def read(self) -> DataFrame:
         """The accumulated alert history across epochs."""
         return self.spark.read.parquet(os.path.join(self.out_dir, "epoch=*"))
+
+
+class DriftMonitorSink:
+    """foreachBatch body scoring each micro-batch's value distribution
+    against a FIXED reference histogram with the population stability
+    index — the live twin of the oracle-checked batch operator
+    queries/behavior.py::q_psi, sharing its binning (10 equi-width bins,
+    width 50, top bin open), Laplace smoothing, and 0.1/0.25 stability
+    bands.
+
+    The reference histogram is computed ONCE at construction from a
+    static DataFrame (yesterday's table, a curated sample — stream-static
+    pattern) and carried as ten plain floats; per batch the DISTRIBUTED
+    work is a 10-cell binned count, and the PSI fold over those ten
+    cells runs driver-side exactly like QualityMonitorSink's single
+    aggregate row.  Each epoch appends one row (epoch, n_values, psi,
+    stability) to an epoch-keyed parquet table, idempotent under epoch
+    replay."""
+
+    N_BINS = 10
+    BIN_WIDTH = 50.0
+    STABLE_MAX = 0.1
+    MODERATE_MAX = 0.25
+
+    def __init__(self, spark: SparkSession, out_dir: str, reference: DataFrame):
+        self.spark = spark
+        self.out_dir = out_dir
+        counts = dict.fromkeys(range(self.N_BINS), 0)
+        for r in self._binned(reference).groupBy("bin").count().collect():
+            counts[r["bin"]] = r["count"]
+        total = sum(counts.values())
+        self._ref_share = {
+            b: (counts[b] + 1.0) / (total + self.N_BINS)
+            for b in range(self.N_BINS)
+        }
+
+    def _binned(self, df: DataFrame) -> DataFrame:
+        return df.filter(F.col("value").isNotNull()).select(
+            F.least(
+                F.floor(F.col("value") / self.BIN_WIDTH).cast("int"),
+                F.lit(self.N_BINS - 1),
+            ).alias("bin")
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import math
+
+        if batch_df.isEmpty():
+            return
+        counts = dict.fromkeys(range(self.N_BINS), 0)
+        for r in self._binned(batch_df).groupBy("bin").count().collect():
+            counts[r["bin"]] = r["count"]
+        n = sum(counts.values())
+        psi = 0.0
+        for b in range(self.N_BINS):
+            p = (counts[b] + 1.0) / (n + self.N_BINS)
+            q = self._ref_share[b]
+            psi += (p - q) * math.log(p / q)
+        stability = (
+            "stable"
+            if psi < self.STABLE_MAX
+            else "moderate"
+            if psi < self.MODERATE_MAX
+            else "shifted"
+        )
+        self.spark.createDataFrame(
+            [(int(epoch_id), n, round(psi, 6), stability)],
+            "epoch INT, n_values BIGINT, psi DOUBLE, stability STRING",
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, f"epoch={int(epoch_id)}")
+        )
+
+    def read(self) -> DataFrame:
+        """The accumulated drift history across epochs."""
+        return self.spark.read.parquet(os.path.join(self.out_dir, "epoch=*"))

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sinks import KeyedParquetSink
-from .monitor import QualityMonitorSink
+from .monitor import DriftMonitorSink, QualityMonitorSink
 from .pipeline import (
     AGG_KEY_COLS,
     CORRUPT_COL,
@@ -54,12 +54,14 @@ class TopologyResult:
         dlq_dir: str,
         monitor: QualityMonitorSink | None = None,
         attribution_dir: str | None = None,
+        drift: DriftMonitorSink | None = None,
     ):
         self.spark = spark
         self.aggregates = agg_sink
         self.dlq_dir = dlq_dir
         self.monitor = monitor
         self.attribution_dir = attribution_dir
+        self.drift = drift
 
     def read_dlq(self) -> DataFrame:
         return self.spark.read.parquet(self.dlq_dir + "/epoch=*")
@@ -80,6 +82,7 @@ def run_topology(
     with_monitor: bool = False,
     with_attribution: bool = False,
     compact_every: int = 0,
+    drift_reference: DataFrame | None = None,
 ) -> TopologyResult:
     """Drain source_dir through the full validate->route->dedup->window->
     upsert topology with Trigger.AvailableNow on both branches.
@@ -196,6 +199,18 @@ def run_topology(
         )
         queries.append(start(validated, "topology-monitor", monitor))
 
+    # optional drift branch: per-batch PSI of the VALID stream's value
+    # distribution against a fixed reference histogram (stream-static) —
+    # the live twin of queries/behavior.py::q_psi
+    drift = None
+    if drift_reference is not None:
+        drift = DriftMonitorSink(
+            spark, os.path.join(out_dir, "drift"), drift_reference
+        )
+        queries.append(
+            start(validated.filter("is_valid"), "topology-drift", drift)
+        )
+
     try:
         for q in queries:
             q.awaitTermination(timeout_seconds)
@@ -203,4 +218,6 @@ def run_topology(
         for q in queries:
             if q.isActive:
                 q.stop()
-    return TopologyResult(spark, agg_sink, dlq_dir, monitor, attribution_dir)
+    return TopologyResult(
+        spark, agg_sink, dlq_dir, monitor, attribution_dir, drift
+    )

@@ -268,3 +268,49 @@ def test_topology_quarantines_malformed_json_with_payload(spark, tmp_path):
     assert len(bad) == 1
     assert bad[0].raw_payload == "%%% totally not json %%%"
     assert bad[0].validation_failures.startswith("malformed:json")
+
+
+def test_topology_drift_branch(spark, tmp_path):
+    """The drift branch scores each micro-batch's value distribution
+    against a fixed reference histogram with PSI (live twin of q_psi): a
+    batch matching the reference reads stable, a shifted batch is
+    flagged — all within the validator's value range so the drift branch,
+    not the DLQ, catches the change."""
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}', event_type="click")
+    # reference: values concentrated in bin 0 ([0, 50))
+    reference = spark.createDataFrame(
+        [(float(v),) for v in (5, 10, 15, 20, 25, 30, 35, 40)], "value DOUBLE"
+    )
+    # batch 0: same regime as the reference -> stable
+    write_file(
+        str(src),
+        "f1.json",
+        [
+            dict(ev(i, f"2024-01-19 10:00:0{i}", value=float(5 * i)), **valid_kwargs)
+            for i in range(1, 9)
+        ],
+        seq=0,
+    )
+    # batch 1: values jump to bin 1 ([50, 100]) — still VALID, but drifted
+    write_file(
+        str(src),
+        "f2.json",
+        [
+            dict(
+                ev(10 + i, f"2024-01-19 10:01:0{i}", value=float(55 + 5 * i)),
+                **valid_kwargs,
+            )
+            for i in range(1, 9)
+        ],
+        seq=1,
+    )
+    result = run_topology(
+        spark, str(src), str(tmp_path / "out"), drift_reference=reference
+    )
+    rows = {r.epoch: r for r in result.drift.read().collect()}
+    assert len(rows) == 2
+    assert rows[0].stability == "stable" and rows[0].psi < 0.1
+    assert rows[1].stability == "shifted" and rows[1].psi > 0.25
+    assert rows[0].n_values == 8 and rows[1].n_values == 8
