@@ -899,3 +899,140 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(beta, F.col("t")) * (F.col("x0") + alpha * F.col("cum")), 4
         ).alias("ewma"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Trend slope (per-group OLS) and lag-1 autocorrelation
+# ---------------------------------------------------------------------------
+
+# Slope threshold (value units per day) separating flat from trending;
+# calibrated so the stationary fixture produces 'flat' for most types and
+# the verdict logic is still exercised by sampling noise on the smallest
+# series — the CLASSIFICATION is oracle-checked either way because both
+# engines compute it from identical inputs.
+TREND_EPS = "0.05"
+
+
+@register(
+    "q_trend_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', TIMESTAMP '2024-01-01',
+                         date_trunc('day', ts)) AS x,
+               avg(value) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type, x
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               regr_slope(y, x) AS slope,
+               regr_intercept(y, x) AS intercept,
+               regr_r2(y, x) AS r2
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           {fround_sql("slope", 6)} AS slope,
+           {fround_sql("intercept", 4)} AS intercept,
+           {fround_sql("r2", 6)} AS r2,
+           CASE WHEN {fround_sql("slope", 6)} > {TREND_EPS} THEN 'up'
+                WHEN {fround_sql("slope", 6)} < -{TREND_EPS} THEN 'down'
+                ELSE 'flat' END AS trend
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend over the daily mean series: slope,
+    intercept, and R^2 via the regression aggregates, classified
+    up/flat/down at +-{TREND_EPS} value-units/day — the trend readout a
+    monitoring dashboard fits per metric per day.
+
+    Scale: the daily series partial-aggregates the stream to |types| x
+    |days| rows; the regression is ONE aggregate over that tiny table
+    (both engines implement regr_* as single-pass moment sums — no
+    second scan, no window).  Day index is anchored at a fixed epoch so
+    x is identical in both engines regardless of session timezone."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("timestamp")
+            ).alias("x"),
+        )
+        .agg(F.avg("value").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.regr_slope("y", "x").alias("slope_raw"),
+        F.regr_intercept("y", "x").alias("intercept_raw"),
+        F.regr_r2("y", "x").alias("r2_raw"),
+    )
+    slope6 = fround(F.col("slope_raw"), 6)
+    eps = F.expr(f"CAST({TREND_EPS} AS DOUBLE)")
+    return s.select(
+        "event_type",
+        "n_days",
+        slope6.alias("slope"),
+        fround(F.col("intercept_raw"), 4).alias("intercept"),
+        fround(F.col("r2_raw"), 6).alias("r2"),
+        F.when(slope6 > eps, F.lit("up"))
+        .when(slope6 < -eps, F.lit("down"))
+        .otherwise(F.lit("flat"))
+        .alias("trend"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_autocorr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type, day
+    ),
+    lagged AS (
+        SELECT event_type, y,
+               lag(y) OVER (PARTITION BY event_type ORDER BY day) AS y_prev
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(y_prev) AS BIGINT) AS n_pairs,
+           {fround_sql("corr(y, y_prev)", 6)} AS acf1
+    FROM lagged WHERE y_prev IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily mean series —
+    the persistence diagnostic that says whether yesterday predicts
+    today (near zero on this stationary fixture, near one on a trending
+    metric); with q_trend_slope and q_ewma_daily it completes the
+    per-metric time-series profile.
+
+    Scale: one partial-aggregating reduction to the daily series, one
+    per-type window for the lag (partitions are |days|-sized), and a
+    Pearson corr aggregate — both engines implement corr as the same
+    single-pass co-moment sums over identical (y, y_prev) pairs."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "y", F.lag("y").over(w).alias("y_prev")
+    ).filter(F.col("y_prev").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("y_prev").cast("long").alias("n_pairs"),
+            fround(F.corr("y", "y_prev"), 6).alias("acf1"),
+        )
+        .orderBy("event_type")
+    )

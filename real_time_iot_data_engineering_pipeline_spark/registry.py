@@ -137,6 +137,8 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_curation_pipeline",
     "q_ks_test",
     "q_psi",
+    "q_trend_slope",
+    "q_autocorr",
 )
 
 

@@ -189,3 +189,57 @@ class TestEwmaDaily:
             assert r["ewma"] == pytest.approx(
                 expect[(r["event_type"], r["day"])], abs=2e-4
             )
+
+
+class TestTrendAndAutocorr:
+    def test_trend_matches_numpy_polyfit(self, spark, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        ).to_pandas().dropna(subset=["ts", "value"])
+        ev["x"] = (ev["ts"].dt.floor("D") - __import__("pandas").Timestamp("2024-01-01")).dt.days
+        rows = {
+            r["event_type"]: r
+            for r in registry.QUERIES["q_trend_slope"](spark, sf_dir).collect()
+        }
+        for t, grp in ev.groupby("event_type"):
+            daily = grp.groupby("x")["value"].mean()
+            slope, intercept = np.polyfit(daily.index, daily.values, 1)
+            r = rows[t]
+            assert r["n_days"] == len(daily)
+            assert r["slope"] == pytest.approx(slope, abs=2e-4)
+            assert r["intercept"] == pytest.approx(intercept, abs=2e-2)
+            pred = slope * daily.index.to_numpy() + intercept
+            ss_res = ((daily.values - pred) ** 2).sum()
+            ss_tot = ((daily.values - daily.values.mean()) ** 2).sum()
+            assert r["r2"] == pytest.approx(1 - ss_res / ss_tot, abs=2e-4)
+            assert r["trend"] == (
+                "up" if r["slope"] > 0.05 else "down" if r["slope"] < -0.05 else "flat"
+            )
+
+    def test_autocorr_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        ).to_pandas().dropna(subset=["ts", "value"])
+        ev["day"] = ev["ts"].dt.floor("D")
+        rows = {
+            r["event_type"]: r
+            for r in registry.QUERIES["q_autocorr"](spark, sf_dir).collect()
+        }
+        for t, grp in ev.groupby("event_type"):
+            daily = grp.groupby("day")["value"].mean().sort_index().values
+            y, y_prev = daily[1:], daily[:-1]
+            r = rows[t]
+            assert r["n_pairs"] == len(y)
+            assert r["acf1"] == pytest.approx(
+                float(np.corrcoef(y, y_prev)[0, 1]), abs=2e-4
+            )
