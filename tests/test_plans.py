@@ -746,3 +746,69 @@ class TestFunctionSurfacePlans:
         partitioning — exactly one hash exchange."""
         plan = plan_of(spark, sf_dir, "q_sessionize")
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestLateRound4Tier:
+    def test_linkage_joins_dictionary_broadcast(self, spark, sf_dir):
+        """The edit-distance candidate join runs on the deduplicated name
+        dictionary via broadcast — never a SortMergeJoin of the catalog."""
+        plan = plan_of(spark, sf_dir, "q_name_linkage")
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_triangles_have_no_cartesian(self, spark, sf_dir):
+        """Edge-wedge triangle closure must stay equi-join keyed (the
+        canonical u<v edges make every leg an equi-join); the only BNLJ
+        allowed is the final scalar single-row stat cross."""
+        plan = plan_of(spark, sf_dir, "q_cosupply_triangles")
+        assert "CartesianProduct" not in plan
+
+    def test_repeated_substrings_shuffles_hashes_not_text(self, spark, sf_dir):
+        """After the n-gram explode only md5 hashes and positions move;
+        no Exchange row schema may carry the text column."""
+        plan = plan_of(spark, sf_dir, "q_repeated_substrings")
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "text" not in ln, ln
+
+    def test_welch_and_psi_have_no_window(self, spark, sf_dir):
+        """Both stats reduce via partial aggregates; a Window anywhere
+        means someone reintroduced a per-row pass."""
+        for q in ("q_welch_ttest", "q_psi"):
+            plan = plan_of(spark, sf_dir, q)
+            assert "Window" not in plan, q
+
+    def test_trend_slope_single_pass_aggregates(self, spark, sf_dir):
+        """regr_* compile to one partial+final aggregate pair over the
+        daily series — no self-join, no window."""
+        plan = plan_of(spark, sf_dir, "q_trend_slope")
+        assert "Window" not in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_curation_pipeline_scans_documents_twice_max(self, spark, sf_dir):
+        """The composite recipe computes all four gates in one projection
+        over the derived corpus (documents + planted copies = two scans
+        of the same file); four chained standalone operators would scan
+        at least four times."""
+        plan = plan_of(spark, sf_dir, "q_curation_pipeline")
+        assert plan.count("Scan parquet") <= 4  # corpus union (2) x reuse
+        assert "CartesianProduct" not in plan
+
+    def test_ewma_windows_are_partitioned(self, spark, sf_dir):
+        """The cumulative-sum windows must be keyed by event_type — an
+        unpartitioned window would serialize the whole series through one
+        task (the WindowExec warning path)."""
+        plan = plan_of(spark, sf_dir, "q_ewma_daily")
+        import re
+
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "event_type" in m.group(1), m.group(0)
+
+    def test_bigram_ppl_broadcasts_vocab_sides(self, spark, sf_dir):
+        """Scoring joins bigram instances to vocabulary-sized count
+        tables; at fixture scale AQE must pick broadcast for them (the
+        corpus side never builds a hash table)."""
+        plan = plan_of(spark, sf_dir, "q_bigram_ppl")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
