@@ -1036,3 +1036,106 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over the daily series
+# ---------------------------------------------------------------------------
+
+# Excursion threshold in value units: max |cusum| above this flags a level
+# change.  The stationary fixture's natural excursions sit well below it;
+# the PLANTED mid-month 1.5x shift on 'error' (same plant as q_psi, applied
+# identically in both engines) drives that type far above.
+CUSUM_H = "120.0"
+_CUSUM_SPLIT = "2024-01-16"
+
+
+@register(
+    "q_cusum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               avg(CASE WHEN event_type = 'error'
+                             AND date_trunc('day', ts)
+                                 >= TIMESTAMP '{_CUSUM_SPLIT}'
+                        THEN value * 1.5 ELSE value END) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type, day
+    ),
+    m AS (SELECT event_type, avg(y) AS mu FROM daily GROUP BY event_type),
+    c AS (
+        SELECT d.event_type, d.day,
+               sum(d.y - m.mu) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+               ) AS cusum
+        FROM daily d JOIN m USING (event_type)
+    ),
+    peak AS (
+        SELECT event_type,
+               max(struct_pack(
+                   a := {fround_sql("abs(cusum)", 6)},
+                   neg_day := 0 - epoch(day),
+                   day := day
+               )) AS pk
+        FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           pk.a AS max_excursion,
+           CAST(pk.day AS TIMESTAMP) AS changepoint_day,
+           pk.a > {CUSUM_H} AS changed
+    FROM peak
+    ORDER BY event_type
+    """,
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: cumulative sum of
+    deviations from the series mean over the daily sequence; the maximum
+    absolute excursion IS the classic changepoint statistic and its argmax
+    day the estimated change date (Page 1954).  The planted mid-month
+    shift on 'error' (identical plant to q_psi) drives that type over the
+    {CUSUM_H}-unit threshold while the stationary types stay under, so
+    both verdicts are oracle-exercised.
+
+    Scale: daily pre-aggregation first (the stream reduces to |types| x
+    |days| rows before anything ordered happens), one broadcast-sized
+    mean join-back, one per-type cumulative window over the tiny series,
+    then an argmax via a single max-over-struct partial aggregate — the
+    same no-sort idiom as q_first_touch, with earliest-day tiebreak
+    (negated epoch in the struct) so both engines elect the same day on
+    equal excursions."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    day = F.date_trunc("day", "ts")
+    shifted = F.when(
+        (F.col("event_type") == "error")
+        & (day >= F.lit(_CUSUM_SPLIT).cast("timestamp")),
+        F.col("value") * 1.5,
+    ).otherwise(F.col("value"))
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.avg(shifted).alias("y")
+    )
+    m = daily.groupBy("event_type").agg(F.avg("y").alias("mu"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    c = daily.join(m, "event_type").select(
+        "event_type",
+        "day",
+        F.sum(F.col("y") - F.col("mu")).over(w).alias("cusum"),
+    )
+    pk = c.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                fround(F.abs(F.col("cusum")), 6).alias("a"),
+                (F.lit(0) - F.unix_timestamp("day")).alias("neg_day"),
+                F.col("day").alias("day"),
+            )
+        ).alias("pk")
+    )
+    return pk.select(
+        "event_type",
+        F.col("pk.a").alias("max_excursion"),
+        F.col("pk.day").alias("changepoint_day"),
+        (F.col("pk.a") > F.expr(f"CAST({CUSUM_H} AS DOUBLE)")).alias(
+            "changed"
+        ),
+    ).orderBy("event_type")

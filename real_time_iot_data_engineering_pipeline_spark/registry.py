@@ -139,6 +139,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_psi",
     "q_trend_slope",
     "q_autocorr",
+    "q_cusum",
 )
 
 

@@ -243,3 +243,39 @@ class TestTrendAndAutocorr:
             assert r["acf1"] == pytest.approx(
                 float(np.corrcoef(y, y_prev)[0, 1]), abs=2e-4
             )
+
+
+class TestCusum:
+    def test_matches_numpy_recompute(self, spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        ).to_pandas().dropna(subset=["ts", "value"])
+        ev["day"] = ev["ts"].dt.floor("D")
+        split = pd.Timestamp("2024-01-16")
+        ev["v"] = ev["value"].where(
+            ~((ev["event_type"] == "error") & (ev["day"] >= split)),
+            ev["value"] * 1.5,
+        )
+        rows = {
+            r["event_type"]: r
+            for r in registry.QUERIES["q_cusum"](spark, sf_dir).collect()
+        }
+        assert rows["error"]["changed"], "planted shift must be detected"
+        for t, grp in ev.groupby("event_type"):
+            daily = grp.groupby("day")["v"].mean().sort_index()
+            cusum = np.cumsum(daily.values - daily.values.mean())
+            i = int(np.argmax(np.round(np.abs(cusum), 6)))
+            r = rows[t]
+            assert r["max_excursion"] == pytest.approx(
+                float(np.abs(cusum[i])), abs=2e-4
+            )
+            assert pd.Timestamp(r["changepoint_day"]) == daily.index[i]
+            assert r["changed"] == (r["max_excursion"] > 120.0)
+        if "error" in rows and sf_dir.endswith("0.01"):
+            assert str(rows["error"]["changepoint_day"])[:10] == "2024-01-15"
