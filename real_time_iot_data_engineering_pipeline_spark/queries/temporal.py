@@ -1139,3 +1139,95 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "changed"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonal profile with residual outlier rates
+# ---------------------------------------------------------------------------
+
+RESID_Z = "3.0"
+
+
+@register(
+    "q_hour_profile",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hr, value
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    prof AS (
+        SELECT event_type, hr,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM e GROUP BY event_type, hr
+    ),
+    r AS (
+        SELECT p.event_type, p.hr, p.n, p.mu, p.sigma,
+               CAST(count(*) FILTER (
+                   abs(e.value - p.mu) / p.sigma > {RESID_Z}
+               ) AS BIGINT) AS n_outliers
+        FROM e JOIN prof p USING (event_type, hr)
+        GROUP BY p.event_type, p.hr, p.n, p.mu, p.sigma
+    )
+    SELECT event_type, hr, n,
+           {fround_sql("mu")} AS hour_mean,
+           {fround_sql("sigma")} AS hour_std,
+           n_outliers,
+           {fround_sql("CAST(n_outliers AS DOUBLE) / n", 6)} AS outlier_rate
+    FROM r
+    ORDER BY event_type, hr
+    """,
+)
+def q_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type (the diurnal baseline
+    a fleet monitor subtracts before alerting): per (type, hour) cell the
+    count, mean, and standard deviation, plus how many readings deviate
+    more than {RESID_Z} sigma from their OWN cell's baseline — the
+    seasonality-aware complement of the global q_zscore_flag (a value
+    normal at 3 am can be anomalous at noon and vice versa).
+
+    Scale: the profile is a partial-aggregating groupBy to |types| x 24
+    cells; the residual pass re-joins the stream to that broadcast-sized
+    profile on (type, hour) — the stream itself never shuffles (AQE
+    broadcasts 120 rows), and the outlier count partial-aggregates back
+    to the same 120 cells.  Same join-back-not-window shape as
+    q_city_avg_compare, pinned by the plan test."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type", F.hour("ts").cast("int").alias("hr"), "value"
+        )
+    )
+    prof = e.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = F.expr(f"CAST({RESID_Z} AS DOUBLE)")
+    r = (
+        e.join(F.broadcast(prof), ["event_type", "hr"])
+        .groupBy("event_type", "hr", "n", "mu", "sigma")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu")) / F.col("sigma") > z,
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return r.select(
+        "event_type",
+        "hr",
+        "n",
+        fround(F.col("mu"), 4).alias("hour_mean"),
+        fround(F.col("sigma"), 4).alias("hour_std"),
+        "n_outliers",
+        fround(F.col("n_outliers").cast("double") / F.col("n"), 6).alias(
+            "outlier_rate"
+        ),
+    ).orderBy("event_type", "hr")

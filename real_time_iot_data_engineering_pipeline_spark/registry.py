@@ -140,6 +140,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_trend_slope",
     "q_autocorr",
     "q_cusum",
+    "q_hour_profile",
 )
 
 

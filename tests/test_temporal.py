@@ -279,3 +279,33 @@ class TestCusum:
             assert r["changed"] == (r["max_excursion"] > 120.0)
         if "error" in rows and sf_dir.endswith("0.01"):
             assert str(rows["error"]["changepoint_day"])[:10] == "2024-01-15"
+
+
+class TestHourProfile:
+    def test_matches_pandas_recompute_and_plan(self, spark, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        ).to_pandas().dropna(subset=["ts", "value"])
+        ev["hr"] = ev["ts"].dt.hour
+        df = registry.QUERIES["q_hour_profile"](spark, sf_dir)
+        rows = {(r["event_type"], r["hr"]): r for r in df.collect()}
+        total_outliers = 0
+        for (t, h), grp in ev.groupby(["event_type", "hr"]):
+            v = grp["value"].to_numpy()
+            r = rows[(t, int(h))]
+            assert r["n"] == len(v)
+            assert r["hour_mean"] == pytest.approx(v.mean(), abs=2e-4)
+            assert r["hour_std"] == pytest.approx(v.std(ddof=1), abs=2e-4)
+            expect_out = int((np.abs(v - v.mean()) / v.std(ddof=1) > 3.0).sum())
+            assert r["n_outliers"] == expect_out
+            total_outliers += expect_out
+        assert total_outliers > 0, "residual outliers must occur"
+        # join-back, not window; profile side broadcast
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan
