@@ -314,3 +314,37 @@ def test_topology_drift_branch(spark, tmp_path):
     assert rows[0].stability == "stable" and rows[0].psi < 0.1
     assert rows[1].stability == "shifted" and rows[1].psi > 0.25
     assert rows[0].n_values == 8 and rows[1].n_values == 8
+
+
+def test_drift_sink_psi_matches_python_recompute(spark, tmp_path):
+    """DriftMonitorSink's live PSI (invoked directly as the foreachBatch
+    callable) must equal a pure-Python recompute over the same reference
+    and batch histograms — pinning the 'live twin of q_psi' claim."""
+    import math
+
+    from real_time_iot_data_engineering_pipeline_spark.streaming.monitor import (
+        DriftMonitorSink,
+    )
+
+    ref_vals = [5.0, 12.0, 33.0, 47.0, 60.0, 75.0, 120.0, 260.0]
+    batch_vals = [8.0, 55.0, 61.0, 99.0, 140.0, 410.0, 480.0]
+    reference = spark.createDataFrame([(v,) for v in ref_vals], "value DOUBLE")
+    sink = DriftMonitorSink(spark, str(tmp_path / "drift"), reference)
+    batch = spark.createDataFrame([(v,) for v in batch_vals], "value DOUBLE")
+    sink(batch, 7)
+    row = sink.read().collect()[0]
+
+    def shares(vals):
+        counts = dict.fromkeys(range(10), 0)
+        for v in vals:
+            counts[min(int(v // 50), 9)] += 1
+        n = len(vals)
+        return {b: (counts[b] + 1.0) / (n + 10.0) for b in range(10)}
+
+    p, q = shares(batch_vals), shares(ref_vals)
+    psi = sum((p[b] - q[b]) * math.log(p[b] / q[b]) for b in range(10))
+    assert row.epoch == 7 and row.n_values == len(batch_vals)
+    assert row.psi == round(psi, 6)
+    assert row.stability == (
+        "stable" if psi < 0.1 else "moderate" if psi < 0.25 else "shifted"
+    )
