@@ -971,3 +971,124 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "pos_id", "pos_sim", "neg_id", "neg_sim")
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN classification over the labeled embedding corpus
+# ---------------------------------------------------------------------------
+
+KNN_CLS_K = 5  # neighbors per test vector
+
+_CLS_TEST_DUCK = f"""
+    SELECT vec_id AS query_id,
+           list_transform(embedding, x -> x::DOUBLE) AS q_emb,
+           {_NORM_DUCK} AS q_norm, label
+    FROM embeddings WHERE vec_id % 10 = 0
+"""
+_CLS_TRAIN_DUCK = f"""
+    SELECT vec_id AS neighbor_id,
+           list_transform(embedding, x -> x::DOUBLE) AS c_emb,
+           {_NORM_DUCK} AS c_norm, label
+    FROM embeddings WHERE vec_id % 10 <> 0
+"""
+
+
+@register(
+    "q_knn_classify",
+    oracle=f"""
+    WITH q AS ({_CLS_TEST_DUCK}),
+    c AS ({_CLS_TRAIN_DUCK}),
+    scored AS (
+        SELECT q.query_id, q.label AS true_label,
+               c.label AS neighbor_label,
+               {_DOT_DUCK} / (q.q_norm * c.c_norm) AS cos_sim,
+               c.neighbor_id
+        FROM q, c
+    ),
+    ranked AS (
+        SELECT query_id, true_label, neighbor_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ),
+    votes AS (
+        SELECT query_id, true_label, neighbor_label,
+               CAST(count(*) AS BIGINT) AS n_votes
+        FROM ranked WHERE rank <= {KNN_CLS_K}
+        GROUP BY query_id, true_label, neighbor_label
+    ),
+    winner AS (
+        SELECT query_id, true_label, neighbor_label AS pred_label, n_votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, neighbor_label) AS r
+        FROM votes
+    )
+    SELECT query_id, true_label, pred_label, n_votes,
+           pred_label = true_label AS correct
+    FROM winner WHERE r = 1
+    ORDER BY query_id
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification over the labeled embedding corpus: a
+    deterministic 10% test split (vec_id % 10 = 0) is scored against the
+    other 90% by exact cosine, each test vector takes the majority label
+    of its {KNN_CLS_K} nearest train neighbors (ties broken toward the
+    smaller label id), and the per-query verdict records whether the
+    vote recovers the true label — the evaluation harness every
+    embedding-quality pipeline runs after training.
+
+    Scale: identical posture to q_embed_knn — the test batch is the
+    broadcast side, the train corpus scans once and never shuffles, and
+    the row_number()<=k filter compiles to WindowGroupLimit so each map
+    partition ships at most k candidates per query; the vote is a
+    partial-aggregating count over |test| x k rows and the winner
+    election a window over |test| x |labels|.  A production run swaps
+    the exact scorer for the LSH/IVF candidate generators beside it
+    (same interface), which changes recall, not the plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(_EMB_D_SPARK).alias("q_emb"),
+        F.expr(_NORM_SPARK).alias("q_norm"),
+        F.col("label").alias("true_label"),
+    )
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(_EMB_D_SPARK).alias("c_emb"),
+        F.expr(_NORM_SPARK).alias("c_norm"),
+        F.col("label").alias("neighbor_label"),
+    )
+    scored = train.crossJoin(F.broadcast(test)).select(
+        "query_id",
+        "true_label",
+        "neighbor_label",
+        (F.expr(_DOT_SPARK) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            "cos_sim"
+        ),
+        "neighbor_id",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= KNN_CLS_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    ww = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "neighbor_label"
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(ww))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("pred_label"),
+            "n_votes",
+            (F.col("neighbor_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )

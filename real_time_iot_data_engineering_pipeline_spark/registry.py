@@ -141,6 +141,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_autocorr",
     "q_cusum",
     "q_hour_profile",
+    "q_knn_classify",
 )
 
 

@@ -164,3 +164,43 @@ class TestQuantization:
             assert r["qmin"] == int(codes[k].min())
             assert r["qmax"] == int(codes[k].max())
             assert abs(r["mse"] - mse[k]) < 1e-6
+
+
+class TestKnnClassify:
+    def test_matches_numpy_recompute_and_is_nontrivial(self, spark, sf_dir):
+        """Full numpy recompute of the 5-NN majority vote (cosine, same
+        tiebreaks).  The fixture's labels carry little geometric
+        structure (measured accuracy ~12% vs 10% chance), so the
+        assertion pins the EVALUATOR — exact per-query agreement with
+        numpy and both verdict values occurring — not model quality."""
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+        ids = np.array(tbl["vec_id"])
+        labels = np.array(tbl["label"])
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in tbl["embedding"]])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        test_m = ids % 10 == 0
+        rows = registry.QUERIES["q_knn_classify"](spark, sf_dir).collect()
+        assert len(rows) == int(test_m.sum())
+        by_id = {r["query_id"]: r for r in rows}
+        n_correct = 0
+        for qi in np.nonzero(test_m)[0]:
+            sims = mat[~test_m] @ mat[qi]
+            nbr_ids = ids[~test_m]
+            nbr_labels = labels[~test_m]
+            order = np.lexsort((nbr_ids, -sims))[:5]
+            votes = Counter(int(nbr_labels[i]) for i in order)
+            pred = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            r = by_id[int(ids[qi])]
+            assert r["true_label"] == int(labels[qi])
+            assert r["pred_label"] == pred
+            assert r["n_votes"] == votes[pred]
+            assert r["correct"] == (pred == int(labels[qi]))
+            n_correct += r["correct"]
+        assert 0 < n_correct < len(rows), "both verdicts must occur"
