@@ -1092,3 +1092,72 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality harness: recall@K of the LSH path against the exact path
+# ---------------------------------------------------------------------------
+
+from ..registry import ORACLES as _ORACLES  # noqa: E402  (registered above)
+
+
+@register(
+    "q_ann_recall",
+    oracle=f"""
+    WITH exact AS (
+        SELECT query_id, neighbor_id FROM ({_ORACLES["q_embed_knn"]})
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id FROM ({_ORACLES["q_embed_knn_lsh"]})
+    ),
+    j AS (
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(count(c.neighbor_id) AS BIGINT) AS n_hits
+        FROM exact e
+        LEFT JOIN cand c
+          ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT query_id, n_exact, n_hits,
+           {fround_sql("n_hits / CAST(n_exact AS DOUBLE)", 6)} AS recall
+    FROM j
+    ORDER BY query_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{K} of the SRP-LSH approximate KNN against the exact
+    brute-force KNN, per query — 'measure, don't guess' as a first-class
+    operator: the two registered queries are COMPOSED (their DataFrames
+    joined, their oracles nested as subqueries), so this harness can
+    never drift from the operators it certifies.  This is the number a
+    100 TB deployment watches when tuning bands/bits: recall trades
+    directly against the candidate-join fan-out.
+
+    Scale: both sides inherit their own posture (broadcast query batch;
+    banded candidate join); the comparison itself is a |queries| x K
+    left join and a partial-aggregating count — invisible next to the
+    searches it measures."""
+    exact = q_embed_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    cand = (
+        q_embed_knn_lsh(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(cand, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            fround(
+                F.col("n_hits") / F.col("n_exact").cast("double"), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -142,6 +142,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_cusum",
     "q_hour_profile",
     "q_knn_classify",
+    "q_ann_recall",
 )
 
 
