@@ -143,6 +143,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_hour_profile",
     "q_knn_classify",
     "q_ann_recall",
+    "q_pagerank",
 )
 
 

@@ -206,3 +206,62 @@ class TestBigramPpl:
                 for a, b in zip(ws, ws[1:])
             ) / (len(ws) - 1)
             assert r["avg_nll2"] == pytest.approx(nll, abs=2e-4)
+
+
+class TestPagerank:
+    def test_matches_networkx_bounded_iteration(self, spark, sf_dir):
+        """Re-run exactly 3 power-iteration rounds in pure Python over the
+        same thresholded edge set and compare every node's rank — a third,
+        independent implementation (networkx.pagerank itself needs scipy,
+        absent in this container, and would differ anyway: it iterates to
+        convergence while this operator stops at 3 rounds by design)."""
+        from collections import Counter, defaultdict
+
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+        from real_time_iot_data_engineering_pipeline_spark.queries.linkage import (
+            EDGE_TOP_FRAC,
+            PR_ROUNDS,
+        )
+
+        li = pq.read_table(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+        ).to_pydict()
+        per_order = defaultdict(list)
+        for o, s in zip(li["l_orderkey"], li["l_suppkey"]):
+            per_order[o].append(s)
+        w: Counter = Counter()
+        for supps in per_order.values():
+            ss = sorted(supps)
+            for i, u in enumerate(ss):
+                for v in ss[i + 1 :]:
+                    if u < v:
+                        w[(u, v)] += 1
+        ranked = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))
+        n_pairs = len(ranked)
+        keep = [
+            p
+            for i, (p, _) in enumerate(ranked)
+            if (i / (n_pairs - 1)) <= EDGE_TOP_FRAC
+        ]
+        adj = defaultdict(list)
+        for u, v in keep:
+            adj[u].append(v)
+            adj[v].append(u)
+        nodes = sorted(adj)
+        n = float(len(nodes))
+        p = {x: 1.0 / n for x in nodes}
+        for _ in range(PR_ROUNDS):
+            nxt = {}
+            for v in nodes:
+                nxt[v] = 0.15 / n + 0.85 * sum(
+                    p[u] / len(adj[u]) for u in adj[v]
+                )
+            p = nxt
+        rows = registry.QUERIES["q_pagerank"](spark, sf_dir).collect()
+        assert len(rows) == len(nodes)
+        for r in rows:
+            assert r["pagerank"] == pytest.approx(p[r["node"]], abs=2e-6)
+        total = sum(r["pagerank"] for r in rows)
+        assert total == pytest.approx(1.0, abs=1e-3), "ranks ~sum to 1"
