@@ -943,3 +943,187 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi6.alias("psi"),
         stability.alias("stability"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Numeric correlation matrix and chi-square independence test
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+@register(
+    "q_corr_matrix",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+               {fround_sql(f"corr({a}, {b})", 6)} AS pearson
+        FROM lineitem"""
+        for a, b in _CORR_PAIRS
+    )
+    + "\nORDER BY col_a, col_b",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the fact table's numeric measures
+    (upper triangle of the correlation matrix) — the profiling pass a
+    feature platform runs before model training to catch collinear or
+    accidentally-derived columns (on this synthetic fixture every
+    measure is independent — all |r| < 0.01 — so the matrix doubles as
+    a null-case regression: a refactor that accidentally correlates
+    columns shows up immediately).
+
+    Scale: ALL pairs compute in ONE scan — each corr(a, b) is a
+    single-pass co-moment aggregate and Spark evaluates the {len(_CORR_PAIRS)}
+    of them side by side in the same partial+final aggregation (one
+    row out, no shuffle of data rows).  The column list is schema
+    knowledge; widening it grows the aggregate buffer, never the scan
+    count.  The oracle states it as per-pair scans UNIONed (DuckDB
+    dedups them); hash equality proves the one-pass form computes the
+    same matrix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        fround(F.corr(a, b), 6).alias(f"{a}__{b}") for a, b in _CORR_PAIRS
+    ]
+    wide = li.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{a}', '{b}', {a}__{b}" for a, b in _CORR_PAIRS
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_CORR_PAIRS)}, {stack_expr})"
+                " AS (col_a, col_b, pearson)"
+            )
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+# Chi-square critical value at alpha=0.05 for (5-1)*(2-1)=4 dof.
+_CHI2_CRIT = "9.488"
+_CHI_SPLIT = "2024-01-16"
+
+
+@register(
+    "q_chi_square",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, event_id,
+               date_trunc('day', ts) < TIMESTAMP '{_CHI_SPLIT}' AS early
+        FROM events WHERE ts IS NOT NULL
+    ),
+    e AS (
+        SELECT 'natural' AS cmp, event_type, early FROM base
+        UNION ALL
+        SELECT 'planted', event_type, early FROM base
+        WHERE NOT (event_type = 'click' AND NOT early AND event_id % 10 < 5)
+    ),
+    o AS (
+        SELECT cmp, event_type, early, CAST(count(*) AS DOUBLE) AS obs
+        FROM e GROUP BY cmp, event_type, early
+    ),
+    rt AS (
+        SELECT cmp, event_type, sum(obs) AS row_tot
+        FROM o GROUP BY cmp, event_type
+    ),
+    ct AS (SELECT cmp, early, sum(obs) AS col_tot FROM o GROUP BY cmp, early),
+    n AS (SELECT cmp, sum(obs) AS grand FROM o GROUP BY cmp),
+    cells AS (
+        SELECT o.cmp, o.obs,
+               rt.row_tot * ct.col_tot / n.grand AS exp
+        FROM o
+        JOIN rt ON rt.cmp = o.cmp AND rt.event_type = o.event_type
+        JOIN ct ON ct.cmp = o.cmp AND ct.early = o.early
+        JOIN n ON n.cmp = o.cmp
+    )
+    SELECT cmp, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(4 AS INT) AS dof,
+           {fround_sql("sum((obs - exp) * (obs - exp) / exp)", 4)} AS chi2,
+           {fround_sql("sum((obs - exp) * (obs - exp) / exp)", 6)}
+               > {_CHI2_CRIT} AS dependent
+    FROM cells
+    GROUP BY cmp
+    ORDER BY cmp
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and time period
+    (first vs second half of the month) — the categorical drift detector
+    beside q_psi's numeric one: a shift in the MIX of event types across
+    periods rejects independence.  A deterministic plant (half the
+    second-half clicks removed by event_id hash, identically in both
+    engines — sized so the rejection fires even at the smallest
+    fixture's sample size) breaks the fixture's natural independence; the 'natural'
+    and 'planted' tables run side by side so BOTH verdicts are
+    oracle-exercised.
+
+    Scale: the contingency table is a partial-aggregating count to
+    |types| x 2 cells; margins and the statistic are arithmetic over
+    that tiny table (the margin 'joins' are broadcast-sized).  Nothing
+    downstream of the first aggregate sees data volume."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            (
+                F.date_trunc("day", "ts")
+                < F.lit(_CHI_SPLIT).cast("timestamp")
+            ).alias("early"),
+        )
+    )
+    planted = base.filter(
+        ~(
+            (F.col("event_type") == "click")
+            & ~F.col("early")
+            & (F.col("event_id") % 10 < 5)
+        )
+    )
+    e = base.select(
+        F.lit("natural").alias("cmp"), "event_type", "early"
+    ).unionAll(
+        planted.select(F.lit("planted").alias("cmp"), "event_type", "early")
+    )
+    o = e.groupBy("cmp", "event_type", "early").agg(
+        F.count("*").cast("double").alias("obs")
+    )
+    rt = o.groupBy("cmp", "event_type").agg(F.sum("obs").alias("row_tot"))
+    ct = o.groupBy("cmp", "early").agg(F.sum("obs").alias("col_tot"))
+    n = o.groupBy("cmp").agg(F.sum("obs").alias("grand"))
+    cells = (
+        o.join(F.broadcast(rt), ["cmp", "event_type"])
+        .join(F.broadcast(ct), ["cmp", "early"])
+        .join(F.broadcast(n), "cmp")
+        .select(
+            "cmp",
+            "obs",
+            (
+                F.col("row_tot") * F.col("col_tot") / F.col("grand")
+            ).alias("exp"),
+        )
+    )
+    stat = F.sum(
+        (F.col("obs") - F.col("exp"))
+        * (F.col("obs") - F.col("exp"))
+        / F.col("exp")
+    )
+    agg = cells.groupBy("cmp").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        stat.alias("chi2_raw"),
+    )
+    return agg.select(
+        "cmp",
+        "n_cells",
+        F.lit(4).cast("int").alias("dof"),
+        fround(F.col("chi2_raw"), 4).alias("chi2"),
+        (
+            fround(F.col("chi2_raw"), 6)
+            > F.expr(f"CAST({_CHI2_CRIT} AS DOUBLE)")
+        ).alias("dependent"),
+    ).orderBy("cmp")

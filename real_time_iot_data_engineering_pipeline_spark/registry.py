@@ -144,6 +144,8 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_knn_classify",
     "q_ann_recall",
     "q_pagerank",
+    "q_corr_matrix",
+    "q_chi_square",
 )
 
 

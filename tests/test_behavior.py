@@ -221,3 +221,68 @@ class TestDriftDetectors:
             assert r["psi"] == pytest.approx(expect[r["event_type"]], abs=2e-6)
             classes.add(r["stability"])
         assert classes == {"stable", "moderate", "shifted"}
+
+
+class TestCorrAndChiSquare:
+    def test_corr_matrix_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
+        mat = np.column_stack([tbl.column(c).to_numpy() for c in cols])
+        c = np.corrcoef(mat, rowvar=False)
+        rows = registry.QUERIES["q_corr_matrix"](spark, sf_dir).collect()
+        assert len(rows) == 6
+        for r in rows:
+            i, j = cols.index(r["col_a"]), cols.index(r["col_b"])
+            assert r["pearson"] == pytest.approx(c[i, j], abs=2e-6)
+
+    def test_chi_square_matches_python_recompute(self, spark, sf_dir):
+        from collections import Counter
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "event_type"],
+        ).to_pandas().dropna(subset=["ts"])
+        split = pd.Timestamp("2024-01-16")
+        ev["early"] = ev["ts"].dt.floor("D") < split
+
+        def chi2(frame):
+            obs = Counter(zip(frame["event_type"], frame["early"]))
+            rows = Counter()
+            colt = Counter()
+            for (t, e), c in obs.items():
+                rows[t] += c
+                colt[e] += c
+            grand = sum(obs.values())
+            return sum(
+                (c - rows[t] * colt[e] / grand) ** 2
+                / (rows[t] * colt[e] / grand)
+                for (t, e), c in obs.items()
+            )
+
+        planted = ev[
+            ~(
+                (ev["event_type"] == "click")
+                & ~ev["early"]
+                & (ev["event_id"] % 10 < 5)
+            )
+        ]
+        rows = {
+            r["cmp"]: r
+            for r in registry.QUERIES["q_chi_square"](spark, sf_dir).collect()
+        }
+        assert rows["natural"]["chi2"] == pytest.approx(chi2(ev), abs=2e-3)
+        assert rows["planted"]["chi2"] == pytest.approx(
+            chi2(planted), abs=2e-3
+        )
+        assert not rows["natural"]["dependent"]
+        assert rows["planted"]["dependent"]
