@@ -573,3 +573,108 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(BPE_K)
     )
+
+
+N_HEAPS_DECILES = 10
+
+
+@register(
+    "q_heaps_law",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(doc_id) AS lo, max(doc_id) AS hi,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents
+    ),
+    cuts AS (
+        SELECT i AS decile,
+               lo + CAST(floor((hi - lo + 1) * i / {N_HEAPS_DECILES}.0)
+                         AS BIGINT) AS cutoff
+        FROM bounds, unnest(generate_series(1, {N_HEAPS_DECILES})) t(i)
+    ),
+    toks AS (
+        SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+')))
+                   AS token
+        FROM documents
+    ),
+    firsts AS (
+        SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY token
+    ),
+    vocab AS (
+        SELECT c.decile, CAST(count(*) AS BIGINT) AS vocab_size
+        FROM cuts c JOIN firsts f ON f.first_doc < c.cutoff
+        GROUP BY c.decile
+    ),
+    volume AS (
+        SELECT c.decile, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM cuts c JOIN toks t ON t.doc_id < c.cutoff
+        GROUP BY c.decile
+    )
+    SELECT v.decile, volume.n_tokens, v.vocab_size
+    FROM vocab v JOIN volume USING (decile)
+    ORDER BY v.decile
+    """,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law): distinct-token count and
+    total token volume at ten corpus prefixes (by doc_id order) — the
+    curve a corpus report plots to judge whether more data still brings
+    new vocabulary or the source has saturated (its log-log slope is
+    Heaps' beta).
+
+    Scale: the expensive parts are both partial-aggregating — the
+    per-token FIRST-occurrence min (tokens shuffle once as hashed keys)
+    and the per-prefix counts, which join the tiny cutoff table (10
+    rows, broadcast) with a range predicate so each token/first-doc row
+    lands in the deciles it belongs to without any window or sort.
+    This is the standard trick for cumulative-at-checkpoints statistics:
+    N checkpoints as a broadcast range join, not a global running
+    window over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    cuts = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(N_HEAPS_DECILES))
+            ).alias("decile"),
+            "lo",
+            "hi",
+        )
+        .select(
+            "decile",
+            (
+                F.col("lo")
+                + F.floor(
+                    (F.col("hi") - F.col("lo") + 1)
+                    * F.col("decile")
+                    / float(N_HEAPS_DECILES)
+                )
+            ).cast("long").alias("cutoff"),
+        )
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    firsts = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    vocab = (
+        firsts.join(
+            F.broadcast(cuts), F.col("first_doc") < F.col("cutoff")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+    )
+    volume = (
+        toks.join(F.broadcast(cuts), F.col("doc_id") < F.col("cutoff"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
+    return (
+        vocab.join(volume, "decile")
+        .select("decile", "n_tokens", "vocab_size")
+        .orderBy("decile")
+    )

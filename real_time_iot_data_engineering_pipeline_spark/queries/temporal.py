@@ -1231,3 +1231,117 @@ def q_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_rate"
         ),
     ).orderBy("event_type", "hr")
+
+
+@register(
+    "q_gap_interp",
+    oracle=f"""
+    WITH masked AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % {{dropout}} = 0 THEN NULL
+                    ELSE value END AS reading
+        FROM events WHERE ts IS NOT NULL
+    ),
+    ctx AS (
+        SELECT event_id, user_id, ts, reading,
+               last_value(reading IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_v,
+               last_value(CASE WHEN reading IS NOT NULL THEN ts END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_ts,
+               first_value(reading IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_v,
+               first_value(CASE WHEN reading IS NOT NULL THEN ts END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_ts
+        FROM masked
+    )
+    SELECT event_id, user_id, ts,
+           reading IS NULL AS was_missing,
+           {fround_sql(
+        "CASE WHEN reading IS NOT NULL THEN reading "
+        "WHEN prev_v IS NULL THEN next_v "
+        "WHEN next_v IS NULL THEN prev_v "
+        "WHEN next_ts = prev_ts THEN prev_v "
+        "ELSE prev_v + (next_v - prev_v) "
+        "* date_diff('microsecond', prev_ts, ts) "
+        "/ CAST(date_diff('microsecond', prev_ts, next_ts) AS DOUBLE) END"
+    )} AS value_interp
+    FROM ctx
+    ORDER BY user_id, ts, event_id
+    """.replace("{dropout}", "7"),
+)
+def q_gap_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of sensor dropout: each masked reading is
+    reconstructed from its nearest surviving neighbors on BOTH sides,
+    weighted by time distance — the upgrade over q_gap_fill's LOCF when
+    the quantity drifts between observations (LOCF biases toward the
+    past; interpolation is unbiased for locally-linear signals).  Edge
+    rows with only one side fall back to that side's value.
+
+    Scale: TWO running windows over the same (user, time) ordering —
+    one forward, one backward — each O(1) state per row (ignore-nulls
+    folds, no frame buffering), sharing ONE shuffle of the stream by
+    the high-cardinality user key; the interpolation itself is a pure
+    row expression.  Time deltas use calendar-microsecond
+    differences (timestampdiff/date_diff), which are exact at the
+    fixture's timestamp precision — second-granularity differencing
+    would diverge between engines (boundary-crossing vs full-second
+    counting) — and session-timezone-invariant on TIMESTAMP_NTZ."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("reading"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("reading").isNotNull(), F.col("ts"))
+    ctx = masked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "reading",
+        F.last("reading", ignorenulls=True).over(back).alias("prev_v"),
+        F.last(obs_ts, ignorenulls=True).over(back).alias("prev_ts"),
+        F.first("reading", ignorenulls=True).over(fwd).alias("next_v"),
+        F.first(obs_ts, ignorenulls=True).over(fwd).alias("next_ts"),
+    )
+    num = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").cast("double")
+    den = F.expr("timestampdiff(MICROSECOND, prev_ts, next_ts)").cast("double")
+    interp = (
+        F.when(F.col("reading").isNotNull(), F.col("reading"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .when(F.col("next_ts") == F.col("prev_ts"), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v")) * num / den
+        )
+    )
+    return ctx.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("reading").isNull().alias("was_missing"),
+        fround(interp, 4).alias("value_interp"),
+    ).orderBy("user_id", "ts", "event_id")

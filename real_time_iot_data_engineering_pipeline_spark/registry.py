@@ -146,6 +146,8 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_pagerank",
     "q_corr_matrix",
     "q_chi_square",
+    "q_gap_interp",
+    "q_heaps_law",
 )
 
 

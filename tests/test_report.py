@@ -108,3 +108,40 @@ class TestBpePairs:
         # top-k must compile to TakeOrderedAndProject, not a global sort
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestHeapsLaw:
+    def test_matches_python_recompute_and_is_monotone(self, spark, sf_dir):
+        import re
+
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pydict()
+        pairs = sorted(zip(docs["doc_id"], docs["text"]))
+        lo, hi, n = pairs[0][0], pairs[-1][0], len(pairs)
+        rows = {
+            r["decile"]: r
+            for r in registry.QUERIES["q_heaps_law"](spark, sf_dir).collect()
+        }
+        assert len(rows) == 10
+        prev_vocab = prev_toks = 0
+        for k in range(1, 11):
+            cutoff = lo + (hi - lo + 1) * k // 10
+            seen = set()
+            n_toks = 0
+            for d, t in pairs:
+                if d >= cutoff:
+                    continue
+                ws = re.split(r"\s+", t.strip().lower())
+                n_toks += len(ws)
+                seen.update(ws)
+            r = rows[k]
+            assert r["n_tokens"] == n_toks
+            assert r["vocab_size"] == len(seen)
+            assert r["vocab_size"] >= prev_vocab
+            assert r["n_tokens"] >= prev_toks
+            prev_vocab, prev_toks = r["vocab_size"], r["n_tokens"]

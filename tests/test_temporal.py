@@ -309,3 +309,56 @@ class TestHourProfile:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestGapInterp:
+    def test_matches_pandas_interpolation(self, spark, sf_dir):
+        """Recompute per-user time-weighted linear interpolation with
+        pandas and compare every masked reading; unmasked readings pass
+        through untouched."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        ).to_pandas().dropna(subset=["ts"]).sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        ev["reading"] = ev["value"].where(ev["event_id"] % 7 != 0)
+        rows = {
+            r["event_id"]: r
+            for r in registry.QUERIES["q_gap_interp"](spark, sf_dir).collect()
+        }
+        assert len(rows) == len(ev)
+        n_interp = 0
+        for _, grp in ev.groupby("user_id"):
+            t = grp["ts"].astype("int64").to_numpy() / 1e6
+            v = grp["reading"].to_numpy()
+            ids = grp["event_id"].to_numpy()
+            obs = ~np.isnan(v)
+            for i in range(len(v)):
+                r = rows[int(ids[i])]
+                if obs[i]:
+                    assert not r["was_missing"]
+                    assert r["value_interp"] == pytest.approx(v[i], abs=2e-4)
+                    continue
+                assert r["was_missing"]
+                prev = np.nonzero(obs[: i + 1])[0]
+                nxt = i + np.nonzero(obs[i:])[0]
+                if len(prev) == 0 and len(nxt) == 0:
+                    continue
+                if len(prev) == 0:
+                    expect = v[nxt[0]]
+                elif len(nxt) == 0:
+                    expect = v[prev[-1]]
+                else:
+                    p, n = prev[-1], nxt[0]
+                    expect = v[p] + (v[n] - v[p]) * (t[i] - t[p]) / (
+                        t[n] - t[p]
+                    )
+                assert r["value_interp"] == pytest.approx(expect, abs=2e-4)
+                n_interp += 1
+        assert n_interp > 0
