@@ -1161,3 +1161,122 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) of the embedding corpus
+# ---------------------------------------------------------------------------
+
+PQ_BLOCKS = 4
+PQ_SUB = DIM // PQ_BLOCKS  # 16 dims per sub-block
+PQ_CODES = 16  # codebook entries per block (4-bit codes)
+
+# Codebook: the sub-blocks of the first PQ_CODES vectors, a deterministic
+# "seeding" both engines derive identically from the data (the same idiom
+# as q_embed_centroids' seed selection); production would Lloyd-iterate
+# each block's codebook, which changes the centroids, not the plan.
+
+
+def _pq_dist_duck(b: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {PQ_SUB}), "
+        f"i -> (v.emb[{b * PQ_SUB} + i] - s.emb[{b * PQ_SUB} + i]) "
+        f"* (v.emb[{b * PQ_SUB} + i] - s.emb[{b * PQ_SUB} + i])))"
+    )
+
+
+def _pq_dist_spark(b: int) -> str:
+    return (
+        f"aggregate(zip_with(slice(emb, {b * PQ_SUB + 1}, {PQ_SUB}), "
+        f"slice(s_emb, {b * PQ_SUB + 1}, {PQ_SUB}), "
+        "(x, y) -> (x - y) * (x - y)), cast(0 AS double), (acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "q_pq_codes",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id AS seed_id,
+               list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings WHERE vec_id < {PQ_CODES}
+    ),
+    scored AS (
+        SELECT v.vec_id, s.seed_id,
+               {", ".join(f"{_pq_dist_duck(b)} AS d{b}" for b in range(PQ_BLOCKS))}
+        FROM v, s
+    ),
+    best AS (
+        SELECT vec_id,
+               {", ".join(
+                   f"min(struct_pack(d := d{b}, s := seed_id)) AS m{b}"
+                   for b in range(PQ_BLOCKS)
+               )}
+        FROM scored GROUP BY vec_id
+    )
+    SELECT vec_id,
+           {", ".join(f"CAST(m{b}.s AS INT) AS code{b}" for b in range(PQ_BLOCKS))},
+           {fround_sql(
+               "(" + " + ".join(f"m{b}.d" for b in range(PQ_BLOCKS)) + f") / {DIM}.0",
+               6,
+           )} AS mse
+    FROM best
+    ORDER BY vec_id
+    """,
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011): each embedding splits
+    into {PQ_BLOCKS} sub-blocks of {PQ_SUB} dims, each block is encoded
+    as the index of its nearest codebook entry ({PQ_CODES} entries per
+    block = 4-bit codes, so a 64-float vector compresses to 2 bytes),
+    and the per-vector reconstruction MSE falls out of the same pass —
+    the compression stage below q_embed_quantize's int8 (16x vs 4x),
+    trading accuracy the recorded MSE makes visible.
+
+    Scale: the codebook is {PQ_CODES} rows — broadcast — so encoding is
+    a broadcast nested-loop of corpus x codebook with all {PQ_BLOCKS}
+    block distances computed per pair inside codegen, then ONE
+    partial-aggregating min-over-struct per block per vector (the
+    argmin idiom of q_first_touch).  The corpus never shuffles; the
+    aggregate moves one {PQ_BLOCKS}-struct row per vector per
+    partition.  Distances fold in identical element order in both
+    engines, so the argmin needs no rounding guard."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.expr(_EMB_D_SPARK).alias("emb")
+    )
+    s = emb.filter(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").alias("seed_id"),
+        F.expr(_EMB_D_SPARK).alias("s_emb"),
+    )
+    scored = v.crossJoin(F.broadcast(s)).select(
+        "vec_id",
+        "seed_id",
+        *[
+            F.expr(_pq_dist_spark(b)).alias(f"d{b}")
+            for b in range(PQ_BLOCKS)
+        ],
+    )
+    best = scored.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"d{b}").alias("d"), F.col("seed_id").alias("s"))
+            ).alias(f"m{b}")
+            for b in range(PQ_BLOCKS)
+        ]
+    )
+    mse = fround(
+        sum(F.col(f"m{b}.d") for b in range(PQ_BLOCKS)) / float(DIM), 6
+    )
+    return best.select(
+        "vec_id",
+        *[
+            F.col(f"m{b}.s").cast("int").alias(f"code{b}")
+            for b in range(PQ_BLOCKS)
+        ],
+        mse.alias("mse"),
+    ).orderBy("vec_id")

@@ -148,6 +148,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_chi_square",
     "q_gap_interp",
     "q_heaps_law",
+    "q_pq_codes",
 )
 
 

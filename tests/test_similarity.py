@@ -204,3 +204,46 @@ class TestKnnClassify:
             assert r["correct"] == (pred == int(labels[qi]))
             n_correct += r["correct"]
         assert 0 < n_correct < len(rows), "both verdicts must occur"
+
+
+class TestPqCodes:
+    def test_matches_numpy_recompute_and_quality(self, spark, sf_dir):
+        """numpy recompute of every block assignment and MSE; the
+        16-entry min must also beat the single-codeword baseline (always
+        encode to seed 0) — the fair sanity check for this fixture's
+        isotropic embeddings, where the zero vector is the optimal
+        1-entry codebook and nothing data-sampled can beat it."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        tbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pydict()
+        ids = np.array(tbl["vec_id"])
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) for v in tbl["embedding"]]
+        )
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        seeds = mat[ids < 16]
+        rows = {
+            r["vec_id"]: r
+            for r in registry.QUERIES["q_pq_codes"](spark, sf_dir).collect()
+        }
+        assert len(rows) == len(ids)
+        total_mse = 0.0
+        for vid, vec in zip(ids, mat):
+            r = rows[int(vid)]
+            mse = 0.0
+            for b in range(4):
+                blk = vec[b * 16 : (b + 1) * 16]
+                d = ((seeds[:, b * 16 : (b + 1) * 16] - blk) ** 2).sum(axis=1)
+                code = int(np.argmin(d))  # argmin takes first on ties
+                assert r[f"code{b}"] == code, (vid, b)
+                mse += float(d[code])
+            assert r["mse"] == pytest.approx(mse / 64.0, abs=2e-6)
+            total_mse += mse / 64.0
+        single = float(((mat - seeds[0]) ** 2).sum(axis=1).mean()) / 64.0
+        assert total_mse / len(ids) < single
