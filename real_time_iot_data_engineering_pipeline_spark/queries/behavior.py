@@ -1127,3 +1127,86 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.expr(f"CAST({_CHI2_CRIT} AS DOUBLE)")
         ).alias("dependent"),
     ).orderBy("cmp")
+
+
+@register(
+    "q_revenue_gini",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey, sum(o_totalprice) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT revenue,
+               row_number() OVER (ORDER BY revenue, o_custkey) AS rk
+        FROM rev
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(revenue) AS tot,
+               sum(rk * revenue) AS wsum
+        FROM ranked
+    ),
+    topd AS (
+        SELECT sum(revenue) AS top_rev
+        FROM ranked, s WHERE rk > s.n - CAST(ceil(s.n / 10.0) AS BIGINT)
+    )
+    SELECT s.n AS n_customers,
+           {fround_sql("s.tot", 2)} AS total_revenue,
+           {fround_sql("2.0 * s.wsum / (s.n * s.tot) - (s.n + 1.0) / s.n", 6)}
+               AS gini,
+           {fround_sql("topd.top_rev / s.tot", 6)} AS top_decile_share
+    FROM s, topd
+    """,
+)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Gini coefficient over per-customer
+    revenue (rank formula G = 2*sum(rank*x)/(n*sum(x)) - (n+1)/n) plus
+    the top-decile revenue share — the whale-concentration readout that
+    tells a business whether its revenue base is diversified or five
+    accounts ARE the business.
+
+    Scale: revenue partial-aggregates per customer first; the rank is
+    ONE ordered window over |customers| pre-reduced rows (at true scale
+    this global sort is the operator's cost — the documented alternative
+    approximates the Lorenz curve from a quantile sketch, trading exact
+    G for O(1) memory); the closed-form needs no self-join or
+    per-percentile pass.  Deterministic (revenue, custkey) ordering
+    makes tied revenues rank identically on both engines."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").asc(), F.col("o_custkey").asc())
+    ranked = rev.select(
+        "revenue", F.row_number().over(w).alias("rk")
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("revenue").alias("tot"),
+        F.sum(F.col("rk") * F.col("revenue")).alias("wsum"),
+    )
+    topd = (
+        ranked.crossJoin(F.broadcast(s))
+        .filter(
+            F.col("rk")
+            > F.col("n") - F.ceil(F.col("n") / 10.0).cast("long")
+        )
+        .agg(F.sum("revenue").alias("top_rev"))
+    )
+    return (
+        s.crossJoin(F.broadcast(topd))
+        .select(
+            F.col("n").alias("n_customers"),
+            fround(F.col("tot"), 2).alias("total_revenue"),
+            fround(
+                2.0 * F.col("wsum") / (F.col("n") * F.col("tot"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+            fround(F.col("top_rev") / F.col("tot"), 6).alias(
+                "top_decile_share"
+            ),
+        )
+    )

@@ -1345,3 +1345,99 @@ def q_gap_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("reading").isNull().alias("was_missing"),
         fround(interp, 4).alias("value_interp"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between two metric series
+# ---------------------------------------------------------------------------
+
+ROLL_DAYS = 7
+
+
+@register(
+    "q_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               avg(value) FILTER (event_type = 'purchase') AS x,
+               avg(value) FILTER (event_type = 'click') AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY day
+    ),
+    r AS (
+        SELECT day, x, y,
+               count(*) OVER w AS n,
+               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+               sum(x * y) OVER w AS sxy,
+               sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN {ROLL_DAYS - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_days,
+           {fround_sql("x")} AS purchase_avg,
+           {fround_sql("y")} AS click_avg,
+           CASE WHEN n < 2 THEN NULL ELSE
+               {fround_sql(
+                   "(n * sxy - sx * sy) / "
+                   "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+               )} END AS roll_corr
+    FROM r
+    ORDER BY day
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{ROLL_DAYS}-day rolling Pearson correlation between the purchase
+    and click daily mean series — the co-movement monitor that catches a
+    decoupling of two metrics that individually look healthy (each
+    passes its own trend/EWMA checks while their relationship breaks).
+
+    Scale: the two series come from ONE conditional-aggregate pass
+    (pivot-style FILTER, no join of two aggregations); the rolling
+    moments are five sums over a bounded {ROLL_DAYS}-row frame of the
+    tiny daily table, and the correlation is closed-form arithmetic over
+    them — no per-window re-aggregation, no self-join of the series
+    against itself.  Bounded-frame window sums accumulate in frame order
+    on both engines; fround guards the final ratio."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.avg(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+            ).alias("x"),
+            F.avg(
+                F.when(F.col("event_type") == "click", F.col("value"))
+            ).alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-(ROLL_DAYS - 1), 0)
+    r = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    corr = fround(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+        4,
+    )
+    return r.select(
+        "day",
+        F.col("n").cast("long").alias("n_days"),
+        fround(F.col("x"), 4).alias("purchase_avg"),
+        fround(F.col("y"), 4).alias("click_avg"),
+        F.when(F.col("n") < 2, F.lit(None).cast("double"))
+        .otherwise(corr)
+        .alias("roll_corr"),
+    ).orderBy("day")

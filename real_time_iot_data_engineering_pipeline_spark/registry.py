@@ -149,6 +149,8 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_gap_interp",
     "q_heaps_law",
     "q_pq_codes",
+    "q_rolling_corr",
+    "q_revenue_gini",
 )
 
 

@@ -286,3 +286,32 @@ class TestCorrAndChiSquare:
         )
         assert not rows["natural"]["dependent"]
         assert rows["planted"]["dependent"]
+
+
+class TestRevenueGini:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from collections import defaultdict
+
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        od = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ).to_pydict()
+        rev = defaultdict(float)
+        for c, p in zip(od["o_custkey"], od["o_totalprice"]):
+            rev[c] += p
+        xs = sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(xs)
+        tot = sum(v for _, v in xs)
+        gini = 2.0 * sum(
+            (i + 1) * v for i, (_, v) in enumerate(xs)
+        ) / (n * tot) - (n + 1.0) / n
+        top_k = -(-n // 10)
+        top_share = sum(v for _, v in xs[n - top_k :]) / tot
+        row = registry.QUERIES["q_revenue_gini"](spark, sf_dir).collect()[0]
+        assert row["n_customers"] == n
+        assert row["gini"] == pytest.approx(gini, abs=2e-6)
+        assert row["top_decile_share"] == pytest.approx(top_share, abs=2e-6)
+        assert 0.0 <= row["gini"] <= 1.0

@@ -362,3 +362,27 @@ class TestGapInterp:
                 assert r["value_interp"] == pytest.approx(expect, abs=2e-4)
                 n_interp += 1
         assert n_interp > 0
+
+
+class TestRollingCorr:
+    def test_matches_pandas_rolling(self, spark, sf_dir):
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        ).to_pandas().dropna(subset=["ts", "value"])
+        ev["day"] = ev["ts"].dt.floor("D")
+        daily = ev.pivot_table(
+            index="day", columns="event_type", values="value", aggfunc="mean"
+        )
+        roll = daily["purchase"].rolling(7, min_periods=2).corr(daily["click"])
+        rows = registry.QUERIES["q_rolling_corr"](spark, sf_dir).collect()
+        assert len(rows) == len(daily)
+        for r in rows:
+            expect = roll.loc[r["day"]]
+            if r["n_days"] < 2:
+                assert r["roll_corr"] is None
+            else:
+                assert r["roll_corr"] == pytest.approx(expect, abs=2e-4)
