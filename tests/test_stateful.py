@@ -60,3 +60,74 @@ def test_state_carries_last_value_across_batches(spark, tmp_path):
     assert rows[3] == (None, False)
     assert rows[4] == (-23.0, True)  # cross-batch: state remembered 35.0
     assert rows[5] == (3.0, False)
+
+
+def test_cusum_stream_detects_level_shift_across_batches(spark, tmp_path):
+    """Online CUSUM accumulates drift ACROSS micro-batches: batch 0 sits
+    at the target mean (no alarm, but s+ partially charged by the last
+    two readings), batch 1 continues the elevated level until s+ crosses
+    h mid-batch — the alarm index proves state survived the batch
+    boundary — then the post-alarm restart zeroes the sums."""
+    from real_time_iot_data_engineering_pipeline_spark.streaming.stateful import (
+        cusum_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # mu0=50, slack=2, h=30: on-target readings contribute nothing;
+    # each 62.0 reading adds 10 to s+.
+    write_file(
+        str(src),
+        "f1.json",
+        [
+            ev(1, "2024-01-15 10:00:00", user_id=1, value=50.0),
+            ev(2, "2024-01-15 10:00:10", user_id=1, value=51.0),
+            ev(3, "2024-01-15 10:00:20", user_id=1, value=62.0),
+            ev(4, "2024-01-15 10:00:30", user_id=1, value=62.0),
+        ],
+        seq=0,
+    )
+    write_file(
+        str(src),
+        "f2.json",
+        [
+            ev(5, "2024-01-15 10:00:40", user_id=1, value=62.0),
+            ev(6, "2024-01-15 10:00:50", user_id=1, value=62.0),
+            ev(7, "2024-01-15 10:01:00", user_id=1, value=50.0),
+        ],
+        seq=1,
+    )
+    from real_time_iot_data_engineering_pipeline_spark.streaming.pipeline import (
+        parse_event_stream,
+        read_event_file_stream,
+    )
+
+    out = cusum_stream(
+        parse_event_stream(read_event_file_stream(spark, str(src))),
+        mu0=50.0,
+        slack=2.0,
+        h=30.0,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.event_id: r
+        for r in spark.sql("SELECT * FROM cusum_out").collect()
+    }
+    assert len(rows) == 7
+    # batch 0: 0, 0, 10, 20 — no alarm yet
+    assert rows[1].s_pos == 0.0 and not rows[1].alarm
+    assert rows[3].s_pos == 10.0 and not rows[3].alarm
+    assert rows[4].s_pos == 20.0 and not rows[4].alarm
+    # batch 1 row 5: 20 (carried!) + 10 = 30, still <= h; row 6 crosses
+    assert rows[5].s_pos == 30.0 and not rows[5].alarm
+    assert rows[6].s_pos == 40.0 and rows[6].alarm
+    # post-alarm restart: sums zeroed before event 7 (on-target -> 0)
+    assert rows[7].s_pos == 0.0 and not rows[7].alarm
