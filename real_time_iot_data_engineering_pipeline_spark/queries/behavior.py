@@ -1210,3 +1210,117 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_conversion_latency",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE ts IS NOT NULL AND event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT 'view_to_click' AS stage,
+               date_diff('microsecond', v.t_view, c.t_click) / 1e6 AS s
+        FROM v JOIN c USING (user_id)
+        UNION ALL
+        SELECT 'click_to_purchase',
+               date_diff('microsecond', c.t_click, p.t_purchase) / 1e6
+        FROM c JOIN p USING (user_id)
+        UNION ALL
+        SELECT 'view_to_purchase',
+               date_diff('microsecond', v.t_view, p.t_purchase) / 1e6
+        FROM v JOIN p USING (user_id)
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+           {fround_sql("avg(s)", 2)} AS mean_s,
+           {fround_sql("quantile_cont(s, 0.5)", 2)} AS p50_s,
+           {fround_sql("quantile_cont(s, 0.9)", 2)} AS p90_s
+    FROM lat GROUP BY stage
+    ORDER BY stage
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel stage: for the users who
+    complete each transition of q_funnel's view -> click -> purchase
+    sequence, the count, mean, and exact p50/p90 latencies in seconds —
+    the numbers that turn a conversion FUNNEL into a conversion SLA
+    ('half convert within X, the slow tail within Y').
+
+    Scale: identical join posture to q_funnel (stage inputs type-pruned,
+    user-keyed hash joins, min-aggregates partial); latencies are
+    microsecond-exact timestamp differences (the cross-engine-safe
+    differencing of q_gap_interp), and the stage statistics reduce
+    3 x |converting users| rows with the same exact-percentile
+    aggregate as q_quantile_summary (production swaps in
+    approx_percentile, the pinned-error sketch twin)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+
+    def stage(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id", "ts")
+
+    v = stage("view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (
+        stage("click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        stage("purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def lat(df: DataFrame, a: str, b: str, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("stage"),
+            (
+                F.expr(f"timestampdiff(MICROSECOND, {a}, {b})") / 1e6
+            ).alias("s"),
+        )
+
+    lats = (
+        lat(v.join(c, "user_id"), "t_view", "t_click", "view_to_click")
+        .unionAll(
+            lat(
+                c.join(p, "user_id"),
+                "t_click",
+                "t_purchase",
+                "click_to_purchase",
+            )
+        )
+        .unionAll(
+            lat(
+                v.join(p, "user_id"),
+                "t_view",
+                "t_purchase",
+                "view_to_purchase",
+            )
+        )
+    )
+    return (
+        lats.groupBy("stage")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            fround(F.avg("s"), 2).alias("mean_s"),
+            fround(F.expr("percentile(s, 0.5)"), 2).alias("p50_s"),
+            fround(F.expr("percentile(s, 0.9)"), 2).alias("p90_s"),
+        )
+        .orderBy("stage")
+    )

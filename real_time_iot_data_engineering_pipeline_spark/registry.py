@@ -151,6 +151,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_pq_codes",
     "q_rolling_corr",
     "q_revenue_gini",
+    "q_conversion_latency",
 )
 
 

@@ -315,3 +315,62 @@ class TestRevenueGini:
         assert row["gini"] == pytest.approx(gini, abs=2e-6)
         assert row["top_decile_share"] == pytest.approx(top_share, abs=2e-6)
         assert 0.0 <= row["gini"] <= 1.0
+
+
+class TestConversionLatency:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+        ).to_pandas().dropna(subset=["ts"])
+        by_type = {
+            t: grp.groupby("user_id")["ts"]
+            for t, grp in ev.groupby("event_type")
+        }
+        t_view = by_type["view"].min()
+        clicks = ev[ev["event_type"] == "click"].merge(
+            t_view.rename("t_view"), left_on="user_id", right_index=True
+        )
+        t_click = (
+            clicks[clicks["ts"] > clicks["t_view"]]
+            .groupby("user_id")["ts"]
+            .min()
+        )
+        purch = ev[ev["event_type"] == "purchase"].merge(
+            t_click.rename("t_click"), left_on="user_id", right_index=True
+        )
+        t_purch = (
+            purch[purch["ts"] > purch["t_click"]]
+            .groupby("user_id")["ts"]
+            .min()
+        )
+
+        def stats(a, b):
+            j = a.to_frame("a").join(b.to_frame("b"), how="inner")
+            s = (j["b"] - j["a"]).dt.total_seconds().to_numpy()
+            return len(s), s.mean(), np.quantile(s, 0.5), np.quantile(s, 0.9)
+
+        expect = {
+            "view_to_click": stats(t_view, t_click),
+            "click_to_purchase": stats(t_click, t_purch),
+            "view_to_purchase": stats(t_view, t_purch),
+        }
+        rows = {
+            r["stage"]: r
+            for r in registry.QUERIES["q_conversion_latency"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(rows) == set(expect)
+        for stage, (n, mean, p50, p90) in expect.items():
+            r = rows[stage]
+            assert r["n_users"] == n
+            assert r["mean_s"] == pytest.approx(mean, abs=0.02)
+            assert r["p50_s"] == pytest.approx(p50, abs=0.02)
+            assert r["p90_s"] == pytest.approx(p90, abs=0.02)
+            assert 0 < r["p50_s"] <= r["p90_s"]
