@@ -958,3 +958,108 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+from ..registry import ORACLES as _ORACLES  # noqa: E402  (registered above)
+
+
+@register(
+    "q_source_quality_report",
+    oracle=f"""
+    WITH verdicts AS (
+        SELECT doc_id, n_words, quality, drop_reason,
+               drop_reason IS NULL AS keep
+        FROM ({{pipeline}})
+    ),
+    sourced AS (
+        SELECT v.*, d.source
+        FROM verdicts v
+        JOIN documents d ON d.doc_id = v.doc_id % 100000
+    ),
+    reasons AS (
+        SELECT source, drop_reason, CAST(count(*) AS BIGINT) AS c
+        FROM sourced WHERE drop_reason IS NOT NULL
+        GROUP BY source, drop_reason
+    ),
+    top_reason AS (
+        SELECT source,
+               max(struct_pack(c := c, neg := drop_reason)) AS m
+        FROM (SELECT source, drop_reason, c FROM reasons) t
+        GROUP BY source
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s.keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           {fround_sql("avg(CASE WHEN s.keep THEN 1.0 ELSE 0.0 END)", 6)}
+               AS keep_rate,
+           {fround_sql("avg(s.quality)", 6)} AS avg_quality,
+           CAST(sum(CASE WHEN s.keep THEN s.n_words ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           any_value(tr.m.neg) AS top_drop_reason
+    FROM sourced s
+    LEFT JOIN top_reason tr ON tr.source = s.source
+    GROUP BY s.source
+    ORDER BY s.source
+    """.replace("{pipeline}", _ORACLES["q_curation_pipeline"]),
+)
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card over the composite curation pipeline's
+    verdicts: document count, keep count/rate, mean quality score, kept
+    token volume, and the modal drop reason — the report a data vendor
+    review reads to decide which sources to renegotiate or cut.  Built
+    BY COMPOSITION: the verdict frame is q_curation_pipeline's output
+    (the oracle nests that query's registered SQL), joined back to each
+    document's source.
+
+    Scale: inherits the pipeline's one-scan posture; the source
+    attachment is a doc_id-keyed join (planted copies map to their
+    original's source via the id offset), and everything after is a
+    partial-aggregating rollup to |sources| rows with a
+    max-over-struct modal election."""
+    verdicts = q_curation_pipeline(spark, sf_dir).select(
+        "doc_id", "n_words", "quality", "drop_reason", "keep"
+    )
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "source"
+    )
+    sourced = verdicts.join(
+        src, verdicts["doc_id"] % 100000 == src["base_id"]
+    )
+    reasons = (
+        sourced.filter(F.col("drop_reason").isNotNull())
+        .groupBy("source", "drop_reason")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top_reason = reasons.groupBy("source").agg(
+        F.max(
+            F.struct(F.col("c").alias("c"), F.col("drop_reason").alias("neg"))
+        ).alias("m")
+    )
+    return (
+        sourced.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            fround(
+                F.avg(F.when(F.col("keep"), 1.0).otherwise(0.0)), 6
+            ).alias("keep_rate"),
+            fround(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .join(top_reason, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "keep_rate",
+            "avg_quality",
+            "kept_tokens",
+            F.col("m.neg").alias("top_drop_reason"),
+        )
+        .orderBy("source")
+    )

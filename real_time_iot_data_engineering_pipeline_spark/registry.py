@@ -152,6 +152,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_rolling_corr",
     "q_revenue_gini",
     "q_conversion_latency",
+    "q_source_quality_report",
 )
 
 

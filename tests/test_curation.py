@@ -186,3 +186,64 @@ class TestCurationPipeline:
                 assert r["drop_reason"] == expect, (d, expect, dict(r.asDict()))
                 assert r["keep"] == (expect is None)
             assert r["is_dup_copy"] == (keeper[norm[d]] != d)
+
+
+class TestSourceQualityReport:
+    def test_consistent_with_pipeline_output(self, spark, sf_dir):
+        """The report must be exactly the per-source rollup of
+        q_curation_pipeline's verdict frame (composition consistency):
+        counts, keep rates, kept tokens, and the modal drop reason all
+        recomputed in Python from the pipeline rows themselves."""
+        from collections import Counter, defaultdict
+
+        import pyarrow.parquet as pq
+        import pytest
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        src_map = dict(
+            zip(
+                *(
+                    pq.read_table(
+                        f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source"],
+                    )
+                    .to_pydict()
+                    .values()
+                )
+            )
+        )
+        pipe = registry.QUERIES["q_curation_pipeline"](spark, sf_dir).collect()
+        per = defaultdict(lambda: {"n": 0, "kept": 0, "tok": 0, "q": 0.0})
+        reasons = defaultdict(Counter)
+        for r in pipe:
+            s = src_map[r["doc_id"] % 100000]
+            d = per[s]
+            d["n"] += 1
+            d["q"] += r["quality"]
+            if r["keep"]:
+                d["kept"] += 1
+                d["tok"] += r["n_words"]
+            else:
+                reasons[s][r["drop_reason"]] += 1
+        rows = {
+            r["source"]: r
+            for r in registry.QUERIES["q_source_quality_report"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(rows) == set(per)
+        for s, d in per.items():
+            r = rows[s]
+            assert r["n_docs"] == d["n"]
+            assert r["n_kept"] == d["kept"]
+            assert r["kept_tokens"] == d["tok"]
+            assert r["keep_rate"] == pytest.approx(d["kept"] / d["n"], abs=1e-5)
+            assert r["avg_quality"] == pytest.approx(d["q"] / d["n"], abs=1e-3)
+            if reasons[s]:
+                best = max(
+                    reasons[s].items(), key=lambda kv: (kv[1], kv[0])
+                )[0]
+                assert r["top_drop_reason"] == best
+            else:
+                assert r["top_drop_reason"] is None
