@@ -1441,3 +1441,85 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(corr)
         .alias("roll_corr"),
     ).orderBy("day")
+
+
+@register(
+    "q_open_orders",
+    oracle=f"""
+    WITH iv AS (
+        SELECT o.o_orderkey, o.o_orderdate AS s,
+               s2.e + INTERVAL 1 DAY AS e
+        FROM orders o
+        JOIN (
+            SELECT l_orderkey, max(l_shipdate) AS e
+            FROM lineitem GROUP BY l_orderkey
+        ) s2 ON s2.l_orderkey = o.o_orderkey
+    ),
+    deltas AS (
+        SELECT s AS day, 1 AS d FROM iv
+        UNION ALL
+        SELECT e AS day, -1 FROM iv
+    ),
+    daily AS (
+        SELECT day,
+               CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_opened,
+               CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_closed,
+               sum(d) AS net
+        FROM deltas GROUP BY day
+    )
+    SELECT day, n_opened, n_closed,
+           CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS open_count
+    FROM daily
+    ORDER BY day
+    """,
+)
+def q_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent open orders over time: each order is an interval from
+    its order date to its last shipment (inclusive), and the operator
+    reports, for every day on which anything changes, how many orders
+    opened, closed, and remain open — the backlog/WIP curve an
+    operations dashboard tracks.
+
+    Scale: the textbook event-izing of interval counting — each interval
+    becomes a +1 at its start and a -1 past its end, the deltas
+    partial-aggregate to one row per distinct change day, and a single
+    running sum over that tiny day table yields the concurrency curve.
+    The naive alternative (calendar x intervals range join) is
+    O(days * orders); this is O(orders) plus a |days|-row prefix sum
+    (range-partitioned scan-then-propagate at true scale).  Orders with
+    no lineitems have no close bound and are excluded by the inner join
+    on both engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").alias("s")
+    )
+    ends = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("e0"))
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.expr("e0 + INTERVAL 1 DAY").alias("e"),
+        )
+    )
+    iv = orders.join(ends, "o_orderkey")
+    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("e").alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_opened"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_closed"),
+        F.sum("d").alias("net"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum("net").over(w).cast("long").alias("open_count"),
+    ).orderBy("day")

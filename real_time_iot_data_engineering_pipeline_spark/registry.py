@@ -153,6 +153,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_revenue_gini",
     "q_conversion_latency",
     "q_source_quality_report",
+    "q_open_orders",
 )
 
 

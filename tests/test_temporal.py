@@ -386,3 +386,50 @@ class TestRollingCorr:
                 assert r["roll_corr"] is None
             else:
                 assert r["roll_corr"] == pytest.approx(expect, abs=2e-4)
+
+
+class TestOpenOrders:
+    def test_matches_python_sweep(self, spark, sf_dir):
+        """Pure-Python sweep-line recompute: per-day open count must
+        match, every interval must be counted open on BOTH its endpoints
+        (inclusive close), and the final running count must return to
+        zero."""
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        od = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        ).to_pydict()
+        li = pq.read_table(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ).to_pydict()
+        ends = {}
+        for k, d in zip(li["l_orderkey"], li["l_shipdate"]):
+            if k not in ends or d > ends[k]:
+                ends[k] = d
+        import datetime as dt
+
+        deltas = Counter()
+        opened = Counter()
+        closed = Counter()
+        for k, s in zip(od["o_orderkey"], od["o_orderdate"]):
+            if k not in ends:
+                continue
+            e = ends[k] + dt.timedelta(days=1)
+            deltas[s] += 1
+            deltas[e] -= 1
+            opened[s] += 1
+            closed[e] += 1
+        rows = registry.QUERIES["q_open_orders"](spark, sf_dir).collect()
+        assert len(rows) == len(deltas)
+        run = 0
+        for r in sorted(rows, key=lambda r: r["day"]):
+            d = r["day"]
+            run += deltas[d]
+            assert r["n_opened"] == opened[d]
+            assert r["n_closed"] == closed[d]
+            assert r["open_count"] == run
+        assert run == 0, "every interval must eventually close"
