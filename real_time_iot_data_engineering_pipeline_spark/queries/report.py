@@ -678,3 +678,107 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("decile", "n_tokens", "vocab_size")
         .orderBy("decile")
     )
+
+
+@register(
+    "q_source_divergence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, lower(unnest(string_split_regex(trim(text), '\\s+')))
+                   AS token
+        FROM documents
+    ),
+    st AS (
+        SELECT source, token, CAST(count(*) AS DOUBLE) AS c
+        FROM toks GROUP BY source, token
+    ),
+    stot AS (SELECT source, sum(c) AS n FROM st GROUP BY source),
+    ct AS (SELECT token, CAST(sum(c) AS DOUBLE) AS cc FROM st GROUP BY token),
+    tot AS (SELECT CAST(sum(cc) AS DOUBLE) AS t FROM ct),
+    terms AS (
+        SELECT st.source,
+               st.c / stot.n AS p,
+               ct.cc / tot.t AS q
+        FROM st
+        JOIN stot USING (source)
+        JOIN ct USING (token), tot
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               sum(0.5 * (p * ln(p / ((p + q) / 2))
+                          + q * ln(q / ((p + q) / 2)))) AS js_core,
+               sum(q) AS q_covered
+        FROM terms GROUP BY source
+    )
+    SELECT a.source,
+           CAST(stot.n AS BIGINT) AS n_tokens,
+           a.vocab_size,
+           {fround_sql("a.js_core + 0.5 * ln(2) * (1.0 - a.q_covered)", 6)}
+               AS js_divergence
+    FROM agg a JOIN stot ON stot.source = a.source
+    ORDER BY a.source
+    """,
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source distinctiveness: the Jensen-Shannon divergence between each
+    source's token distribution and the whole corpus's — the
+    dataset-card number that says which sources are interchangeable
+    (JS ~ 0) and which contribute genuinely different text (JS -> ln 2),
+    feeding the mixture-reweighting decisions beside q_mixture_weights.
+
+    Scale: sums run ONLY over (source, token) pairs that occur — the
+    vocabulary a source does NOT cover is folded in closed form as
+    0.5*ln(2)*(1 - covered corpus mass), so there is no source x vocab
+    cross join anywhere.  Counts partial-aggregate; the corpus
+    distribution is vocabulary-sized and AQE broadcasts it into the
+    per-source join.  All probability terms divide identical doubles in
+    identical order on both engines; fround guards the final sum."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    st = toks.groupBy("source", "token").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    stot = st.groupBy("source").agg(F.sum("c").alias("n"))
+    ct = st.groupBy("token").agg(F.sum("c").alias("cc"))
+    tot = ct.agg(F.sum("cc").alias("t"))
+    terms = (
+        st.join(stot, "source")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (F.col("c") / F.col("n")).alias("p"),
+            (F.col("cc") / F.col("t")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    agg = terms.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(
+            0.5
+            * (
+                F.col("p") * F.log(F.col("p") / m)
+                + F.col("q") * F.log(F.col("q") / m)
+            )
+        ).alias("js_core"),
+        F.sum("q").alias("q_covered"),
+    )
+    import math
+
+    return (
+        agg.join(stot, "source")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            "vocab_size",
+            fround(
+                F.col("js_core")
+                + 0.5 * math.log(2.0) * (1.0 - F.col("q_covered")),
+                6,
+            ).alias("js_divergence"),
+        )
+        .orderBy("source")
+    )

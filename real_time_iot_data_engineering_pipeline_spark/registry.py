@@ -154,6 +154,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_conversion_latency",
     "q_source_quality_report",
     "q_open_orders",
+    "q_source_divergence",
 )
 
 

@@ -145,3 +145,51 @@ class TestHeapsLaw:
             assert r["vocab_size"] >= prev_vocab
             assert r["n_tokens"] >= prev_toks
             prev_vocab, prev_toks = r["vocab_size"], r["n_tokens"]
+
+
+class TestSourceDivergence:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        """Full-vocabulary Python JS recompute (no closed-form shortcut)
+        must equal the engine's covered-terms + closed-form-remainder
+        decomposition; JS must lie in [0, ln 2]."""
+        import math
+        import re
+        from collections import Counter, defaultdict
+
+        import pyarrow.parquet as pq
+        import pytest
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        ).to_pydict()
+        per_src: dict = defaultdict(Counter)
+        corpus: Counter = Counter()
+        for s, t in zip(docs["source"], docs["text"]):
+            ws = re.split(r"\s+", t.strip().lower())
+            per_src[s].update(ws)
+            corpus.update(ws)
+        T = sum(corpus.values())
+        rows = {
+            r["source"]: r
+            for r in registry.QUERIES["q_source_divergence"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(rows) == set(per_src)
+        for s, cnt in per_src.items():
+            n = sum(cnt.values())
+            js = 0.0
+            for tok, cc in corpus.items():
+                p = cnt.get(tok, 0) / n
+                q = cc / T
+                m = (p + q) / 2
+                if p > 0:
+                    js += 0.5 * p * math.log(p / m)
+                js += 0.5 * q * math.log(q / m)
+            r = rows[s]
+            assert r["n_tokens"] == n
+            assert r["vocab_size"] == len(cnt)
+            assert r["js_divergence"] == pytest.approx(js, abs=2e-6)
+            assert 0.0 <= r["js_divergence"] <= math.log(2.0) + 1e-9
