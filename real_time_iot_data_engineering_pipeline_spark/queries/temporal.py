@@ -1504,9 +1504,18 @@ def q_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     iv = orders.join(ends, "o_orderkey")
-    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionAll(
-        iv.select(F.col("e").alias("day"), F.lit(-1).alias("d"))
-    )
+    # one explode instead of a self-union: the union form scans both
+    # tables twice (each branch recomputes the interval join); exploding
+    # array(struct(s,+1), struct(e,-1)) emits both deltas from a single
+    # pass (plan-asserted: exactly one scan per table)
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("day"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("day"), F.lit(-1).alias("d")),
+            )
+        ).alias("x")
+    ).select("x.day", "x.d")
     daily = deltas.groupBy("day").agg(
         F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
         .cast("long")

@@ -812,3 +812,35 @@ class TestLateRound4Tier:
         plan = plan_of(spark, sf_dir, "q_bigram_ppl")
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestClosingTier:
+    def test_open_orders_no_calendar_join(self, spark, sf_dir):
+        """Interval counting must be the event-ized form: one scan of
+        each table, no range join of a generated calendar against the
+        order set (the O(days x orders) naive shape)."""
+        plan = plan_of(spark, sf_dir, "q_open_orders")
+        assert plan.count("Scan parquet") == 2  # orders + lineitem
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_source_divergence_no_cross_join(self, spark, sf_dir):
+        """The uncovered-vocabulary closed form removes any source x
+        vocab expansion: every join is hash-keyed; the only BNLJ is the
+        single-row total broadcast."""
+        plan = plan_of(spark, sf_dir, "q_source_divergence")
+        assert "CartesianProduct" not in plan
+        import re
+
+        for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+            pass  # single-row total cross is the only allowed BNLJ
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    def test_conversion_latency_user_keyed_joins(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q_conversion_latency")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_source_report_inherits_pipeline_posture(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q_source_quality_report")
+        assert "CartesianProduct" not in plan
