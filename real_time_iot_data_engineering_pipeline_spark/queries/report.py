@@ -782,3 +782,95 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_source_overlap",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT DISTINCT source,
+               lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS sz
+        FROM vocab GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM vocab a JOIN vocab b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY source_a, source_b
+    )
+    SELECT i.source_a, i.source_b, sa.sz AS vocab_a, sb.sz AS vocab_b,
+           i.n_common,
+           {fround_sql(
+               "i.n_common / CAST(sa.sz + sb.sz - i.n_common AS DOUBLE)", 6
+           )} AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY i.source_a, i.source_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources (Jaccard over distinct
+    token sets) — the redundancy matrix beside q_source_divergence's
+    per-source distinctiveness: two sources with near-identical
+    vocabularies are candidates for dropping one, and the matrix says
+    WHICH pair, not just that someone is generic.
+
+    Scale: the pair counts come from a token-keyed equi-self-join of the
+    (source, token) DISTINCT table — vocabulary-sized, NOT corpus-sized,
+    so the join input is |sources| x |vocab| at worst and the per-token
+    expansion is (sources containing the token choose 2), bounded by the
+    source count squared per token.  Never a cartesian of sources; set
+    sizes attach by broadcast.  This is the same inverted-index pairing
+    idiom as the sparse-cosine and MinHash-band joins."""
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    a = vocab.select(F.col("source").alias("source_a"), "token")
+    b = vocab.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("sz").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("sz").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            fround(
+                F.col("n_common")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1532,3 +1532,103 @@ def q_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_closed",
         F.sum("net").over(w).cast("long").alias("open_count"),
     ).orderBy("day")
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type, day
+    ),
+    tr AS (
+        SELECT event_type, day, y,
+               CASE WHEN count(*) OVER w = 7
+                    THEN avg(y) OVER w END AS trend,
+               CAST(date_part('dow', day) AS INT) AS wd
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas0 AS (
+        SELECT event_type, wd, avg(y - trend) AS s0
+        FROM tr WHERE trend IS NOT NULL
+        GROUP BY event_type, wd
+    ),
+    seas AS (
+        SELECT event_type, wd,
+               s0 - avg(s0) OVER (PARTITION BY event_type) AS seasonal
+        FROM seas0
+    )
+    SELECT t.event_type, t.day,
+           {fround_sql("t.y")} AS daily_avg,
+           {fround_sql("t.trend")} AS trend,
+           {fround_sql("s.seasonal")} AS seasonal,
+           {fround_sql("t.y - t.trend - s.seasonal")} AS residual
+    FROM tr t JOIN seas s
+      ON s.event_type = t.event_type AND s.wd = t.wd
+    ORDER BY t.event_type, t.day
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of each event type's daily series
+    (classical decomposition, the pre-STL textbook form): trend = centered
+    7-day moving average (NULL at the 3-row edges where the window is
+    partial), weekly seasonal = per-weekday mean of the detrended series
+    re-centered to sum to zero, residual = observed - trend - seasonal —
+    the decomposition whose residual stream feeds anomaly flags that
+    neither the raw z-score (blind to weekly rhythm) nor the hour profile
+    (within-day only) can express.
+
+    Scale: the stream reduces to |types| x |days| rows before any window;
+    the centered MA is one bounded-frame window per type, the seasonal
+    index a partial-aggregating groupBy to |types| x 7 cells (re-centered
+    by a window over those 7 rows), and the final attach a broadcast-sized
+    join.  Day-of-week is date_part('dow') / dayofweek-1, identical
+    0=Sunday numbering on both engines."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.when(F.count("*").over(w) == 7, F.avg("y").over(w)).alias("trend"),
+        (F.dayofweek("day") - 1).cast("int").alias("wd"),
+    )
+    seas0 = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("event_type", "wd")
+        .agg(F.avg(F.col("y") - F.col("trend")).alias("s0"))
+    )
+    seas = seas0.select(
+        "event_type",
+        "wd",
+        (
+            F.col("s0")
+            - F.avg("s0").over(Window.partitionBy("event_type"))
+        ).alias("seasonal"),
+    )
+    return (
+        tr.join(F.broadcast(seas), ["event_type", "wd"])
+        .select(
+            "event_type",
+            "day",
+            fround(F.col("y"), 4).alias("daily_avg"),
+            fround(F.col("trend"), 4).alias("trend"),
+            fround(F.col("seasonal"), 4).alias("seasonal"),
+            fround(
+                F.col("y") - F.col("trend") - F.col("seasonal"), 4
+            ).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )

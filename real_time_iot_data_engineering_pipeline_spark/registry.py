@@ -155,6 +155,8 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_source_quality_report",
     "q_open_orders",
     "q_source_divergence",
+    "q_source_overlap",
+    "q_seasonal_decompose",
 )
 
 

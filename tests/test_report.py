@@ -193,3 +193,48 @@ class TestSourceDivergence:
             assert r["vocab_size"] == len(cnt)
             assert r["js_divergence"] == pytest.approx(js, abs=2e-6)
             assert 0.0 <= r["js_divergence"] <= math.log(2.0) + 1e-9
+
+
+class TestSourceOverlap:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        import re
+        from collections import defaultdict
+
+        import pytest
+
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        ).to_pydict()
+        vocab = defaultdict(set)
+        for s, t in zip(docs["source"], docs["text"]):
+            vocab[s].update(re.split(r"\s+", t.strip().lower()))
+        srcs = sorted(vocab)
+        rows = {
+            (r["source_a"], r["source_b"]): r
+            for r in registry.QUERIES["q_source_overlap"](
+                spark, sf_dir
+            ).collect()
+        }
+        n_pairs = sum(
+            1
+            for i, a in enumerate(srcs)
+            for b in srcs[i + 1 :]
+            if vocab[a] & vocab[b]
+        )
+        assert len(rows) == n_pairs
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1 :]:
+                common = vocab[a] & vocab[b]
+                if not common:
+                    continue
+                r = rows[(a, b)]
+                assert r["vocab_a"] == len(vocab[a])
+                assert r["vocab_b"] == len(vocab[b])
+                assert r["n_common"] == len(common)
+                assert r["jaccard"] == pytest.approx(
+                    len(common) / len(vocab[a] | vocab[b]), abs=2e-6
+                )

@@ -433,3 +433,45 @@ class TestOpenOrders:
             assert r["n_closed"] == closed[d]
             assert r["open_count"] == run
         assert run == 0, "every interval must eventually close"
+
+
+class TestSeasonalDecompose:
+    def test_matches_pandas_classical_decomposition(self, spark, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        ).to_pandas().dropna(subset=["ts", "value"])
+        ev["day"] = ev["ts"].dt.floor("D")
+        rows = {
+            (r["event_type"], r["day"]): r
+            for r in registry.QUERIES["q_seasonal_decompose"](
+                spark, sf_dir
+            ).collect()
+        }
+        n_checked = 0
+        for t, grp in ev.groupby("event_type"):
+            daily = grp.groupby("day")["value"].mean().sort_index()
+            trend = daily.rolling(7, center=True, min_periods=7).mean()
+            detr = daily - trend
+            wd = daily.index.dayofweek.map(lambda d: (d + 1) % 7)  # 0=Sunday
+            s0 = detr.groupby(wd.values).mean()
+            seasonal = s0 - s0.mean()
+            for day, y in daily.items():
+                r = rows[(t, day)]
+                assert r["daily_avg"] == pytest.approx(y, abs=2e-4)
+                tv = trend.loc[day]
+                if np.isnan(tv):
+                    assert r["trend"] is None and r["residual"] is None
+                else:
+                    sv = seasonal[(day.dayofweek + 1) % 7]
+                    assert r["trend"] == pytest.approx(tv, abs=2e-4)
+                    assert r["seasonal"] == pytest.approx(sv, abs=2e-4)
+                    assert r["residual"] == pytest.approx(
+                        y - tv - sv, abs=4e-4
+                    )
+                    n_checked += 1
+        assert n_checked > 0
