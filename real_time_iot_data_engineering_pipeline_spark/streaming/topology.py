@@ -55,6 +55,7 @@ class TopologyResult:
         monitor: QualityMonitorSink | None = None,
         attribution_dir: str | None = None,
         drift: DriftMonitorSink | None = None,
+        cusum_dir: str | None = None,
     ):
         self.spark = spark
         self.aggregates = agg_sink
@@ -62,6 +63,11 @@ class TopologyResult:
         self.monitor = monitor
         self.attribution_dir = attribution_dir
         self.drift = drift
+        self.cusum_dir = cusum_dir
+
+    def read_cusum(self) -> DataFrame:
+        assert self.cusum_dir is not None
+        return self.spark.read.parquet(self.cusum_dir + "/epoch=*")
 
     def read_dlq(self) -> DataFrame:
         return self.spark.read.parquet(self.dlq_dir + "/epoch=*")
@@ -83,6 +89,7 @@ def run_topology(
     with_attribution: bool = False,
     compact_every: int = 0,
     drift_reference: DataFrame | None = None,
+    cusum_mu0: float | None = None,
 ) -> TopologyResult:
     """Drain source_dir through the full validate->route->dedup->window->
     upsert topology with Trigger.AvailableNow on both branches.
@@ -211,6 +218,31 @@ def run_topology(
             start(validated.filter("is_valid"), "topology-drift", drift)
         )
 
+    # optional online-CUSUM branch: per-sensor changepoint alarms with
+    # state carried across micro-batches (streaming/stateful.py) — the
+    # live twin of the batch q_cusum operator
+    cusum_dir = None
+    if cusum_mu0 is not None:
+        from .stateful import cusum_stream
+
+        cusum_dir = os.path.join(out_dir, "cusum")
+        flagged = cusum_stream(
+            validated.filter("is_valid").drop(
+                "failure_reasons", "is_valid", CORRUPT_COL
+            ),
+            mu0=cusum_mu0,
+        )
+
+        def write_cusum(batch_df: DataFrame, epoch_id: int) -> None:
+            if not batch_df.isEmpty():
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(cusum_dir, f"epoch={int(epoch_id)}")
+                )
+
+        queries.append(
+            start(flagged, "topology-cusum", write_cusum, mode="append")
+        )
+
     try:
         for q in queries:
             q.awaitTermination(timeout_seconds)
@@ -219,5 +251,5 @@ def run_topology(
             if q.isActive:
                 q.stop()
     return TopologyResult(
-        spark, agg_sink, dlq_dir, monitor, attribution_dir, drift
+        spark, agg_sink, dlq_dir, monitor, attribution_dir, drift, cusum_dir
     )

@@ -348,3 +348,43 @@ def test_drift_sink_psi_matches_python_recompute(spark, tmp_path):
     assert row.stability == (
         "stable" if psi < 0.1 else "moderate" if psi < 0.25 else "shifted"
     )
+
+
+def test_topology_cusum_branch(spark, tmp_path):
+    """The online-CUSUM branch raises a changepoint alarm from drift
+    accumulated ACROSS micro-batches while the readings stay inside the
+    validator's range (the DLQ never sees them): batch 0 charges the
+    positive sum, batch 1 crosses the threshold."""
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}', event_type="click")
+    # mu0=50, slack=2, h=30: each 65.0 reading adds 13 to s+
+    write_file(
+        str(src),
+        "f1.json",
+        [
+            dict(ev(1, "2024-01-19 10:00:00", value=50.0), **valid_kwargs),
+            dict(ev(2, "2024-01-19 10:00:10", value=65.0), **valid_kwargs),
+            dict(ev(3, "2024-01-19 10:00:20", value=65.0), **valid_kwargs),
+        ],
+        seq=0,
+    )
+    write_file(
+        str(src),
+        "f2.json",
+        [
+            dict(ev(4, "2024-01-19 10:00:30", value=65.0), **valid_kwargs),
+            dict(ev(5, "2024-01-19 10:00:40", value=50.0), **valid_kwargs),
+        ],
+        seq=1,
+    )
+    result = run_topology(
+        spark, str(src), str(tmp_path / "out"), cusum_mu0=50.0
+    )
+    rows = {r.event_id: r for r in result.read_cusum().collect()}
+    assert len(rows) == 5
+    assert rows[3].s_pos == 26.0 and not rows[3].alarm
+    # batch boundary: 26 carried + 13 = 39 > 30 -> alarm
+    assert rows[4].s_pos == 39.0 and rows[4].alarm
+    assert rows[5].s_pos == 0.0 and not rows[5].alarm  # post-alarm reset
+    assert result.aggregates.read().count() >= 1  # main path unaffected
