@@ -1324,3 +1324,97 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# Benford chi-square critical value at alpha=0.05, 8 dof.
+_BENFORD_CRIT = "15.507"
+
+
+@register(
+    "q_benford",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(floor(o_totalprice
+                          / power(10, floor(log10(o_totalprice))))
+                    AS INT) AS d
+        FROM orders WHERE o_totalprice > 0
+    ),
+    o AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM o),
+    cells AS (
+        SELECT o.d, o.n,
+               t.total * log10(1.0 + 1.0 / o.d) AS expected
+        FROM o, t
+    )
+    SELECT d AS first_digit, n,
+           {fround_sql("expected", 2)} AS expected,
+           {fround_sql("(n - expected) * (n - expected) / expected", 4)}
+               AS chi2_term,
+           (SELECT {fround_sql(
+               "sum((n - expected) * (n - expected) / expected)", 4
+           )} FROM cells) > {_BENFORD_CRIT} AS deviates
+    FROM cells
+    ORDER BY first_digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-digit counts
+    against the log10(1 + 1/d) expectation, per-digit chi-square terms,
+    and a single 5% deviation verdict — the forensic-accounting screen
+    for fabricated or systematically generated amounts.  (The synthetic
+    fixture's uniform prices deviate decisively — which is precisely
+    what Benford flags about artificial data.)
+
+    Scale: first-digit extraction is two math functions in codegen, the
+    digit histogram partial-aggregates to NINE cells, and everything
+    after is arithmetic over those cells — the whole operator reduces at
+    scan speed regardless of table size."""
+    digits = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(
+                F.col("o_totalprice")
+                / F.pow(10.0, F.floor(F.log10("o_totalprice")))
+            )
+            .cast("int")
+            .alias("d")
+        )
+    )
+    o = digits.groupBy("d").agg(F.count("*").cast("long").alias("n"))
+    t = o.agg(F.sum("n").cast("double").alias("total"))
+    cells = o.crossJoin(F.broadcast(t)).select(
+        "d",
+        "n",
+        (F.col("total") * F.log10(1.0 + 1.0 / F.col("d"))).alias("expected"),
+    )
+    stat = cells.agg(
+        fround(
+            F.sum(
+                (F.col("n") - F.col("expected"))
+                * (F.col("n") - F.col("expected"))
+                / F.col("expected")
+            ),
+            4,
+        ).alias("chi2")
+    )
+    return (
+        cells.crossJoin(F.broadcast(stat))
+        .select(
+            F.col("d").alias("first_digit"),
+            "n",
+            fround(F.col("expected"), 2).alias("expected"),
+            fround(
+                (F.col("n") - F.col("expected"))
+                * (F.col("n") - F.col("expected"))
+                / F.col("expected"),
+                4,
+            ).alias("chi2_term"),
+            (F.col("chi2") > F.expr(f"CAST({_BENFORD_CRIT} AS DOUBLE)")).alias(
+                "deviates"
+            ),
+        )
+        .orderBy("first_digit")
+    )

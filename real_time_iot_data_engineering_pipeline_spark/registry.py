@@ -157,6 +157,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_source_divergence",
     "q_source_overlap",
     "q_seasonal_decompose",
+    "q_benford",
 )
 
 

@@ -374,3 +374,50 @@ class TestConversionLatency:
             assert r["p50_s"] == pytest.approx(p50, abs=0.02)
             assert r["p90_s"] == pytest.approx(p90, abs=0.02)
             assert 0 < r["p50_s"] <= r["p90_s"]
+
+
+class TestBenford:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        prices = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+        ).column("o_totalprice").to_pylist()
+        obs = Counter(
+            int(p / 10 ** math.floor(math.log10(p)))
+            for p in prices
+            if p > 0
+        )
+        total = sum(obs.values())
+        chi2 = sum(
+            (obs.get(d, 0) - total * math.log10(1 + 1 / d)) ** 2
+            / (total * math.log10(1 + 1 / d))
+            for d in range(1, 10)
+            if obs.get(d, 0) or True
+        )
+        rows = registry.QUERIES["q_benford"](spark, sf_dir).collect()
+        got_chi2 = 0.0
+        for r in rows:
+            d = r["first_digit"]
+            assert 1 <= d <= 9
+            assert r["n"] == obs[d]
+            exp = total * math.log10(1 + 1 / d)
+            assert r["expected"] == pytest.approx(exp, abs=0.02)
+            assert r["chi2_term"] == pytest.approx(
+                (obs[d] - exp) ** 2 / exp, abs=0.02
+            )
+            got_chi2 += r["chi2_term"]
+            assert r["deviates"] == (chi2 > 15.507)
+        # digits absent from the data (expected>0, n=0) are not emitted;
+        # the python chi2 over emitted digits must match their sum
+        present_chi2 = sum(
+            (obs[d] - total * math.log10(1 + 1 / d)) ** 2
+            / (total * math.log10(1 + 1 / d))
+            for d in obs
+        )
+        assert got_chi2 == pytest.approx(present_chi2, abs=0.1)
