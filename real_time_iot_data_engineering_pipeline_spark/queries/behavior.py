@@ -1418,3 +1418,94 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+@register(
+    "q_abc_classes",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(revenue) AS grand FROM rev),
+    ranked AS (
+        SELECT l_partkey, revenue,
+               sum(revenue) OVER (
+                   ORDER BY revenue DESC, l_partkey
+               ) / tot.grand AS cum_share
+        FROM rev, tot
+    ),
+    classed AS (
+        SELECT l_partkey, revenue,
+               CASE WHEN cum_share <= 0.8 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM ranked
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           {fround_sql("sum(revenue)", 2)} AS revenue,
+           {fround_sql("sum(revenue) / (SELECT grand FROM tot)", 6)} AS share
+    FROM classed
+    GROUP BY abc
+    ORDER BY abc
+    """,
+)
+def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by discounted revenue: parts
+    are ranked by revenue, the running cumulative share cuts A (first
+    80% of revenue), B (to 95%), C (tail), and the operator reports each
+    class's part count, revenue, and share — the inventory-priority
+    split behind 'A-items get daily counts, C-items get yearly'.
+
+    Scale: revenue partial-aggregates per part; the ranking is one
+    ordered window over |parts| pre-reduced rows (same global-prefix-sum
+    caveat and sketch alternative as q_revenue_gini, its
+    customer-concentration sibling); the class rollup is three cells.
+    Cumulative-share boundaries are computed from exact integer-free
+    sums on both engines with deterministic (revenue, partkey) tie
+    order, and fround guards the reported aggregates only — class
+    membership is decided on raw doubles that both engines derive from
+    identical inputs in identical window order, quantized at 9 dp so a
+    sub-ULP accumulation difference cannot flip a boundary part."""
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(F.sum("revenue").alias("t"))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "revenue",
+        (F.sum("revenue").over(w) / F.col("t")).alias("cum_share"),
+    )
+    cs9 = fround(F.col("cum_share"), 9)
+    classed = ranked.select(
+        "revenue",
+        F.when(cs9 <= 0.8, F.lit("A"))
+        .when(cs9 <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("revenue").alias("rev_raw"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc",
+            "n_parts",
+            fround(F.col("rev_raw"), 2).alias("revenue"),
+            fround(F.col("rev_raw") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("abc")
+    )

@@ -158,6 +158,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_source_overlap",
     "q_seasonal_decompose",
     "q_benford",
+    "q_abc_classes",
 )
 
 

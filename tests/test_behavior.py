@@ -421,3 +421,49 @@ class TestBenford:
             for d in obs
         )
         assert got_chi2 == pytest.approx(present_chi2, abs=0.1)
+
+
+class TestAbcClasses:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from collections import defaultdict
+
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        li = pq.read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        ).to_pydict()
+        rev = defaultdict(float)
+        for k, p, d in zip(
+            li["l_partkey"], li["l_extendedprice"], li["l_discount"]
+        ):
+            rev[k] += p * (1 - d)
+        ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(rev.values())
+        expect = defaultdict(lambda: [0, 0.0])
+        cum = 0.0
+        for k, r in ranked:
+            cum += r
+            share = round(cum / total, 9)
+            cls = "A" if share <= 0.8 else "B" if share <= 0.95 else "C"
+            expect[cls][0] += 1
+            expect[cls][1] += r
+        rows = {
+            r["abc"]: r
+            for r in registry.QUERIES["q_abc_classes"](spark, sf_dir).collect()
+        }
+        assert set(rows) == set(expect)
+        for cls, (n, r_sum) in expect.items():
+            assert rows[cls]["n_parts"] == n
+            assert rows[cls]["revenue"] == pytest.approx(r_sum, rel=1e-6)
+            assert rows[cls]["share"] == pytest.approx(
+                r_sum / total, abs=2e-6
+            )
+        # uniform synthetic revenue has no Pareto concentration (A holds
+        # ~78% of parts here) — assert the structural invariants instead
+        assert sum(r["n_parts"] for r in rows.values()) == len(rev)
+        assert sum(r["share"] for r in rows.values()) == pytest.approx(
+            1.0, abs=1e-5
+        )
