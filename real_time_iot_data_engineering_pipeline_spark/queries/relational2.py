@@ -625,3 +625,69 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )
+
+
+@register(
+    "q_cycle_time",
+    oracle=f"""
+    WITH done AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               date_diff('day', o.o_orderdate, s.last_ship) AS days
+        FROM orders o
+        JOIN (
+            SELECT l_orderkey, max(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY l_orderkey
+        ) s ON s.l_orderkey = o.o_orderkey
+        WHERE s.last_ship >= o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {fround_sql("avg(days)", 4)} AS mean_days,
+           {fround_sql("quantile_cont(days, 0.5)", 4)} AS p50_days,
+           {fround_sql("quantile_cont(days, 0.9)", 4)} AS p90_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM done
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fulfillment cycle time by priority: days from order date to
+    last shipment, summarized per priority class with count, mean, exact
+    p50/p90, and worst case — the operational SLA table that shows
+    whether 1-URGENT orders actually ship faster than 5-LOW (on this
+    fixture they do not, which is itself the finding an ops review would
+    flag).  Orders shipping before their order date (none here) or
+    without lineitems are excluded identically on both engines.
+
+    Scale: the last-shipment reduction partial-aggregates lineitem per
+    order before the join; the summary reduces |orders| pre-joined rows
+    to |priorities| cells with the exact-percentile aggregate
+    (approx_percentile is the documented unbounded-domain swap, as in
+    q_quantile_summary).  Day differences are calendar date_diff /
+    datediff — integer-exact, no float drift to guard."""
+    last = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    done = (
+        load_table(spark, sf_dir, "orders")
+        .join(last, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("last_ship") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff("last_ship", "o_orderdate").alias("days"),
+        )
+    )
+    return (
+        done.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            fround(F.avg("days"), 4).alias("mean_days"),
+            fround(F.expr("percentile(days, 0.5)"), 4).alias("p50_days"),
+            fround(F.expr("percentile(days, 0.9)"), 4).alias("p90_days"),
+            F.max("days").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

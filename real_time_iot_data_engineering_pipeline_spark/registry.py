@@ -159,6 +159,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_seasonal_decompose",
     "q_benford",
     "q_abc_classes",
+    "q_cycle_time",
 )
 
 

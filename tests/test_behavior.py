@@ -467,3 +467,48 @@ class TestAbcClasses:
         assert sum(r["share"] for r in rows.values()) == pytest.approx(
             1.0, abs=1e-5
         )
+
+
+class TestCycleTime:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from collections import defaultdict
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        od = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ).to_pydict()
+        li = pq.read_table(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ).to_pydict()
+        last = {}
+        for k, d in zip(li["l_orderkey"], li["l_shipdate"]):
+            if k not in last or d > last[k]:
+                last[k] = d
+        per = defaultdict(list)
+        for k, od_, pr in zip(
+            od["o_orderkey"], od["o_orderdate"], od["o_orderpriority"]
+        ):
+            if k in last and last[k] >= od_:
+                per[pr].append((last[k] - od_).days)
+        rows = {
+            r["o_orderpriority"]: r
+            for r in registry.QUERIES["q_cycle_time"](spark, sf_dir).collect()
+        }
+        assert set(rows) == set(per)
+        for pr, days in per.items():
+            a = np.array(days, dtype=float)
+            r = rows[pr]
+            assert r["n_orders"] == len(a)
+            assert r["mean_days"] == pytest.approx(a.mean(), abs=1e-3)
+            assert r["p50_days"] == pytest.approx(
+                np.quantile(a, 0.5), abs=1e-3
+            )
+            assert r["p90_days"] == pytest.approx(
+                np.quantile(a, 0.9), abs=1e-3
+            )
+            assert r["max_days"] == int(a.max())
