@@ -1632,3 +1632,119 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# Two-sided 5% critical value for the runs-test normal approximation.
+_RUNS_CRIT = "1.96"
+
+
+@register(
+    "q_runs_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type, day
+    ),
+    m AS (SELECT event_type, avg(y) AS mu FROM daily GROUP BY event_type),
+    signs AS (
+        SELECT d.event_type, d.day,
+               CASE WHEN d.y >= m.mu THEN 1 ELSE 0 END AS pos
+        FROM daily d JOIN m USING (event_type)
+    ),
+    flagged AS (
+        SELECT event_type, pos,
+               CASE WHEN lag(pos) OVER (
+                        PARTITION BY event_type ORDER BY day
+                    ) IS DISTINCT FROM pos THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(sum(new_run) AS BIGINT) AS n_runs,
+               CAST(sum(pos) AS DOUBLE) AS n1,
+               CAST(sum(1 - pos) AS DOUBLE) AS n2
+        FROM flagged GROUP BY event_type
+    )
+    SELECT event_type, n_runs,
+           CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           {fround_sql("2.0 * n1 * n2 / (n1 + n2) + 1.0", 4)} AS expected_runs,
+           {fround_sql(
+               "(n_runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) / "
+               "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
+               "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))",
+               4,
+           )} AS z_stat,
+           abs({fround_sql(
+               "(n_runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) / "
+               "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
+               "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))",
+               6,
+           )}) <= {_RUNS_CRIT} AS random_ok
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on each event type's daily series: the
+    sequence of above/below-mean signs is counted into runs and compared
+    to the randomness expectation 2*n1*n2/n + 1 via the normal
+    approximation — too FEW runs means the residual process is sticky
+    (trend/regime structure the mean missed), too MANY means alternation
+    (overdifferencing/oscillation); |z| <= {_RUNS_CRIT} passes.  The
+    independence companion to q_autocorr's linear-correlation view.
+
+    Scale: daily pre-aggregation first, the mean join-back is
+    broadcast-sized, run boundaries are ONE lag window per type over the
+    tiny series (IS DISTINCT FROM handles the first row identically in
+    both engines), and the statistic is arithmetic over |types| rows of
+    counts — integers until the final closed form, so only the z value
+    needs the fround guard."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(F.avg("y").alias("mu"))
+    signs = daily.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "day",
+        F.when(F.col("y") >= F.col("mu"), 1).otherwise(0).alias("pos"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    flagged = signs.select(
+        "event_type",
+        "pos",
+        F.when(
+            ~F.lag("pos").over(w).eqNullSafe(F.col("pos")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flagged.groupBy("event_type").agg(
+        F.sum("new_run").cast("long").alias("n_runs"),
+        F.sum("pos").cast("double").alias("n1"),
+        F.sum(1 - F.col("pos")).cast("double").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu_r = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    sig_r = F.sqrt(
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    z = (F.col("n_runs") - mu_r) / sig_r
+    return agg.select(
+        "event_type",
+        "n_runs",
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        fround(mu_r, 4).alias("expected_runs"),
+        fround(z, 4).alias("z_stat"),
+        (
+            F.abs(fround(z, 6)) <= F.expr(f"CAST({_RUNS_CRIT} AS DOUBLE)")
+        ).alias("random_ok"),
+    ).orderBy("event_type")

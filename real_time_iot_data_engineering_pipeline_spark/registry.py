@@ -160,6 +160,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_benford",
     "q_abc_classes",
     "q_cycle_time",
+    "q_runs_test",
 )
 
 

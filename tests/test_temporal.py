@@ -475,3 +475,36 @@ class TestSeasonalDecompose:
                     )
                     n_checked += 1
         assert n_checked > 0
+
+
+class TestRunsTest:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        ).to_pandas().dropna(subset=["ts", "value"])
+        ev["day"] = ev["ts"].dt.floor("D")
+        rows = {
+            r["event_type"]: r
+            for r in registry.QUERIES["q_runs_test"](spark, sf_dir).collect()
+        }
+        for t, grp in ev.groupby("event_type"):
+            daily = grp.groupby("day")["value"].mean().sort_index()
+            signs = [1 if y >= daily.mean() else 0 for y in daily]
+            runs = 1 + sum(a != b for a, b in zip(signs, signs[1:]))
+            n1, n2 = sum(signs), len(signs) - sum(signs)
+            n = n1 + n2
+            mu = 2 * n1 * n2 / n + 1
+            sig = (
+                2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+            ) ** 0.5
+            z = (runs - mu) / sig
+            r = rows[t]
+            assert r["n_runs"] == runs
+            assert r["n_above"] == n1 and r["n_below"] == n2
+            assert r["expected_runs"] == pytest.approx(mu, abs=1e-3)
+            assert r["z_stat"] == pytest.approx(z, abs=1e-3)
+            assert r["random_ok"] == (abs(round(z, 6)) <= 1.96)
