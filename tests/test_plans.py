@@ -844,3 +844,29 @@ class TestClosingTier:
     def test_source_report_inherits_pipeline_posture(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "q_source_quality_report")
         assert "CartesianProduct" not in plan
+
+
+class TestAuditOpsTier:
+    def test_benford_and_cycle_time_reduce_at_scan(self, spark, sf_dir):
+        """Both reduce to a handful of cells: no window, no cross join;
+        the only BNLJ allowed is the single-row total/stat broadcast."""
+        for q, max_bnlj in (("q_benford", 3), ("q_cycle_time", 0)):
+            plan = plan_of(spark, sf_dir, q)
+            assert "CartesianProduct" not in plan, q
+            assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, q
+            if q == "q_cycle_time":
+                assert "Window" not in plan
+
+    def test_runs_test_windows_are_partitioned(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q_runs_test")
+        import re
+
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "event_type" in m.group(1), m.group(0)
+
+    def test_abc_per_part_reduction_before_rank(self, spark, sf_dir):
+        """Revenue must partial-aggregate per part BEFORE the global rank
+        window — the window input is |parts|, never |lineitems|."""
+        plan = plan_of(spark, sf_dir, "q_abc_classes")
+        assert "partial_sum" in plan or "partial_" in plan
+        assert "CartesianProduct" not in plan
