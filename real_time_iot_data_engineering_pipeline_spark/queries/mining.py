@@ -1,0 +1,1054 @@
+"""Classical data-mining / statistics tier: survival analysis, customer
+segmentation, association rules, and rank/robust/time-series tests.
+
+The reference pipeline ends at threshold alerts and mart aggregates
+(spark_streaming/streaming_job.py window aggregates, Learning Guide §5-6);
+every operations team that runs such a pipeline bolts these textbook
+analyses onto the marts next: how long do devices/users survive before
+churning (Kaplan-Meier), which customers deserve attention (RFM), which
+products co-occur (market basket / lift), did the distribution move
+(Mann-Whitney), is the series trending or autocorrelated beyond what the
+existing OLS/Pearson queries assume (Theil-Sen / Mann-Kendall /
+Durbin-Watson), and how bursty is the event arrival process (Fano /
+burstiness).  All are expressed as Catalyst-native column algebra — no
+UDFs, no collects (scalar totals ride broadcast crossJoins, the house
+pattern) — and every float that crosses an engine boundary is fround'd.
+
+Scale design notes (each query's docstring elaborates):
+- The only unpartitioned windows run over METADATA-scale domains that do
+  not grow with data volume: distinct day-durations (<= observation-window
+  days), distinct quantized test values (bounded value domain), and the
+  daily calendar series.  Data-proportional windows (inter-event gaps)
+  partition by the high-cardinality (user, type) key.
+- Scalar thresholds (global max date, totals, quantile bounds) are
+  single-row aggregates broadcast back over the stream — never a
+  driver-side collect in the plan.
+- Exact `percentile` is swapped for `approx_percentile` on unbounded
+  domains at cluster scale (same plan shape); the fixture keeps the exact
+  twin so the oracle can certify values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival over user activity spans
+# ---------------------------------------------------------------------------
+
+# A user whose last event precedes the end of the observed stream by more
+# than this many days has churned (the "death" event); later exits are
+# right-censored (still alive when observation stopped).
+KM_CHURN_GAP_DAYS = 7
+
+_KM_PER_USER_SQL = f"""
+    SELECT user_id,
+           date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS duration,
+           CASE WHEN date_diff('day', CAST(max(ts) AS DATE),
+                    (SELECT CAST(max(ts) AS DATE) FROM events
+                     WHERE ts IS NOT NULL)) > {KM_CHURN_GAP_DAYS}
+                THEN 1 ELSE 0 END AS died
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY user_id
+"""
+
+
+@register(
+    "q_kaplan_meier",
+    oracle=f"""
+    WITH per_user AS ({_KM_PER_USER_SQL}),
+    lev AS (
+        SELECT duration,
+               CAST(sum(died) AS BIGINT) AS n_deaths,
+               CAST(sum(1 - died) AS BIGINT) AS n_censored
+        FROM per_user GROUP BY duration
+    ),
+    risk AS (
+        SELECT duration, n_deaths, n_censored,
+               (SELECT count(*) FROM per_user)
+                   - coalesce(sum(n_deaths + n_censored) OVER (
+                         ORDER BY duration
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n_risk
+        FROM lev
+    )
+    SELECT duration AS duration_day,
+           CAST(n_risk AS BIGINT) AS n_risk, n_deaths, n_censored,
+           CASE WHEN max(CASE WHEN n_deaths >= n_risk THEN 1 ELSE 0 END)
+                         OVER (ORDER BY duration) = 1
+                THEN 0.0
+                ELSE {fround_sql(
+                    "exp(sum(ln(CASE WHEN n_deaths < n_risk THEN"
+                    " 1 - n_deaths / CAST(n_risk AS DOUBLE) ELSE 1 END))"
+                    " OVER (ORDER BY duration))", 6)}
+           END AS survival
+    FROM risk
+    ORDER BY duration_day
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user activity lifetimes: each user's
+    duration is the day-span from first to last event; a user silent for
+    more than {KM_CHURN_GAP_DAYS} days before the stream's end has churned
+    (death), anyone active near the end is right-censored.  Output is the
+    classic life table — at-risk count, deaths, censored exits, and the
+    product-limit survival estimate per distinct duration.
+
+    The survival product is computed as exp of a running sum of logs (the
+    distributed form of a cumulative product); a zero factor (everyone at
+    risk dies) is handled by a running zero-seen flag rather than ln(0),
+    which the two engines disagree on (Spark NULL, DuckDB -inf).
+
+    Scale: one partial-aggregating pass per user (high-cardinality key),
+    then all windows run over DISTINCT DURATIONS — bounded by the
+    observation window's day count, i.e. metadata scale that does not
+    grow with data volume.  The stream-end scalar broadcasts back via a
+    single-row crossJoin, never a collect."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    end = ev.agg(F.max(F.to_date("ts")).alias("_end"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.to_date(F.min("ts")).alias("_first"),
+            F.to_date(F.max("ts")).alias("_last"),
+        )
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.datediff("_last", "_first").alias("duration"),
+            (
+                F.datediff("_end", "_last") > KM_CHURN_GAP_DAYS
+            ).cast("int").alias("died"),
+        )
+    )
+    lev = per_user.groupBy("duration").agg(
+        F.sum("died").cast("long").alias("n_deaths"),
+        F.sum(1 - F.col("died")).cast("long").alias("n_censored"),
+    )
+    total = per_user.agg(F.count("*").alias("_total"))
+    prior = (
+        Window.orderBy("duration")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    upto = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = (
+        lev.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("_total")
+            - F.coalesce(
+                F.sum(F.col("n_deaths") + F.col("n_censored")).over(prior),
+                F.lit(0),
+            ),
+        )
+    )
+    factor = F.log(
+        F.when(
+            F.col("n_deaths") < F.col("n_risk"),
+            1 - F.col("n_deaths") / F.col("n_risk").cast("double"),
+        ).otherwise(F.lit(1.0))
+    )
+    zero_seen = F.max(
+        F.when(F.col("n_deaths") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(upto)
+    return risk.select(
+        F.col("duration").alias("duration_day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "n_deaths",
+        "n_censored",
+        F.when(zero_seen == 1, F.lit(0.0))
+        .otherwise(fround(F.exp(F.sum(factor).over(upto)), 6))
+        .alias("survival"),
+    ).orderBy("duration_day")
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+# Quintile split points shared by all three RFM dimensions.
+_RFM_PS = (0.2, 0.4, 0.6, 0.8)
+_RFM_PS_SQL = "[" + ", ".join(str(p) for p in _RFM_PS) + "]"
+_RFM_PS_SPARK = "array(" + ", ".join(f"{p}D" for p in _RFM_PS) + ")"
+
+# Segment rules, applied in order (first match wins) — the standard RFM
+# playbook labels.
+_RFM_CASE_SQL = """
+    CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+              THEN 'champion'
+         WHEN f_score >= 4 THEN 'loyal'
+         WHEN m_score >= 4 THEN 'big_spender'
+         WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+         WHEN r_score <= 2 THEN 'hibernating'
+         ELSE 'regular' END
+"""
+
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                   AS recency,
+               CAST(count(*) AS BIGINT) AS frequency,
+               {fround_sql("sum(o_totalprice)", 2)} AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    th AS (
+        SELECT quantile_cont(recency, {_RFM_PS_SQL}) AS rq,
+               quantile_cont(frequency, {_RFM_PS_SQL}) AS fq,
+               quantile_cont(monetary, {_RFM_PS_SQL}) AS mq
+        FROM per_cust
+    ),
+    scored AS (
+        SELECT o_custkey, recency, frequency, monetary,
+               5 - ((recency > rq[1])::INT + (recency > rq[2])::INT
+                    + (recency > rq[3])::INT + (recency > rq[4])::INT)
+                   AS r_score,
+               1 + (frequency > fq[1])::INT + (frequency > fq[2])::INT
+                 + (frequency > fq[3])::INT + (frequency > fq[4])::INT
+                   AS f_score,
+               1 + (monetary > mq[1])::INT + (monetary > mq[2])::INT
+                 + (monetary > mq[3])::INT + (monetary > mq[4])::INT
+                   AS m_score
+        FROM per_cust, th
+    )
+    SELECT {_RFM_CASE_SQL} AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           {fround_sql("avg(recency)")} AS avg_recency_days,
+           {fround_sql("avg(frequency)")} AS avg_frequency,
+           {fround_sql("avg(monetary)", 2)} AS avg_monetary
+    FROM scored
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation of the customer
+    base: per-customer metrics from the orders stream, quintile scores per
+    dimension against global thresholds, and the standard segment labels
+    (champion / loyal / big_spender / at_risk / hibernating / regular)
+    rolled up to per-segment counts and averages.
+
+    Quintile scoring uses THRESHOLD COMPARISON against the four exact
+    quantile split points — not ntile() — because ntile needs a global
+    single-partition window (a straggler at scale) while thresholds come
+    from one partial-aggregated percentile pass and broadcast back onto
+    the per-customer rows.  Monetary sums are quantized (fround 2) before
+    thresholding so both engines compare identical bits.
+
+    Scale: per-customer aggregation partial-aggregates map-side on the
+    customer key; the threshold row is single-row broadcast; the final
+    rollup has <= 6 groups.  On an unbounded customer domain swap
+    `percentile` for `approx_percentile` (same plan, sketch-merged) —
+    the fixture keeps the exact form so the oracle certifies values."""
+    orders = load_table(spark, sf_dir, "orders")
+    end = orders.agg(F.max(F.to_date("o_orderdate")).alias("_end"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.to_date(F.max("o_orderdate")).alias("_last"),
+            F.count("*").cast("long").alias("frequency"),
+            fround(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(end))
+        .select(
+            "o_custkey",
+            F.datediff("_end", "_last").alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    th = per_cust.agg(
+        F.expr(f"percentile(recency, {_RFM_PS_SPARK})").alias("rq"),
+        F.expr(f"percentile(frequency, {_RFM_PS_SPARK})").alias("fq"),
+        F.expr(f"percentile(monetary, {_RFM_PS_SPARK})").alias("mq"),
+    )
+
+    def _score(col: str, q: str, reverse: bool) -> Column:
+        hits = sum(
+            (F.col(col) > F.col(q)[i]).cast("int") for i in range(4)
+        )
+        return (5 - hits) if reverse else (1 + hits)
+
+    scored = per_cust.crossJoin(F.broadcast(th)).select(
+        "recency",
+        "frequency",
+        "monetary",
+        _score("recency", "rq", reverse=True).alias("r_score"),
+        _score("frequency", "fq", reverse=False).alias("f_score"),
+        _score("monetary", "mq", reverse=False).alias("m_score"),
+    )
+    return (
+        scored.select(
+            F.expr(_RFM_CASE_SQL).alias("segment"),
+            "recency",
+            "frequency",
+            "monetary",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            fround(F.avg("recency")).alias("avg_recency_days"),
+            fround(F.avg("frequency")).alias("avg_frequency"),
+            fround(F.avg("monetary"), 2).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over order contents
+# ---------------------------------------------------------------------------
+
+# Minimum co-occurrence count for a brand pair to be reported (prunes the
+# rule tail and, at scale, keeps the pair table far smaller than the
+# baskets table).
+BASKET_MIN_PAIR = 20
+BASKET_TOP_K = 20
+
+_BASKET_ITEMS_SQL = """
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+@register(
+    "q_market_basket",
+    oracle=f"""
+    WITH items AS ({_BASKET_ITEMS_SQL}),
+    n_ord AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM items
+    ),
+    brand_n AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM items
+        GROUP BY p_brand
+    ),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+        HAVING count(*) >= {BASKET_MIN_PAIR}
+    )
+    SELECT brand_a, brand_b, n_ab, na.n AS n_a, nb.n AS n_b, n_orders,
+           {fround_sql("n_ab / CAST(n_orders AS DOUBLE)", 6)} AS support,
+           {fround_sql("n_ab / CAST(na.n AS DOUBLE)", 6)} AS confidence,
+           {fround_sql(
+               "(CAST(n_ab AS DOUBLE) * n_orders) / (CAST(na.n AS DOUBLE) * nb.n)",
+               4)} AS lift
+    FROM pairs
+    JOIN brand_n na ON brand_a = na.p_brand
+    JOIN brand_n nb ON brand_b = nb.p_brand
+    CROSS JOIN n_ord
+    ORDER BY (CAST(n_ab AS DOUBLE) * n_orders) / (CAST(na.n AS DOUBLE) * nb.n)
+             DESC, brand_a, brand_b
+    LIMIT {BASKET_TOP_K}
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the brand level: for every brand
+    pair co-occurring in at least {BASKET_MIN_PAIR} orders, the classic
+    support / confidence / lift triple, top-{BASKET_TOP_K} by lift — the
+    "what sells together" readout every commerce pipeline derives from
+    its order stream.
+
+    Scale: baskets come from ONE broadcast join (part is a dimension);
+    the pair stream self-joins baskets on the order key, so both sides
+    shuffle-partition identically and co-locate, and the per-order blowup
+    is bounded by the basket size cap (TPC-H orders hold <= 7 items —
+    C(13,2) worst case here), keeping the join output linear in orders.
+    Pair counts partial-aggregate map-side onto the tiny brand-pair
+    domain; ranking arithmetic is exact-integer ratios (products < 2^53),
+    so top-k membership cannot flip on float noise between engines, and
+    the final top-k is TakeOrderedAndProject."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_ord = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    brand_n = items.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = items.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = items.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_PAIR)
+    )
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b")
+    )
+    lift_key = (F.col("n_ab").cast("double") * F.col("n_orders")) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_orders",
+            fround(F.col("n_ab") / F.col("n_orders").cast("double"), 6).alias(
+                "support"
+            ),
+            fround(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias(
+                "confidence"
+            ),
+            fround(lift_key, 4).alias("lift"),
+            lift_key.alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), "brand_a", "brand_b")
+        .limit(BASKET_TOP_K)
+        .drop("_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank test between two event-type value distributions
+# ---------------------------------------------------------------------------
+
+_MW_A = "click"
+_MW_B = "view"
+# Two-sided 5% critical value on the normal approximation.
+_MW_CRIT = "1.96"
+
+
+@register(
+    "q_mann_whitney",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CAST(floor(value) AS BIGINT) AS qv,
+               CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS is_a
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('{_MW_A}', '{_MW_B}')
+    ),
+    lev AS (
+        SELECT qv, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(is_a) AS BIGINT) AS n_a_q
+        FROM obs GROUP BY qv
+    ),
+    ranked AS (
+        SELECT qv, t, n_a_q,
+               coalesce(sum(t) OVER (ORDER BY qv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (t + 1) / 2.0 AS midrank
+        FROM lev
+    ),
+    tot AS (
+        SELECT CAST(sum(n_a_q) AS BIGINT) AS n1,
+               CAST(sum(t - n_a_q) AS BIGINT) AS n2,
+               sum(n_a_q * midrank) AS r1,
+               sum(CAST(t AS DOUBLE) * t * t - t) AS tie_term
+        FROM ranked
+    )
+    SELECT n1 AS n_a, n2 AS n_b,
+           r1 - n1 * (n1 + 1) / 2.0 AS u_stat,
+           {fround_sql(
+               "(r1 - n1 * (n1 + 1) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)"
+               " / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0"
+               " * ((n1 + n2 + 1) - tie_term"
+               " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))", 6)} AS z,
+           abs({fround_sql(
+               "(r1 - n1 * (n1 + 1) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)"
+               " / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0"
+               " * ((n1 + n2 + 1) - tie_term"
+               " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))", 6)})
+               > {_MW_CRIT} AS significant
+    FROM tot
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the '{_MW_A}' and
+    '{_MW_B}' value distributions — the nonparametric sibling of
+    q_welch_ttest for when normality is off the table.  Values are
+    quantized to integer bins (floor), midranks computed per bin with the
+    textbook tie correction, and the U statistic normalized to a z score.
+
+    Ranking avoids the global sort entirely: observations aggregate to
+    per-bin counts (partial agg on a BOUNDED value domain, ~500 bins),
+    and the cumulative-rank window runs over those bins only — metadata
+    scale, unlike a naive row_number over billions of rows.  All rank
+    arithmetic is exact-integer (< 2^53) so both engines produce
+    bit-identical U; only the final z is quantized.  floor() is used for
+    binning (exact on every double) rather than round(), whose
+    half-boundary semantics differ across engines."""
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(_MW_A, _MW_B)
+        )
+        .select(
+            F.floor("value").cast("long").alias("qv"),
+            F.when(F.col("event_type") == _MW_A, 1).otherwise(0).alias("is_a"),
+        )
+    )
+    lev = obs.groupBy("qv").agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum("is_a").cast("long").alias("n_a_q"),
+    )
+    prior = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = lev.withColumn(
+        "midrank",
+        F.coalesce(F.sum("t").over(prior), F.lit(0))
+        + (F.col("t") + 1) / F.lit(2.0),
+    )
+    tot = ranked.agg(
+        F.sum("n_a_q").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("n_a_q")).cast("long").alias("n2"),
+        F.sum(F.col("n_a_q") * F.col("midrank")).alias("r1"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+    n1d = F.col("n1").cast("double")
+    n12 = (F.col("n1") + F.col("n2")).cast("double")
+    z = fround(
+        (u - n1d * F.col("n2") / F.lit(2.0))
+        / F.sqrt(
+            n1d
+            * F.col("n2")
+            / F.lit(12.0)
+            * (
+                (F.col("n1") + F.col("n2") + 1)
+                - F.col("tie_term") / (n12 * (F.col("n1") + F.col("n2") - 1))
+            )
+        ),
+        6,
+    )
+    return tot.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        u.alias("u_stat"),
+        z.alias("z"),
+        (F.abs(z) > F.expr(f"CAST({_MW_CRIT} AS DOUBLE)")).alias(
+            "significant"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-revenue calendar series (shared by the trend / autocorrelation tests)
+# ---------------------------------------------------------------------------
+
+# Fixed anchor for the integer day index (house idiom, temporal.py: a fixed
+# epoch keeps the index engine-portable and join-stable across runs).
+_DAY_ANCHOR = "1995-01-01"
+
+_DAILY_REV_SQL = f"""
+    SELECT date_diff('day', DATE '{_DAY_ANCHOR}',
+                     CAST(o_orderdate AS DATE)) AS x,
+           {fround_sql("sum(o_totalprice)", 2)} AS y
+    FROM orders
+    GROUP BY 1
+"""
+
+
+def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x = day index from the fixed anchor, y = quantized daily revenue).
+
+    The quantization (fround 2) happens FIRST so every downstream statistic
+    — pairwise slopes, residuals, rolling bands — is computed from
+    bit-identical inputs in both engines; raw double sums differ by
+    summation order."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit(_DAY_ANCHOR).cast("date")
+            ).alias("x")
+        )
+        .agg(fround(F.sum("o_totalprice"), 2).alias("y"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope + Mann-Kendall trend test on daily revenue
+# ---------------------------------------------------------------------------
+
+_MK_CRIT = "1.96"
+
+_MK_Z_SQL = (
+    "CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s) "
+    "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) ELSE 0.0 END"
+)
+
+
+@register(
+    "q_theil_sen",
+    oracle=f"""
+    WITH daily AS ({_DAILY_REV_SQL}),
+    pairs AS (
+        SELECT (b.y - a.y) / (b.x - a.x) AS slope,
+               CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
+                   AS sgn
+        FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    ties AS (
+        SELECT CAST(count(*) AS DOUBLE) AS t FROM daily GROUP BY y
+    ),
+    st AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n,
+               (SELECT quantile_cont(slope, 0.5) FROM pairs) AS b_med,
+               (SELECT CAST(sum(sgn) AS BIGINT) FROM pairs) AS s_stat,
+               (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                FROM ties) AS tie_sum
+    ),
+    stv AS (
+        SELECT n, b_med, s_stat,
+               (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_sum) / 18.0
+                   AS var_s
+        FROM st
+    ),
+    ic AS (
+        SELECT quantile_cont(y - (SELECT b_med FROM stv) * x, 0.5) AS a_med
+        FROM daily
+    )
+    SELECT n AS n_days,
+           {fround_sql("b_med", 6)} AS sen_slope,
+           {fround_sql("a_med", 4)} AS sen_intercept,
+           s_stat AS mk_s,
+           {fround_sql(_MK_Z_SQL, 6)} AS mk_z,
+           CASE WHEN {fround_sql(_MK_Z_SQL, 6)} > {_MK_CRIT}
+                     THEN 'increasing'
+                WHEN {fround_sql(_MK_Z_SQL, 6)} < -{_MK_CRIT}
+                     THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM stv, ic
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate plus the Mann-Kendall test on the
+    daily-revenue series: the median of all pairwise slopes (insensitive
+    to outlier days, unlike q_trend_slope's OLS), the matching median
+    intercept, and the tie-corrected Mann-Kendall S/z with a 5% trend
+    verdict — the standard nonparametric "is this series drifting"
+    readout.
+
+    Scale: the O(days^2) pair table is over the DAILY series — a calendar
+    domain that grows with the covered time range, not with data volume
+    (2.4k days -> 2.9M pairs regardless of SF).  The join is an
+    inequality self-join of a dimension-sized table (broadcast NL by
+    design — both sides metadata scale); revenue is quantized before any
+    pair arithmetic so both engines compute identical slope/sign bits,
+    and the medians interpolate over identical multisets."""
+    daily = _daily_rev(spark, sf_dir)
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("xa") < F.col("xb")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias(
+            "slope"
+        ),
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    ties = daily.groupBy("y").agg(F.count("*").cast("double").alias("t"))
+    tie_sum = ties.agg(
+        F.coalesce(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+            F.lit(0.0),
+        ).alias("tie_sum")
+    )
+    st = (
+        pairs.agg(
+            F.expr("percentile(slope, 0.5D)").alias("b_med"),
+            F.sum("sgn").cast("long").alias("s_stat"),
+        )
+        .crossJoin(F.broadcast(daily.agg(F.count("*").alias("n"))))
+        .crossJoin(F.broadcast(tie_sum))
+        .withColumn(
+            "var_s",
+            (
+                F.col("n").cast("double")
+                * (F.col("n") - 1)
+                * (2 * F.col("n") + 5)
+                - F.col("tie_sum")
+            )
+            / F.lit(18.0),
+        )
+    )
+    ic = daily.crossJoin(F.broadcast(st.select("b_med"))).agg(
+        F.expr("percentile(y - b_med * x, 0.5D)").alias("a_med")
+    )
+    z = fround(
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    crit = F.expr(f"CAST({_MK_CRIT} AS DOUBLE)")
+    return st.crossJoin(F.broadcast(ic)).select(
+        F.col("n").cast("long").alias("n_days"),
+        fround(F.col("b_med"), 6).alias("sen_slope"),
+        fround(F.col("a_med"), 4).alias("sen_intercept"),
+        F.col("s_stat").alias("mk_s"),
+        z.alias("mk_z"),
+        F.when(z > crit, "increasing")
+        .when(z < -crit, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson autocorrelation test on detrended daily revenue
+# ---------------------------------------------------------------------------
+
+# Rule-of-thumb DW bands: < 1.5 positive autocorrelation, > 2.5 negative.
+_DW_LO = "1.5"
+_DW_HI = "2.5"
+
+
+@register(
+    "q_durbin_watson",
+    oracle=f"""
+    WITH daily AS ({_DAILY_REV_SQL}),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS DOUBLE)) AS sx, sum(y) AS sy,
+               sum(CAST(x AS DOUBLE) * y) AS sxy,
+               sum(CAST(x AS DOUBLE) * x) AS sxx
+        FROM daily
+    ),
+    fit AS (
+        SELECT n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS a
+        FROM s
+    ),
+    resid AS (
+        SELECT x, y - (a + b * x) AS e,
+               lag(y - (a + b * x)) OVER (ORDER BY x) AS e_prev
+        FROM daily, fit
+    ),
+    dw AS (
+        SELECT sum(CASE WHEN e_prev IS NULL THEN 0
+                        ELSE (e - e_prev) * (e - e_prev) END)
+                   / sum(e * e) AS d
+        FROM resid
+    )
+    SELECT n AS n_days,
+           {fround_sql("b", 6)} AS ols_slope,
+           {fround_sql("d", 4)} AS dw_stat,
+           CASE WHEN {fround_sql("d", 4)} < {_DW_LO} THEN 'positive'
+                WHEN {fround_sql("d", 4)} > {_DW_HI} THEN 'negative'
+                ELSE 'none' END AS autocorrelation
+    FROM fit, dw
+    """,
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson test for lag-1 autocorrelation in the residuals of an
+    OLS fit to the daily-revenue series — the standard "is the trend
+    model missing serial structure" diagnostic that complements
+    q_autocorr (raw ACF) and q_trend_slope (the fit itself).
+
+    Scale: the OLS coefficients come from ONE partial-aggregated pass of
+    moment sums (n, Σx, Σy, Σxy, Σx²) — no per-row state; residuals are a
+    pure column expression against the broadcast 1-row fit; the lag
+    window runs over the daily calendar series (metadata scale — days,
+    not data volume).  Moment sums are order-dependent doubles, so the
+    slope may differ between engines by ~1e-12 relative; the DW ratio
+    inherits ~1e-10 of that, orders below the fround(4) quantum."""
+    daily = _daily_rev(spark, sf_dir)
+    s = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("double")).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+    )
+    b_expr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select(
+        "n",
+        b_expr.alias("b"),
+        ((F.col("sy") - b_expr * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    e = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "x",
+        e.alias("e"),
+        F.lag(e).over(Window.orderBy("x")).alias("e_prev"),
+    )
+    dw = resid.agg(
+        (
+            F.sum(
+                F.when(F.col("e_prev").isNull(), F.lit(0.0)).otherwise(
+                    (F.col("e") - F.col("e_prev"))
+                    * (F.col("e") - F.col("e_prev"))
+                )
+            )
+            / F.sum(F.col("e") * F.col("e"))
+        ).alias("d")
+    )
+    d4 = fround(F.col("d"), 4)
+    return fit.crossJoin(F.broadcast(dw)).select(
+        F.col("n").alias("n_days"),
+        fround(F.col("b"), 6).alias("ols_slope"),
+        d4.alias("dw_stat"),
+        F.when(d4 < F.expr(f"CAST({_DW_LO} AS DOUBLE)"), "positive")
+        .when(d4 > F.expr(f"CAST({_DW_HI} AS DOUBLE)"), "negative")
+        .otherwise("none")
+        .alias("autocorrelation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger-band breakouts on per-priority daily revenue
+# ---------------------------------------------------------------------------
+
+# Rolling window length in trading-days and the band half-width in sigmas.
+BOLLINGER_DAYS = 20
+BOLLINGER_SIGMA = 2
+
+_PRIORITY_DAILY_SQL = f"""
+    SELECT o_orderpriority AS priority,
+           date_diff('day', DATE '{_DAY_ANCHOR}',
+                     CAST(o_orderdate AS DATE)) AS x,
+           {fround_sql("sum(o_totalprice)", 2)} AS y
+    FROM orders
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_bollinger",
+    oracle=f"""
+    WITH daily AS ({_PRIORITY_DAILY_SQL}),
+    win AS (
+        SELECT priority, x, y,
+               count(*) OVER w AS n_win,
+               avg(y) OVER w AS mid_raw,
+               stddev_samp(y) OVER w AS sd
+        FROM daily
+        WINDOW w AS (PARTITION BY priority ORDER BY x
+                     ROWS BETWEEN {BOLLINGER_DAYS - 1} PRECEDING
+                     AND CURRENT ROW)
+    ),
+    bands AS (
+        SELECT priority, x, y,
+               {fround_sql("mid_raw", 4)} AS mid,
+               {fround_sql(f"mid_raw - {BOLLINGER_SIGMA} * sd", 4)} AS lower,
+               {fround_sql(f"mid_raw + {BOLLINGER_SIGMA} * sd", 4)} AS upper
+        FROM win
+        WHERE n_win = {BOLLINGER_DAYS}
+    )
+    SELECT priority, x AS day_index, y AS revenue, mid, lower, upper,
+           CASE WHEN y > upper THEN 'above' ELSE 'below' END AS breakout
+    FROM bands
+    WHERE y > upper OR y < lower
+    ORDER BY priority, day_index
+    """,
+)
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout detection on per-priority daily revenue:
+    a {BOLLINGER_DAYS}-day rolling mean +/- {BOLLINGER_SIGMA} sigma band
+    per order priority, emitting only the days whose (quantized) revenue
+    escapes the band — the volatility-aware upgrade over q_zscore_flag's
+    global-stats outliers.
+
+    Scale: the rolling window runs over per-priority DAILY series —
+    calendar-domain rows, metadata scale; at cluster scale the partition
+    key would be the high-cardinality series id (sensor, SKU), same plan.
+    Revenue is quantized before windowing and the band edges are
+    quantized before comparison, so the breakout set is identical across
+    engines even though stddev accumulates in different orders (engine
+    sigma differences ~1e-13 relative never cross the fround(4) quantum).
+    Warm-up rows (fewer than {BOLLINGER_DAYS} days of history) are
+    excluded — a band over a partial window is statistically undefined."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit(_DAY_ANCHOR).cast("date")
+            ).alias("x"),
+        )
+        .agg(fround(F.sum("o_totalprice"), 2).alias("y"))
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("x")
+        .rowsBetween(-(BOLLINGER_DAYS - 1), Window.currentRow)
+    )
+    win = daily.select(
+        "priority",
+        "x",
+        "y",
+        F.count("*").over(w).alias("n_win"),
+        F.avg("y").over(w).alias("mid_raw"),
+        F.stddev_samp("y").over(w).alias("sd"),
+    ).filter(F.col("n_win") == BOLLINGER_DAYS)
+    bands = win.select(
+        "priority",
+        "x",
+        "y",
+        fround(F.col("mid_raw"), 4).alias("mid"),
+        fround(
+            F.col("mid_raw") - BOLLINGER_SIGMA * F.col("sd"), 4
+        ).alias("lower"),
+        fround(
+            F.col("mid_raw") + BOLLINGER_SIGMA * F.col("sd"), 4
+        ).alias("upper"),
+    )
+    return (
+        bands.filter(
+            (F.col("y") > F.col("upper")) | (F.col("y") < F.col("lower"))
+        )
+        .select(
+            "priority",
+            F.col("x").alias("day_index"),
+            F.col("y").alias("revenue"),
+            "mid",
+            "lower",
+            "upper",
+            F.when(F.col("y") > F.col("upper"), "above")
+            .otherwise("below")
+            .alias("breakout"),
+        )
+        .orderBy("priority", "day_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrival-process burstiness per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_burstiness",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT event_type,
+               date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id),
+                   ts) AS gap_us
+        FROM events
+        WHERE ts IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(count(gap_us) AS BIGINT) AS n_gaps,
+               avg(CAST(gap_us AS DOUBLE)) AS mu,
+               stddev_samp(CAST(gap_us AS DOUBLE)) AS sd
+        FROM gaps
+        WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT event_type,
+               var_samp(CAST(cnt AS DOUBLE)) / avg(CAST(cnt AS DOUBLE))
+                   AS fano
+        FROM d GROUP BY event_type
+    )
+    SELECT g.event_type, n_gaps,
+           {fround_sql("mu / 1e6", 2)} AS mean_gap_s,
+           {fround_sql("(sd - mu) / (sd + mu)", 6)} AS burstiness,
+           {fround_sql("fano", 4)} AS fano_daily
+    FROM g JOIN f ON g.event_type = f.event_type
+    ORDER BY g.event_type
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process burstiness per event type: the Goh-Barabasi
+    burstiness coefficient B = (sigma - mu) / (sigma + mu) over
+    inter-event gaps within each (user, type) stream (B ~ -1 periodic,
+    ~0 Poisson, -> 1 bursty), plus the Fano factor (variance-to-mean) of
+    daily event counts — the two standard "is this traffic clumpy"
+    statistics a capacity planner derives from the event stream.
+
+    Scale: the gap window partitions by the HIGH-CARDINALITY (user_id,
+    event_type) key — parallelism grows with users, no stragglers — and
+    gaps are exact integer microsecond differences (timestampdiff /
+    date_diff), so both engines aggregate identical values (sums stay
+    < 2^53).  Both statistics then partial-aggregate onto the tiny
+    event-type domain.  Ordering ties on identical timestamps break by
+    event_id, keeping lag() deterministic across engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    gaps = ev.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "lag(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id), ts)"
+        ).alias("gap_us"),
+    )
+    g = (
+        gaps.filter(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            F.avg(F.col("gap_us").cast("double")).alias("mu"),
+            F.stddev_samp(F.col("gap_us").cast("double")).alias("sd"),
+        )
+    )
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    f = d.groupBy("event_type").agg(
+        (
+            F.var_samp(F.col("cnt").cast("double"))
+            / F.avg(F.col("cnt").cast("double"))
+        ).alias("fano")
+    )
+    return (
+        g.join(f, "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            fround(F.col("mu") / F.lit(1e6), 2).alias("mean_gap_s"),
+            fround(
+                (F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu")), 6
+            ).alias("burstiness"),
+            fround(F.col("fano"), 4).alias("fano_daily"),
+        )
+        .orderBy("event_type")
+    )

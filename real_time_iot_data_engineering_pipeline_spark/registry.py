@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "queries.corpus",
     "queries.serve",
     "queries.linkage",
+    "queries.mining",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -161,6 +162,15 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_abc_classes",
     "q_cycle_time",
     "q_runs_test",
+    # round-4 continuation: classical mining/statistics tier
+    "q_kaplan_meier",
+    "q_rfm_segments",
+    "q_market_basket",
+    "q_mann_whitney",
+    "q_theil_sen",
+    "q_durbin_watson",
+    "q_bollinger",
+    "q_burstiness",
 )
 
 
