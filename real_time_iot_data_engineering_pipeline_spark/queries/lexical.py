@@ -1,0 +1,303 @@
+"""Lexical corpus statistics for LLM-data work: skip-gram co-occurrence
+counts, a Zipf-law fit of the rank-frequency curve, and train/test n-gram
+novelty.
+
+These extend the corpus tier (queries/corpus.py: bigrams, PMI, sparse
+cosine) with three statistics a tokenizer/data-mixing team derives next:
+window-2 skip-grams are the word2vec-style co-occurrence table (wider
+context than adjacent bigrams), the Zipf exponent summarizes how
+heavy-tailed the vocabulary is (a drifting exponent flags corpus-mix
+changes), and n-gram novelty measures how much of a held-out split's
+text is genuinely unseen in training — the memorization/diversity readout
+that complements q_decontaminate (which removes overlap, rather than
+measuring it).
+
+Tokenization is the shared explicit-whitespace class (ranking.WS_CLASS);
+the split is the shared md5 doc-id bucketing (prep.SPLIT_TRAIN_PCT), so
+every query in the LLM tier agrees on tokens and splits by construction.
+
+Scale design:
+- All n-gram expansion happens INSIDE the array domain (SQL lambdas /
+  parallel-unnest zips) at scan stage — no posexplode self-joins, no
+  alignment shuffles (the corpus.py pattern).
+- The Zipf fit reduces the corpus to its top-K vocabulary with
+  TakeOrderedAndProject before any window touches it — the only ordered
+  window runs over K=1000 rows (constant), and the regression is a
+  single partial-aggregated regr_slope/regr_r2 pass.
+- Novelty anti-joins distinct test grams against distinct train grams on
+  the gram key — two hash shuffles, both prunable; at 100 TB the gram
+  string is replaced by xxhash64(gram) so the shuffle moves 8-byte keys
+  (not implemented here because the two engines' 64-bit hashes differ;
+  the oracle certifies the string form, the hash swap is plan-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+from .prep import SPLIT_TRAIN_PCT
+from .ranking import WS_CLASS
+
+_TOKS_ARR_SQL = f"""
+    SELECT doc_id,
+           string_split_regex(trim(lower(text)), '{WS_CLASS}') AS t
+    FROM documents
+    WHERE text IS NOT NULL
+"""
+
+
+def _tok_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), WS_CLASS).alias("t")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-2 skip-gram co-occurrence counts
+# ---------------------------------------------------------------------------
+
+SKIPGRAM_TOP_K = 50
+
+# DuckDB parallel unnests zip positionally; split() tokens are never NULL,
+# so filtering NULL partners removes exactly the tail padding (corpus.py
+# bigram idiom, extended to the distance-2 partner).
+_SKIPGRAM_SQL = f"""
+    SELECT doc_id, w1, w2
+    FROM (
+        SELECT doc_id, unnest(t) AS w1, unnest(t[2:]) AS w2
+        FROM ({_TOKS_ARR_SQL})
+    ) WHERE w2 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, w1, w2
+    FROM (
+        SELECT doc_id, unnest(t) AS w1, unnest(t[3:]) AS w2
+        FROM ({_TOKS_ARR_SQL})
+    ) WHERE w2 IS NOT NULL
+"""
+
+
+@register(
+    "q_skipgram_pairs",
+    oracle=f"""
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+    FROM ({_SKIPGRAM_SQL})
+    GROUP BY w1, w2
+    ORDER BY n DESC, w1, w2
+    LIMIT {SKIPGRAM_TOP_K}
+    """,
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{SKIPGRAM_TOP_K} skip-gram pairs within a 2-token forward window
+    — the co-occurrence table a word2vec/GloVe-style embedding trainer
+    consumes, one notch wider than q_bigram_topk's adjacent pairs.
+
+    Both distances expand inside the array domain (one SQL lambda per
+    offset, concatenated) in the scan stage; counts partial-aggregate
+    map-side and the top-k terminates as TakeOrderedAndProject with
+    (w1, w2) tiebreaks.  No self-join, no position alignment shuffle."""
+    toks = _tok_arrays(spark, sf_dir)
+    pair_expr = (
+        "explode(concat("
+        "  transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+        "            (x, i) -> struct(x AS w1, t[i + 1] AS w2)),"
+        "  transform(slice(t, 1, greatest(size(t) - 2, 0)),"
+        "            (x, i) -> struct(x AS w1, t[i + 2] AS w2))"
+        "))"
+    )
+    return (
+        toks.select(F.expr(pair_expr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(SKIPGRAM_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit of the rank-frequency curve
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_K = 1000
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH uni AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS token FROM ({_TOKS_ARR_SQL}))
+        GROUP BY token
+        ORDER BY c DESC, token
+        LIMIT {ZIPF_TOP_K}
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r
+        FROM uni
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           {fround_sql("-regr_slope(ln(CAST(c AS DOUBLE)),"
+                       " ln(CAST(r AS DOUBLE)))", 4)} AS zipf_exponent,
+           {fround_sql("regr_r2(ln(CAST(c AS DOUBLE)),"
+                       " ln(CAST(r AS DOUBLE)))", 4)} AS r2
+    FROM ranked
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-{ZIPF_TOP_K} vocabulary: the log-log OLS
+    slope of frequency against rank (negated to the conventional positive
+    exponent, ~1 for natural language) with its R².  A corpus whose
+    exponent drifts between snapshots changed its mix — the one-number
+    companion to q_heaps_law's growth curve and q_vocab_topk's raw list.
+
+    Scale: unigram counts partial-aggregate map-side; the vocabulary cut
+    is TakeOrderedAndProject (top-K by count with token tiebreak, never a
+    full sort); the ONLY ordered window assigns ranks over K = {ZIPF_TOP_K}
+    rows — constant, independent of corpus size — and the fit itself is
+    one partial-aggregated regr_slope/regr_r2 pass over those K rows."""
+    toks = _tok_arrays(spark, sf_dir)
+    uni = (
+        toks.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(ZIPF_TOP_K)
+    )
+    ranked = uni.select(
+        "c",
+        F.expr(
+            "row_number() OVER (ORDER BY c DESC, token)"
+        ).alias("r"),
+    )
+    ln_c = F.log(F.col("c").cast("double"))
+    ln_r = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        fround(-F.regr_slope(ln_c, ln_r), 4).alias("zipf_exponent"),
+        fround(F.regr_r2(ln_c, ln_r), 4).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test n-gram novelty per source
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 5
+
+_SPLIT_BUCKET_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+)
+
+# 5-gram stream via the parallel-unnest zip; tokens are never NULL so the
+# w5 filter trims exactly the padding rows of documents shorter than n.
+_GRAMS_SQL = f"""
+    SELECT doc_id,
+           w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5 AS gram
+    FROM (
+        SELECT doc_id, unnest(t) AS w1, unnest(t[2:]) AS w2,
+               unnest(t[3:]) AS w3, unnest(t[4:]) AS w4,
+               unnest(t[5:]) AS w5
+        FROM ({_TOKS_ARR_SQL})
+    ) WHERE w5 IS NOT NULL
+"""
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH grams AS ({_GRAMS_SQL}),
+    train AS (
+        SELECT DISTINCT gram FROM grams
+        WHERE {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PCT}
+    ),
+    test AS (
+        SELECT DISTINCT d.source, g.gram
+        FROM grams g JOIN documents d USING (doc_id)
+        WHERE {_SPLIT_BUCKET_SQL} >= {SPLIT_TRAIN_PCT}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_test_grams,
+           CAST(sum(CASE WHEN t2.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           {fround_sql(
+               "sum(CASE WHEN t2.gram IS NULL THEN 1 ELSE 0 END)"
+               " / CAST(count(*) AS DOUBLE)", 6)} AS novelty
+    FROM test LEFT JOIN train t2 USING (gram)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source {NOVELTY_N}-gram novelty of the held-out split: the
+    fraction of the test split's distinct {NOVELTY_N}-grams that never
+    appear in the train split.  Low novelty means the held-out data is
+    largely memorizable from training text (eval contamination risk /
+    low diversity); the measurement companion to q_decontaminate's
+    removal and q_semantic_decontaminate's embedding form.
+
+    The split reuses q_train_test_split's md5 doc-id buckets verbatim, so
+    "train" here is exactly the corpus that pipeline would train on.
+
+    Scale: grams expand in the array domain at scan stage; both sides
+    reduce to DISTINCT gram sets (partial-aggregated hash shuffles keyed
+    on the gram); the anti-semantics LEFT JOIN shuffles the same key, so
+    all three exchanges co-partition.  At 100 TB the gram string is
+    replaced by a 64-bit hash to shrink the shuffle (plan-identical; the
+    string form is kept here because the engines' built-in 64-bit hashes
+    differ and the oracle certifies values)."""
+    toks = _tok_arrays(spark, sf_dir)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(slice(t, 1, greatest(size(t) - {NOVELTY_N - 1}, 0)),"
+                " (x, i) -> concat_ws(' ', x, t[i + 1], t[i + 2],"
+                " t[i + 3], t[i + 4]))"
+            )
+        ).alias("gram"),
+    )
+    bucket = F.expr(
+        "cast(cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) "
+        "AS bigint) % 100 AS int)"
+    )
+    grams = grams.withColumn("_b", bucket)
+    train = (
+        grams.filter(F.col("_b") < SPLIT_TRAIN_PCT).select("gram").distinct()
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    test = (
+        grams.filter(F.col("_b") >= SPLIT_TRAIN_PCT)
+        .join(src, "doc_id")
+        .select("source", "gram")
+        .distinct()
+    )
+    novel = test.join(train, "gram", "left_anti")
+    n_test = test.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_test_grams")
+    )
+    n_novel = novel.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_novel")
+    )
+    return (
+        n_test.join(n_novel, "source", "left")
+        .select(
+            "source",
+            "n_test_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias(
+                "n_novel"
+            ),
+            fround(
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.col("n_test_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )

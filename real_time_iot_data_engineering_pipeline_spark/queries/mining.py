@@ -594,6 +594,109 @@ def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed exact median (quantile_cont semantics, no single-buffer agg)
+# ---------------------------------------------------------------------------
+
+_MEDIAN_BUCKETS = 4096
+
+
+def _dist_median(vals: DataFrame, col: str, out: str) -> DataFrame:
+    """Exact linear-interpolated median (quantile_cont semantics) of a
+    non-empty numeric column, as a 1-row DataFrame — WITHOUT Spark's
+    `percentile` aggregate, whose per-value hash-map buffer merges into a
+    single reducer and takes ~9 s on 3M mostly-distinct doubles (measured;
+    it is the wrong shape at any scale).
+
+    Three parallel passes instead:
+    1. bounds pass: count/min/max -> bucket width and the two 0-based
+       ranks k_lo = floor(0.5(n-1)), k_hi = ceil(0.5(n-1)) bracketing the
+       interpolated median position;
+    2. histogram pass: per-bucket counts (partial agg onto a CONSTANT
+       {_MEDIAN_BUCKETS}-bucket domain), cumulative counts over that
+       metadata-scale domain, keep only the <=2 buckets covering
+       [k_lo, k_hi];
+    3. selection pass: rank within the surviving buckets only (windows
+       over ~n/{_MEDIAN_BUCKETS} rows each) and interpolate
+       v_lo + (v_hi - v_lo) * frac — the same formula quantile_cont and
+       Spark's percentile use, so the oracle certifies values unchanged.
+
+    Degenerate all-equal input (width 0) collapses to bucket 0 and still
+    selects correctly (the selection window then spans the full input —
+    only reachable when the column is constant)."""
+    v = F.col(col)
+    stats = (
+        vals.agg(
+            F.count(col).alias("_n"),
+            F.min(col).alias("_mn"),
+            F.max(col).alias("_mx"),
+        )
+        .withColumn("_pos", F.lit(0.5) * (F.col("_n") - 1))
+        .select(
+            "*",
+            F.floor("_pos").cast("long").alias("_klo"),
+            F.ceil("_pos").cast("long").alias("_khi"),
+            ((F.col("_mx") - F.col("_mn")) / _MEDIAN_BUCKETS).alias("_w"),
+        )
+    )
+    bucketed = vals.crossJoin(F.broadcast(stats)).select(
+        v.alias("_v"),
+        F.when(
+            F.col("_w") > 0,
+            F.least(
+                F.floor((v - F.col("_mn")) / F.col("_w")).cast("int"),
+                F.lit(_MEDIAN_BUCKETS - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("_b"),
+    )
+    counts = bucketed.groupBy("_b").agg(F.count("*").alias("_c"))
+    cum = counts.withColumn(
+        "_before",
+        F.coalesce(
+            F.sum("_c").over(
+                Window.orderBy("_b").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    need = (
+        cum.crossJoin(F.broadcast(stats.select("_klo", "_khi")))
+        .filter(
+            (F.col("_before") <= F.col("_khi"))
+            & (F.col("_before") + F.col("_c") > F.col("_klo"))
+        )
+        .select("_b", "_before")
+    )
+    rank = (
+        F.row_number().over(Window.partitionBy("_b").orderBy("_v"))
+        - 1
+        + F.col("_before")
+    )
+    picked = (
+        bucketed.join(F.broadcast(need), "_b")
+        .select("_v", rank.alias("_rank"))
+        .crossJoin(F.broadcast(stats.select("_klo", "_khi", "_pos")))
+        .filter(
+            (F.col("_rank") == F.col("_klo"))
+            | (F.col("_rank") == F.col("_khi"))
+        )
+    )
+    return picked.agg(
+        (
+            F.min(F.when(F.col("_rank") == F.col("_klo"), F.col("_v")))
+            + (
+                F.max(F.when(F.col("_rank") == F.col("_khi"), F.col("_v")))
+                - F.min(F.when(F.col("_rank") == F.col("_klo"), F.col("_v")))
+            )
+            * (F.min("_pos") - F.min("_klo"))
+        ).alias(out)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Theil-Sen robust slope + Mann-Kendall trend test on daily revenue
 # ---------------------------------------------------------------------------
 
@@ -661,10 +764,22 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2.4k days -> 2.9M pairs regardless of SF).  The join is an
     inequality self-join of a dimension-sized table (broadcast NL by
     design — both sides metadata scale); revenue is quantized before any
-    pair arithmetic so both engines compute identical slope/sign bits,
-    and the medians interpolate over identical multisets."""
+    pair arithmetic so both engines compute identical slope/sign bits.
+    The slope median uses _dist_median (histogram-bucketed exact
+    selection) — Spark's `percentile` aggregate on the 2.9M-value pair
+    stream merges a per-value hash map into one reducer and measured 9 s
+    at sf0.01; the bucketed form does three parallel passes instead.
+    The intercept median runs over the DAYS table (2.4k rows), where the
+    built-in exact percentile is the right tool."""
     daily = _daily_rev(spark, sf_dir)
-    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    # The pair generator is a broadcast NL join whose STREAM side is the
+    # tiny daily table — AQE coalesces it to one partition, serializing
+    # the 2.9M-row expansion (and every pass over it).  Spreading the
+    # stream side parallelizes pair generation across the cluster; the
+    # broadcast side stays a single dimension-sized exchange.
+    a = daily.repartition(16).select(
+        F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
     b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
     pairs = a.join(b, F.col("xa") < F.col("xb")).select(
         ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias(
@@ -683,10 +798,8 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tie_sum")
     )
     st = (
-        pairs.agg(
-            F.expr("percentile(slope, 0.5D)").alias("b_med"),
-            F.sum("sgn").cast("long").alias("s_stat"),
-        )
+        pairs.agg(F.sum("sgn").cast("long").alias("s_stat"))
+        .crossJoin(F.broadcast(_dist_median(pairs, "slope", "b_med")))
         .crossJoin(F.broadcast(daily.agg(F.count("*").alias("n"))))
         .crossJoin(F.broadcast(tie_sum))
         .withColumn(

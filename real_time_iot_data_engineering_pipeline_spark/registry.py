@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "queries.serve",
     "queries.linkage",
     "queries.mining",
+    "queries.lexical",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -171,6 +172,10 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_durbin_watson",
     "q_bollinger",
     "q_burstiness",
+    # round-4 continuation: lexical corpus tier
+    "q_skipgram_pairs",
+    "q_zipf_fit",
+    "q_ngram_novelty",
 )
 
 

@@ -293,6 +293,30 @@ class TestBurstinessGolden:
             assert r["fano_daily"] > 0
 
 
+class TestDistMedian:
+    """_dist_median must reproduce quantile_cont/np.median exactly on every
+    shape: odd/even counts, heavy ties, constant (zero-width) columns."""
+
+    @pytest.mark.parametrize(
+        "values",
+        [
+            [3.0, 1.0, 2.0],  # odd
+            [4.0, 1.0, 3.0, 2.0],  # even -> interpolate
+            [1.0, 1.0, 1.0, 5.0],  # ties at the median bracket
+            [2.5] * 7,  # constant column (zero bucket width)
+            [float(v) for v in range(1000, 0, -1)],  # larger even
+        ],
+    )
+    def test_matches_numpy(self, spark, values):
+        from real_time_iot_data_engineering_pipeline_spark.queries.mining import (
+            _dist_median,
+        )
+
+        df = spark.createDataFrame([(v,) for v in values], ["v"])
+        got = _dist_median(df, "v", "m").head()["m"]
+        assert got == pytest.approx(float(np.median(values)), abs=1e-12)
+
+
 class TestMiningPlans:
     def _plan(self, spark, sf_dir, name) -> str:
         df = registry.QUERIES[name](spark, sf_dir)
