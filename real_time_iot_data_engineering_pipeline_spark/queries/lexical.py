@@ -301,3 +301,183 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix of label vs heuristic prediction
+# ---------------------------------------------------------------------------
+
+# Reuse q_lang_id's exact scoring/argmax so the confusion matrix evaluates
+# THE registered detector, not a re-implementation that could drift.
+from .text import _marker_score_duck  # noqa: E402
+from .text import _MARKERS, _WORDS_DUCK, _WORDS_SPARK, _marker_score_spark
+
+_DETECT_CASE_DUCK = """
+    CASE
+      WHEN score_en >= score_de AND score_en >= score_fr
+           AND score_en >= score_es THEN 'en'
+      WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+      WHEN score_fr >= score_es THEN 'fr'
+      ELSE 'es' END
+"""
+
+
+@register(
+    "q_lang_confusion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_WORDS_DUCK} AS _words FROM documents
+    ),
+    scored AS (
+        SELECT lang AS labeled_lang,
+               {_marker_score_duck("en")} AS score_en,
+               {_marker_score_duck("de")} AS score_de,
+               {_marker_score_duck("fr")} AS score_fr,
+               {_marker_score_duck("es")} AS score_es
+        FROM toks
+    ),
+    pred AS (
+        SELECT labeled_lang, {_DETECT_CASE_DUCK} AS detected_lang FROM scored
+    ),
+    cell AS (
+        SELECT labeled_lang, detected_lang,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY labeled_lang, detected_lang
+    ),
+    tot AS (
+        SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS n_labeled
+        FROM cell GROUP BY labeled_lang
+    )
+    SELECT cell.labeled_lang, detected_lang, n, n_labeled,
+           {fround_sql("n / CAST(n_labeled AS DOUBLE)", 6)} AS recall
+    FROM cell JOIN tot USING (labeled_lang)
+    ORDER BY labeled_lang, detected_lang
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stored language label against q_lang_id's
+    marker-word prediction, with per-label recall — the evaluation
+    harness every heuristic labeler needs before it gates a corpus
+    (companion to q_knn_classify's embedding-label evaluation).
+
+    Reuses the detector's scoring expressions and argmax tie-break
+    verbatim (imported, not copied), so the matrix can never evaluate a
+    drifted twin of the deployed rule.
+
+    Scale: scoring is a pure projection; the matrix is a partial agg
+    onto a languages² domain (16 cells); recall joins the metadata-sized
+    marginals back.  Embarrassingly parallel end to end."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_words", F.expr(_WORDS_SPARK)
+    )
+    scored = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.expr(_marker_score_spark(lang)).cast("long").alias(f"score_{lang}")
+            for lang in _MARKERS
+        ],
+    )
+    detected = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr"))
+            & (F.col("score_en") >= F.col("score_es")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("score_de") >= F.col("score_fr"))
+            & (F.col("score_de") >= F.col("score_es")),
+            F.lit("de"),
+        )
+        .when(F.col("score_fr") >= F.col("score_es"), F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    cell = (
+        scored.select("labeled_lang", detected.alias("detected_lang"))
+        .groupBy("labeled_lang", "detected_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = cell.groupBy("labeled_lang").agg(
+        F.sum("n").cast("long").alias("n_labeled")
+    )
+    return (
+        cell.join(F.broadcast(tot), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "detected_lang",
+            "n",
+            "n_labeled",
+            fround(F.col("n") / F.col("n_labeled").cast("double"), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("labeled_lang", "detected_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per source
+# ---------------------------------------------------------------------------
+
+_BPE_ISH = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=rf"""
+    WITH t AS (
+        SELECT source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS ws,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe
+        FROM documents
+        WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           {fround_sql("sum(bpe) / CAST(sum(ws) AS DOUBLE)", 6)}
+               AS corpus_fertility,
+           {fround_sql("avg(bpe / CAST(ws AS DOUBLE))", 6)}
+               AS mean_doc_fertility
+    FROM t
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: BPE-ish pre-tokens produced per
+    whitespace word (corpus-level ratio AND mean per-document ratio) —
+    the standard "how expensive is this corpus to tokenize" readout that
+    drives data-mixing cost models; a source whose fertility drifts got
+    noisier (punctuation, code, digits).  Counts reuse q_token_count's
+    two tokenizations.
+
+    Scale: pure projection into two counters, partial-aggregated onto
+    the sources domain — scan-bound, no shuffle beyond the tiny final
+    agg."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    t = docs.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws"),
+        F.regexp_count("text", F.lit(_BPE_ISH)).cast("long").alias("bpe"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            fround(
+                F.sum("bpe") / F.sum("ws").cast("double"), 6
+            ).alias("corpus_fertility"),
+            fround(
+                F.avg(F.col("bpe") / F.col("ws").cast("double")), 6
+            ).alias("mean_doc_fertility"),
+        )
+        .orderBy("source")
+    )

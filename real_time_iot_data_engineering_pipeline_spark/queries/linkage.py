@@ -333,3 +333,148 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("node", fround(F.col("p"), 6).alias("pagerank")).orderBy(
         "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction on the co-supply graph: common neighbors + Adamic-Adar
+# ---------------------------------------------------------------------------
+
+LINKPRED_TOP_K = 20
+
+
+@register(
+    "q_link_prediction",
+    oracle=f"""
+    WITH {_EDGES_DUCK},
+    adj AS (
+        SELECT u AS z, v AS nb FROM edges
+        UNION ALL
+        SELECT v AS z, u AS nb FROM edges
+    ),
+    deg AS (
+        SELECT z, CAST(count(*) AS DOUBLE) AS d FROM adj GROUP BY z
+    ),
+    cand AS (
+        SELECT a.nb AS u, b.nb AS v, a.z
+        FROM adj a JOIN adj b ON a.z = b.z AND a.nb < b.nb
+    ),
+    non_edge AS (
+        SELECT c.u, c.v, c.z
+        FROM cand c LEFT JOIN edges e ON c.u = e.u AND c.v = e.v
+        WHERE e.u IS NULL
+    ),
+    scored AS (
+        SELECT u, v,
+               CAST(count(*) AS BIGINT) AS common_neighbors,
+               sum(1.0 / ln(d)) AS aa
+        FROM non_edge JOIN deg USING (z)
+        GROUP BY u, v
+    )
+    SELECT u, v, common_neighbors, {fround_sql("aa", 6)} AS adamic_adar
+    FROM scored
+    ORDER BY {fround_sql("aa", 9)} DESC, u, v
+    LIMIT {LINKPRED_TOP_K}
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the thresholded co-supply graph: for every
+    NON-adjacent supplier pair that shares at least one neighbor, the
+    common-neighbor count and the Adamic-Adar score (sum of 1/ln(degree)
+    over shared neighbors — rare shared partners weigh more), top-
+    {LINKPRED_TOP_K} — "which suppliers will co-supply next", the classic
+    graph-completion readout (Liben-Nowell & Kleinberg, 2003).  Analyzes
+    the SAME edge set as q_cosupply_triangles/q_pagerank (shared CTE /
+    persisted frame), so the three graph operators can never drift apart.
+
+    Scale: wedge enumeration is the triangle operator's edge-wedge join
+    (shuffle keyed on the wedge CENTER, whose fan-out the edge threshold
+    caps); existing edges drop via a LEFT ANTI join on the pair key;
+    degrees broadcast back.  The ranking key is the 9dp-quantized score —
+    summation order across engines differs at ~1e-16 while distinct AA
+    values differ at >1e-9, so top-k membership is engine-stable."""
+    edges = _edges_df(spark, sf_dir)
+    adj = edges.select(
+        F.col("u").alias("z"), F.col("v").alias("nb")
+    ).unionByName(edges.select(F.col("v").alias("z"), F.col("u").alias("nb")))
+    deg = adj.groupBy("z").agg(F.count("*").cast("double").alias("d"))
+    a = adj.select("z", F.col("nb").alias("u"))
+    b = adj.select("z", F.col("nb").alias("v"))
+    cand = a.join(b, "z").filter(F.col("u") < F.col("v"))
+    non_edge = cand.join(edges, ["u", "v"], "left_anti")
+    scored = (
+        non_edge.join(deg, "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log("d")).alias("aa"),
+        )
+    )
+    return (
+        scored.select(
+            "u",
+            "v",
+            "common_neighbors",
+            fround(F.col("aa"), 6).alias("adamic_adar"),
+            fround(F.col("aa"), 9).alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), "u", "v")
+        .limit(LINKPRED_TOP_K)
+        .drop("_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the co-supply graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_degree_distribution",
+    oracle=f"""
+    WITH {_EDGES_DUCK},
+    deg AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+        GROUP BY x
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT d AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           {fround_sql("count(*) / CAST(max(tot.n_nodes) AS DOUBLE)", 6)}
+               AS fraction
+    FROM deg, tot
+    GROUP BY d
+    ORDER BY degree
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the thresholded co-supply graph: how many
+    nodes have each degree, with the node fraction — the first structure
+    question about any graph (hub-dominated or flat?), read against the
+    same edge set as the triangle/PageRank/link-prediction operators.
+
+    Scale: degrees are a partial agg on the node key; the histogram a
+    second partial agg onto the tiny distinct-degree domain; the node
+    total rides a broadcast.  Nothing touches the underlying lineitem
+    stream beyond the shared edge derivation."""
+    edges = _edges_df(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionByName(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    tot = deg.agg(F.count("*").cast("long").alias("n_nodes_total"))
+    return (
+        deg.groupBy("d")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("degree"),
+            "n_nodes",
+            fround(
+                F.col("n_nodes") / F.col("n_nodes_total").cast("double"), 6
+            ).alias("fraction"),
+        )
+        .orderBy("degree")
+    )

@@ -1165,3 +1165,191 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity of demand per brand
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_price_elasticity",
+    oracle=f"""
+    WITH obs AS (
+        SELECT p_brand, l_discount AS disc,
+               ln(l_quantity) AS ln_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity > 0
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           {fround_sql("avg(disc)", 6)} AS avg_discount,
+           {fround_sql("regr_slope(ln_qty, disc)", 4)} AS elasticity,
+           {fround_sql("corr(ln_qty, disc)", 6)} AS correlation
+    FROM obs
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount elasticity of demand per brand: the OLS slope of
+    log-quantity on discount depth (semi-elasticity — percent quantity
+    change per discount point) with the raw correlation — the pricing
+    team's first regression over any order stream.
+
+    Scale: ONE broadcast dimension join (part) and one
+    partial-aggregating regr_slope/corr pass onto the 25-brand domain —
+    the moment sums (n, Σx, Σy, Σxy, Σx², Σy²) combine map-side, so the
+    operator is scan-bound at any volume.  ln(quantity) is exact on both
+    engines' identical input bits; moment-sum ordering differences stay
+    ~1e-14 relative, far below the output quanta."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select("l_partkey", "l_discount", F.log("l_quantity").alias("ln_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        obs.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            fround(F.avg("l_discount"), 6).alias("avg_discount"),
+            fround(F.regr_slope(F.col("ln_qty"), F.col("l_discount")), 4).alias(
+                "elasticity"
+            ),
+            fround(F.corr(F.col("ln_qty"), F.col("l_discount")), 6).alias(
+                "correlation"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase intervals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_repeat_interval",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+        FROM orders
+    ),
+    g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+    custs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repeat
+        FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)
+    ),
+    lev AS (
+        SELECT gap, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY gap
+    ),
+    cum AS (
+        SELECT gap, c,
+               coalesce(sum(c) OVER (ORDER BY gap
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before
+        FROM lev
+    ),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               sum(gap * c) / CAST(sum(c) AS DOUBLE) AS mean_gap
+        FROM lev
+    ),
+    med AS (
+        SELECT
+            (SELECT min(gap) FROM cum, tot
+             WHERE before + c > floor(0.5 * (n - 1))) AS v_lo,
+            (SELECT min(gap) FROM cum, tot
+             WHERE before + c > ceil(0.5 * (n - 1))) AS v_hi,
+            (SELECT 0.5 * (n - 1) - floor(0.5 * (n - 1)) FROM tot) AS frac
+    )
+    SELECT n_customers, n_repeat,
+           {fround_sql("n_repeat / CAST(n_customers AS DOUBLE)", 6)}
+               AS repeat_rate,
+           n AS n_gaps,
+           {fround_sql("mean_gap", 4)} AS mean_gap_days,
+           {fround_sql("v_lo + (v_hi - v_lo) * frac", 4)} AS median_gap_days
+    FROM custs, tot, med
+    """,
+)
+def q_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the share of customers who ever reorder,
+    and the mean and exact median of the day gaps between a customer's
+    consecutive orders — the lifecycle statistic behind replenishment
+    campaigns and churn clocks (complements q_retention's cohort grid
+    and q_kaplan_meier's survival curve).
+
+    Scale: gaps come from ONE lag window partitioned by the
+    high-cardinality customer key; the median is computed from
+    PER-VALUE COUNTS — day gaps are bounded integers, so the cumulative
+    window runs over the distinct-gap domain (<= calendar days,
+    metadata scale) and interpolates quantile_cont semantics exactly —
+    never a global sort or a single-buffer percentile over the gap
+    stream (the q_theil_sen lesson applied where the value domain is
+    discrete)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    custs = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeat"),
+        )
+    )
+    lev = gaps.groupBy("gap").agg(F.count("*").cast("long").alias("c"))
+    before_w = Window.orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = lev.withColumn(
+        "before", F.coalesce(F.sum("c").over(before_w), F.lit(0))
+    )
+    tot = lev.agg(
+        F.sum("c").cast("long").alias("n"),
+        (F.sum(F.col("gap") * F.col("c")) / F.sum("c").cast("double")).alias(
+            "mean_gap"
+        ),
+    )
+    ranked = cum.crossJoin(F.broadcast(tot))
+    v_lo = ranked.filter(
+        F.col("before") + F.col("c")
+        > F.floor(F.lit(0.5) * (F.col("n") - 1))
+    ).agg(F.min("gap").alias("v_lo"))
+    v_hi = ranked.filter(
+        F.col("before") + F.col("c") > F.ceil(F.lit(0.5) * (F.col("n") - 1))
+    ).agg(F.min("gap").alias("v_hi"))
+    frac = F.lit(0.5) * (F.col("n") - 1) - F.floor(
+        F.lit(0.5) * (F.col("n") - 1)
+    )
+    return (
+        custs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(v_lo))
+        .crossJoin(F.broadcast(v_hi))
+        .select(
+            "n_customers",
+            "n_repeat",
+            fround(
+                F.col("n_repeat") / F.col("n_customers").cast("double"), 6
+            ).alias("repeat_rate"),
+            F.col("n").alias("n_gaps"),
+            fround(F.col("mean_gap"), 4).alias("mean_gap_days"),
+            fround(
+                F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * frac, 4
+            ).alias("median_gap_days"),
+        )
+    )

@@ -1289,3 +1289,112 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         mse.alias("mse"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outliers: distance-to-centroid z-scores per label
+# ---------------------------------------------------------------------------
+
+# |z| threshold on the (quantized) per-label cosine-to-centroid score.
+OUTLIER_Z = 2.0
+
+
+@register(
+    "q_embed_outliers",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    cent_dim AS (
+        SELECT label, i, avg(emb[i]) AS m
+        FROM c CROSS JOIN generate_series(1, {DIM}) AS g(i)
+        GROUP BY label, i
+    ),
+    cent AS (
+        SELECT label, list(m ORDER BY i) AS cemb
+        FROM cent_dim GROUP BY label
+    ),
+    scored AS (
+        SELECT vec_id, c.label,
+               list_sum(list_transform(generate_series(1, {DIM}),
+                        i -> emb[i] * cemb[i]))
+               / (sqrt(list_sum(list_transform(emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(cemb, x -> x * x))))
+                   AS cos_sim
+        FROM c JOIN cent USING (label)
+    ),
+    st AS (
+        SELECT label, avg(cos_sim) AS mu, stddev_samp(cos_sim) AS sd
+        FROM scored GROUP BY label
+    )
+    SELECT vec_id, scored.label,
+           {fround_sql("cos_sim", 6)} AS cos_to_centroid,
+           {fround_sql("(cos_sim - mu) / sd", 6)} AS z
+    FROM scored JOIN st ON scored.label = st.label
+    WHERE abs({fround_sql("(cos_sim - mu) / sd", 6)}) > {OUTLIER_Z}
+    ORDER BY scored.label, vec_id
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: per-label mean vector (the
+    cluster centroid), each vector's cosine to its OWN label's centroid,
+    and a per-label z-score over those cosines; vectors with
+    |z| > {OUTLIER_Z} are mislabeled/noise candidates — the curation
+    signal used to prune contrastive-training batches (complement of
+    q_semantic_dedup, which prunes near-DUPLICATES; this prunes
+    far-from-cluster noise).
+
+    Scale: the centroid is a per-(label, dim) partial aggregate
+    (labels x {DIM} cells — metadata), reassembled into one array per
+    label and BROADCAST back onto the corpus, so the corpus never
+    shuffles; scoring is a pure array expression; the z statistics
+    partial-aggregate onto the labels domain and broadcast back again.
+    Two broadcast joins, zero data-proportional shuffles.  The outlier
+    predicate compares the 6dp-QUANTIZED z, so dimension-sum ULP
+    differences between engines cannot flip membership."""
+    c = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("emb"),
+    )
+    cent = (
+        c.select("label", F.posexplode("emb").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, m))), x -> x.m)"
+            ).alias("cemb")
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(emb, cemb, (a, b) -> a * b), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+    norm = lambda col: F.sqrt(
+        F.expr(f"aggregate({col}, 0D, (acc, x) -> acc + x * x)")
+    )
+    scored = c.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        (dot / (norm("emb") * norm("cemb"))).alias("cos_sim"),
+    )
+    st = scored.groupBy("label").agg(
+        F.avg("cos_sim").alias("mu"),
+        F.stddev_samp("cos_sim").alias("sd"),
+    )
+    z = fround((F.col("cos_sim") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        scored.join(F.broadcast(st), "label")
+        .select(
+            "vec_id",
+            "label",
+            fround(F.col("cos_sim"), 6).alias("cos_to_centroid"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > OUTLIER_Z)
+        .orderBy("label", "vec_id")
+    )

@@ -176,6 +176,15 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_skipgram_pairs",
     "q_zipf_fit",
     "q_ngram_novelty",
+    # round-4 continuation: composition tier (evaluation harnesses, graph
+    # completion, embedding curation, retail analytics)
+    "q_lang_confusion",
+    "q_tokenizer_fertility",
+    "q_link_prediction",
+    "q_embed_outliers",
+    "q_price_elasticity",
+    "q_repeat_interval",
+    "q_degree_distribution",
 )
 
 
