@@ -33,7 +33,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fround, fround_sql
@@ -480,4 +480,120 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_doc_fertility"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster labeling: top TF-IDF keywords per embedding label
+# ---------------------------------------------------------------------------
+
+CLUSTER_TOP_TERMS = 5
+# Drop ultra-common terms (docfreq above half the corpus) before scoring —
+# the standard stoplist-free guard that keeps idf from manufacturing
+# negative-weight noise.
+_CK_MAX_DF_FRAC = 0.5
+
+
+@register(
+    "q_cluster_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(t) AS token FROM ({_TOKS_ARR_SQL})
+    ),
+    labeled AS (
+        SELECT e.label, t.token
+        FROM toks t JOIN embeddings e ON t.doc_id = e.vec_id
+    ),
+    n_docs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        WHERE text IS NOT NULL
+    ),
+    df AS (
+        SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY token
+    ),
+    tf AS (
+        SELECT label, token, CAST(count(*) AS BIGINT) AS tf
+        FROM labeled GROUP BY label, token
+    ),
+    scored AS (
+        SELECT label, token, tf, df,
+               tf * ln(CAST(n AS DOUBLE) / df) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n_docs
+        WHERE df <= n * {_CK_MAX_DF_FRAC}
+    ),
+    ranked AS (
+        SELECT label, token, tf, df,
+               {fround_sql("score", 6)} AS tfidf,
+               row_number() OVER (PARTITION BY label
+                   ORDER BY {fround_sql("score", 9)} DESC, token) AS rnk
+        FROM scored
+    )
+    SELECT label, CAST(rnk AS INT) AS rnk, token, tf, df, tfidf
+    FROM ranked WHERE rnk <= {CLUSTER_TOP_TERMS}
+    ORDER BY label, rnk
+    """,
+)
+def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling across modalities: the embedding table's `label`
+    (the cluster assignment) joined back to each vector's DOCUMENT text
+    (vec_id = doc_id), scored with cluster-level TF x corpus IDF, top-
+    {CLUSTER_TOP_TERMS} keywords per cluster — the "what is this cluster
+    about" readout every embedding-space exploration ends with
+    (complements q_tfidf_topterms, which labels documents, not
+    clusters).
+
+    Scale: token explosion is scan-stage; DF and TF are partial aggs on
+    the token (and label x token) keys; the rank window partitions by
+    LABEL over that cluster's candidate terms and Catalyst executes the
+    rank<=k filter as a map-side WindowGroupLimit, so no cluster's full
+    vocabulary ever sorts in one task beyond its survivors.  Ranking
+    uses the 9dp-quantized score (integer tf x one ln each — engine ULP
+    differences ~1e-16) with a token tiebreak, so top-k membership is
+    engine-stable."""
+    toks = _tok_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("t").alias("token")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    tf = (
+        toks.join(emb, toks["doc_id"] == emb["vec_id"])
+        .groupBy("label", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("n") * _CK_MAX_DF_FRAC)
+        .select(
+            "label",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        fround(F.col("score"), 9).desc(), "token"
+    )
+    return (
+        scored.select(
+            "label",
+            F.row_number().over(w).alias("rnk"),
+            "token",
+            "tf",
+            "df",
+            fround(F.col("score"), 6).alias("tfidf"),
+        )
+        .filter(F.col("rnk") <= CLUSTER_TOP_TERMS)
+        .orderBy("label", "rnk")
     )

@@ -859,3 +859,189 @@ def q_doc_dup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("dup_group"),
         (F.col("doc_id") == F.col("component")).alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash/LSH evaluation harness: recall on planted pairs, precision vs
+# exact Jaccard, estimator error
+# ---------------------------------------------------------------------------
+
+# A detected pair counts as a true near-duplicate when its EXACT shingle
+# Jaccard clears the same 0.5 bar the estimator gates on.
+_EVAL_TRUE_J = "0.5"
+
+_PLANTED_DUCK = r"""
+    SELECT doc_id AS doc_a, doc_id + 200000 AS doc_b
+    FROM documents
+    WHERE doc_id % 10 = 0
+      AND len(string_split_regex(trim(text), '\s+')) > 4
+"""
+
+
+@register(
+    "q_minhash_eval",
+    oracle=f"""
+    WITH detected AS (SELECT * FROM ({_MINHASH_ORACLE})),
+    planted AS ({_PLANTED_DUCK}),
+    corpus AS ({_NEAR_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_WORDS_DUCK} AS _words FROM corpus),
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS _shingles FROM toks),
+    expl AS (
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id, unnest(_shingles) AS s FROM sh)
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM expl
+        GROUP BY doc_id
+    ),
+    poi AS (
+        SELECT doc_a, doc_b FROM planted
+        UNION
+        SELECT doc_a, doc_b FROM detected
+    ),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM poi p
+        JOIN expl ea ON ea.doc_id = p.doc_a
+        JOIN expl eb ON eb.doc_id = p.doc_b AND eb.s = ea.s
+        GROUP BY p.doc_a, p.doc_b
+    ),
+    jac AS (
+        SELECT p.doc_a, p.doc_b,
+               coalesce(i.n_common, 0)
+                   / CAST(sa.n + sb.n - coalesce(i.n_common, 0) AS DOUBLE)
+                   AS exact_j
+        FROM poi p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+    ),
+    flags AS (
+        SELECT j.doc_a, j.doc_b, j.exact_j,
+               d.est_jaccard,
+               (d.doc_a IS NOT NULL) AS is_detected,
+               (p.doc_a IS NOT NULL) AS is_planted
+        FROM jac j
+        LEFT JOIN detected d
+          ON d.doc_a = j.doc_a AND d.doc_b = j.doc_b
+        LEFT JOIN planted p
+          ON p.doc_a = j.doc_a AND p.doc_b = j.doc_b
+    )
+    SELECT
+        CAST(sum(CASE WHEN is_planted THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_planted,
+        CAST(sum(CASE WHEN is_detected THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_detected,
+        CAST(sum(CASE WHEN is_planted AND is_detected THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_planted_detected,
+        {fround_sql(
+            "sum(CASE WHEN is_planted AND is_detected THEN 1 ELSE 0 END)"
+            " / CAST(sum(CASE WHEN is_planted THEN 1 ELSE 0 END) AS DOUBLE)",
+            6)} AS recall,
+        {fround_sql(
+            "sum(CASE WHEN is_detected AND exact_j >= " + _EVAL_TRUE_J +
+            " THEN 1 ELSE 0 END)"
+            " / CAST(sum(CASE WHEN is_detected THEN 1 ELSE 0 END) AS DOUBLE)",
+            6)} AS precision,
+        {fround_sql(
+            "avg(CASE WHEN is_detected THEN abs(est_jaccard - exact_j) END)",
+            6)} AS mean_abs_err
+    FROM flags
+    """,
+)
+def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the MinHash/LSH near-dup detector: recall
+    against the corpus's PLANTED near-duplicates (every 10th doc re-added
+    with its last two words dropped — ground truth by construction),
+    precision against exact shingle Jaccard >= {_EVAL_TRUE_J}, and the
+    estimator's mean absolute error on detected pairs.  Completes the
+    measure-don't-guess family (q_ann_recall evaluates the embedding LSH;
+    q_lang_confusion the labeler; this the text LSH) using THE registered
+    detector (_minhash_pairs), so the score can never drift from the
+    shipped operator.
+
+    Scale: exact Jaccard is computed ONLY for pairs of interest (planted
+    union detected) by joining their EXPLODED distinct shingle rows on
+    the shingle key and counting matches — the pair-restricted intersect
+    path q_doc_ngram_jaccard's docstring names for extreme corpora:
+    no collect_set arrays ride the join, every shuffle is keyed
+    (doc, shingle, or pair), and the work is |pairs of interest| x
+    shingles-per-doc, not corpus-quadratic.  All metrics then fold into
+    one row via partial aggregation."""
+    detected = _minhash_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    planted = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.size(words) > 4)
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 200000).alias("doc_b"),
+    )
+    expl = _shingle_rows(_near_corpus(spark, sf_dir)).distinct()
+    sizes = expl.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    poi = planted.unionByName(detected.select("doc_a", "doc_b")).distinct()
+    ea = expl.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = expl.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        poi.join(ea, "doc_a")
+        .join(eb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    jac = (
+        poi.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                nc / (F.col("n_a") + F.col("n_b") - nc).cast("double")
+            ).alias("exact_j"),
+        )
+    )
+    flags = (
+        jac.join(
+            detected.withColumnRenamed("est_jaccard", "est"),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        .join(
+            planted.withColumn("_p", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
+        .select(
+            "exact_j",
+            "est",
+            F.col("est").isNotNull().alias("is_detected"),
+            F.col("_p").isNotNull().alias("is_planted"),
+        )
+    )
+    n_planted = F.sum(F.when(F.col("is_planted"), 1).otherwise(0))
+    n_detected = F.sum(F.when(F.col("is_detected"), 1).otherwise(0))
+    n_both = F.sum(
+        F.when(F.col("is_planted") & F.col("is_detected"), 1).otherwise(0)
+    )
+    true_j = F.expr(f"CAST({_EVAL_TRUE_J} AS DOUBLE)")
+    n_true = F.sum(
+        F.when(F.col("is_detected") & (F.col("exact_j") >= true_j), 1)
+        .otherwise(0)
+    )
+    return flags.agg(
+        n_planted.cast("long").alias("n_planted"),
+        n_detected.cast("long").alias("n_detected"),
+        n_both.cast("long").alias("n_planted_detected"),
+        fround(n_both / n_planted.cast("double"), 6).alias("recall"),
+        fround(n_true / n_detected.cast("double"), 6).alias("precision"),
+        fround(
+            F.avg(
+                F.when(
+                    F.col("is_detected"),
+                    F.abs(F.col("est") - F.col("exact_j")),
+                )
+            ),
+            6,
+        ).alias("mean_abs_err"),
+    )

@@ -185,6 +185,8 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_price_elasticity",
     "q_repeat_interval",
     "q_degree_distribution",
+    "q_cluster_keywords",
+    "q_minhash_eval",
 )
 
 

@@ -234,6 +234,67 @@ class TestDegreeDistributionGolden:
             )
 
 
+class TestClusterKeywordsGolden:
+    def test_topk_matches_python(self, spark, sf_dir):
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs = docs[docs["text"].notna()]
+        emb = pd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "label"],
+        )
+        lab = dict(zip(emb["vec_id"], emb["label"]))
+        n_docs = len(docs)
+        df_count: Counter = Counter()
+        tf: dict = defaultdict(Counter)
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            toks = re.split(r"[ \t\n\r\f\x0B]+", text.strip().lower())
+            df_count.update(set(toks))
+            if doc_id in lab:
+                tf[lab[doc_id]].update(toks)
+        rows = registry.QUERIES["q_cluster_keywords"](spark, sf_dir).collect()
+        by_label = defaultdict(list)
+        for r in rows:
+            by_label[r["label"]].append(r)
+        for label, got in by_label.items():
+            scored = [
+                (
+                    -_fround(c * math.log(n_docs / df_count[t]), 9),
+                    t,
+                    c,
+                )
+                for t, c in tf[label].items()
+                if df_count[t] <= n_docs * 0.5
+            ]
+            expect = sorted(scored)[: len(got)]
+            for r, (negscore, tok, c) in zip(got, expect):
+                assert r["token"] == tok
+                assert r["tf"] == c
+                assert r["df"] == df_count[tok]
+                assert r["tfidf"] == pytest.approx(-negscore, abs=1e-4)
+            # ranks are 1..k in order
+            assert [r["rnk"] for r in got] == list(range(1, len(got) + 1))
+
+
+class TestMinhashEvalGolden:
+    def test_planted_count_and_quality_bars(self, spark, sf_dir):
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        eligible = sum(
+            1
+            for doc_id, text in zip(docs["doc_id"], docs["text"])
+            if doc_id % 10 == 0 and len(re.split(r"\s+", text.strip())) > 4
+        )
+        row = registry.QUERIES["q_minhash_eval"](spark, sf_dir).head()
+        assert row["n_planted"] == eligible
+        assert row["n_detected"] >= row["n_planted_detected"]
+        # The planted dups drop only 2 trailing words from >4-word docs, so
+        # the 8x4 LSH at est>=0.5 must catch nearly all of them, and what
+        # it reports must be real (exact-Jaccard) near-dups with a small
+        # estimator error — these are the harness's quality bars.
+        assert row["recall"] >= 0.9
+        assert row["precision"] >= 0.9
+        assert row["mean_abs_err"] <= 0.1
+
+
 class TestComposedPlans:
     def _plan(self, spark, sf_dir, name) -> str:
         df = registry.QUERIES[name](spark, sf_dir)
