@@ -1045,3 +1045,82 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-group statistics: the curator's dedup report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dup_group_stats",
+    oracle=f"""
+    WITH groups AS (SELECT * FROM ({_DUP_GROUPS_CC_ORACLE})),
+    sizes AS (
+        SELECT dup_group, CAST(count(*) AS BIGINT) AS sz
+        FROM groups GROUP BY dup_group
+    ),
+    hist AS (
+        SELECT sz AS group_size, CAST(count(*) AS BIGINT) AS n_groups
+        FROM sizes GROUP BY sz
+    ),
+    tot AS (
+        SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) AS BIGINT)
+                   AS n_removable
+        FROM sizes
+    )
+    SELECT group_size, n_groups,
+           CAST(group_size * n_groups AS BIGINT) AS n_docs_in_size,
+           {fround_sql(
+               "(group_size * n_groups) / CAST(max(tot.n_docs) OVER ()"
+               " AS DOUBLE)", 6)} AS doc_fraction,
+           {fround_sql(
+               "max(tot.n_removable) OVER ()"
+               " / CAST(max(tot.n_docs) OVER () AS DOUBLE)", 6)}
+               AS corpus_dup_rate
+    FROM hist, tot
+    ORDER BY group_size
+    """,
+)
+def q_dup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup report a curator reads before pulling the trigger: the
+    duplicate-group SIZE histogram from the exact connected-components
+    assignment (q_doc_dup_groups_cc), the document mass at each size, and
+    the corpus-level duplication rate (share of documents a keeper-only
+    policy would drop).  Composed on the registered CC operator, so the
+    report always describes the exact groups the pipeline would act on.
+
+    Scale: two partial aggregations above the CC output — group sizes on
+    the group key, then the histogram on the tiny distinct-size domain;
+    the totals ride a broadcast-size window over histogram rows."""
+    groups = q_doc_dup_groups_cc(spark, sf_dir)
+    sizes = groups.groupBy("dup_group").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    hist = sizes.groupBy("sz").agg(F.count("*").cast("long").alias("n_groups"))
+    tot = sizes.agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz") - 1).otherwise(0))
+        .cast("long")
+        .alias("n_removable"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").alias("group_size"),
+            "n_groups",
+            (F.col("sz") * F.col("n_groups")).cast("long").alias(
+                "n_docs_in_size"
+            ),
+            fround(
+                (F.col("sz") * F.col("n_groups"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("doc_fraction"),
+            fround(
+                F.col("n_removable") / F.col("n_docs").cast("double"), 6
+            ).alias("corpus_dup_rate"),
+        )
+        .orderBy("group_size")
+    )

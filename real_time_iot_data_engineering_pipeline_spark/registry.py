@@ -187,6 +187,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_degree_distribution",
     "q_cluster_keywords",
     "q_minhash_eval",
+    "q_dup_group_stats",
 )
 
 

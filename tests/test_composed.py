@@ -320,3 +320,26 @@ class TestComposedPlans:
             plan = self._plan(spark, sf_dir, name)
             assert "BatchEvalPython" not in plan
             assert "ArrowEvalPython" not in plan
+
+
+class TestDupGroupStats:
+    def test_histogram_consistent_with_cc_groups(self, spark, sf_dir):
+        """The report's histogram must be exactly the size distribution of
+        the CC assignment it composes on, and its corpus-level numbers must
+        be internally consistent (fractions sum to 1, dup rate = removable
+        mass / total mass)."""
+        groups = registry.QUERIES["q_doc_dup_groups_cc"](spark, sf_dir).toPandas()
+        stats = registry.QUERIES["q_dup_group_stats"](spark, sf_dir).toPandas()
+        sizes = Counter(Counter(groups["dup_group"]).values())
+        assert {
+            int(r["group_size"]): int(r["n_groups"]) for _, r in stats.iterrows()
+        } == dict(sizes)
+        n_docs = len(groups)
+        assert int(stats["n_docs_in_size"].sum()) == n_docs
+        assert stats["doc_fraction"].sum() == pytest.approx(1.0, abs=1e-4)
+        removable = sum((sz - 1) * n for sz, n in sizes.items() if sz > 1)
+        assert stats["corpus_dup_rate"].iloc[0] == pytest.approx(
+            _fround(removable / n_docs, 6), abs=1e-9
+        )
+        # the histogram is sorted ascending by size
+        assert list(stats["group_size"]) == sorted(stats["group_size"])
