@@ -170,3 +170,93 @@ def cusum_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Online z-score anomaly gate (per-sensor Welford moments across batches)
+# ---------------------------------------------------------------------------
+
+ZSCORE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+ZSCORE_STATE_SCHEMA = "n bigint, mean double, m2 double"
+
+ZSCORE_THRESHOLD = 3.0
+ZSCORE_MIN_OBS = 5
+
+
+def _zscore(threshold: float, min_obs: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = {k: [] for k in ("event_id", "ts", "value", "n_seen", "z", "is_anomaly")}
+        for _, r in rows.iterrows():
+            x = float(r["value"])
+            # score against the distribution BEFORE this reading — an
+            # anomaly must not dilute the baseline it is judged by
+            z = None
+            if n >= min_obs and m2 > 0.0:
+                z = (x - mean) / (m2 / (n - 1)) ** 0.5
+            anomaly = z is not None and abs(z) > threshold
+            out["event_id"].append(int(r["event_id"]))
+            out["ts"].append(r["ts"])
+            out["value"].append(x)
+            out["n_seen"].append(n)
+            out["z"].append(z)
+            out["is_anomaly"].append(anomaly)
+            # Welford update; anomalous readings are EXCLUDED so a burst
+            # of outliers can't drag the baseline toward itself
+            if not anomaly:
+                n += 1
+                delta = x - mean
+                mean += delta / n
+                m2 += delta * (x - mean)
+        state.update((n, mean, m2))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+        yield pd.DataFrame({"user_id": [user_id] * len(out["event_id"]), **out})
+
+    return fn
+
+
+def zscore_stream(
+    events: DataFrame,
+    threshold: float = ZSCORE_THRESHOLD,
+    min_obs: int = ZSCORE_MIN_OBS,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Online z-score gate per sensor: the batch twin
+    (queries/analytics.py::q_zscore_flag) scores each reading against the
+    WHOLE series' mean/std; a stream can't see the future, so this
+    operator carries running Welford moments (n, mean, M2) in GroupState
+    and scores each reading against everything seen so far.  Readings are
+    scored BEFORE they update the moments, warmup (n < min_obs) emits a
+    null z, and flagged anomalies are excluded from the update so outlier
+    bursts cannot shift the baseline they are judged against (the
+    standard control-chart guard).
+
+    Scale: state is (bigint, double, double) per sensor — bounded by key
+    cardinality, watermark-evicted after idle; each micro-batch shuffles
+    once on the same user key the rest of the topology uses, and the
+    in-group fold is O(batch rows)."""
+    with_wm = events.withWatermark("ts", watermark_delay)
+    return with_wm.groupBy("user_id").applyInPandasWithState(
+        _zscore(threshold, min_obs),
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

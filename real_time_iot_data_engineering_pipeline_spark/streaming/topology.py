@@ -56,6 +56,7 @@ class TopologyResult:
         attribution_dir: str | None = None,
         drift: DriftMonitorSink | None = None,
         cusum_dir: str | None = None,
+        zscore_dir: str | None = None,
     ):
         self.spark = spark
         self.aggregates = agg_sink
@@ -64,10 +65,15 @@ class TopologyResult:
         self.attribution_dir = attribution_dir
         self.drift = drift
         self.cusum_dir = cusum_dir
+        self.zscore_dir = zscore_dir
 
     def read_cusum(self) -> DataFrame:
         assert self.cusum_dir is not None
         return self.spark.read.parquet(self.cusum_dir + "/epoch=*")
+
+    def read_zscore(self) -> DataFrame:
+        assert self.zscore_dir is not None
+        return self.spark.read.parquet(self.zscore_dir + "/epoch=*")
 
     def read_dlq(self) -> DataFrame:
         return self.spark.read.parquet(self.dlq_dir + "/epoch=*")
@@ -90,6 +96,7 @@ def run_topology(
     compact_every: int = 0,
     drift_reference: DataFrame | None = None,
     cusum_mu0: float | None = None,
+    with_zscore_gate: bool = False,
 ) -> TopologyResult:
     """Drain source_dir through the full validate->route->dedup->window->
     upsert topology with Trigger.AvailableNow on both branches.
@@ -243,6 +250,30 @@ def run_topology(
             start(flagged, "topology-cusum", write_cusum, mode="append")
         )
 
+    # optional online z-score gate: per-sensor Welford moments carried
+    # across micro-batches (streaming/stateful.py::zscore_stream) — the
+    # live twin of the batch q_zscore_flag operator
+    zscore_dir = None
+    if with_zscore_gate:
+        from .stateful import zscore_stream
+
+        zscore_dir = os.path.join(out_dir, "zscore")
+        scored = zscore_stream(
+            validated.filter("is_valid").drop(
+                "failure_reasons", "is_valid", CORRUPT_COL
+            )
+        )
+
+        def write_zscore(batch_df: DataFrame, epoch_id: int) -> None:
+            if not batch_df.isEmpty():
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(zscore_dir, f"epoch={int(epoch_id)}")
+                )
+
+        queries.append(
+            start(scored, "topology-zscore", write_zscore, mode="append")
+        )
+
     try:
         for q in queries:
             q.awaitTermination(timeout_seconds)
@@ -251,5 +282,12 @@ def run_topology(
             if q.isActive:
                 q.stop()
     return TopologyResult(
-        spark, agg_sink, dlq_dir, monitor, attribution_dir, drift, cusum_dir
+        spark,
+        agg_sink,
+        dlq_dir,
+        monitor,
+        attribution_dir,
+        drift,
+        cusum_dir,
+        zscore_dir,
     )

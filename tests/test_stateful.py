@@ -131,3 +131,78 @@ def test_cusum_stream_detects_level_shift_across_batches(spark, tmp_path):
     assert rows[6].s_pos == 40.0 and rows[6].alarm
     # post-alarm restart: sums zeroed before event 7 (on-target -> 0)
     assert rows[7].s_pos == 0.0 and not rows[7].alarm
+
+
+def test_zscore_stream_welford_state_and_anomaly_exclusion(spark, tmp_path):
+    """Online z-gate: warmup emits null z, moments carry ACROSS batches,
+    each reading is scored against the distribution BEFORE it, and a
+    flagged anomaly is excluded from the baseline (the next on-profile
+    reading must be judged by the uncontaminated moments)."""
+    from real_time_iot_data_engineering_pipeline_spark.streaming.stateful import (
+        zscore_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = [10.0, 12.0, 10.0, 12.0, 10.0, 12.0]
+    write_file(
+        str(src),
+        "f1.json",
+        [
+            ev(i + 1, f"2024-01-15 10:00:{i:02d}", user_id=1, value=v)
+            for i, v in enumerate(base)
+        ],
+        seq=0,
+    )
+    # batch 1: spike then return — state must remember the 6 baseline rows
+    write_file(
+        str(src),
+        "f2.json",
+        [
+            ev(7, "2024-01-15 10:00:06", user_id=1, value=90.0),
+            ev(8, "2024-01-15 10:00:07", user_id=1, value=11.0),
+        ],
+        seq=1,
+    )
+    out = zscore_stream(
+        parse_event_stream(read_event_file_stream(spark, str(src)))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("zscore_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_z"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.event_id: r for r in spark.sql("SELECT * FROM zscore_out").collect()
+    }
+    assert len(rows) == 8
+    # offline Welford fold over the baseline for the expected moments
+    n, mean, m2 = 0, 0.0, 0.0
+    stats = []
+    for x in base:
+        stats.append((n, mean, m2))
+        n += 1
+        d = x - mean
+        mean += d / n
+        m2 += d * (x - mean)
+    # warmup: first five readings have n_seen < 5 -> null z, never flagged
+    for eid in range(1, 6):
+        assert rows[eid].z is None and not rows[eid].is_anomaly
+        assert rows[eid].n_seen == eid - 1
+    # reading 6 is the first scored one (n_seen=5), against rows 1-5
+    n5, mean5, m25 = stats[5]
+    exp_z6 = (12.0 - mean5) / (m25 / (n5 - 1)) ** 0.5
+    assert rows[6].n_seen == 5
+    assert abs(rows[6].z - exp_z6) < 1e-9 and not rows[6].is_anomaly
+    # cross-batch: reading 7 scored against ALL SIX baseline rows
+    exp_z7 = (90.0 - mean) / (m2 / (n - 1)) ** 0.5
+    assert rows[7].n_seen == 6
+    assert abs(rows[7].z - exp_z7) < 1e-9 and rows[7].is_anomaly
+    # anomaly excluded: reading 8 judged by the same uncontaminated moments
+    exp_z8 = (11.0 - mean) / (m2 / (n - 1)) ** 0.5
+    assert rows[8].n_seen == 6  # 90.0 never entered the baseline
+    assert abs(rows[8].z - exp_z8) < 1e-9 and not rows[8].is_anomaly

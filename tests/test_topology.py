@@ -388,3 +388,42 @@ def test_topology_cusum_branch(spark, tmp_path):
     assert rows[4].s_pos == 39.0 and rows[4].alarm
     assert rows[5].s_pos == 0.0 and not rows[5].alarm  # post-alarm reset
     assert result.aggregates.read().count() >= 1  # main path unaffected
+
+
+def test_topology_zscore_branch(spark, tmp_path):
+    """The online z-gate branch flags an in-range spike (the validator
+    passes it — range-valid but statistically anomalous) using moments
+    accumulated ACROSS micro-batches, while the main aggregate path is
+    unaffected."""
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}', event_type="click")
+    base = [10.0, 12.0, 10.0, 12.0, 10.0, 12.0]
+    write_file(
+        str(src),
+        "f1.json",
+        [
+            dict(ev(i + 1, f"2024-01-19 10:00:{i:02d}", value=v), **valid_kwargs)
+            for i, v in enumerate(base)
+        ],
+        seq=0,
+    )
+    write_file(
+        str(src),
+        "f2.json",
+        [
+            dict(ev(7, "2024-01-19 10:00:06", value=90.0), **valid_kwargs),
+            dict(ev(8, "2024-01-19 10:00:07", value=11.0), **valid_kwargs),
+        ],
+        seq=1,
+    )
+    result = run_topology(
+        spark, str(src), str(tmp_path / "out"), with_zscore_gate=True
+    )
+    rows = {r.event_id: r for r in result.read_zscore().collect()}
+    assert len(rows) == 8
+    assert all(rows[eid].z is None for eid in range(1, 6))  # warmup
+    assert not rows[6].is_anomaly
+    assert rows[7].is_anomaly and rows[7].n_seen == 6  # cross-batch moments
+    assert not rows[8].is_anomaly and rows[8].n_seen == 6  # spike excluded
+    assert result.aggregates.read().count() >= 1  # main path unaffected
