@@ -1124,3 +1124,143 @@ def q_dup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate candidate pairs (Hamming-banded self-join)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4
+# With 64 bits in 4 bands of 16, any pair within Hamming distance
+# BANDS - 1 = 3 shares at least one full band (pigeonhole), so the banded
+# join has guaranteed recall 1.0 at this threshold — the candidate step is
+# EXACT for the reported cutoff, unlike probabilistic MinHash banding.
+SIMHASH_HAM_MAX = SIMHASH_BANDS - 1
+
+
+def _sim_band_expr(k: int) -> str:
+    """Band k (16 bits) of the majority-vote simhash as one integer, built
+    from the vote counters s{i}/n — identical arithmetic text in Spark SQL
+    and DuckDB so both engines band identically by construction."""
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN 2 * s{16 * k + j} >= n THEN {1 << (15 - j)} ELSE 0 END)"
+            for j in range(16)
+        )
+        + ")"
+    )
+
+
+_SIM_BANDS_DUCK = ", ".join(
+    f"CAST({_sim_band_expr(k)} AS BIGINT) AS b{k}" for k in range(SIMHASH_BANDS)
+)
+_SIM_HAMMING_DUCK = " + ".join(
+    f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(SIMHASH_BANDS)
+)
+_SIM_BAND_ROWS_DUCK = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {k} AS band, b{k} AS bv, b0, b1, b2, b3 FROM sigs"
+    for k in range(SIMHASH_BANDS)
+)
+
+
+@register(
+    "q_simhash_pairs",
+    oracle=f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_WORDS_DUCK} AS _words FROM corpus),
+    expl AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT AS h1,
+               ('0x' || substr(md5(w), 16, 1))::BIGINT AS h2
+        FROM (SELECT doc_id, unnest(_words) AS w FROM toks)
+    ),
+    votes AS (
+        SELECT doc_id, count(*) AS n, {_SIM_SUMS_DUCK} FROM expl GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {_SIM_BANDS_DUCK} FROM votes),
+    bands AS (
+{_SIM_BAND_ROWS_DUCK}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST({_SIM_HAMMING_DUCK} AS BIGINT) AS hamming
+        FROM bands a
+        JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM cands
+    WHERE hamming <= {SIMHASH_HAM_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate candidate pairs: 64-bit majority-vote
+    signatures split into 4 bands of 16 bits; docs sharing any band value
+    are candidates, verified by exact Hamming distance <= 3.  With 4 bands,
+    pigeonhole guarantees every pair within distance 3 shares a full band,
+    so this plan finds EXACTLY the pairs a quadratic scan would — the
+    planted re-cased duplicates land at hamming 0.  Completes the SimHash
+    detector path (signatures: q_doc_simhash) the way q_doc_dedup_minhash /
+    q_minhash_eval complete MinHash.
+
+    Scale: signatures are 4 small ints per doc; the only data that ever
+    shuffles after the signature agg is (band, 16-bit value, 4 ints) x 4
+    rows per doc — the self-join keys on (band, bv) with ~2^16 buckets per
+    band, and both signatures ride the band rows so Hamming verification
+    needs no second join.  At 100 TB the one caveat is a degenerate band
+    value shared by a huge doc population (e.g. boilerplate-heavy shards):
+    production adds a bucket-size cap before the join, exactly like the
+    MinHash path's banded join.  Reference parity: near-dup detection
+    family (generator.py duplicate taxonomy).
+    """
+    corpus = _exact_corpus(spark, sf_dir).withColumn("_words", F.expr(_WORDS_SPARK))
+    words = corpus.select("doc_id", F.explode("_words").alias("w")).select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(w), 1, 15), 16, 10) AS bigint)").alias("h1"),
+        F.expr("cast(conv(substr(md5(w), 16, 1), 16, 10) AS bigint)").alias("h2"),
+    )
+    votes = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.expr(_bit_spark(i))).alias(f"s{i}") for i in range(64)],
+    )
+    sigs = votes.select(
+        "doc_id",
+        *[
+            F.expr(f"cast({_sim_band_expr(k)} as bigint)").alias(f"b{k}")
+            for k in range(SIMHASH_BANDS)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.expr(
+            f"stack({SIMHASH_BANDS}, "
+            + ", ".join(f"{k}, b{k}" for k in range(SIMHASH_BANDS))
+            + ") as (band, bv)"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = sum(
+        F.expr(f"bit_count(a.b{k} ^ b.b{k})") for k in range(SIMHASH_BANDS)
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cands.filter(F.col("hamming") <= SIMHASH_HAM_MAX).orderBy(
+        "doc_a", "doc_b"
+    )

@@ -188,6 +188,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_cluster_keywords",
     "q_minhash_eval",
     "q_dup_group_stats",
+    "q_simhash_pairs",
 )
 
 

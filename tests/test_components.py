@@ -128,3 +128,54 @@ def test_dup_groups_cc_agrees_with_union_find_on_fixture(spark, sf_dir):
     assert got == expect
     keepers = {r["doc_id"] for r in rows if r["is_keeper"]}
     assert keepers == set(expect.values())
+
+
+def test_simhash_pairs_equal_brute_force_hamming(spark, sf_dir):
+    """The 4x16-bit banded self-join must find EXACTLY the pairs a
+    quadratic Hamming scan finds at distance <= 3 (pigeonhole guarantee),
+    and every planted re-cased duplicate must land at hamming 0."""
+    from real_time_iot_data_engineering_pipeline_spark.queries.text import (
+        SIMHASH_HAM_MAX,
+        q_doc_simhash,
+        q_simhash_pairs,
+    )
+
+    # signatures over the SAME exact-dup corpus the pair query uses
+    sigs = {
+        r["doc_id"]: int(r["simhash"], 2)
+        for r in q_doc_simhash(spark, sf_dir).collect()
+    }
+    ids = sorted(sigs)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_HAM_MAX:
+                expect.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q_simhash_pairs(spark, sf_dir).collect()
+    }
+    assert set(got) == expect
+    # planted exact re-casings (doc_id % 7 == 0 -> +100000) collide exactly
+    planted = [(d, d + 100000) for d in ids if d < 100000 and d % 7 == 0]
+    for pair in planted:
+        assert got.get(pair) == 0, pair
+    # reported hamming agrees with the signature xor popcount
+    for (a, b), h in got.items():
+        assert h == bin(sigs[a] ^ sigs[b]).count("1")
+
+
+def test_simhash_pairs_plan_no_cartesian(spark, sf_dir):
+    from real_time_iot_data_engineering_pipeline_spark.queries.text import (
+        q_simhash_pairs,
+    )
+
+    plan = (
+        q_simhash_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
