@@ -1264,3 +1264,100 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.filter(F.col("hamming") <= SIMHASH_HAM_MAX).orderBy(
         "doc_a", "doc_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease)
+# ---------------------------------------------------------------------------
+
+# Syllable heuristic: vowel-group runs, plus 1 for each word with no vowel
+# at all (digits, initialisms) so no word contributes zero syllables —
+# the standard cheap approximation when no pronunciation dict ships.
+_SENT_RE = "[.!?]+"
+_VOWEL_RE = "[aeiouy]+"
+
+
+@register(
+    "q_readability",
+    oracle=rf"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\s+')) AS n_words,
+               greatest(1, len(regexp_extract_all(text, '{_SENT_RE}')))
+                   AS n_sentences,
+               len(regexp_extract_all(lower(text), '{_VOWEL_RE}'))
+               + len(list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     w -> NOT regexp_matches(w, '{_VOWEL_RE}')))
+                   AS n_syllables
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+               {fround_sql(
+                   "206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))"
+                   " - 84.6 * (n_syllables / CAST(greatest(1, n_words)"
+                   " AS DOUBLE))", 4)} AS flesch
+        FROM feats
+    )
+    SELECT doc_id, lang, n_words, n_sentences, n_syllables, flesch,
+           CASE WHEN flesch >= 80 THEN 'easy'
+                WHEN flesch >= 60 THEN 'standard'
+                WHEN flesch >= 30 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM scored
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document (206.835 - 1.015 x words/sentence
+    - 84.6 x syllables/word) from pure column expressions: whitespace
+    words, [.!?]+ sentence runs, vowel-group syllables with a +1 floor for
+    vowel-less words.  The banding CASE reads the ROUNDED score so the
+    easy/standard/difficult cut can never flip between engines on a
+    floating-point whisker.  Joins the quality family (q_quality_score,
+    q_repetition_filter) as a curation signal a 100 TB text pipeline
+    computes on ingest.
+
+    Scale: shuffle-free — three regex counters and arithmetic per row,
+    whole-stage codegen, no UDF, no join, no aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.expr(r"size(split(trim(text), '\\s+'))")
+    n_sentences = F.greatest(
+        F.lit(1), F.size(F.expr(f"regexp_extract_all(text, '{_SENT_RE}', 0)"))
+    )
+    n_syllables = F.size(
+        F.expr(f"regexp_extract_all(lower(text), '{_VOWEL_RE}', 0)")
+    ) + F.size(
+        F.expr(
+            r"filter(split(trim(lower(text)), '\\s+'),"
+            f" w -> NOT (w rlike '{_VOWEL_RE}'))"
+        )
+    )
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    scored = feats.withColumn(
+        "flesch",
+        fround(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words") / F.col("n_sentences").cast("double"))
+            - F.lit(84.6)
+            * (
+                F.col("n_syllables")
+                / F.greatest(F.lit(1), F.col("n_words")).cast("double")
+            ),
+            4,
+        ),
+    )
+    return scored.withColumn(
+        "band",
+        F.when(F.col("flesch") >= 80, "easy")
+        .when(F.col("flesch") >= 60, "standard")
+        .when(F.col("flesch") >= 30, "difficult")
+        .otherwise("very_difficult"),
+    )

@@ -189,6 +189,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_minhash_eval",
     "q_dup_group_stats",
     "q_simhash_pairs",
+    "q_readability",
 )
 
 

@@ -507,3 +507,70 @@ class TestIncrementalMart:
         once = sorted(map(tuple, sink.read().collect()))
         mart_daily_incremental_refresh(spark, ev, sink, 2)  # same data again
         assert sorted(map(tuple, sink.read().collect())) == once
+
+
+class TestReadability:
+    def test_flesch_matches_python_recompute(self, spark, sf_dir):
+        """Per-doc Flesch must equal an independent pure-Python recompute
+        of the same heuristic, and the plan must stay shuffle-free."""
+        import math
+        import os
+        import re
+
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        registry.load_all()
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        rows = {
+            r["doc_id"]: r
+            for r in registry.QUERIES["q_readability"](spark, sf_dir).collect()
+        }
+        assert len(rows) == len(docs)
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            words = re.split(r"\s+", text.strip())
+            n_words = len(words)
+            n_sent = max(1, len(re.findall(r"[.!?]+", text)))
+            n_syl = len(re.findall(r"[aeiouy]+", text.lower())) + sum(
+                1
+                for w in re.split(r"\s+", text.strip().lower())
+                if not re.search(r"[aeiouy]+", w)
+            )
+            flesch = (
+                206.835
+                - 1.015 * n_words / n_sent
+                - 84.6 * n_syl / max(1, n_words)
+            )
+            s = 10.0**4
+            flesch = math.floor(flesch * s * (1.0 + 1e-12) + 0.5) / s
+            r = rows[doc_id]
+            assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+                n_words,
+                n_sent,
+                n_syl,
+            ), doc_id
+            assert abs(r["flesch"] - flesch) < 1e-9, doc_id
+            expect_band = (
+                "easy"
+                if flesch >= 80
+                else "standard"
+                if flesch >= 60
+                else "difficult"
+                if flesch >= 30
+                else "very_difficult"
+            )
+            assert r["band"] == expect_band, doc_id
+
+    def test_plan_shuffle_free(self, spark, sf_dir):
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        registry.load_all()
+        plan = (
+            registry.QUERIES["q_readability"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
