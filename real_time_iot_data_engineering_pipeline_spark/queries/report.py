@@ -874,3 +874,160 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew diagnostic: the report run before picking a salting plan
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+@register(
+    "q_skew_report",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS total_rows,
+               CAST(max(cnt) AS BIGINT) AS max_cnt
+        FROM per_key
+    )
+    SELECT key, cnt, n_keys, total_rows,
+           {fround_sql("cnt / CAST(total_rows AS DOUBLE)", 6)} AS share,
+           {fround_sql("cnt * n_keys / CAST(total_rows AS DOUBLE)", 6)}
+               AS skew_x,
+           {fround_sql("max_cnt * n_keys / CAST(total_rows AS DOUBLE)", 6)}
+               AS worst_skew_x
+    FROM per_key, tot
+    ORDER BY cnt DESC, key
+    LIMIT {SKEW_TOP_K}
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over the stream's grouping key: the
+    {SKEW_TOP_K} heaviest user_id keys with their row share and skew factor
+    (cnt / mean-per-key), plus the corpus-wide worst skew — the report an
+    operator reads before deciding whether a groupBy/join on this key needs
+    salting (q_salted_agg) or AQE skew splitting (tests/test_aqe.py).
+
+    Scale: per-key counts are one map-side-combined shuffle on the key
+    itself; the summary aggregate is a single broadcast row; the top-{SKEW_TOP_K}
+    is TakeOrderedAndProject (no global sort).  The output is O(k), never
+    O(keys)."""
+    per_key = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            "n_keys",
+            "total_rows",
+            fround(F.col("cnt") / F.col("total_rows").cast("double"), 6).alias(
+                "share"
+            ),
+            fround(
+                F.col("cnt") * F.col("n_keys") / F.col("total_rows").cast("double"),
+                6,
+            ).alias("skew_x"),
+            fround(
+                F.col("max_cnt")
+                * F.col("n_keys")
+                / F.col("total_rows").cast("double"),
+                6,
+            ).alias("worst_skew_x"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(SKEW_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality report: output sizes from key histograms, no join executed
+# ---------------------------------------------------------------------------
+
+_JOINS = (
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+)
+
+
+def _join_card_duck(name, lt, lk, rt, rk) -> str:
+    return f"""
+    SELECT '{name}' AS join_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM {lt}) AS left_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM {rt}) AS right_rows,
+           CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS est_rows,
+           CAST(coalesce(max(ca * cb), 0) AS BIGINT) AS hot_key_rows
+    FROM (SELECT {lk} AS k, count(*) AS ca FROM {lt} GROUP BY {lk}) a
+    JOIN (SELECT {rk} AS k, count(*) AS cb FROM {rt} GROUP BY {rk}) b
+      ON a.k = b.k
+    """
+
+
+@register(
+    "q_join_cardinality",
+    oracle="\nUNION ALL\n".join(_join_card_duck(*j) for j in _JOINS)
+    + "\nORDER BY join_name",
+)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-style join-cardinality report: for each named equi-join,
+    the EXACT output size computed from the two sides' key histograms
+    (sum over keys of cntA x cntB) without materializing the join, plus
+    the hottest key's contribution — the number AQE's skew-join logic
+    keys off.  Histograms, not sampled estimates, so the report doubles
+    as the ground truth an estimator would be validated against.
+
+    Scale: each side reduces to (key, count) via map-side partial agg —
+    the only shuffle is of count rows, never fact rows; the histogram
+    equi-join co-partitions on the key and collapses to one summary row
+    per join.  Reading 3 joins = 6 aggregate scans, all column-pruned to
+    the key alone."""
+    out = []
+    for name, lt, lk, rt, rk in _JOINS:
+        left = load_table(spark, sf_dir, lt)
+        right = load_table(spark, sf_dir, rt)
+        ha = left.groupBy(F.col(lk).alias("k")).agg(F.count("*").alias("ca"))
+        hb = right.groupBy(F.col(rk).alias("k")).agg(F.count("*").alias("cb"))
+        joined = ha.join(hb, "k").select(
+            (F.col("ca") * F.col("cb")).alias("prod")
+        )
+        # side totals come from the same histograms (sum of counts), so the
+        # whole report stays one lazy plan — no driver-side count() actions
+        la = ha.agg(F.sum("ca").cast("long").alias("left_rows"))
+        lb = hb.agg(F.sum("cb").cast("long").alias("right_rows"))
+        out.append(
+            joined.agg(
+                F.coalesce(F.sum("prod"), F.lit(0)).cast("long").alias("est_rows"),
+                F.coalesce(F.max("prod"), F.lit(0))
+                .cast("long")
+                .alias("hot_key_rows"),
+            )
+            .crossJoin(F.broadcast(la))
+            .crossJoin(F.broadcast(lb))
+            .select(
+                F.lit(name).alias("join_name"),
+                "left_rows",
+                "right_rows",
+                "est_rows",
+                "hot_key_rows",
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("join_name")

@@ -190,6 +190,8 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_dup_group_stats",
     "q_simhash_pairs",
     "q_readability",
+    "q_skew_report",
+    "q_join_cardinality",
 )
 
 

@@ -238,3 +238,71 @@ class TestSourceOverlap:
                 assert r["jaccard"] == pytest.approx(
                     len(common) / len(vocab[a] | vocab[b]), abs=2e-6
                 )
+
+
+class TestSkewReport:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        import os
+
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.report import (
+            SKEW_TOP_K,
+        )
+
+        ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        counts = ev[ev["user_id"].notna()]["user_id"].value_counts()
+        total, n_keys = int(counts.sum()), len(counts)
+        expect = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:SKEW_TOP_K]
+        rows = registry.QUERIES["q_skew_report"](spark, sf_dir).collect()
+        assert [(r.key, r.cnt) for r in rows] == [
+            (k, int(c)) for k, c in expect
+        ]
+        for r in rows:
+            assert r.n_keys == n_keys and r.total_rows == total
+            assert abs(r.share - _fround4(r.cnt / total, 6)) < 1e-12
+            assert abs(r.skew_x - _fround4(r.cnt * n_keys / total, 6)) < 1e-12
+            # worst_skew_x is the max over ALL keys, so >= every listed skew
+            assert r.worst_skew_x >= r.skew_x - 1e-12
+        assert rows[0].worst_skew_x == rows[0].skew_x  # row 1 IS the max
+
+
+def _fround4(x: float, n: int) -> float:
+    s = 10.0**n
+    return math.floor(x * s * (1.0 + 1e-12) + 0.5) / s
+
+
+class TestJoinCardinality:
+    def test_estimate_equals_executed_join(self, spark, sf_dir):
+        """The histogram identity: sum-of-count-products must equal the
+        row count of the actually-executed join, and the hot key must be
+        the true per-key maximum."""
+        import os
+
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.report import (
+            _JOINS,
+        )
+
+        rows = {
+            r.join_name: r
+            for r in registry.QUERIES["q_join_cardinality"](spark, sf_dir).collect()
+        }
+        assert set(rows) == {j[0] for j in _JOINS}
+        for name, lt, lk, rt, rk in _JOINS:
+            left = pd.read_parquet(os.path.join(sf_dir, f"{lt}.parquet"))
+            right = pd.read_parquet(os.path.join(sf_dir, f"{rt}.parquet"))
+            merged = left[[lk]].merge(
+                right[[rk]], left_on=lk, right_on=rk, how="inner"
+            )
+            r = rows[name]
+            assert r.est_rows == len(merged)
+            assert r.left_rows == len(left) and r.right_rows == len(right)
+            prod = (
+                left[lk].value_counts().to_frame("ca")
+                .join(right[rk].value_counts().to_frame("cb"), how="inner")
+            )
+            assert r.hot_key_rows == int((prod["ca"] * prod["cb"]).max())
