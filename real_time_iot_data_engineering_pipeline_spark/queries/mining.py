@@ -1353,3 +1353,133 @@ def q_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("median_gap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item co-occurrence recommendations ("customers also bought")
+# ---------------------------------------------------------------------------
+
+ALSO_MIN_CO = 2  # a single co-order is noise, not a signal
+ALSO_TOP_K = 3
+
+
+@register(
+    "q_also_bought",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    part_n AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM items
+        GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {ALSO_MIN_CO}
+    ),
+    both_dirs AS (
+        SELECT pa AS part_id, pb AS rec_part_id, n_ab FROM pairs
+        UNION ALL
+        SELECT pb AS part_id, pa AS rec_part_id, n_ab FROM pairs
+    ),
+    scored AS (
+        SELECT part_id, rec_part_id, n_ab, na.n AS n_a, nb.n AS n_b,
+               CAST(n_ab * n_ab AS DOUBLE) / (na.n * nb.n) AS cos2
+        FROM both_dirs
+        JOIN part_n na ON part_id = na.l_partkey
+        JOIN part_n nb ON rec_part_id = nb.l_partkey
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY part_id
+                   ORDER BY cos2 DESC, rec_part_id) AS rnk
+        FROM scored
+    )
+    SELECT part_id, rec_part_id, n_ab, n_a, n_b,
+           {fround_sql("sqrt(cos2)", 6)} AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {ALSO_TOP_K}
+    ORDER BY part_id, rnk
+    """,
+)
+def q_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence recommendations: for every part, the
+    top-{ALSO_TOP_K} parts most often sharing an order with it (>=
+    {ALSO_MIN_CO} co-orders), ranked by basket cosine
+    n_ab / sqrt(n_a x n_b) — the brand-level rules (q_market_basket)
+    made item-granular, which is the table a "customers also bought"
+    service actually reads.
+
+    Scale: baskets self-join on the order key (bounded basket size keeps
+    the pair stream linear in orders), pair counts partial-aggregate onto
+    the sparse co-occurrence domain, per-part supports join back on the
+    part key (co-partitioned equi-joins).  Ranking compares the exact
+    integer ratio n_ab^2/(n_a x n_b) evaluated as one IEEE division —
+    bit-identical across engines — and the per-part top-{ALSO_TOP_K}
+    compiles to WindowGroupLimit, so the rank-k set is pushed map-side,
+    never a global sort."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part_n = items.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= ALSO_MIN_CO)
+    )
+    both_dirs = pairs.select(
+        F.col("pa").alias("part_id"), F.col("pb").alias("rec_part_id"), "n_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("part_id"),
+            F.col("pa").alias("rec_part_id"),
+            "n_ab",
+        )
+    )
+    na = part_n.select(
+        F.col("l_partkey").alias("part_id"), F.col("n").alias("n_a")
+    )
+    nb = part_n.select(
+        F.col("l_partkey").alias("rec_part_id"), F.col("n").alias("n_b")
+    )
+    scored = (
+        both_dirs.join(na, "part_id")
+        .join(nb, "rec_part_id")
+        .withColumn(
+            "cos2",
+            (F.col("n_ab") * F.col("n_ab")).cast("double")
+            / (F.col("n_a") * F.col("n_b")),
+        )
+    )
+    w = Window.partitionBy("part_id").orderBy(
+        F.desc("cos2"), F.col("rec_part_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= ALSO_TOP_K)
+        .select(
+            "part_id",
+            "rec_part_id",
+            "n_ab",
+            "n_a",
+            "n_b",
+            fround(F.sqrt("cos2"), 6).alias("cosine"),
+            "rnk",
+        )
+        .orderBy("part_id", "rnk")
+    )

@@ -192,6 +192,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_readability",
     "q_skew_report",
     "q_join_cardinality",
+    "q_also_bought",
 )
 
 

@@ -347,3 +347,53 @@ class TestMiningPlans:
             plan = self._plan(spark, sf_dir, name)
             assert "BatchEvalPython" not in plan
             assert "ArrowEvalPython" not in plan
+
+
+class TestAlsoBought:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        """Top-k per part must match an independent pandas co-occurrence
+        recompute with the same cosine ranking and tiebreak."""
+        import os
+        from collections import Counter, defaultdict
+        from itertools import combinations
+
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.mining import (
+            ALSO_MIN_CO,
+            ALSO_TOP_K,
+        )
+
+        li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        baskets = li.groupby("l_orderkey")["l_partkey"].apply(
+            lambda s: sorted(set(s))
+        )
+        n_part: Counter = Counter()
+        n_pair: Counter = Counter()
+        for parts in baskets:
+            n_part.update(parts)
+            n_pair.update(combinations(parts, 2))
+        recs = defaultdict(list)
+        for (a, b), c in n_pair.items():
+            if c >= ALSO_MIN_CO:
+                recs[a].append((b, c))
+                recs[b].append((a, c))
+        expect = {}
+        for p, cands in recs.items():
+            ranked = sorted(
+                cands,
+                key=lambda rc: (
+                    -(rc[1] * rc[1] / (n_part[p] * n_part[rc[0]])),
+                    rc[0],
+                ),
+            )[:ALSO_TOP_K]
+            expect[p] = [r for r, _ in ranked]
+        got = defaultdict(list)
+        rows = registry.QUERIES["q_also_bought"](spark, sf_dir).collect()
+        for r in rows:
+            got[r.part_id].append(r.rec_part_id)
+            assert r.n_a == n_part[r.part_id]
+            assert r.n_b == n_part[r.rec_part_id]
+            key = tuple(sorted((r.part_id, r.rec_part_id)))
+            assert r.n_ab == n_pair[key]
+        assert dict(got) == expect
