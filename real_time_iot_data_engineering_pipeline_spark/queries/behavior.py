@@ -1509,3 +1509,112 @@ def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson-interval CTR ranking: never rank segments by the raw proportion
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.96  # 95% interval
+WILSON_TOP_K = 20
+
+
+@register(
+    "q_ctr_wilson",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_views,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_clicks
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, n_views, n_clicks,
+               n_views + n_clicks AS n_trials,
+               n_clicks / CAST(n_views + n_clicks AS DOUBLE) AS p
+        FROM per_user WHERE n_views + n_clicks > 0
+    ),
+    wilson AS (
+        SELECT user_id, n_views, n_clicks, n_trials,
+               {fround_sql("p", 6)} AS ctr,
+               {fround_sql(
+                   "(p + {z2} / (2 * n_trials)"
+                   " - {z} * sqrt((p * (1 - p) + {z2} / (4 * n_trials))"
+                   " / n_trials)) / (1 + {z2} / n_trials)", 6).format(
+                       z=WILSON_Z, z2=WILSON_Z * WILSON_Z)} AS wilson_lb
+        FROM scored
+    ),
+    topk AS (
+        SELECT * FROM wilson ORDER BY wilson_lb DESC, user_id
+        LIMIT {WILSON_TOP_K}
+    )
+    SELECT user_id, n_views, n_clicks, n_trials, ctr, wilson_lb,
+           CAST(row_number() OVER (ORDER BY wilson_lb DESC, user_id)
+               AS BIGINT) AS rnk
+    FROM topk
+    ORDER BY rnk
+    """,
+)
+def q_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-through ranking by the Wilson score lower bound (z=1.96):
+    clicks over views+clicks per user, ranked by the 95% confidence lower
+    bound instead of the raw proportion — the textbook fix for "1/1 beats
+    480/1000"; top-{WILSON_TOP_K} by the bound.  Ranking orders the
+    ROUNDED bound so placement can never flip on a float whisker between
+    engines.
+
+    Scale: one map-side-combined groupBy on the user key; Wilson algebra
+    is pure arithmetic per group row; the top-{WILSON_TOP_K} cut is
+    TakeOrderedAndProject over the per-user summary, and the only
+    row_number window runs over the constant-size top-k set — never an
+    unpartitioned window over a data-proportional domain."""
+    z, z2 = WILSON_Z, WILSON_Z * WILSON_Z
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("n_views"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_clicks"),
+        )
+    )
+    scored = (
+        per_user.withColumn("n_trials", F.col("n_views") + F.col("n_clicks"))
+        .filter(F.col("n_trials") > 0)
+        .withColumn("p", F.col("n_clicks") / F.col("n_trials").cast("double"))
+    )
+    wilson = scored.select(
+        "user_id",
+        "n_views",
+        "n_clicks",
+        "n_trials",
+        fround(F.col("p"), 6).alias("ctr"),
+        fround(
+            (
+                F.col("p")
+                + F.lit(z2) / (2 * F.col("n_trials"))
+                - F.lit(z)
+                * F.sqrt(
+                    (
+                        F.col("p") * (1 - F.col("p"))
+                        + F.lit(z2) / (4 * F.col("n_trials"))
+                    )
+                    / F.col("n_trials")
+                )
+            )
+            / (1 + F.lit(z2) / F.col("n_trials")),
+            6,
+        ).alias("wilson_lb"),
+    )
+    topk = wilson.orderBy(F.desc("wilson_lb"), "user_id").limit(WILSON_TOP_K)
+    w = Window.orderBy(F.desc("wilson_lb"), "user_id")
+    return topk.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).orderBy("rnk")

@@ -1277,6 +1277,36 @@ _SENT_RE = "[.!?]+"
 _VOWEL_RE = "[aeiouy]+"
 
 
+def readability_cols() -> dict[str, "F.Column"]:
+    """The Flesch feature columns over a `text` column — shared verbatim by
+    the batch query (q_readability) and the streaming ingest annotation
+    (streaming/doc_pipeline.py) so the two paths can never disagree."""
+    n_words = F.expr(r"size(split(trim(text), '\\s+'))")
+    n_sentences = F.greatest(
+        F.lit(1), F.size(F.expr(f"regexp_extract_all(text, '{_SENT_RE}', 0)"))
+    )
+    n_syllables = F.size(
+        F.expr(f"regexp_extract_all(lower(text), '{_VOWEL_RE}', 0)")
+    ) + F.size(
+        F.expr(
+            r"filter(split(trim(lower(text)), '\\s+'),"
+            f" w -> NOT (w rlike '{_VOWEL_RE}'))"
+        )
+    )
+    flesch = fround(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sentences.cast("double"))
+        - F.lit(84.6) * (n_syllables / F.greatest(F.lit(1), n_words).cast("double")),
+        4,
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sentences,
+        "n_syllables": n_syllables,
+        "flesch": flesch,
+    }
+
+
 @register(
     "q_readability",
     oracle=rf"""
@@ -1321,38 +1351,14 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: shuffle-free — three regex counters and arithmetic per row,
     whole-stage codegen, no UDF, no join, no aggregation."""
     docs = load_table(spark, sf_dir, "documents")
-    n_words = F.expr(r"size(split(trim(text), '\\s+'))")
-    n_sentences = F.greatest(
-        F.lit(1), F.size(F.expr(f"regexp_extract_all(text, '{_SENT_RE}', 0)"))
-    )
-    n_syllables = F.size(
-        F.expr(f"regexp_extract_all(lower(text), '{_VOWEL_RE}', 0)")
-    ) + F.size(
-        F.expr(
-            r"filter(split(trim(lower(text)), '\\s+'),"
-            f" w -> NOT (w rlike '{_VOWEL_RE}'))"
-        )
-    )
-    feats = docs.select(
+    cols = readability_cols()
+    scored = docs.select(
         "doc_id",
         "lang",
-        n_words.alias("n_words"),
-        n_sentences.alias("n_sentences"),
-        n_syllables.alias("n_syllables"),
-    )
-    scored = feats.withColumn(
-        "flesch",
-        fround(
-            F.lit(206.835)
-            - F.lit(1.015)
-            * (F.col("n_words") / F.col("n_sentences").cast("double"))
-            - F.lit(84.6)
-            * (
-                F.col("n_syllables")
-                / F.greatest(F.lit(1), F.col("n_words")).cast("double")
-            ),
-            4,
-        ),
+        cols["n_words"].alias("n_words"),
+        cols["n_sentences"].alias("n_sentences"),
+        cols["n_syllables"].alias("n_syllables"),
+        cols["flesch"].alias("flesch"),
     )
     return scored.withColumn(
         "band",

@@ -193,6 +193,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_skew_report",
     "q_join_cardinality",
     "q_also_bought",
+    "q_ctr_wilson",
 )
 
 

@@ -131,7 +131,11 @@ def ingest_doc_stream(
         rejects.append((~F.col("allowed"), "blocked_source"))
     if with_curation_gates:
         from ..queries.curation import DUP_TOKEN_MAX
-        from ..queries.text import _WORDS_SPARK, quality_score_col
+        from ..queries.text import (
+            _WORDS_SPARK,
+            quality_score_col,
+            readability_cols,
+        )
 
         toks = F.expr(_WORDS_SPARK)
         dup_frac = F.when(
@@ -143,6 +147,9 @@ def ingest_doc_stream(
             .withColumn("n_chars", F.length(F.trim("text")))
             .withColumn("dup_token_frac", dup_frac)
             .withColumn("quality_score", quality_score_col())
+            # readability is ANNOTATED, not gated: low Flesch means dense
+            # prose, not garbage — downstream mixture weighting reads it
+            .withColumn("flesch", readability_cols()["flesch"])
             .drop("_words")
         )
         rejects.append((F.col("dup_token_frac") > DUP_TOKEN_MAX, "repetitive"))

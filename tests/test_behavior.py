@@ -512,3 +512,47 @@ class TestCycleTime:
                 np.quantile(a, 0.9), abs=1e-3
             )
             assert r["max_days"] == int(a.max())
+
+
+class TestCtrWilson:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        """Wilson lower bound and top-k membership must match an
+        independent scipy-free Python recompute."""
+        import math
+        import os
+
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.behavior import (
+            WILSON_TOP_K,
+            WILSON_Z,
+        )
+
+        ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        ev = ev[ev["user_id"].notna()]
+        stats = {}
+        for uid, grp in ev.groupby("user_id"):
+            v = int((grp["event_type"] == "view").sum())
+            c = int((grp["event_type"] == "click").sum())
+            n = v + c
+            if n == 0:
+                continue
+            p = c / n
+            z, z2 = WILSON_Z, WILSON_Z * WILSON_Z
+            lb = (p + z2 / (2 * n) - z * math.sqrt((p * (1 - p) + z2 / (4 * n)) / n)) / (
+                1 + z2 / n
+            )
+            s = 10.0**6
+            lb = math.floor(lb * s * (1.0 + 1e-12) + 0.5) / s
+            stats[uid] = (v, c, n, lb)
+        expect = sorted(stats.items(), key=lambda kv: (-kv[1][3], kv[0]))[
+            :WILSON_TOP_K
+        ]
+        rows = registry.QUERIES["q_ctr_wilson"](spark, sf_dir).collect()
+        assert len(rows) == len(expect)
+        for r, (uid, (v, c, n, lb)) in zip(rows, expect):
+            assert r.user_id == uid
+            assert (r.n_views, r.n_clicks, r.n_trials) == (v, c, n)
+            assert abs(r.wilson_lb - lb) < 1e-12
+            assert r.wilson_lb <= r.ctr + 1e-12  # LB never exceeds the MLE
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))

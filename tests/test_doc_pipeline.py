@@ -151,6 +151,19 @@ def test_doc_ingest_curation_gates(spark, tmp_path):
     assert set(docs) == {1}
     assert docs[1].dup_token_frac <= DUP_TOKEN_MAX
     assert docs[1].quality_score >= QUALITY_MIN
+    # readability rides along as an annotation, matching the batch formula
+    import math
+    import re
+
+    words = re.split(r"\s+", GOOD.strip())
+    n_sent = max(1, len(re.findall(r"[.!?]+", GOOD)))
+    n_syl = len(re.findall(r"[aeiouy]+", GOOD.lower())) + sum(
+        1 for w in re.split(r"\s+", GOOD.strip().lower())
+        if not re.search(r"[aeiouy]+", w)
+    )
+    exp = 206.835 - 1.015 * len(words) / n_sent - 84.6 * n_syl / max(1, len(words))
+    exp = math.floor(exp * 1e4 * (1.0 + 1e-12) + 0.5) / 1e4
+    assert abs(docs[1].flesch - exp) < 1e-9
 
     rejects = {r.doc_id: r for r in sink.read_rejects().collect()}
     assert {d: r.reject_reason for d, r in rejects.items()} == {
