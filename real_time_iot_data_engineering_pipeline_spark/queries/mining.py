@@ -1483,3 +1483,65 @@ def q_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (how heavy is the revenue tail?)
+# ---------------------------------------------------------------------------
+
+HILL_K = 100
+
+
+@register(
+    "q_hill_tail",
+    oracle=f"""
+    WITH topk AS (
+        SELECT o_totalprice AS x FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT {HILL_K}
+    ),
+    moments AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               min(x) AS x_k,
+               sum(ln(x)) AS sum_ln
+        FROM topk
+    )
+    SELECT k, {fround_sql("x_k", 2)} AS x_k,
+           {fround_sql("(k - 1) / (sum_ln - k * ln(x_k))", 6)} AS hill_alpha,
+           {fround_sql("1.0 / ((k - 1) / (sum_ln - k * ln(x_k)))", 6)}
+               AS tail_index_inv
+    FROM moments
+    """,
+)
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the revenue tail index over the top-{HILL_K}
+    order totals: alpha = (k-1) / (sum ln x_i - k ln x_k) with x_k the
+    k-th largest — the standard answer to "is this distribution
+    power-law-heavy (alpha < 2 => infinite variance) or merely skewed?",
+    complementing the Zipf exponent (q_zipf_fit), Benford audit and Gini
+    concentration already in the family.
+
+    Scale: the top-k cut is TakeOrderedAndProject (k rows cross the wire,
+    never a global sort); min/sum-of-logs fold into ONE partial aggregate
+    over those k rows, so the estimator's cost is the scan that feeds the
+    top-k heap."""
+    topk = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.desc("x"), "o_orderkey")
+        .limit(HILL_K)
+    )
+    moments = topk.agg(
+        F.count("*").cast("long").alias("k"),
+        F.min("x").alias("x_k"),
+        F.sum(F.log("x")).alias("sum_ln"),
+    )
+    alpha = (F.col("k") - 1) / (
+        F.col("sum_ln") - F.col("k") * F.log("x_k")
+    )
+    return moments.select(
+        "k",
+        fround(F.col("x_k"), 2).alias("x_k"),
+        fround(alpha, 6).alias("hill_alpha"),
+        fround(F.lit(1.0) / alpha, 6).alias("tail_index_inv"),
+    )

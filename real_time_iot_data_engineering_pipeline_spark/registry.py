@@ -194,6 +194,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_join_cardinality",
     "q_also_bought",
     "q_ctr_wilson",
+    "q_hill_tail",
 )
 
 

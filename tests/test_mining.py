@@ -397,3 +397,28 @@ class TestAlsoBought:
             key = tuple(sorted((r.part_id, r.rec_part_id)))
             assert r.n_ab == n_pair[key]
         assert dict(got) == expect
+
+
+class TestHillTail:
+    def test_matches_numpy_recompute(self, spark, sf_dir):
+        import math
+        import os
+
+        import numpy as np
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.mining import (
+            HILL_K,
+        )
+
+        x = np.sort(
+            pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))[
+                "o_totalprice"
+            ].to_numpy()
+        )[::-1][:HILL_K]
+        alpha = (HILL_K - 1) / (np.log(x).sum() - HILL_K * math.log(x[-1]))
+        row = registry.QUERIES["q_hill_tail"](spark, sf_dir).head()
+        assert row.k == HILL_K
+        assert abs(row.x_k - round(x[-1], 2)) < 1e-6
+        assert abs(row.hill_alpha - alpha) < 1e-4
+        assert abs(row.hill_alpha * row.tail_index_inv - 1.0) < 1e-4
