@@ -1367,3 +1367,138 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("flesch") >= 30, "difficult")
         .otherwise("very_difficult"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment: excerpt / subset near-duplicates
+# ---------------------------------------------------------------------------
+
+# containment >= 0.9 tested as 10*n_common >= 9*n — exact integers, so the
+# threshold can never flip on a float whisker between engines
+CONTAIN_NUM, CONTAIN_DEN = 9, 10
+
+
+@register(
+    "q_doc_containment",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_WORDS_DUCK} AS _words FROM corpus),
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS _shingles FROM toks),
+    expl AS (
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id, unnest(_shingles) AS s FROM sh)
+    ),
+    anchored AS (
+        SELECT doc_id,
+               min(('0x' || substr(md5(s), 1, 15))::BIGINT) AS anchor,
+               list(s) AS shingles,
+               count(*) AS n
+        FROM expl GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+                   AS n_common,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+        FROM anchored a JOIN anchored b
+          ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_a, n_b, n_common,
+           {fround_sql(
+               "greatest(n_common / CAST(n_a AS DOUBLE),"
+               " n_common / CAST(n_b AS DOUBLE))")} AS containment,
+           {fround_sql("n_common / CAST(n_a + n_b - n_common AS DOUBLE)")}
+               AS jaccard,
+           CASE WHEN {CONTAIN_DEN} * n_common >= {CONTAIN_NUM} * n_a
+                 AND {CONTAIN_DEN} * n_common >= {CONTAIN_NUM} * n_b
+                THEN 'mutual'
+                WHEN {CONTAIN_DEN} * n_common >= {CONTAIN_NUM} * n_a
+                THEN 'a_in_b'
+                ELSE 'b_in_a' END AS relation
+    FROM pairs
+    WHERE {CONTAIN_DEN} * n_common >= {CONTAIN_NUM} * n_a
+       OR {CONTAIN_DEN} * n_common >= {CONTAIN_NUM} * n_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment over anchor-bucketed candidates:
+    pairs where >= 90% of EITHER doc's distinct 3-gram shingles appear in
+    the other — the detector for excerpts, quotes, and boilerplate
+    supersets that symmetric Jaccard misses (a 100-word excerpt of a
+    10000-word doc has containment 1.0 but Jaccard ~0.01).  The relation
+    column types each hit: 'a_in_b' / 'b_in_a' / 'mutual' (near-identical).
+    The planted truncated near-dups surface as perfect 'b_in_a'
+    containments of their originals.
+
+    The 0.9 threshold is evaluated as 10 x n_common >= 9 x n in exact
+    integers, so hit membership is engine-stable by construction; the
+    float containment/jaccard columns are display values, rounded on both
+    sides.
+
+    Scale: identical bucketing to q_doc_ngram_jaccard (min-shingle-hash
+    anchor, one doc_id-keyed shuffle of distinct shingle sets, keyed
+    bucket join — never a cross product).  A subset's anchor survives in
+    its superset unless the minimum shingle itself was cut, so excerpt
+    recall tracks (n-cut)/n; production stacks more anchor bands exactly
+    like the MinHash path."""
+    rows = _shingle_rows(_near_corpus(spark, sf_dir))
+    anchored = (
+        rows.select(
+            "doc_id",
+            "s",
+            F.expr("cast(conv(substr(md5(s), 1, 15), 16, 10) AS bigint)").alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min("h").alias("anchor"),
+            F.collect_set("s").alias("shingles"),
+        )
+        .withColumn("n", F.size("shingles").cast("long"))
+    )
+    a = anchored.alias("a")
+    b = anchored.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.anchor") == F.col("b.anchor"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.array_intersect("a.shingles", "b.shingles"))
+        .cast("long")
+        .alias("n_common"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    hit_a = CONTAIN_DEN * F.col("n_common") >= CONTAIN_NUM * F.col("n_a")
+    hit_b = CONTAIN_DEN * F.col("n_common") >= CONTAIN_NUM * F.col("n_b")
+    return (
+        pairs.filter(hit_a | hit_b)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            fround(
+                F.greatest(
+                    F.col("n_common") / F.col("n_a").cast("double"),
+                    F.col("n_common") / F.col("n_b").cast("double"),
+                ),
+                4,
+            ).alias("containment"),
+            fround(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+            F.when(hit_a & hit_b, "mutual")
+            .when(hit_a, "a_in_b")
+            .otherwise("b_in_a")
+            .alias("relation"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

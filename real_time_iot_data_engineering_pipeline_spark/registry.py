@@ -195,6 +195,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_also_bought",
     "q_ctr_wilson",
     "q_hill_tail",
+    "q_doc_containment",
 )
 
 

@@ -179,3 +179,46 @@ def test_simhash_pairs_plan_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_detects_planted_excerpts(spark, sf_dir):
+    """Planted truncated near-dups (last two words cut) are exact shingle
+    SUBSETS of their originals: every detected planted pair must show
+    n_common == n_b (the subset side fully contained, containment 1.0)
+    and never classify as 'a_in_b'; detection recall over the planted
+    population must be high (anchor survives unless the min shingle was
+    in the cut tail)."""
+    from real_time_iot_data_engineering_pipeline_spark.queries.text import (
+        CONTAIN_DEN,
+        CONTAIN_NUM,
+        q_doc_containment,
+    )
+
+    rows = q_doc_containment(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            CONTAIN_DEN * r.n_common >= CONTAIN_NUM * r.n_a
+            or CONTAIN_DEN * r.n_common >= CONTAIN_NUM * r.n_b
+        )
+        assert r.n_common <= min(r.n_a, r.n_b)
+    planted = [r for r in rows if r.doc_b == r.doc_a + 200000]
+    assert planted, "no planted excerpt pair detected at all"
+    for r in planted:
+        assert r.n_common == r.n_b, (r.doc_a, r.doc_b)  # exact subset
+        assert r.relation in ("mutual", "b_in_a")
+        assert r.containment == 1.0
+    # recall over originals long enough to shingle after truncation
+    import os
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    eligible = sum(
+        1
+        for doc_id, text in zip(docs["doc_id"], docs["text"])
+        if doc_id % 10 == 0
+        and len(re.split(r"\s+", text.strip())) - 2 >= 3  # >=1 shingle left
+    )
+    assert len(planted) >= 0.8 * eligible
