@@ -23,6 +23,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -257,6 +258,104 @@ def zscore_stream(
         _zscore(threshold, min_obs),
         outputStructType=ZSCORE_OUTPUT_SCHEMA,
         stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (Misra-Gries summaries per hash bucket)
+# ---------------------------------------------------------------------------
+
+HH_BUCKETS = 8  # parallelism of the summary state; keys hash-partition
+HH_CAPACITY = 8  # counters per bucket: error <= bucket_processed / capacity
+
+HH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("key", T.LongType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("processed", T.LongType()),
+    ]
+)
+
+HH_STATE_SCHEMA = "keys array<bigint>, counts array<bigint>, processed bigint"
+
+
+def _misra_gries(capacity: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        if state.exists:
+            keys, counts, processed = state.get
+            summary = dict(zip(list(keys), list(counts)))
+        else:
+            summary, processed = {}, 0
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for k in rows["key"]:
+            k = int(k)
+            processed += 1
+            if k in summary:
+                summary[k] += 1
+            elif len(summary) < capacity:
+                summary[k] = 1
+            else:  # decrement-all: the Misra-Gries eviction step
+                summary = {
+                    kk: c - 1 for kk, c in summary.items() if c - 1 > 0
+                }
+        ks = sorted(summary)
+        state.update((ks, [summary[k] for k in ks], processed))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * len(ks),
+                "key": ks,
+                "est_count": [summary[k] for k in ks],
+                "processed": [processed] * len(ks),
+            }
+        )
+
+    return fn
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    buckets: int = HH_BUCKETS,
+    capacity: int = HH_CAPACITY,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming frequent-key detection with bounded memory: the batch twin
+    (queries/behavior.py::q_heavy_hitters) counts exactly; a stream over an
+    unbounded key domain cannot.  Keys hash-partition into `buckets`
+    deterministic groups, and each group's GroupState carries a Misra-Gries
+    summary of `capacity` counters folded across micro-batches.  Because a
+    key always lands in the same bucket, bucket summaries are DISJOINT and
+    the global answer is their plain union (the classic mergeable-summaries
+    property), with the per-bucket deterministic guarantee
+    true_count - est_count <= bucket_processed / capacity and every key
+    above that bound guaranteed present — golden-tested across batch
+    boundaries in tests/test_stateful.py.
+
+    Scale: state is <= capacity (key, count) pairs per bucket — constant
+    memory regardless of stream length or key cardinality; each micro-batch
+    shuffles once on the bucket id, and `buckets` sets the shuffle
+    parallelism of the summary stage independently of key skew (a hot key
+    cannot overload a bucket beyond its row share, since the fold is
+    O(rows))."""
+    keyed = events.withWatermark("ts", watermark_delay).select(
+        F.col("ts"),
+        F.col("event_id"),
+        F.col(key_col).cast("long").alias("key"),
+        (F.pmod(F.hash(F.col(key_col)), F.lit(buckets))).alias("bucket"),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _misra_gries(capacity),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -206,3 +206,74 @@ def test_zscore_stream_welford_state_and_anomaly_exclusion(spark, tmp_path):
     exp_z8 = (11.0 - mean) / (m2 / (n - 1)) ** 0.5
     assert rows[8].n_seen == 6  # 90.0 never entered the baseline
     assert abs(rows[8].z - exp_z8) < 1e-9 and not rows[8].is_anomaly
+
+
+def test_heavy_hitters_stream_misra_gries_guarantee(spark, tmp_path):
+    """Per-bucket Misra-Gries folded ACROSS micro-batches must honor the
+    deterministic sketch bound: for every key,
+    true_count - est <= bucket_processed / capacity, every key above the
+    bound is PRESENT in the final summary, and bucket summaries are
+    disjoint (a key never appears in two buckets)."""
+    from collections import Counter
+
+    from real_time_iot_data_engineering_pipeline_spark.streaming.stateful import (
+        HH_CAPACITY,
+        heavy_hitters_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # skewed stream: key 1 floods, keys 2-9 trickle; split across 2 batches
+    batch0 = [1] * 20 + [2, 3, 4, 5, 6, 7, 8, 9] + [1] * 10
+    batch1 = [1] * 25 + [2, 2, 3, 3] + [10, 11, 12] + [1] * 5
+    eid = 0
+    for seq, keys in enumerate((batch0, batch1)):
+        rows = []
+        for k in keys:
+            rows.append(
+                ev(eid, f"2024-01-15 10:{seq:02d}:{eid % 60:02d}", user_id=k, value=1.0)
+            )
+            eid += 1
+        write_file(str(src), f"f{seq}.json", rows, seq=seq)
+    out = heavy_hitters_stream(
+        parse_event_stream(read_event_file_stream(spark, str(src)))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    all_rows = spark.sql("SELECT * FROM hh_out").collect()
+    # keep only each bucket's FINAL summary (largest processed)
+    final_processed = {}
+    for r in all_rows:
+        final_processed[r.bucket] = max(
+            final_processed.get(r.bucket, 0), r.processed
+        )
+    final = [
+        r for r in all_rows if r.processed == final_processed[r.bucket]
+    ]
+    truth = Counter(batch0 + batch1)
+    # bucket assignment must be a function of the key (disjoint summaries)
+    bucket_of = {}
+    for r in final:
+        assert bucket_of.setdefault(r.key, r.bucket) == r.bucket
+    est = {r.key: r.est_count for r in final}
+    for k, true_n in truth.items():
+        if k in bucket_of:
+            bound = final_processed[bucket_of[k]] / HH_CAPACITY
+        else:
+            bound = max(final_processed.values()) / HH_CAPACITY
+        # MG never overestimates, and underestimates by at most the bound
+        if k in est:
+            assert est[k] <= true_n
+            assert true_n - est[k] <= bound
+        else:
+            assert true_n <= bound, (k, true_n, bound)
+    # the flood key must be detected with a dominant count
+    assert est.get(1, 0) >= truth[1] - max(final_processed.values()) / HH_CAPACITY
+    assert est.get(1, 0) == max(est.values())
