@@ -1502,3 +1502,118 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash detector scorecard (planted near-dups vs background separation)
+# ---------------------------------------------------------------------------
+
+_SIM_NEAR_SIGS_DUCK = f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_WORDS_DUCK} AS _words FROM corpus),
+    expl AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT AS h1,
+               ('0x' || substr(md5(w), 16, 1))::BIGINT AS h2
+        FROM (SELECT doc_id, unnest(_words) AS w FROM toks)
+    ),
+    votes AS (
+        SELECT doc_id, count(*) AS n, {_SIM_SUMS_DUCK} FROM expl GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {_SIM_BANDS_DUCK} FROM votes)
+"""
+
+
+@register(
+    "q_simhash_eval",
+    oracle=f"""
+    {_SIM_NEAR_SIGS_DUCK},
+    planted AS (
+        SELECT {_SIM_HAMMING_DUCK} AS ham
+        FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 200000
+    ),
+    background AS (
+        SELECT {_SIM_HAMMING_DUCK} AS ham
+        FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 10
+        WHERE a.doc_id % 10 = 0 AND a.doc_id < 100000
+          AND b.doc_id < 100000
+    )
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM planted) AS n_planted,
+        (SELECT CAST(sum(CASE WHEN ham <= {SIMHASH_HAM_MAX} THEN 1 ELSE 0 END)
+             AS BIGINT) FROM planted) AS n_within_band,
+        (SELECT {fround_sql(
+            f"sum(CASE WHEN ham <= {SIMHASH_HAM_MAX} THEN 1 ELSE 0 END)"
+            " / CAST(count(*) AS DOUBLE)", 4)} FROM planted) AS recall,
+        (SELECT {fround_sql("avg(ham)", 4)} FROM planted) AS mean_ham_planted,
+        (SELECT {fround_sql("avg(ham)", 4)} FROM background)
+            AS mean_ham_background
+    """,
+)
+def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scorecard for the SimHash detector against the corpus's planted
+    truncated near-duplicates (every 10th doc minus its last two words):
+    recall at the hamming <= {SIMHASH_HAM_MAX} band q_simhash_pairs
+    reports, plus the mean Hamming distance of planted pairs vs a
+    deterministic background sample of unrelated pairs — the separation
+    that tells a curator whether the 64-bit signature distinguishes
+    near-dups from noise on THIS corpus, the same role q_minhash_eval and
+    q_ann_recall play for the MinHash and embedding-LSH detectors.
+
+    Scale: one signature aggregation over the corpus (identical plan to
+    q_doc_simhash), then two key-equi joins on derived doc ids — planted
+    pairs by construction offset, background by a fixed stride — each
+    shuffling only 4 ints per doc; the five summary scalars ride
+    single-row subquery aggregates."""
+    corpus = _near_corpus(spark, sf_dir).withColumn("_words", F.expr(_WORDS_SPARK))
+    words = corpus.select("doc_id", F.explode("_words").alias("w")).select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(w), 1, 15), 16, 10) AS bigint)").alias("h1"),
+        F.expr("cast(conv(substr(md5(w), 16, 1), 16, 10) AS bigint)").alias("h2"),
+    )
+    votes = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.expr(_bit_spark(i))).alias(f"s{i}") for i in range(64)],
+    )
+    sigs = votes.select(
+        "doc_id",
+        *[
+            F.expr(f"cast({_sim_band_expr(k)} as bigint)").alias(f"b{k}")
+            for k in range(SIMHASH_BANDS)
+        ],
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = sum(
+        F.expr(f"bit_count(a.b{k} ^ b.b{k})") for k in range(SIMHASH_BANDS)
+    ).alias("ham")
+    planted = a.join(
+        b, F.col("b.doc_id") == F.col("a.doc_id") + 200000
+    ).select(ham)
+    background = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 10)
+        .filter(
+            (F.col("a.doc_id") % 10 == 0)
+            & (F.col("a.doc_id") < 100000)
+            & (F.col("b.doc_id") < 100000)
+        )
+        .select(ham)
+    )
+    within = F.sum(
+        F.when(F.col("ham") <= SIMHASH_HAM_MAX, 1).otherwise(0)
+    )
+    p = planted.agg(
+        F.count("*").cast("long").alias("n_planted"),
+        within.cast("long").alias("n_within_band"),
+        fround(within / F.count("*").cast("double"), 4).alias("recall"),
+        fround(F.avg("ham"), 4).alias("mean_ham_planted"),
+    )
+    bg = background.agg(
+        fround(F.avg("ham"), 4).alias("mean_ham_background")
+    )
+    return p.crossJoin(F.broadcast(bg)).select(
+        "n_planted",
+        "n_within_band",
+        "recall",
+        "mean_ham_planted",
+        "mean_ham_background",
+    )

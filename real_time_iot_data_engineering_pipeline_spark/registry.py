@@ -196,6 +196,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_ctr_wilson",
     "q_hill_tail",
     "q_doc_containment",
+    "q_simhash_eval",
 )
 
 

@@ -222,3 +222,26 @@ def test_containment_detects_planted_excerpts(spark, sf_dir):
         and len(re.split(r"\s+", text.strip())) - 2 >= 3  # >=1 shingle left
     )
     assert len(planted) >= 0.8 * eligible
+
+
+def test_simhash_eval_scorecard_bars(spark, sf_dir):
+    """The SimHash scorecard must count every planted truncated pair,
+    show strong signature separation (planted pairs many times closer
+    than background), and keep its own internal consistency."""
+    import os
+
+    import pandas as pd
+
+    from real_time_iot_data_engineering_pipeline_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_tenth = int((docs["doc_id"] % 10 == 0).sum())
+    row = registry.QUERIES["q_simhash_eval"](spark, sf_dir).head()
+    assert row.n_planted == n_tenth
+    assert 0 < row.n_within_band <= row.n_planted
+    assert abs(row.recall - round(row.n_within_band / row.n_planted, 4)) < 1e-9
+    # dropping 2 trailing words moves a few bits; unrelated docs ~32/2
+    assert row.mean_ham_planted < 8
+    assert row.mean_ham_background > 15
+    assert row.mean_ham_background > 3 * row.mean_ham_planted
