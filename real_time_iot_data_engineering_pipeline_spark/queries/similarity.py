@@ -1398,3 +1398,154 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > OUTLIER_Z)
         .orderBy("label", "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-embedding (Matryoshka-style) retrieval evaluation
+# ---------------------------------------------------------------------------
+
+HALF_DIM = DIM // 2
+
+_NORM_H_DUCK = (
+    f"sqrt(list_sum(list_transform(generate_series(1, {HALF_DIM}), "
+    "i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))"
+)
+_DOT_H_DUCK = (
+    f"list_sum(list_transform(generate_series(1, {HALF_DIM}), "
+    "i -> q.q_emb[i] * c.c_emb[i]))"
+)
+_NORM_H_SPARK = (
+    f"sqrt(aggregate(slice(transform(embedding, x -> cast(x AS double)), 1, {HALF_DIM}), "
+    "cast(0 AS double), (acc, x) -> acc + x * x))"
+)
+_DOT_H_SPARK = (
+    f"aggregate(zip_with(slice(q_emb, 1, {HALF_DIM}), slice(c_emb, 1, {HALF_DIM}), "
+    "(x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "q_embed_truncation_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> x::DOUBLE) AS q_emb,
+               {_NORM_DUCK} AS q_norm, {_NORM_H_DUCK} AS q_norm_h
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding, x -> x::DOUBLE) AS c_emb,
+               {_NORM_DUCK} AS c_norm, {_NORM_H_DUCK} AS c_norm_h
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               {_DOT_DUCK} / (q.q_norm * c.c_norm) AS cos_full,
+               {_DOT_H_DUCK} / (q.q_norm_h * c.c_norm_h) AS cos_half
+        FROM q, c WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_full DESC, neighbor_id) AS rf,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_half DESC, neighbor_id) AS rh
+        FROM scored
+    )
+    SELECT f.query_id,
+           f.neighbor_id AS full_top1,
+           h.neighbor_id AS half_top1,
+           f.neighbor_id = h.neighbor_id AS agree,
+           CAST(hf.rf AS BIGINT) AS half_top1_full_rank,
+           {fround_sql("f.cos_full - f.cos_half")} AS delta_cos_top1
+    FROM ranked f
+    JOIN ranked h ON h.query_id = f.query_id AND h.rh = 1
+    JOIN ranked hf ON hf.query_id = f.query_id
+                  AND hf.neighbor_id = h.neighbor_id
+    WHERE f.rf = 1
+    ORDER BY f.query_id
+    """,
+)
+def q_embed_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: re-run exact top-1 cosine
+    retrieval with only the first {HALF_DIM} of {DIM} dimensions and
+    report, per query, whether the half-dim top-1 agrees with the
+    full-dim top-1, what FULL rank the half-dim winner really holds, and
+    how much the true top-1's cosine shifts under truncation — the table
+    read before shipping truncated embeddings to cut an ANN index's
+    memory in half.
+
+    Scale: one broadcast-query scan of the corpus scores BOTH metrics in
+    a single pass (no second corpus read); the two rank windows and the
+    three self-joins all run over the scored candidate rows of the tiny
+    query batch.  At index scale the corpus side would be the LSH/IVF
+    candidate set, same plan."""
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(_EMB_D_SPARK).alias("q_emb"),
+            F.expr(_NORM_SPARK).alias("q_norm"),
+            F.expr(_NORM_H_SPARK).alias("q_norm_h"),
+        )
+    )
+    c = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(_EMB_D_SPARK).alias("c_emb"),
+        F.expr(_NORM_SPARK).alias("c_norm"),
+        F.expr(_NORM_H_SPARK).alias("c_norm_h"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.expr(_DOT_SPARK) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos_full"
+            ),
+            (
+                F.expr(_DOT_H_SPARK)
+                / (F.col("q_norm_h") * F.col("c_norm_h"))
+            ).alias("cos_half"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), "neighbor_id"
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_half"), "neighbor_id"
+    )
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rh", F.row_number().over(wh)
+    )
+    f = ranked.filter(F.col("rf") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("full_top1"),
+        fround(F.col("cos_full") - F.col("cos_half"), 4).alias(
+            "delta_cos_top1"
+        ),
+    )
+    h = ranked.filter(F.col("rh") == 1).select(
+        "query_id", F.col("neighbor_id").alias("half_top1")
+    )
+    hf = ranked.select(
+        "query_id",
+        F.col("neighbor_id").alias("half_top1"),
+        F.col("rf").cast("long").alias("half_top1_full_rank"),
+    )
+    return (
+        f.join(h, "query_id")
+        .join(hf, ["query_id", "half_top1"])
+        .select(
+            "query_id",
+            "full_top1",
+            "half_top1",
+            (F.col("full_top1") == F.col("half_top1")).alias("agree"),
+            "half_top1_full_rank",
+            "delta_cos_top1",
+        )
+        .orderBy("query_id")
+    )

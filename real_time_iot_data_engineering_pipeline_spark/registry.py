@@ -197,6 +197,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_hill_tail",
     "q_doc_containment",
     "q_simhash_eval",
+    "q_embed_truncation_eval",
 )
 
 

@@ -247,3 +247,46 @@ class TestPqCodes:
             total_mse += mse / 64.0
         single = float(((mat - seeds[0]) ** 2).sum(axis=1).mean()) / 64.0
         assert total_mse / len(ids) < single
+
+
+class TestTruncationEval:
+    def test_matches_numpy_recompute(self, spark, sf_dir):
+        import os
+
+        import numpy as np
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.similarity import (
+            HALF_DIM,
+            N_QUERIES,
+        )
+
+        emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        ids = emb["vec_id"].to_numpy()
+        by_id = {int(v): M[i] for i, v in enumerate(ids)}
+        rows = {
+            r.query_id: r
+            for r in registry.QUERIES["q_embed_truncation_eval"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert len(rows) == N_QUERIES
+        for qid in range(N_QUERIES):
+            qv = by_id[qid]
+            cands = [(int(v), by_id[int(v)]) for v in ids if int(v) != qid]
+
+            def top1(d):
+                def cos(v):
+                    a, b = qv[:d], v[:d]
+                    return float(
+                        a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+                    )
+
+                return min(cands, key=lambda iv: (-cos(iv[1]), iv[0]))[0]
+
+            r = rows[qid]
+            assert r.full_top1 == top1(len(qv))
+            assert r.half_top1 == top1(HALF_DIM)
+            assert r.agree == (r.full_top1 == r.half_top1)
+            assert (r.half_top1_full_rank == 1) == r.agree
