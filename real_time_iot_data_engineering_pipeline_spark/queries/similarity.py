@@ -1549,3 +1549,185 @@ def q_embed_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization retrieval evaluation
+# ---------------------------------------------------------------------------
+
+_BQ_BANDS = 4
+_BQ_BITS = DIM // _BQ_BANDS  # 16 sign bits per band integer
+
+
+def _sign_band(col: str, k: int, idx) -> str:
+    """Band k of the sign-bit signature as one integer; idx(i) renders the
+    1-based element access for the engine ('embedding[i]' / element_at)."""
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN {idx(col, _BQ_BITS * k + j + 1)} > 0"
+            f" THEN {1 << (_BQ_BITS - 1 - j)} ELSE 0 END)"
+            for j in range(_BQ_BITS)
+        )
+        + ")"
+    )
+
+
+def _bq_bands_duck(col: str) -> str:
+    return ", ".join(
+        f"CAST({_sign_band(col, k, lambda c, i: f'{c}[{i}]')} AS BIGINT)"
+        f" AS sb{k}"
+        for k in range(_BQ_BANDS)
+    )
+
+
+_BQ_HAMMING_DUCK = " + ".join(
+    f"bit_count(xor(q.qb{k}, c.cb{k}))" for k in range(_BQ_BANDS)
+)
+
+
+@register(
+    "q_embed_binary_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> x::DOUBLE) AS q_emb,
+               {_NORM_DUCK} AS q_norm,
+               {_bq_bands_duck("embedding").replace("sb", "qb")}
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding, x -> x::DOUBLE) AS c_emb,
+               {_NORM_DUCK} AS c_norm,
+               {_bq_bands_duck("embedding").replace("sb", "cb")}
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               {_DOT_DUCK} / (q.q_norm * c.c_norm) AS cos_full,
+               CAST({_BQ_HAMMING_DUCK} AS BIGINT) AS ham
+        FROM q, c WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_full DESC, neighbor_id) AS rf,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ham ASC, neighbor_id) AS rb
+        FROM scored
+    )
+    SELECT f.query_id,
+           f.neighbor_id AS full_top1,
+           b.neighbor_id AS binary_top1,
+           f.neighbor_id = b.neighbor_id AS agree,
+           CAST(bf.rf AS BIGINT) AS binary_top1_full_rank,
+           b.ham AS binary_top1_hamming,
+           CAST(f.ham AS BIGINT) AS full_top1_hamming
+    FROM ranked f
+    JOIN ranked b ON b.query_id = f.query_id AND b.rb = 1
+    JOIN ranked bf ON bf.query_id = f.query_id
+                  AND bf.neighbor_id = b.neighbor_id
+    WHERE f.rf = 1
+    ORDER BY f.query_id
+    """,
+)
+def q_embed_binary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval evaluation: collapse each {DIM}-dim
+    embedding to its sign bits (a 64x memory cut, the third member of the
+    compression trilogy after int8 q_embed_quantize and half-dim
+    q_embed_truncation_eval) and re-run top-1 retrieval by Hamming
+    distance; report per query whether the sign-bit winner matches the
+    exact-cosine winner, the full rank it actually holds, and both
+    Hamming distances — sign-bit Hamming approximates angular distance
+    (the SRP identity the LSH path already exploits), and this harness
+    measures how much of that survives quantization on THIS corpus.
+
+    Scale: sign bands fold into 4 integers per vector at scan time; the
+    broadcast-query scan scores cosine and Hamming in one pass, and the
+    Hamming compare is 4 xor+popcounts in codegen — the cheap first pass
+    a binary-index serving tier would run before exact re-scoring."""
+    sign_bands_q = [
+        F.expr(
+            f"cast({_sign_band('q_emb', k, lambda c, i: f'element_at({c}, {i})')}"
+            " as bigint)"
+        ).alias(f"qb{k}")
+        for k in range(_BQ_BANDS)
+    ]
+    sign_bands_c = [
+        F.expr(
+            f"cast({_sign_band('c_emb', k, lambda c, i: f'element_at({c}, {i})')}"
+            " as bigint)"
+        ).alias(f"cb{k}")
+        for k in range(_BQ_BANDS)
+    ]
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(_EMB_D_SPARK).alias("q_emb"),
+            F.expr(_NORM_SPARK).alias("q_norm"),
+        )
+        .select("query_id", "q_emb", "q_norm", *sign_bands_q)
+    )
+    c = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_EMB_D_SPARK).alias("c_emb"),
+            F.expr(_NORM_SPARK).alias("c_norm"),
+        )
+        .select("neighbor_id", "c_emb", "c_norm", *sign_bands_c)
+    )
+    ham = sum(
+        F.expr(f"bit_count(qb{k} ^ cb{k})") for k in range(_BQ_BANDS)
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.expr(_DOT_SPARK) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos_full"
+            ),
+            ham.cast("long").alias("ham"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), "neighbor_id"
+    )
+    wb = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    f = ranked.filter(F.col("rf") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("full_top1"),
+        F.col("ham").alias("full_top1_hamming"),
+    )
+    b = ranked.filter(F.col("rb") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("binary_top1"),
+        F.col("ham").alias("binary_top1_hamming"),
+    )
+    bf = ranked.select(
+        "query_id",
+        F.col("neighbor_id").alias("binary_top1"),
+        F.col("rf").cast("long").alias("binary_top1_full_rank"),
+    )
+    return (
+        f.join(b, "query_id")
+        .join(bf, ["query_id", "binary_top1"])
+        .select(
+            "query_id",
+            "full_top1",
+            "binary_top1",
+            (F.col("full_top1") == F.col("binary_top1")).alias("agree"),
+            "binary_top1_full_rank",
+            "binary_top1_hamming",
+            "full_top1_hamming",
+        )
+        .orderBy("query_id")
+    )

@@ -198,6 +198,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_doc_containment",
     "q_simhash_eval",
     "q_embed_truncation_eval",
+    "q_embed_binary_eval",
 )
 
 

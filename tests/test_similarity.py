@@ -290,3 +290,49 @@ class TestTruncationEval:
             assert r.half_top1 == top1(HALF_DIM)
             assert r.agree == (r.full_top1 == r.half_top1)
             assert (r.half_top1_full_rank == 1) == r.agree
+
+
+class TestBinaryQuantEval:
+    def test_matches_numpy_recompute(self, spark, sf_dir):
+        import os
+
+        import numpy as np
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.similarity import (
+            N_QUERIES,
+        )
+
+        emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        ids = emb["vec_id"].to_numpy()
+        by_id = {int(v): M[i] for i, v in enumerate(ids)}
+        bits = {k: v > 0 for k, v in by_id.items()}
+        rows = {
+            r.query_id: r
+            for r in registry.QUERIES["q_embed_binary_eval"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert len(rows) == N_QUERIES
+        for qid in range(N_QUERIES):
+            qv, qb = by_id[qid], bits[qid]
+            cands = [int(v) for v in ids if int(v) != qid]
+
+            def cos(n):
+                v = by_id[n]
+                return float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+
+            def ham(n):
+                return int((qb != bits[n]).sum())
+
+            full_top1 = min(cands, key=lambda n: (-cos(n), n))
+            binary_top1 = min(cands, key=lambda n: (ham(n), n))
+            r = rows[qid]
+            assert r.full_top1 == full_top1
+            assert r.binary_top1 == binary_top1
+            assert r.binary_top1_hamming == ham(binary_top1)
+            assert r.full_top1_hamming == ham(full_top1)
+            assert r.agree == (full_top1 == binary_top1)
+            # hamming of the hamming-winner is minimal by definition
+            assert r.binary_top1_hamming <= r.full_top1_hamming
