@@ -1539,7 +1539,7 @@ WILSON_TOP_K = 20
     ),
     wilson AS (
         SELECT user_id, n_views, n_clicks, n_trials,
-               {fround_sql("p", 6)} AS ctr,
+               {fround_sql("p", 6)} AS click_share,
                {fround_sql(
                    "(p + {z2} / (2 * n_trials)"
                    " - {z} * sqrt((p * (1 - p) + {z2} / (4 * n_trials))"
@@ -1551,7 +1551,7 @@ WILSON_TOP_K = 20
         SELECT * FROM wilson ORDER BY wilson_lb DESC, user_id
         LIMIT {WILSON_TOP_K}
     )
-    SELECT user_id, n_views, n_clicks, n_trials, ctr, wilson_lb,
+    SELECT user_id, n_views, n_clicks, n_trials, click_share, wilson_lb,
            CAST(row_number() OVER (ORDER BY wilson_lb DESC, user_id)
                AS BIGINT) AS rnk
     FROM topk
@@ -1559,10 +1559,12 @@ WILSON_TOP_K = 20
     """,
 )
 def q_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Click-through ranking by the Wilson score lower bound (z=1.96):
-    clicks over views+clicks per user, ranked by the 95% confidence lower
-    bound instead of the raw proportion — the textbook fix for "1/1 beats
-    480/1000"; top-{WILSON_TOP_K} by the bound.  Ranking orders the
+    """Click-propensity ranking by the Wilson score lower bound (z=1.96):
+    each user's share of click events among their click+view interactions
+    (named click_share, NOT ctr — views here are independent events, not
+    impressions that contain the clicks), ranked by the 95% confidence
+    lower bound instead of the raw proportion — the textbook fix for
+    "1/1 beats 480/1000"; top-{WILSON_TOP_K} by the bound.  Ranking orders the
     ROUNDED bound so placement can never flip on a float whisker between
     engines.
 
@@ -1595,7 +1597,7 @@ def q_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_views",
         "n_clicks",
         "n_trials",
-        fround(F.col("p"), 6).alias("ctr"),
+        fround(F.col("p"), 6).alias("click_share"),
         fround(
             (
                 F.col("p")

@@ -1424,6 +1424,48 @@ _DOT_H_SPARK = (
 )
 
 
+def _top1_agreement(
+    scored: DataFrame,
+    approx_order,
+    approx_name: str,
+    f_select=(),
+    b_select=(),
+) -> DataFrame:
+    """Shared skeleton of the retrieval-compression scorecards: rank the
+    scored candidates by exact cosine and by the approximate metric, then
+    line up each query's exact top-1 against the approximate top-1 (plus
+    the FULL rank the approximate winner really holds).  Used by the
+    truncation and binary-quantization evals so a tie-handling or join
+    fix in one can never miss the other.  Returns the joined frame with
+    full_top1 / {approx_name}_top1 / agree / {approx_name}_top1_full_rank
+    plus whatever extra columns the caller selected from the exact-top-1
+    (f_select) and approx-top-1 (b_select) rows."""
+    top1_col = f"{approx_name}_top1"
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), "neighbor_id"
+    )
+    wa = Window.partitionBy("query_id").orderBy(*approx_order)
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "ra", F.row_number().over(wa)
+    )
+    f = ranked.filter(F.col("rf") == 1).select(
+        "query_id", F.col("neighbor_id").alias("full_top1"), *f_select
+    )
+    b = ranked.filter(F.col("ra") == 1).select(
+        "query_id", F.col("neighbor_id").alias(top1_col), *b_select
+    )
+    bf = ranked.select(
+        "query_id",
+        F.col("neighbor_id").alias(top1_col),
+        F.col("rf").cast("long").alias(f"{approx_name}_top1_full_rank"),
+    )
+    return (
+        f.join(b, "query_id")
+        .join(bf, ["query_id", top1_col])
+        .withColumn("agree", F.col("full_top1") == F.col(top1_col))
+    )
+
+
 @register(
     "q_embed_truncation_eval",
     oracle=f"""
@@ -1512,38 +1554,22 @@ def q_embed_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_half"),
         )
     )
-    wf = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_full"), "neighbor_id"
-    )
-    wh = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_half"), "neighbor_id"
-    )
-    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
-        "rh", F.row_number().over(wh)
-    )
-    f = ranked.filter(F.col("rf") == 1).select(
-        "query_id",
-        F.col("neighbor_id").alias("full_top1"),
-        fround(F.col("cos_full") - F.col("cos_half"), 4).alias(
-            "delta_cos_top1"
-        ),
-    )
-    h = ranked.filter(F.col("rh") == 1).select(
-        "query_id", F.col("neighbor_id").alias("half_top1")
-    )
-    hf = ranked.select(
-        "query_id",
-        F.col("neighbor_id").alias("half_top1"),
-        F.col("rf").cast("long").alias("half_top1_full_rank"),
-    )
     return (
-        f.join(h, "query_id")
-        .join(hf, ["query_id", "half_top1"])
+        _top1_agreement(
+            scored,
+            (F.desc("cos_half"), "neighbor_id"),
+            "half",
+            f_select=[
+                fround(F.col("cos_full") - F.col("cos_half"), 4).alias(
+                    "delta_cos_top1"
+                )
+            ],
+        )
         .select(
             "query_id",
             "full_top1",
             "half_top1",
-            (F.col("full_top1") == F.col("half_top1")).alias("agree"),
+            "agree",
             "half_top1_full_rank",
             "delta_cos_top1",
         )
@@ -1695,36 +1721,19 @@ def q_embed_binary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.cast("long").alias("ham"),
         )
     )
-    wf = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_full"), "neighbor_id"
-    )
-    wb = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
-    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
-        "rb", F.row_number().over(wb)
-    )
-    f = ranked.filter(F.col("rf") == 1).select(
-        "query_id",
-        F.col("neighbor_id").alias("full_top1"),
-        F.col("ham").alias("full_top1_hamming"),
-    )
-    b = ranked.filter(F.col("rb") == 1).select(
-        "query_id",
-        F.col("neighbor_id").alias("binary_top1"),
-        F.col("ham").alias("binary_top1_hamming"),
-    )
-    bf = ranked.select(
-        "query_id",
-        F.col("neighbor_id").alias("binary_top1"),
-        F.col("rf").cast("long").alias("binary_top1_full_rank"),
-    )
     return (
-        f.join(b, "query_id")
-        .join(bf, ["query_id", "binary_top1"])
+        _top1_agreement(
+            scored,
+            (F.col("ham"), "neighbor_id"),
+            "binary",
+            f_select=[F.col("ham").alias("full_top1_hamming")],
+            b_select=[F.col("ham").alias("binary_top1_hamming")],
+        )
         .select(
             "query_id",
             "full_top1",
             "binary_top1",
-            (F.col("full_top1") == F.col("binary_top1")).alias("agree"),
+            "agree",
             "binary_top1_full_rank",
             "binary_top1_hamming",
             "full_top1_hamming",

@@ -1164,6 +1164,30 @@ _SIM_BAND_ROWS_DUCK = "\n        UNION ALL\n".join(
 )
 
 
+def _sim_band_sigs(corpus: DataFrame) -> DataFrame:
+    """corpus(doc_id, text, _words) -> (doc_id, b0..b3): the 64-bit
+    majority-vote SimHash as 4 x 16-bit band integers — the one signature
+    construction shared by the banded pair join (q_simhash_pairs) and the
+    scorecard (q_simhash_eval), so detector and evaluation can never
+    drift apart."""
+    words = corpus.select("doc_id", F.explode("_words").alias("w")).select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(w), 1, 15), 16, 10) AS bigint)").alias("h1"),
+        F.expr("cast(conv(substr(md5(w), 16, 1), 16, 10) AS bigint)").alias("h2"),
+    )
+    votes = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.expr(_bit_spark(i))).alias(f"s{i}") for i in range(64)],
+    )
+    return votes.select(
+        "doc_id",
+        *[
+            F.expr(f"cast({_sim_band_expr(k)} as bigint)").alias(f"b{k}")
+            for k in range(SIMHASH_BANDS)
+        ],
+    )
+
+
 @register(
     "q_simhash_pairs",
     oracle=f"""
@@ -1214,22 +1238,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash path's banded join.  Reference parity: near-dup detection
     family (generator.py duplicate taxonomy).
     """
-    corpus = _exact_corpus(spark, sf_dir).withColumn("_words", F.expr(_WORDS_SPARK))
-    words = corpus.select("doc_id", F.explode("_words").alias("w")).select(
-        "doc_id",
-        F.expr("cast(conv(substr(md5(w), 1, 15), 16, 10) AS bigint)").alias("h1"),
-        F.expr("cast(conv(substr(md5(w), 16, 1), 16, 10) AS bigint)").alias("h2"),
-    )
-    votes = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.expr(_bit_spark(i))).alias(f"s{i}") for i in range(64)],
-    )
-    sigs = votes.select(
-        "doc_id",
-        *[
-            F.expr(f"cast({_sim_band_expr(k)} as bigint)").alias(f"b{k}")
-            for k in range(SIMHASH_BANDS)
-        ],
+    sigs = _sim_band_sigs(
+        _exact_corpus(spark, sf_dir).withColumn("_words", F.expr(_WORDS_SPARK))
     )
     bands = sigs.select(
         "doc_id",
@@ -1565,22 +1575,8 @@ def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs by construction offset, background by a fixed stride — each
     shuffling only 4 ints per doc; the five summary scalars ride
     single-row subquery aggregates."""
-    corpus = _near_corpus(spark, sf_dir).withColumn("_words", F.expr(_WORDS_SPARK))
-    words = corpus.select("doc_id", F.explode("_words").alias("w")).select(
-        "doc_id",
-        F.expr("cast(conv(substr(md5(w), 1, 15), 16, 10) AS bigint)").alias("h1"),
-        F.expr("cast(conv(substr(md5(w), 16, 1), 16, 10) AS bigint)").alias("h2"),
-    )
-    votes = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.expr(_bit_spark(i))).alias(f"s{i}") for i in range(64)],
-    )
-    sigs = votes.select(
-        "doc_id",
-        *[
-            F.expr(f"cast({_sim_band_expr(k)} as bigint)").alias(f"b{k}")
-            for k in range(SIMHASH_BANDS)
-        ],
+    sigs = _sim_band_sigs(
+        _near_corpus(spark, sf_dir).withColumn("_words", F.expr(_WORDS_SPARK))
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     ham = sum(

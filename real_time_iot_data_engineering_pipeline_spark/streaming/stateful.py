@@ -50,6 +50,12 @@ def _detect(threshold: float):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed the idle deadline: evict, emit nothing —
+            # without this branch every idle key re-arms its own timeout
+            # forever and state never shrinks
+            state.remove()
+            return
         last_ts, last_value = state.get if state.exists else (None, None)
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         out = {k: [] for k in ("event_id", "ts", "value", "delta", "is_sudden_change")}
@@ -119,6 +125,12 @@ def _cusum(mu0: float, slack: float, h: float):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed the idle deadline: evict, emit nothing —
+            # without this branch every idle key re-arms its own timeout
+            # forever and state never shrinks
+            state.remove()
+            return
         s_pos, s_neg = state.get if state.exists else (0.0, 0.0)
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         out = {k: [] for k in ("event_id", "ts", "value", "s_pos", "s_neg", "alarm")}
@@ -202,6 +214,12 @@ def _zscore(threshold: float, min_obs: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed the idle deadline: evict, emit nothing —
+            # without this branch every idle key re-arms its own timeout
+            # forever and state never shrinks
+            state.remove()
+            return
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         out = {k: [] for k in ("event_id", "ts", "value", "n_seen", "z", "is_anomaly")}
@@ -210,9 +228,16 @@ def _zscore(threshold: float, min_obs: int):
             # score against the distribution BEFORE this reading — an
             # anomaly must not dilute the baseline it is judged by
             z = None
-            if n >= min_obs and m2 > 0.0:
-                z = (x - mean) / (m2 / (n - 1)) ** 0.5
-            anomaly = z is not None and abs(z) > threshold
+            anomaly = False
+            if n >= min_obs:
+                if m2 > 0.0:
+                    z = (x - mean) / (m2 / (n - 1)) ** 0.5
+                    anomaly = abs(z) > threshold
+                else:
+                    # constant baseline (stuck sensor): ANY deviation is an
+                    # alarm — an unbounded spike must not slip through with
+                    # a null z and then poison the moments
+                    anomaly = x != mean
             out["event_id"].append(int(r["event_id"]))
             out["ts"].append(r["ts"])
             out["value"].append(x)
@@ -289,6 +314,12 @@ def _misra_gries(capacity: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (bucket,) = key
+        if state.hasTimedOut:
+            # watermark passed the idle deadline: evict, emit nothing —
+            # without this branch every idle key re-arms its own timeout
+            # forever and state never shrinks
+            state.remove()
+            return
         if state.exists:
             keys, counts, processed = state.get
             summary = dict(zip(list(keys), list(counts)))
@@ -346,11 +377,15 @@ def heavy_hitters_stream(
     parallelism of the summary stage independently of key skew (a hot key
     cannot overload a bucket beyond its row share, since the fold is
     O(rows))."""
-    keyed = events.withWatermark("ts", watermark_delay).select(
+    keyed = (
+        events.withWatermark("ts", watermark_delay)
+        .filter(F.col(key_col).isNotNull())
+        .select(
         F.col("ts"),
         F.col("event_id"),
         F.col(key_col).cast("long").alias("key"),
-        (F.pmod(F.hash(F.col(key_col)), F.lit(buckets))).alias("bucket"),
+            (F.pmod(F.hash(F.col(key_col)), F.lit(buckets))).alias("bucket"),
+        )
     )
     return keyed.groupBy("bucket").applyInPandasWithState(
         _misra_gries(capacity),

@@ -554,5 +554,5 @@ class TestCtrWilson:
             assert r.user_id == uid
             assert (r.n_views, r.n_clicks, r.n_trials) == (v, c, n)
             assert abs(r.wilson_lb - lb) < 1e-12
-            assert r.wilson_lb <= r.ctr + 1e-12  # LB never exceeds the MLE
+            assert r.wilson_lb <= r.click_share + 1e-12  # LB never exceeds the MLE
         assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))

@@ -277,3 +277,87 @@ def test_heavy_hitters_stream_misra_gries_guarantee(spark, tmp_path):
     # the flood key must be detected with a dominant count
     assert est.get(1, 0) >= truth[1] - max(final_processed.values()) / HH_CAPACITY
     assert est.get(1, 0) == max(est.values())
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the state-fold functions
+    directly (timeout paths can't be reached deterministically through a
+    real stream without hours of watermark choreography)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+
+def test_timed_out_state_is_evicted_not_rearmed():
+    """On an event-time timeout every stateful operator must REMOVE its
+    state and emit nothing — re-arming would keep dead keys alive (and
+    Misra-Gries would re-emit duplicate summaries) forever."""
+    import pandas as pd
+
+    from real_time_iot_data_engineering_pipeline_spark.streaming import (
+        stateful as st,
+    )
+
+    folds = [
+        (st._detect(20.0), (pd.Timestamp("2024-01-15"), 1.0)),
+        (st._cusum(50.0, 2.0, 30.0), (0.0, 5.0)),
+        (st._zscore(3.0, 5), (6, 10.0, 1.0)),
+        (st._misra_gries(8), ([1, 2], [3, 4], 7)),
+    ]
+    for fn, old in folds:
+        state = _FakeState(value=old, timed_out=True)
+        out = list(fn((1,), iter([]), state))
+        assert out == [], fn
+        assert state.removed
+        assert state.updated is None  # never re-armed
+
+
+def test_zscore_constant_baseline_flags_any_deviation():
+    """A zero-variance (stuck-sensor) baseline must alarm on ANY deviating
+    reading instead of passing it with a null z and folding the spike
+    into the moments."""
+    import pandas as pd
+
+    from real_time_iot_data_engineering_pipeline_spark.streaming.stateful import (
+        _zscore,
+    )
+
+    fn = _zscore(3.0, 5)
+    batch = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-15 10:00:00", "2024-01-15 10:00:01"]),
+            "value": [500.0, 10.0],
+        }
+    )
+    # state: six identical 10.0 readings seen -> n=6, mean=10, m2=0
+    state = _FakeState(value=(6, 10.0, 0.0))
+    (out,) = list(fn((1,), iter([batch]), state))
+    rows = {int(r["event_id"]): r for _, r in out.iterrows()}
+    assert rows[1]["is_anomaly"] and rows[1]["z"] is None
+    assert not rows[2]["is_anomaly"]  # back on the constant baseline
+    n, mean, m2 = state.updated
+    assert (n, mean, m2) == (7, 10.0, 0.0)  # spike never entered the moments
