@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fround, fround_sql
-from ..registry import register
+from ..registry import ORACLES, register
 from ..sources import load_table
 
 # ---------------------------------------------------------------------------
@@ -412,3 +412,68 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing-efficiency report: how well did sequence packing fill its budget?
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = ORACLES["q_sequence_pack"]
+
+
+@register(
+    "q_pack_efficiency",
+    oracle=f"""
+    WITH packed AS ({_PACK_ORACLE}),
+    per_shard AS (
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(seq_in_shard) + 1 AS BIGINT) AS n_seqs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM packed GROUP BY shard
+    )
+    SELECT shard, n_docs, n_seqs, total_tokens,
+           CAST(n_seqs * {PACK_TOKENS} AS BIGINT) AS capacity,
+           {fround_sql(
+               "total_tokens / CAST(n_seqs * {p} AS DOUBLE)", 6).format(
+                   p=PACK_TOKENS)} AS utilization,
+           {fround_sql("total_tokens / CAST(n_docs AS DOUBLE)", 2)}
+               AS mean_doc_tokens
+    FROM per_shard
+    ORDER BY shard
+    """,
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efficiency report over the REGISTERED packing assignment
+    (q_sequence_pack): per shard, how many training sequences the packer
+    opened, the token mass that landed in them, and utilization against
+    the {PACK_TOKENS}-token budget — the number a training-data team
+    watches to decide whether to enable doc splitting or change shard
+    ordering (utilization ~1 means tight packing; the open tail sequence
+    of each shard is the structural waste).  Composed on the registered
+    operator so the report can never drift from the packing it describes.
+
+    Scale: one partial aggregate over the packing output keyed by shard —
+    report cardinality is #shards (metadata scale), and the packing
+    itself already bounded its window state per shard."""
+    packed = q_sequence_pack(spark, sf_dir)
+    per_shard = packed.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.max("seq_in_shard") + 1).cast("long").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "n_seqs",
+        "total_tokens",
+        (F.col("n_seqs") * PACK_TOKENS).cast("long").alias("capacity"),
+        fround(
+            F.col("total_tokens")
+            / (F.col("n_seqs") * PACK_TOKENS).cast("double"),
+            6,
+        ).alias("utilization"),
+        fround(
+            F.col("total_tokens") / F.col("n_docs").cast("double"), 2
+        ).alias("mean_doc_tokens"),
+    ).orderBy("shard")

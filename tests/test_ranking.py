@@ -133,3 +133,33 @@ class TestQualityContracts:
             # p05/p95 exact bounds clip at most ~10% (+ slack for ties
             # and the 4dp output rounding at tiny per-type counts)
             assert clipped_by_type[t] <= 0.12 * n + 2, t
+
+
+class TestPackEfficiency:
+    def test_consistent_with_packing_assignment(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.prep import (
+            PACK_TOKENS,
+        )
+
+        packed = registry.QUERIES["q_sequence_pack"](spark, sf_dir).collect()
+        stats = defaultdict(lambda: [0, 0, 0])  # docs, max_seq, tokens
+        for r in packed:
+            st = stats[r.shard]
+            st[0] += 1
+            st[1] = max(st[1], r.seq_in_shard)
+            st[2] += r.n_tokens
+        rows = registry.QUERIES["q_pack_efficiency"](spark, sf_dir).collect()
+        assert {r.shard for r in rows} == set(stats)
+        for r in rows:
+            docs, max_seq, tokens = stats[r.shard]
+            assert (r.n_docs, r.n_seqs, r.total_tokens) == (
+                docs,
+                max_seq + 1,
+                tokens,
+            )
+            assert r.capacity == r.n_seqs * PACK_TOKENS
+            # packing never wastes more than one open sequence per shard
+            assert r.total_tokens > (r.n_seqs - 1) * PACK_TOKENS
+            assert 0 < r.utilization <= 1.5
