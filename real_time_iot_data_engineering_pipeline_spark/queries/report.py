@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fround, fround_sql
-from ..registry import register
+from ..registry import ORACLES, register
 from ..sources import load_table
 from .text import _QUALITY_EXPR_DUCK, _WORDS_SPARK, quality_score_col
 
@@ -1031,3 +1031,87 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res.orderBy("join_name")
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling: materialize the reweighted training mix
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = ORACLES["q_mixture_weights"]
+# md5-derived per-doc draw in [0, 10000) — the train/test-split idiom, so
+# the draw is engine-portable and independent of the source column
+_DRAW_DUCK = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000"
+)
+_DRAW_SPARK = (
+    "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)"
+    " % 10000"
+)
+
+
+@register(
+    "q_mixture_sample",
+    oracle=f"""
+    WITH mix AS ({_MIX_ORACLE}),
+    drawn AS (
+        SELECT d.source,
+               len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens,
+               CASE WHEN {_DRAW_DUCK}
+                     < CAST(floor(mix.sample_rate * 10000 + 0.5) AS BIGINT)
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents d JOIN mix ON d.source = mix.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(kept * n_tokens) AS BIGINT) AS kept_tokens,
+           {fround_sql("sum(kept) / CAST(count(*) AS DOUBLE)")}
+               AS realized_rate
+    FROM drawn
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the training mixture the reweighting step prescribed:
+    each document draws a deterministic md5 value in [0, 10000) and
+    survives iff it falls under its source's q_mixture_weights
+    sample_rate — the actual downsampling pass that turns mixture math
+    into a training corpus, reported per source (docs kept, token mass
+    kept, realized rate vs target).  Composed on the registered weights
+    so the sample can never drift from the prescription; the threshold
+    comparison is integer-exact on the 4dp rate, so keep/drop membership
+    is engine-stable.
+
+    Scale: the weights table is #sources rows and broadcasts onto the
+    corpus scan; the draw is one md5 per doc computed in codegen; the
+    summary is a source-keyed partial agg.  The corpus is read once and
+    never shuffles (per-doc keep flags would stream straight to the
+    training sink)."""
+    mix = q_mixture_weights(spark, sf_dir).select("source", "sample_rate")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.expr(_DRAW_SPARK).alias("draw"),
+    )
+    drawn = docs.join(F.broadcast(mix), "source").withColumn(
+        "kept",
+        (
+            F.col("draw")
+            < F.floor(F.col("sample_rate") * 10000 + 0.5).cast("long")
+        ).cast("int"),
+    )
+    return (
+        drawn.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_tokens"))
+            .cast("long")
+            .alias("kept_tokens"),
+            fround(
+                F.sum("kept") / F.count("*").cast("double"), 4
+            ).alias("realized_rate"),
+        )
+        .orderBy("source")
+    )

@@ -200,6 +200,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_embed_truncation_eval",
     "q_embed_binary_eval",
     "q_pack_efficiency",
+    "q_mixture_sample",
 )
 
 

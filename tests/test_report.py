@@ -306,3 +306,28 @@ class TestJoinCardinality:
                 .join(right[rk].value_counts().to_frame("cb"), how="inner")
             )
             assert r.hot_key_rows == int((prod["ca"] * prod["cb"]).max())
+
+
+class TestMixtureSample:
+    def test_realized_rates_track_prescription(self, spark, sf_dir):
+        """Every source's realized keep-rate must track its prescribed
+        sample_rate (25 docs/source -> the md5 draw can deviate by a few
+        draws, never systematically), the most over-represented source
+        keeps everything, and kept token mass is consistent."""
+        weights = {
+            r.source: r.sample_rate
+            for r in registry.QUERIES["q_mixture_weights"](
+                spark, sf_dir
+            ).collect()
+        }
+        rows = registry.QUERIES["q_mixture_sample"](spark, sf_dir).collect()
+        assert {r.source for r in rows} == set(weights)
+        for r in rows:
+            rate = weights[r.source]
+            assert 0 <= r.n_kept <= r.n_docs
+            # binomial-ish deviation bound for n=25 deterministic draws
+            assert abs(r.realized_rate - rate) <= 0.25
+            if rate == 1.0:
+                assert r.n_kept == r.n_docs
+            if r.n_kept == 0:
+                assert r.kept_tokens == 0
