@@ -57,6 +57,7 @@ class TopologyResult:
         drift: DriftMonitorSink | None = None,
         cusum_dir: str | None = None,
         zscore_dir: str | None = None,
+        flood_dir: str | None = None,
     ):
         self.spark = spark
         self.aggregates = agg_sink
@@ -66,6 +67,7 @@ class TopologyResult:
         self.drift = drift
         self.cusum_dir = cusum_dir
         self.zscore_dir = zscore_dir
+        self.flood_dir = flood_dir
 
     def read_cusum(self) -> DataFrame:
         assert self.cusum_dir is not None
@@ -74,6 +76,10 @@ class TopologyResult:
     def read_zscore(self) -> DataFrame:
         assert self.zscore_dir is not None
         return self.spark.read.parquet(self.zscore_dir + "/epoch=*")
+
+    def read_flood(self) -> DataFrame:
+        assert self.flood_dir is not None
+        return self.spark.read.parquet(self.flood_dir + "/epoch=*")
 
     def read_dlq(self) -> DataFrame:
         return self.spark.read.parquet(self.dlq_dir + "/epoch=*")
@@ -97,6 +103,7 @@ def run_topology(
     drift_reference: DataFrame | None = None,
     cusum_mu0: float | None = None,
     with_zscore_gate: bool = False,
+    with_flood_detector: bool = False,
 ) -> TopologyResult:
     """Drain source_dir through the full validate->route->dedup->window->
     upsert topology with Trigger.AvailableNow on both branches.
@@ -274,6 +281,30 @@ def run_topology(
             start(scored, "topology-zscore", write_zscore, mode="append")
         )
 
+    # optional flood-detector branch: bounded-memory Misra-Gries heavy
+    # hitters per hash bucket (streaming/stateful.py) — the live twin of
+    # the batch q_heavy_hitters flood/hot-key report
+    flood_dir = None
+    if with_flood_detector:
+        from .stateful import heavy_hitters_stream
+
+        flood_dir = os.path.join(out_dir, "flood")
+        summaries = heavy_hitters_stream(
+            validated.filter("is_valid").drop(
+                "failure_reasons", "is_valid", CORRUPT_COL
+            )
+        )
+
+        def write_flood(batch_df: DataFrame, epoch_id: int) -> None:
+            if not batch_df.isEmpty():
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(flood_dir, f"epoch={int(epoch_id)}")
+                )
+
+        queries.append(
+            start(summaries, "topology-flood", write_flood, mode="append")
+        )
+
     try:
         for q in queries:
             q.awaitTermination(timeout_seconds)
@@ -290,4 +321,5 @@ def run_topology(
         drift,
         cusum_dir,
         zscore_dir,
+        flood_dir,
     )

@@ -427,3 +427,43 @@ def test_topology_zscore_branch(spark, tmp_path):
     assert rows[7].is_anomaly and rows[7].n_seen == 6  # cross-batch moments
     assert not rows[8].is_anomaly and rows[8].n_seen == 6  # spike excluded
     assert result.aggregates.read().count() >= 1  # main path unaffected
+
+
+def test_topology_flood_detector_branch(spark, tmp_path):
+    """The flood-detector branch surfaces a hot key from Misra-Gries
+    state carried across micro-batches while ordinary traffic stays
+    below the sketch bound."""
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}', event_type="click")
+    eid = 0
+
+    def batch(keys, seq):
+        nonlocal eid
+        rows = []
+        for k in keys:
+            rows.append(
+                dict(
+                    ev(eid, f"2024-01-19 10:{seq:02d}:{eid % 60:02d}", value=5.0),
+                    user_id=k,
+                    **valid_kwargs,
+                )
+            )
+            eid += 1
+        write_file(str(src), f"f{seq}.json", rows, seq=seq)
+
+    batch([7] * 15 + [1, 2, 3], 0)
+    batch([7] * 15 + [4, 5], 1)
+    result = run_topology(
+        spark, str(src), str(tmp_path / "out"), with_flood_detector=True
+    )
+    rows = result.read_flood().collect()
+    assert rows
+    final_processed = {}
+    for r in rows:
+        final_processed[r.bucket] = max(final_processed.get(r.bucket, 0), r.processed)
+    final = [r for r in rows if r.processed == final_processed[r.bucket]]
+    est = {r.key: r.est_count for r in final}
+    assert est.get(7, 0) == max(est.values())  # the flood key dominates
+    assert est[7] >= 30 - sum(final_processed.values()) / 8
+    assert result.aggregates.read().count() >= 1  # main path unaffected
