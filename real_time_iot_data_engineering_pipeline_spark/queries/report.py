@@ -1115,3 +1115,146 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+COVERAGE_KS = (100, 500, 2000)
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents
+    ),
+    freq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size FROM freq),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rnk
+        FROM freq
+    )
+    SELECT k, total_tokens, vocab_size,
+           CAST(covered AS BIGINT) AS covered_tokens,
+           {fround_sql("covered / CAST(total_tokens AS DOUBLE)", 6)}
+               AS coverage
+    FROM (
+        SELECT k.k, sum(CASE WHEN rnk <= k.k THEN n ELSE 0 END) AS covered
+        FROM ranked, (VALUES {", ".join(f"({k})" for k in COVERAGE_KS)}) k(k)
+        GROUP BY k.k
+    ), tot
+    ORDER BY k
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for candidate vocab sizes K, the share
+    of corpus token mass the top-K most-frequent lowercased tokens cover
+    — the curve a tokenizer-vocab-size decision reads (diminishing
+    returns past the Zipf head), beside q_vocab_topk (the head itself)
+    and q_heaps_law (vocab growth).
+
+    Scale: token counting is the same map-side-combined partial agg as
+    q_vocab_topk; the top-max(K) cut is TakeOrderedAndProject (only
+    max(K) rows ever hold a rank), each K sums over that constant-size
+    set, and the grand totals broadcast.  No window ever touches the
+    full vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("raw"))
+        .select(F.lower("raw").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = freq.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )
+    kmax = max(COVERAGE_KS)
+    head = freq.orderBy(F.desc("n"), "token").limit(kmax)
+    w = Window.orderBy(F.desc("n"), "token")
+    ranked = head.withColumn("rnk", F.row_number().over(w))
+    ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
+    covered = (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("n")).otherwise(0))
+            .alias("covered")
+        )
+    )
+    return (
+        covered.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "total_tokens",
+            "vocab_size",
+            F.col("covered").cast("long").alias("covered_tokens"),
+            fround(
+                F.col("covered") / F.col("total_tokens").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset manifest: order-insensitive content hash per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dataset_manifest",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                    1, 15))::BIGINT) AS content_sig,
+           CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                    1, 8))::BIGINT) AS BIGINT) AS content_sum
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducibility manifest: per source, an ORDER-INSENSITIVE content
+    signature (xor and sum of per-doc md5(doc_id:text) prefixes) plus doc
+    and char counts — the fingerprint a pipeline records before training
+    so "did the input change since the last run?" is one row compare, not
+    a re-scan diff.  xor catches any single-doc change; the additive sum
+    catches xor-cancelling pair swaps; binding doc_id into the hash
+    catches content moving between ids.
+
+    Scale: one md5 per doc computed in codegen, folded by xor/sum partial
+    aggregates keyed by source — commutative, so partition order and
+    parallelism can never change the signature; the manifest is #sources
+    rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    h15 = F.expr(
+        "cast(conv(substr(md5(concat(cast(doc_id AS string), ':', text)), 1, 15),"
+        " 16, 10) AS bigint)"
+    )
+    h8 = F.expr(
+        "cast(conv(substr(md5(concat(cast(doc_id AS string), ':', text)), 1, 8),"
+        " 16, 10) AS bigint)"
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.expr(
+                "bit_xor(cast(conv(substr(md5(concat(cast(doc_id AS string),"
+                " ':', text)), 1, 15), 16, 10) AS bigint))"
+            ).alias("content_sig"),
+            F.sum(h8).cast("long").alias("content_sum"),
+        )
+        .orderBy("source")
+    )

@@ -201,6 +201,8 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_embed_binary_eval",
     "q_pack_efficiency",
     "q_mixture_sample",
+    "q_vocab_coverage",
+    "q_dataset_manifest",
 )
 
 

@@ -331,3 +331,68 @@ class TestMixtureSample:
                 assert r.n_kept == r.n_docs
             if r.n_kept == 0:
                 assert r.kept_tokens == 0
+
+
+class TestVocabCoverage:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        import os
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.report import (
+            COVERAGE_KS,
+        )
+
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        freq: Counter = Counter()
+        for text in docs["text"]:
+            freq.update(t.lower() for t in re.split(r"\s+", text.strip()))
+        total = sum(freq.values())
+        ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows = registry.QUERIES["q_vocab_coverage"](spark, sf_dir).collect()
+        assert [r.k for r in rows] == sorted(COVERAGE_KS)
+        prev = -1
+        for r in rows:
+            exp = sum(n for _, n in ranked[: r.k])
+            assert r.covered_tokens == exp
+            assert r.total_tokens == total and r.vocab_size == len(freq)
+            assert r.covered_tokens >= prev  # monotone in k
+            prev = r.covered_tokens
+
+
+class TestDatasetManifest:
+    def test_signature_matches_and_detects_change(self, spark, sf_dir):
+        import hashlib
+        import os
+
+        import pandas as pd
+
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        sig: dict = {}
+        for _, d in docs.iterrows():
+            h = hashlib.md5(f"{d.doc_id}:{d.text}".encode()).hexdigest()
+            x, s, chars, n = sig.get(d.source, (0, 0, 0, 0))
+            sig[d.source] = (
+                x ^ int(h[:15], 16),
+                s + int(h[:8], 16),
+                chars + d.n_chars,
+                n + 1,
+            )
+        rows = registry.QUERIES["q_dataset_manifest"](spark, sf_dir).collect()
+        assert {r.source for r in rows} == set(sig)
+        for r in rows:
+            x, s, chars, n = sig[r.source]
+            assert (r.content_sig, r.content_sum, r.n_chars, r.n_docs) == (
+                x,
+                s,
+                chars,
+                n,
+            )
+        # change detection: flipping one doc's text changes its source's sig
+        d0 = docs.iloc[0]
+        h_old = hashlib.md5(f"{d0.doc_id}:{d0.text}".encode()).hexdigest()
+        h_new = hashlib.md5(f"{d0.doc_id}:{d0.text}X".encode()).hexdigest()
+        x, s, _, _ = sig[d0.source]
+        assert (x ^ int(h_old[:15], 16)) ^ int(h_new[:15], 16) != x
