@@ -1620,3 +1620,109 @@ def q_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# Active-user rollup: DAU / WAU / MAU + stickiness
+# ---------------------------------------------------------------------------
+
+WAU_DAYS = 7
+MAU_DAYS = 30
+
+
+@register(
+    "q_active_users",
+    oracle=f"""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    spine AS (SELECT DISTINCT day FROM user_days),
+    wau_expand AS (
+        SELECT user_id, day + i * INTERVAL '1 day' AS target_day
+        FROM user_days, (SELECT unnest(generate_series(0, {WAU_DAYS - 1})) AS i)
+    ),
+    mau_expand AS (
+        SELECT user_id, day + i * INTERVAL '1 day' AS target_day
+        FROM user_days, (SELECT unnest(generate_series(0, {MAU_DAYS - 1})) AS i)
+    ),
+    dau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM user_days GROUP BY day
+    ),
+    wau AS (
+        SELECT target_day AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM wau_expand JOIN spine ON target_day = spine.day
+        GROUP BY target_day
+    ),
+    mau AS (
+        SELECT target_day AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM mau_expand JOIN spine ON target_day = spine.day
+        GROUP BY target_day
+    )
+    SELECT dau.day, dau.dau, wau.wau, mau.mau,
+           {fround_sql("dau.dau / CAST(mau.mau AS DOUBLE)")} AS stickiness
+    FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    ORDER BY day
+    """,
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics staple: daily / trailing-{WAU_DAYS}-day /
+    trailing-{MAU_DAYS}-day active users per calendar day plus the
+    DAU/MAU stickiness ratio.  Distinct-over-sliding-window cannot
+    partial-aggregate directly, so each (user, day) activity row is
+    EXPANDED to the {WAU_DAYS}/{MAU_DAYS} future days it keeps the user
+    active for and the distinct count becomes a plain per-day aggregate —
+    the shuffle-friendly standard plan (no inequality join, no per-day
+    re-scan); the expansion joins the observed-day spine so phantom days
+    past the data edge never appear.
+
+    Scale: user-day dedup is one (user, day)-keyed exchange; the x7/x30
+    expansion multiplies only the DEDUPED activity rows, not raw events,
+    and each expanded row is (bigint, date); at extreme scale the distinct
+    counts swap for HLL sketches (the q_distinct_users approx-twin
+    pattern) without changing the plan shape."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    spine = user_days.select("day").distinct()
+
+    def rolling(n_days: int, alias: str) -> DataFrame:
+        expanded = user_days.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, day + interval {n_days - 1} days, interval 1 day)")
+            ).alias("target_day"),
+        )
+        return (
+            expanded.join(
+                spine.withColumnRenamed("day", "target_day"), "target_day"
+            )
+            .groupBy(F.col("target_day").alias("day"))
+            .agg(F.countDistinct("user_id").cast("long").alias(alias))
+        )
+
+    dau = user_days.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    wau = rolling(WAU_DAYS, "wau")
+    mau = rolling(MAU_DAYS, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            fround(F.col("dau") / F.col("mau").cast("double"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -203,6 +203,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_mixture_sample",
     "q_vocab_coverage",
     "q_dataset_manifest",
+    "q_active_users",
 )
 
 

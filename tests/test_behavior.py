@@ -556,3 +556,39 @@ class TestCtrWilson:
             assert abs(r.wilson_lb - lb) < 1e-12
             assert r.wilson_lb <= r.click_share + 1e-12  # LB never exceeds the MLE
         assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+
+
+class TestActiveUsers:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        import os
+        from collections import defaultdict
+
+        import pandas as pd
+
+        ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        ev = ev[ev["user_id"].notna() & ev["ts"].notna()]
+        ud = set(
+            zip(ev["user_id"], pd.to_datetime(ev["ts"]).dt.normalize())
+        )
+        days = sorted({d for _, d in ud})
+        by_day = defaultdict(set)
+        for u, d in ud:
+            by_day[d].add(u)
+        rows = registry.QUERIES["q_active_users"](spark, sf_dir).collect()
+        assert len(rows) == len(days)
+        for r in rows:
+            d = pd.Timestamp(r.day)
+            dau = len(by_day[d])
+            wau = len(
+                set().union(
+                    *(by_day[x] for x in days if 0 <= (d - x).days < 7)
+                )
+            )
+            mau = len(
+                set().union(
+                    *(by_day[x] for x in days if 0 <= (d - x).days < 30)
+                )
+            )
+            assert (r.dau, r.wau, r.mau) == (dau, wau, mau), d
+            assert dau <= wau <= mau  # nesting invariant
+            assert abs(r.stickiness - round(dau / mau, 4)) < 1e-9
