@@ -1545,3 +1545,110 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(alpha, 6).alias("hill_alpha"),
         fround(F.lit(1.0) / alpha, 6).alias("tail_index_inv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: HHI and CR4 per nation
+# ---------------------------------------------------------------------------
+
+CR_K = 4
+
+
+@register(
+    "q_market_concentration",
+    oracle=f"""
+    WITH supp_rev AS (
+        SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+               {fround_sql("sum(l.l_extendedprice * (1 - l.l_discount))")}
+                   AS rev
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    nat AS (
+        SELECT nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               sum(rev) AS total_rev,
+               sum(rev * rev) AS sumsq
+        FROM supp_rev GROUP BY nationkey
+    ),
+    ranked AS (
+        SELECT nationkey, rev,
+               row_number() OVER (PARTITION BY nationkey
+                                  ORDER BY rev DESC, suppkey) AS rnk
+        FROM supp_rev
+    ),
+    topk AS (
+        SELECT nationkey, sum(rev) AS top_rev
+        FROM ranked WHERE rnk <= {CR_K} GROUP BY nationkey
+    )
+    SELECT n.n_name AS nation, nat.n_suppliers,
+           {fround_sql("nat.total_rev", 2)} AS total_revenue,
+           {fround_sql("10000 * nat.sumsq / (nat.total_rev * nat.total_rev)", 2)}
+               AS hhi,
+           {fround_sql("topk.top_rev / nat.total_rev")} AS cr4
+    FROM nat
+    JOIN topk USING (nationkey)
+    JOIN nation n ON nat.nationkey = n.n_nationkey
+    ORDER BY nation
+    """,
+)
+def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit per nation: the Herfindahl-Hirschman
+    index (10000 x sum of squared supplier revenue shares — the
+    antitrust-screening scale where >2500 is 'highly concentrated') and
+    the CR{CR_K} top-{CR_K} concentration ratio, beside the Gini/ABC
+    views of the same question.  Supplier revenues are quantized to 4 dp
+    BEFORE ranking and squaring (the q_top_supplier idiom) so share
+    arithmetic and top-{CR_K} membership are engine-stable.
+
+    Scale: one fact scan with the supplier dim broadcast; per-supplier
+    revenue partial-aggregates on the (nation, supplier) key; HHI terms
+    fold in the same nation-keyed aggregate, and the top-{CR_K} rank
+    filter compiles to WindowGroupLimit over the aggregated supplier
+    rows (never facts)."""
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    supp_rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("rev")
+        )
+    )
+    nat = supp_rev.groupBy("nationkey").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("rev").alias("total_rev"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sumsq"),
+    )
+    w = Window.partitionBy("nationkey").orderBy(F.desc("rev"), "suppkey")
+    topk = (
+        supp_rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CR_K)
+        .groupBy("nationkey")
+        .agg(F.sum("rev").alias("top_rev"))
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        nat.join(topk, "nationkey")
+        .join(nation, F.col("nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            fround(F.col("total_rev"), 2).alias("total_revenue"),
+            fround(
+                10000 * F.col("sumsq") / (F.col("total_rev") * F.col("total_rev")),
+                2,
+            ).alias("hhi"),
+            fround(F.col("top_rev") / F.col("total_rev"), 4).alias("cr4"),
+        )
+        .orderBy("nation")
+    )

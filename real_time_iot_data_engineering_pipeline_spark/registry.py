@@ -204,6 +204,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_vocab_coverage",
     "q_dataset_manifest",
     "q_active_users",
+    "q_market_concentration",
 )
 
 

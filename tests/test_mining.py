@@ -422,3 +422,41 @@ class TestHillTail:
         assert abs(row.x_k - round(x[-1], 2)) < 1e-6
         assert abs(row.hill_alpha - alpha) < 1e-4
         assert abs(row.hill_alpha * row.tail_index_inv - 1.0) < 1e-4
+
+
+class TestMarketConcentration:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        import math
+        import os
+
+        import pandas as pd
+
+        li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        su = pd.read_parquet(os.path.join(sf_dir, "supplier.parquet"))
+        na = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+        li = li.merge(su[["s_suppkey", "s_nationkey"]], left_on="l_suppkey", right_on="s_suppkey")
+        li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+        def fr(x, n):
+            s = 10.0**n
+            return math.floor(x * s * (1.0 + 1e-12) + 0.5) / s
+        rows = {
+            r.nation: r
+            for r in registry.QUERIES["q_market_concentration"](
+                spark, sf_dir
+            ).collect()
+        }
+        names = dict(zip(na["n_nationkey"], na["n_name"]))
+        for nk, grp in li.groupby("s_nationkey"):
+            revs = sorted(
+                (fr(v, 4), k)
+                for k, v in grp.groupby("l_suppkey")["rev"].sum().items()
+            )
+            total = sum(v for v, _ in revs)
+            hhi = fr(1e4 * sum(v * v for v, _ in revs) / total**2, 2)
+            cr4 = fr(sum(v for v, _ in sorted(revs, key=lambda t: (-t[0], t[1]))[:4]) / total, 4)
+            r = rows[names[nk]]
+            assert r.n_suppliers == len(revs)
+            assert abs(r.hhi - hhi) < 0.02  # sum-order tolerance at 2dp
+            assert abs(r.cr4 - cr4) < 2e-4
+            assert 1e4 / len(revs) - 1 <= r.hhi <= 1e4 + 1  # HHI bounds
+            assert r.cr4 <= 1.0 + 1e-9
