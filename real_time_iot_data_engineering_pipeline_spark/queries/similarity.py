@@ -1740,3 +1740,125 @@ def q_embed_binary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster purity: the k-means assignment judged against stored labels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cluster_purity",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id AS cluster_id,
+               list_transform(embedding, x -> x::DOUBLE) AS semb
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+        SELECT c.vec_id, c.label,
+               min(struct_pack(d := {_SEED_DIST_DUCK}, c := s.cluster_id)).c
+                   AS cluster_id
+        FROM c, s
+        GROUP BY c.vec_id, c.label
+    ),
+    cl AS (
+        SELECT cluster_id, label, CAST(count(*) AS BIGINT) AS cnt
+        FROM assign GROUP BY cluster_id, label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY cnt DESC, label) AS rnk,
+               CAST(sum(cnt) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS n_members
+        FROM cl
+    ),
+    tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+               CAST(sum(maj) AS BIGINT) AS n_majority_total
+        FROM (
+            SELECT cluster_id, sum(cnt) AS cnt, max(cnt) AS maj
+            FROM cl GROUP BY cluster_id
+        )
+    )
+    SELECT cluster_id, n_members,
+           label AS majority_label,
+           cnt AS n_majority,
+           {fround_sql("cnt / CAST(n_members AS DOUBLE)")} AS purity,
+           {fround_sql("n_majority_total / CAST(n_total AS DOUBLE)")}
+               AS corpus_purity
+    FROM ranked, tot
+    WHERE rnk = 1
+    ORDER BY cluster_id
+    """,
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation: assign every embedding to its nearest
+    seed centroid (the EXACT assignment step of q_embed_centroids, same
+    bit-deterministic struct-min) and judge the clustering against the
+    stored labels — per-cluster majority label and purity, plus the
+    corpus-level purity (weighted majority mass).  The clustering-eval
+    twin of q_knn_classify's label-recovery score and q_ann_recall's
+    retrieval score: every approximate structure in the tier ships with
+    its own scorecard.
+
+    Scale: identical assignment plan to the Lloyd step (seeds broadcast,
+    min-over-struct partial agg, corpus never shuffles to be scored);
+    the label histogram is a (cluster, label)-keyed partial agg and the
+    ranking windows run over that bounded histogram, never vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", "label", F.expr(_EMB_D_SPARK).alias("emb"))
+    s = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cluster_id"), F.expr(_EMB_D_SPARK).alias("semb")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(emb, semb, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 AS double), (acc, x) -> acc + x)"
+    )
+    assign = (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "vec_id",
+            "label",
+            F.struct(dist.alias("d"), F.col("cluster_id").alias("c")).alias("dc"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("dc").alias("dc"))
+        .select("vec_id", "label", F.col("dc.c").alias("cluster_id"))
+    )
+    cl = assign.groupBy("cluster_id", "label").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w_rank = Window.partitionBy("cluster_id").orderBy(F.desc("cnt"), "label")
+    w_size = Window.partitionBy("cluster_id")
+    ranked = cl.withColumn("rnk", F.row_number().over(w_rank)).withColumn(
+        "n_members", F.sum("cnt").over(w_size).cast("long")
+    )
+    per_cluster = cl.groupBy("cluster_id").agg(
+        F.sum("cnt").alias("cnt"), F.max("cnt").alias("maj")
+    )
+    tot = per_cluster.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.sum("maj").cast("long").alias("n_majority_total"),
+    )
+    return (
+        ranked.filter(F.col("rnk") == 1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("label").alias("majority_label"),
+            F.col("cnt").alias("n_majority"),
+            fround(F.col("cnt") / F.col("n_members").cast("double"), 4).alias(
+                "purity"
+            ),
+            fround(
+                F.col("n_majority_total") / F.col("n_total").cast("double"), 4
+            ).alias("corpus_purity"),
+        )
+        .orderBy("cluster_id")
+    )

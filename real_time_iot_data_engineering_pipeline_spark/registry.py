@@ -205,6 +205,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_dataset_manifest",
     "q_active_users",
     "q_market_concentration",
+    "q_cluster_purity",
 )
 
 

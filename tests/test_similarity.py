@@ -336,3 +336,46 @@ class TestBinaryQuantEval:
             assert r.agree == (full_top1 == binary_top1)
             # hamming of the hamming-winner is minimal by definition
             assert r.binary_top1_hamming <= r.full_top1_hamming
+
+
+class TestClusterPurity:
+    def test_matches_numpy_recompute(self, spark, sf_dir):
+        import os
+        from collections import Counter, defaultdict
+
+        import numpy as np
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.similarity import (
+            N_CENTROIDS,
+        )
+
+        emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        ids = emb["vec_id"].to_numpy()
+        labels = dict(zip(ids, emb["label"]))
+        seeds = {int(v): M[i] for i, v in enumerate(ids) if v < N_CENTROIDS}
+        members = defaultdict(list)
+        for i, v in enumerate(ids):
+            best = min(
+                seeds, key=lambda c: (float(((M[i] - seeds[c]) ** 2).sum()), c)
+            )
+            members[best].append(labels[v])
+        rows = {
+            r.cluster_id: r
+            for r in registry.QUERIES["q_cluster_purity"](spark, sf_dir).collect()
+        }
+        assert set(rows) == set(members)
+        maj_total = 0
+        for cid, labs in members.items():
+            counts = Counter(labs)
+            maj_label = min(counts, key=lambda l: (-counts[l], l))
+            r = rows[cid]
+            assert r.n_members == len(labs)
+            assert r.majority_label == maj_label
+            assert r.n_majority == counts[maj_label]
+            assert abs(r.purity - round(counts[maj_label] / len(labs), 4)) < 1e-9
+            maj_total += counts[maj_label]
+        total = sum(len(v) for v in members.values())
+        for r in rows.values():
+            assert abs(r.corpus_purity - round(maj_total / total, 4)) < 1e-9
