@@ -691,3 +691,113 @@ def q_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the whole warehouse
+# ---------------------------------------------------------------------------
+
+_PK_CHECKS = (
+    ("pk:region", "region", ("r_regionkey",)),
+    ("pk:nation", "nation", ("n_nationkey",)),
+    ("pk:customer", "customer", ("c_custkey",)),
+    ("pk:supplier", "supplier", ("s_suppkey",)),
+    ("pk:part", "part", ("p_partkey",)),
+    ("pk:orders", "orders", ("o_orderkey",)),
+    ("pk:lineitem", "lineitem", ("l_orderkey", "l_linenumber")),
+    ("pk:events", "events", ("event_id",)),
+    ("pk:documents", "documents", ("doc_id",)),
+    ("pk:embeddings", "embeddings", ("vec_id",)),
+)
+
+_FK_CHECKS = (
+    ("fk:lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("fk:lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("fk:lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("fk:orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("fk:customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("fk:supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("fk:nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _pk_duck(name, table, cols) -> str:
+    keys = ", ".join(cols)
+    return f"""
+    SELECT '{name}' AS check_name,
+           CAST((SELECT count(*) FROM {table}) AS BIGINT) AS n_checked,
+           CAST((SELECT count(*) FROM {table})
+                - (SELECT count(*) FROM (SELECT DISTINCT {keys} FROM {table}))
+                AS BIGINT) AS n_violations
+    """
+
+
+def _fk_duck(name, child, ck, parent, pk) -> str:
+    return f"""
+    SELECT '{name}' AS check_name,
+           CAST((SELECT count(*) FROM {child} WHERE {ck} IS NOT NULL)
+                AS BIGINT) AS n_checked,
+           CAST((SELECT count(*) FROM {child} c
+                 WHERE c.{ck} IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                   WHERE p.{pk} = c.{ck}))
+                AS BIGINT) AS n_violations
+    """
+
+
+@register(
+    "q_integrity_audit",
+    oracle="\nUNION ALL\n".join(
+        [_pk_duck(*c) for c in _PK_CHECKS]
+        + [_fk_duck(*c) for c in _FK_CHECKS]
+    )
+    + "\nORDER BY check_name",
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide referential-integrity audit: primary-key uniqueness
+    for all ten tables and orphan checks for all seven foreign-key
+    relationships, as one check table (check_name, rows checked,
+    violations) — the dbt-test / great-expectations sweep a warehouse
+    runs after every load, generalizing the events-only validation suite
+    to the relational schema.
+
+    Scale: each PK check is a count vs distinct-count partial aggregate
+    (two-phase, map-side combined); each FK check is a LEFT ANTI join
+    counted — key-keyed equi-joins where only keys shuffle, with the
+    small parent sides broadcast by AQE.  All 17 checks are independent
+    single-row aggregates unioned lazily; nothing materializes more than
+    its keys."""
+    out = []
+    for name, table, cols in _PK_CHECKS:
+        t = load_table(spark, sf_dir, table).select(*cols)
+        out.append(
+            t.agg(
+                F.count("*").cast("long").alias("n_checked"),
+                (F.count("*") - F.count_distinct(*[F.col(c) for c in cols]))
+                .cast("long")
+                .alias("n_violations"),
+            ).select(
+                F.lit(name).alias("check_name"), "n_checked", "n_violations"
+            )
+        )
+    for name, child, ck, parent, pk in _FK_CHECKS:
+        c = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ck).alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = c.join(p, "k", "left_anti").agg(
+            F.count("*").cast("long").alias("n_violations")
+        )
+        out.append(
+            c.agg(F.count("*").cast("long").alias("n_checked"))
+            .crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("check_name"), "n_checked", "n_violations"
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("check_name")

@@ -206,6 +206,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_active_users",
     "q_market_concentration",
     "q_cluster_purity",
+    "q_integrity_audit",
 )
 
 

@@ -460,3 +460,47 @@ class TestMarketConcentration:
             assert abs(r.cr4 - cr4) < 2e-4
             assert 1e4 / len(revs) - 1 <= r.hhi <= 1e4 + 1  # HHI bounds
             assert r.cr4 <= 1.0 + 1e-9
+
+
+class TestIntegrityAudit:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        """All 17 checks must agree with a pandas recompute.  Notably the
+        audit genuinely catches that the synthetic generator does NOT
+        make (l_orderkey, l_linenumber) unique — a real violation, which
+        is exactly what an integrity sweep is for."""
+        import os
+
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.relational2 import (
+            _FK_CHECKS,
+            _PK_CHECKS,
+        )
+
+        tables = {
+            t: pd.read_parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split()
+        }
+        rows = {
+            r.check_name: r
+            for r in registry.QUERIES["q_integrity_audit"](spark, sf_dir).collect()
+        }
+        assert len(rows) == len(_PK_CHECKS) + len(_FK_CHECKS)
+        for name, table, cols in _PK_CHECKS:
+            df = tables[table]
+            r = rows[name]
+            assert r.n_checked == len(df)
+            assert r.n_violations == len(df) - len(df[list(cols)].drop_duplicates())
+        for name, child, ck, parent, pk in _FK_CHECKS:
+            c = tables[child][ck].dropna()
+            r = rows[name]
+            assert r.n_checked == len(c)
+            assert r.n_violations == (~c.isin(set(tables[parent][pk]))).sum()
+        # the fixture's known wart is detected; everything else is clean
+        assert rows["pk:lineitem"].n_violations > 0
+        assert all(
+            r.n_violations == 0 for n, r in rows.items() if n != "pk:lineitem"
+        )
