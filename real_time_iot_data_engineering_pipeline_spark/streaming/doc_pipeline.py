@@ -78,6 +78,7 @@ def ingest_doc_stream(
     raw: DataFrame,
     policy: DataFrame | None = None,
     with_curation_gates: bool = False,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Parse + watermark + content-hash dedup + quality flag, optionally
     followed by stream-static source-policy enrichment and the batch
@@ -103,9 +104,19 @@ def ingest_doc_stream(
     so the 100 TB ingest path curates at wire speed and only clean
     documents ever reach the (stateful, shuffling) downstream stages.
 
+    `eval_grams` (a STATIC one-column DataFrame of md5 {NGRAM}-gram
+    hashes, column `h` — the same hashes batch q_decontaminate builds)
+    arms the GPT-3-style decontamination gate at ingest: the eval set is
+    collapsed to ONE broadcast array row (it is benchmark-sized by
+    nature) and each document's n-gram hashes are generated as an array
+    expression checked with arrays_overlap — codegen only, no explode,
+    no extra state, re-planned per micro-batch like the policy join so
+    an eval-set refresh needs no restart.
+
     Rejected rows carry a typed `reject_reason` ('short_text' |
-    'blocked_source' | 'repetitive' | 'low_quality', first matching rule
-    wins) for the DLQ; `accepted` is exactly reject_reason IS NULL."""
+    'blocked_source' | 'repetitive' | 'low_quality' | 'contaminated',
+    first matching rule wins) for the DLQ; `accepted` is exactly
+    reject_reason IS NULL."""
     parsed = (
         raw.withColumn("fetched_at", F.to_timestamp("fetched_at"))
         .filter(F.col("fetched_at").isNotNull())
@@ -154,6 +165,28 @@ def ingest_doc_stream(
         )
         rejects.append((F.col("dup_token_frac") > DUP_TOKEN_MAX, "repetitive"))
         rejects.append((F.col("quality_score") < QUALITY_MIN, "low_quality"))
+    if eval_grams is not None:
+        from ..queries.curation import NGRAM
+
+        eval_row = eval_grams.agg(
+            F.collect_set("h").alias("_eval_grams")
+        )
+        # NB: the SQL literal needs a DOUBLE backslash ('\\s+') — a single
+        # one is escape-processed to 's+' by the SQL parser (the regex
+        # gotcha queries/prep.py documents)
+        grams = F.expr(
+            f"CASE WHEN size(split(trim(text), '\\\\s+')) < {NGRAM}"
+            "  THEN cast(array() AS array<string>)"
+            f" ELSE transform(sequence(1, size(split(trim(text),"
+            f" '\\\\s+')) - {NGRAM - 1}),"
+            f" i -> md5(array_join(slice(split(trim(text), '\\\\s+'), i,"
+            f" {NGRAM}), ' '))) END"
+        )
+        df = df.crossJoin(F.broadcast(eval_row)).withColumn(
+            "contaminated",
+            F.arrays_overlap(grams, F.col("_eval_grams")),
+        ).drop("_eval_grams")
+        rejects.append((F.col("contaminated"), "contaminated"))
     reason = F.when(rejects[0][0], F.lit(rejects[0][1]))
     for cond, label in rejects[1:]:
         reason = reason.when(cond, F.lit(label))
@@ -210,6 +243,7 @@ def run_doc_ingest(
     timeout_seconds: float = 180.0,
     policy: DataFrame | None = None,
     with_curation_gates: bool = False,
+    eval_grams: DataFrame | None = None,
 ) -> DocIngestSink:
     """Drain source_dir through dedup -> gate [-> policy join]
     [-> curation gates] -> append with AvailableNow."""
@@ -218,6 +252,7 @@ def run_doc_ingest(
         read_doc_file_stream(spark, source_dir, max_files_per_trigger),
         policy,
         with_curation_gates=with_curation_gates,
+        eval_grams=eval_grams,
     )
     q = (
         stream.writeStream.outputMode("update")

@@ -592,3 +592,36 @@ class TestActiveUsers:
             assert (r.dau, r.wau, r.mau) == (dau, wau, mau), d
             assert dau <= wau <= mau  # nesting invariant
             assert abs(r.stickiness - round(dau / mau, 4)) < 1e-9
+
+
+class TestActiveUsersHllTwin:
+    def test_approx_twin_within_hll_error(self, spark, sf_dir):
+        """The docstring's scale story ('swap countDistinct for HLL at
+        extreme scale without changing the plan shape') must actually
+        hold: the approx_count_distinct twin of the DAU aggregate stays
+        within the sketch's relative-error envelope of the exact counts."""
+        from real_time_iot_data_engineering_pipeline_spark.sources import (
+            load_table,
+        )
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+            .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        )
+        rsd = 0.02
+        approx = {
+            r.day: r.dau_approx
+            for r in ev.groupBy("day")
+            .agg(
+                F.approx_count_distinct("user_id", rsd).alias("dau_approx")
+            )
+            .collect()
+        }
+        exact = {
+            r.day: r.dau
+            for r in registry.QUERIES["q_active_users"](spark, sf_dir).collect()
+        }
+        assert set(approx) == set(exact)
+        for day, n in exact.items():
+            assert abs(approx[day] - n) <= max(3, 5 * rsd * n), day

@@ -177,3 +177,36 @@ def test_doc_ingest_curation_gates(spark, tmp_path):
     stats = {r.epoch: (r.n_unique, r.n_accepted, r.n_rejected)
              for r in sink.read_stats().collect()}
     assert stats[0] == (4, 1, 3)
+
+
+def test_doc_ingest_decontamination_gate(spark, tmp_path):
+    """The stream decontamination gate must reject exactly the documents
+    sharing a 13-gram with the (static, broadcast) eval set, using the
+    same md5 gram hashes the batch q_decontaminate builds."""
+    import hashlib
+
+    canary = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"
+    assert len(canary.split()) == 13
+    h = hashlib.md5(canary.encode()).hexdigest()
+    eval_grams = spark.createDataFrame([(h,)], "h string")
+
+    clean = "the quick brown fox jumps over the lazy dog again and again today"
+    dirty = f"prefix words here {canary} suffix words there"
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(
+        str(src),
+        "f1.json",
+        [
+            doc(1, clean, "2024-01-19 10:00:00"),
+            doc(2, dirty, "2024-01-19 10:00:05"),
+        ],
+        seq=0,
+    )
+    sink = run_doc_ingest(
+        spark, str(src), str(tmp_path / "out"), eval_grams=eval_grams
+    )
+    docs = {r.doc_id for r in sink.read_docs().collect()}
+    rejects = {r.doc_id: r.reject_reason for r in sink.read_rejects().collect()}
+    assert docs == {1}
+    assert rejects == {2: "contaminated"}
