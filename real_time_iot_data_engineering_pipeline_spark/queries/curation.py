@@ -1063,3 +1063,51 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set gram export: the table the streaming decontamination gate eats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_eval_grams",
+    oracle=f"""
+    WITH corpus AS ({_DECON_CORPUS_DUCK}),
+    toks AS (
+        SELECT doc_id, bucket, string_split_regex(trim(text), '\\s+') AS toks
+        FROM corpus WHERE bucket >= 90
+    ),
+    offs AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {NGRAM - 1})) AS i
+        FROM toks WHERE len(toks) >= {NGRAM}
+    )
+    SELECT DISTINCT md5(array_to_string(toks[i:i + {NGRAM - 1}], ' ')) AS h
+    FROM offs
+    """,
+)
+def q_eval_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation set's distinct {NGRAM}-gram md5 table — EXACTLY the
+    derivation q_decontaminate's test side uses, exported as its own
+    query so the streaming ingest gate (streaming/doc_pipeline.py
+    `eval_grams`) consumes the same table the batch filter checks
+    against; batch and stream can then never disagree about what counts
+    as contamination (cross-path consistency is golden-tested in
+    tests/test_doc_pipeline.py).
+
+    Scale: eval docs are a hash-bucket slice of the corpus (benchmarks
+    are small by nature); grams explode in codegen, distinct on the
+    32-byte hash — the output is the broadcast-sized artifact the gate
+    ships to every executor."""
+    corpus = _decon_corpus(spark, sf_dir).filter(F.col("bucket") >= 90)
+    toks = corpus.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= NGRAM)
+    offs = toks.select(
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (NGRAM - 1))).alias("i"),
+    )
+    return offs.select(
+        F.md5(F.array_join(F.expr(f"slice(toks, i, {NGRAM})"), " ")).alias("h")
+    ).distinct()

@@ -207,6 +207,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_market_concentration",
     "q_cluster_purity",
     "q_integrity_audit",
+    "q_eval_grams",
 )
 
 

@@ -210,3 +210,60 @@ def test_doc_ingest_decontamination_gate(spark, tmp_path):
     rejects = {r.doc_id: r.reject_reason for r in sink.read_rejects().collect()}
     assert docs == {1}
     assert rejects == {2: "contaminated"}
+
+
+def test_stream_gate_agrees_with_batch_decontaminate(spark, tmp_path, sf_dir):
+    """Cross-path consistency: streaming the TRAIN split through the
+    ingest gate armed with q_eval_grams must reject exactly the documents
+    the batch q_decontaminate flags (modulo the short-text pre-gate,
+    which fires first by design)."""
+    import json as _json
+
+    from real_time_iot_data_engineering_pipeline_spark import registry
+    from real_time_iot_data_engineering_pipeline_spark.queries.curation import (
+        _decon_corpus,
+    )
+
+    registry.load_all()
+    train = (
+        _decon_corpus(spark, sf_dir)
+        .filter("bucket < 80")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "f1.json", "w") as f:
+        for _, r in train.iterrows():
+            f.write(
+                _json.dumps(
+                    dict(
+                        doc_id=int(r.doc_id),
+                        text=r.text,
+                        source="wiki",
+                        fetched_at="2024-01-19 10:00:00",
+                    )
+                )
+                + "\n"
+            )
+    eval_grams = registry.QUERIES["q_eval_grams"](spark, sf_dir)
+    sink = run_doc_ingest(
+        spark, str(src), str(tmp_path / "out"), eval_grams=eval_grams
+    )
+    stream_rejected = {
+        r.doc_id
+        for r in sink.read_rejects().collect()
+        if r.reject_reason == "contaminated"
+    }
+    short = {
+        r.doc_id
+        for r in sink.read_rejects().collect()
+        if r.reject_reason == "short_text"
+    }
+    batch = {
+        r.doc_id
+        for r in registry.QUERIES["q_decontaminate"](spark, sf_dir).collect()
+        if r.contaminated
+    }
+    assert stream_rejected == batch - short
+    assert stream_rejected  # the planted canaries guarantee a non-empty set
