@@ -1652,3 +1652,87 @@ def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across day-of-week groups (the weekday-effect test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_weekday_anova",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+               sum(o_totalprice) AS revenue
+        FROM orders GROUP BY 1, 2
+    ),
+    grp AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS n_g,
+               sum(revenue) AS s_g,
+               sum(revenue * revenue) AS ss_g
+        FROM daily GROUP BY dow
+    ),
+    tot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS g,
+               sum(s_g * s_g / n_g) - sum(s_g) * sum(s_g) / sum(n_g) AS ssb,
+               sum(ss_g) - sum(s_g * s_g / n_g) AS ssw
+        FROM grp
+    )
+    SELECT n AS n_days, g AS n_groups,
+           {fround_sql("ssb", -4)} AS ss_between,
+           {fround_sql("ssw", -4)} AS ss_within,
+           {fround_sql("(ssb / (g - 1)) / (ssw / (n - g))")} AS f_stat,
+           {fround_sql("ssb / (ssb + ssw)")} AS eta_sq
+    FROM tot
+    """,
+)
+def q_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA for a weekday effect on daily revenue: between/within
+    sums of squares over the day-of-week groups, the F statistic and the
+    eta-squared effect size — the k-group generalization completing the
+    two-sample family (Welch t, Mann-Whitney, KS, chi-square, runs test).
+    F near 1 with tiny eta-squared = no weekday seasonality; large F
+    flags a real weekly cycle worth modeling (q_seasonal_decompose).
+
+    Scale: the daily series is calendar-bounded; sums of squares fold
+    into SEVEN group rows via map-side partial aggregation and the F
+    arithmetic runs on a single summary row — nothing about the plan
+    depends on raw order volume beyond the first scan."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.to_date("o_orderdate").alias("day"),
+            F.dayofweek(F.to_date("o_orderdate")).alias("dow"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    grp = daily.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("revenue").alias("s_g"),
+        F.sum(F.col("revenue") * F.col("revenue")).alias("ss_g"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("g"),
+        (
+            F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g"))
+            - F.sum("s_g") * F.sum("s_g") / F.sum("n_g")
+        ).alias("ssb"),
+        (
+            F.sum("ss_g") - F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g"))
+        ).alias("ssw"),
+    )
+    return tot.select(
+        F.col("n").alias("n_days"),
+        F.col("g").alias("n_groups"),
+        fround(F.col("ssb"), -4).alias("ss_between"),
+        fround(F.col("ssw"), -4).alias("ss_within"),
+        fround(
+            (F.col("ssb") / (F.col("g") - 1)) / (F.col("ssw") / (F.col("n") - F.col("g"))),
+            4,
+        ).alias("f_stat"),
+        fround(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 4).alias("eta_sq"),
+    )

@@ -208,6 +208,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_cluster_purity",
     "q_integrity_audit",
     "q_eval_grams",
+    "q_weekday_anova",
 )
 
 

@@ -504,3 +504,35 @@ class TestIntegrityAudit:
         assert all(
             r.n_violations == 0 for n, r in rows.items() if n != "pk:lineitem"
         )
+
+
+class TestWeekdayAnova:
+    def test_matches_scipy_free_recompute(self, spark, sf_dir):
+        import os
+        from collections import defaultdict
+
+        import pandas as pd
+
+        o = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+        daily = (
+            o.assign(day=pd.to_datetime(o["o_orderdate"]).dt.normalize())
+            .groupby("day")["o_totalprice"]
+            .sum()
+        )
+        groups = defaultdict(list)
+        for day, rev in daily.items():
+            groups[day.dayofweek].append(rev)
+        n = sum(len(v) for v in groups.values())
+        g = len(groups)
+        grand = sum(sum(v) for v in groups.values()) / n
+        ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+        ssw = sum(
+            sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+        )
+        f = (ssb / (g - 1)) / (ssw / (n - g))
+        row = registry.QUERIES["q_weekday_anova"](spark, sf_dir).head()
+        assert (row.n_days, row.n_groups) == (n, g)
+        assert row.f_stat == pytest.approx(f, rel=1e-3)
+        assert row.eta_sq == pytest.approx(ssb / (ssb + ssw), abs=1e-3)
+        assert abs(row.ss_between - ssb) <= 1e4
+        assert abs(row.ss_within - ssw) <= 1e4
