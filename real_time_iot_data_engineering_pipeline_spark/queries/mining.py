@@ -1736,3 +1736,98 @@ def q_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         fround(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 4).alias("eta_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Symbolic motif counting over the daily revenue series
+# ---------------------------------------------------------------------------
+
+MOTIF_UP = 1.02  # >2% day-over-day move = U; < -2% = D; else S
+MOTIF_LEN = 3
+
+
+@register(
+    "q_revenue_motifs",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {fround_sql("sum(o_totalprice)")} AS revenue
+        FROM orders GROUP BY 1
+    ),
+    sym AS (
+        SELECT day,
+               CASE WHEN revenue > {MOTIF_UP} * lag(revenue) OVER w THEN 'U'
+                    WHEN {MOTIF_UP} * revenue < lag(revenue) OVER w THEN 'D'
+                    ELSE 'S' END AS s
+        FROM daily
+        WINDOW w AS (ORDER BY day)
+        QUALIFY lag(revenue) OVER w IS NOT NULL
+    ),
+    motifs AS (
+        SELECT s || lead(s, 1) OVER v || lead(s, 2) OVER v AS motif
+        FROM sym
+        WINDOW v AS (ORDER BY day)
+        QUALIFY lead(s, 2) OVER v IS NOT NULL
+    ),
+    hist AS (
+        SELECT motif, CAST(count(*) AS BIGINT) AS n FROM motifs GROUP BY motif
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_motifs FROM hist)
+    SELECT motif, n, n_motifs,
+           {fround_sql("n / CAST(n_motifs AS DOUBLE)")} AS share
+    FROM hist, tot
+    ORDER BY n DESC, motif
+    """,
+)
+def q_revenue_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbolic motif mining on the daily revenue series: discretize each
+    day-over-day move into U (> +2%), D (< -2%) or S (steady), slide a
+    {MOTIF_LEN}-symbol window, and rank the motif histogram — the SAX-style
+    symbolic view of series dynamics that surfaces recurring patterns
+    (UDU oscillation, SSS plateaus) no moment statistic shows; beside
+    q_markov_transitions (event symbols) and q_runs_test (binary runs).
+
+    Symbol assignment compares ROUNDED revenues against the exact ratio
+    (revenue > 1.02 x prev as one multiply-compare, never a division), so
+    the discretization cannot flip between engines.
+
+    Scale: the series is calendar-bounded (one row per day), so the lag/
+    lead windows run over a metadata-scale domain — at cluster scale the
+    window partitions by the series id exactly like q_bollinger; the
+    motif histogram domain is <= 27 rows."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(fround(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w = Window.orderBy("day")
+    sym = (
+        daily.withColumn("prev", F.lag("revenue").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn(
+            "s",
+            F.when(F.col("revenue") > MOTIF_UP * F.col("prev"), "U")
+            .when(MOTIF_UP * F.col("revenue") < F.col("prev"), "D")
+            .otherwise("S"),
+        )
+    )
+    motifs = (
+        sym.withColumn("s1", F.lead("s", 1).over(w))
+        .withColumn("s2", F.lead("s", 2).over(w))
+        .filter(F.col("s2").isNotNull())
+        .select(F.concat("s", "s1", "s2").alias("motif"))
+    )
+    hist = motifs.groupBy("motif").agg(F.count("*").cast("long").alias("n"))
+    tot = hist.agg(F.sum("n").cast("long").alias("n_motifs"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "motif",
+            "n",
+            "n_motifs",
+            fround(F.col("n") / F.col("n_motifs").cast("double"), 4).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n"), "motif")
+    )

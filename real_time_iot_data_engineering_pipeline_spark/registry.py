@@ -209,6 +209,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_integrity_audit",
     "q_eval_grams",
     "q_weekday_anova",
+    "q_revenue_motifs",
 )
 
 

@@ -536,3 +536,45 @@ class TestWeekdayAnova:
         assert row.eta_sq == pytest.approx(ssb / (ssb + ssw), abs=1e-3)
         assert abs(row.ss_between - ssb) <= 1e4
         assert abs(row.ss_within - ssw) <= 1e4
+
+
+class TestRevenueMotifs:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        import math
+        import os
+        from collections import Counter
+
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.mining import (
+            MOTIF_UP,
+        )
+
+        o = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+        daily = (
+            o.assign(day=pd.to_datetime(o["o_orderdate"]).dt.normalize())
+            .groupby("day")["o_totalprice"]
+            .sum()
+            .sort_index()
+        )
+        s = 10.0**4
+        revs = [math.floor(v * s * (1.0 + 1e-12) + 0.5) / s for v in daily]
+        syms = []
+        for prev, cur in zip(revs, revs[1:]):
+            if cur > MOTIF_UP * prev:
+                syms.append("U")
+            elif MOTIF_UP * cur < prev:
+                syms.append("D")
+            else:
+                syms.append("S")
+        expect = Counter(
+            "".join(syms[i : i + 3]) for i in range(len(syms) - 2)
+        )
+        rows = registry.QUERIES["q_revenue_motifs"](spark, sf_dir).collect()
+        assert {r.motif: r.n for r in rows} == dict(expect)
+        total = sum(expect.values())
+        for r in rows:
+            assert r.n_motifs == total
+            assert abs(r.share - round(r.n / total, 4)) < 1e-9
+        counts = [r.n for r in rows]
+        assert counts == sorted(counts, reverse=True)
