@@ -801,3 +801,104 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index over the order months
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_price_index",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_partkey,
+               date_trunc('month', CAST(o.o_orderdate AS TIMESTAMP)) AS month,
+               l_quantity, l_extendedprice
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    monthly AS (
+        SELECT month, l_partkey,
+               sum(l_quantity) AS qty,
+               sum(l_extendedprice) / sum(l_quantity) AS unit_price
+        FROM li GROUP BY month, l_partkey
+    ),
+    base_month AS (SELECT min(month) AS m0 FROM monthly),
+    base AS (
+        SELECT l_partkey, qty AS q0, unit_price AS p0
+        FROM monthly, base_month WHERE month = m0
+    ),
+    matched AS (
+        SELECT m.month, CAST(count(*) AS BIGINT) AS n_parts,
+               sum(m.unit_price * b.q0) AS cur_basket,
+               sum(b.p0 * b.q0) AS base_basket
+        FROM monthly m JOIN base b USING (l_partkey)
+        GROUP BY m.month
+    )
+    SELECT month, n_parts,
+           {fround_sql("100 * cur_basket / base_basket")} AS laspeyres
+    FROM matched
+    ORDER BY month
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index by order month: the base month's quantities
+    price a fixed basket in every later month (100 x sum p_t q_0 / sum
+    p_0 q_0 over the parts present in both months) — the
+    matched-sample inflation readout a pricing team tracks, beside the
+    promo/share and elasticity views.  Unit prices derive as
+    extendedprice/quantity inside a (month, part) partial aggregate.
+
+    Scale: one fact scan joined to the broadcast order-date dim side is
+    avoided entirely — orders joins on the order key (co-partitioned);
+    the monthly-price table partial-aggregates on (month, part); the
+    base basket is one month's slice of that table and joins back on the
+    part key.  The matched-basket caveat (parts absent from the base
+    month drop out) is the standard index-number trade and is reported
+    via n_parts."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_partkey",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+    )
+    monthly = li.groupBy("month", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty"),
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("unit_price"),
+    )
+    m0 = monthly.agg(F.min("month").alias("m0"))
+    base = (
+        monthly.crossJoin(F.broadcast(m0))
+        .filter(F.col("month") == F.col("m0"))
+        .select(
+            "l_partkey",
+            F.col("qty").alias("q0"),
+            F.col("unit_price").alias("p0"),
+        )
+    )
+    matched = (
+        monthly.join(base, "l_partkey")
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.col("unit_price") * F.col("q0")).alias("cur_basket"),
+            F.sum(F.col("p0") * F.col("q0")).alias("base_basket"),
+        )
+    )
+    return matched.select(
+        "month",
+        "n_parts",
+        fround(100 * F.col("cur_basket") / F.col("base_basket"), 4).alias(
+            "laspeyres"
+        ),
+    ).orderBy("month")

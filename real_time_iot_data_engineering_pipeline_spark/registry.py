@@ -210,6 +210,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_eval_grams",
     "q_weekday_anova",
     "q_revenue_motifs",
+    "q_price_index",
 )
 
 

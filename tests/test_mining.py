@@ -578,3 +578,43 @@ class TestRevenueMotifs:
             assert abs(r.share - round(r.n / total, 4)) < 1e-9
         counts = [r.n for r in rows]
         assert counts == sorted(counts, reverse=True)
+
+
+class TestPriceIndex:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        import os
+
+        import pandas as pd
+
+        li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        o = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+        li = li.merge(
+            o[["o_orderkey", "o_orderdate"]],
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+        )
+        li["month"] = (
+            pd.to_datetime(li["o_orderdate"]).dt.to_period("M").dt.start_time
+        )
+        monthly = li.groupby(["month", "l_partkey"]).agg(
+            qty=("l_quantity", "sum"), ext=("l_extendedprice", "sum")
+        )
+        monthly["p"] = monthly["ext"] / monthly["qty"]
+        m0 = monthly.index.get_level_values(0).min()
+        base = monthly.loc[m0][["qty", "p"]].rename(
+            columns={"qty": "q0", "p": "p0"}
+        )
+        rows = {
+            pd.Timestamp(r.month): r
+            for r in registry.QUERIES["q_price_index"](spark, sf_dir).collect()
+        }
+        months = monthly.index.get_level_values(0).unique()
+        assert set(rows) == set(months)
+        for m in months:
+            cur = monthly.loc[m].join(base, how="inner")
+            idx = 100 * (cur["p"] * cur["q0"]).sum() / (cur["p0"] * cur["q0"]).sum()
+            r = rows[pd.Timestamp(m)]
+            assert r.n_parts == len(cur)
+            assert r.laspeyres == pytest.approx(idx, rel=1e-4)
+        # the base month indexes to exactly 100
+        assert rows[pd.Timestamp(m0)].laspeyres == pytest.approx(100.0, abs=1e-6)
