@@ -1541,10 +1541,11 @@ WILSON_TOP_K = 20
         SELECT user_id, n_views, n_clicks, n_trials,
                {fround_sql("p", 6)} AS click_share,
                {fround_sql(
-                   "(p + {z2} / (2 * n_trials)"
-                   " - {z} * sqrt((p * (1 - p) + {z2} / (4 * n_trials))"
-                   " / n_trials)) / (1 + {z2} / n_trials)", 6).format(
-                       z=WILSON_Z, z2=WILSON_Z * WILSON_Z)} AS wilson_lb
+                   f"(p + {WILSON_Z * WILSON_Z} / (2 * n_trials)"
+                   f" - {WILSON_Z} * sqrt((p * (1 - p)"
+                   f" + {WILSON_Z * WILSON_Z} / (4 * n_trials))"
+                   f" / n_trials)) / (1 + {WILSON_Z * WILSON_Z} / n_trials)",
+                   6)} AS wilson_lb
         FROM scored
     ),
     topk AS (

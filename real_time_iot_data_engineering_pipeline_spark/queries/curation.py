@@ -1070,6 +1070,33 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def gram_md5_col(tok_col: str = "toks", idx_col: str = "i") -> "F.Column":
+    """md5 of the space-joined {NGRAM}-token slice at 1-based position
+    idx_col — THE gram hash recipe.  Shared by q_eval_grams (batch
+    export) and, via gram_array_expr, the streaming decontamination gate
+    (streaming/doc_pipeline.py); q_decontaminate's inline twin is pinned
+    to these by the cross-path agreement test in tests/test_doc_pipeline.py."""
+    return F.md5(
+        F.array_join(F.expr(f"slice({tok_col}, {idx_col}, {NGRAM})"), " ")
+    )
+
+
+def gram_array_expr(tok_col: str) -> str:
+    """The whole-document gram-hash ARRAY as one Spark SQL expression over
+    a PRE-SPLIT token-array column (no explode, codegen only) — what the
+    streaming gate evaluates per row.  Taking the token array (hoisted
+    once with withColumn) instead of raw text keeps the per-document cost
+    linear: Spark does not hoist lambda-invariant subexpressions, so
+    splitting inside the transform would re-tokenize the text once per
+    gram position."""
+    return (
+        f"CASE WHEN size({tok_col}) < {NGRAM}"
+        "  THEN cast(array() AS array<string>)"
+        f" ELSE transform(sequence(1, size({tok_col}) - {NGRAM - 1}),"
+        f" i -> md5(array_join(slice({tok_col}, i, {NGRAM}), ' '))) END"
+    )
+
+
 @register(
     "q_eval_grams",
     oracle=f"""
@@ -1108,6 +1135,4 @@ def q_eval_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         F.explode(F.sequence(F.lit(1), F.size("toks") - (NGRAM - 1))).alias("i"),
     )
-    return offs.select(
-        F.md5(F.array_join(F.expr(f"slice(toks, i, {NGRAM})"), " ")).alias("h")
-    ).distinct()
+    return offs.select(gram_md5_col().alias("h")).distinct()

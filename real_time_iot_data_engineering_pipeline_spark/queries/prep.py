@@ -435,8 +435,8 @@ _PACK_ORACLE = ORACLES["q_sequence_pack"]
     SELECT shard, n_docs, n_seqs, total_tokens,
            CAST(n_seqs * {PACK_TOKENS} AS BIGINT) AS capacity,
            {fround_sql(
-               "total_tokens / CAST(n_seqs * {p} AS DOUBLE)", 6).format(
-                   p=PACK_TOKENS)} AS utilization,
+               f"total_tokens / CAST(n_seqs * {PACK_TOKENS} AS DOUBLE)", 6)}
+               AS utilization,
            {fround_sql("total_tokens / CAST(n_docs AS DOUBLE)", 2)}
                AS mean_doc_tokens
     FROM per_shard

@@ -773,7 +773,14 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append(
             t.agg(
                 F.count("*").cast("long").alias("n_checked"),
-                (F.count("*") - F.count_distinct(*[F.col(c) for c in cols]))
+                # count_distinct over a STRUCT keeps null-containing keys as
+                # distinct groups — matching SELECT DISTINCT (and pandas
+                # drop_duplicates); bare count_distinct would drop them and
+                # overcount violations for nullable keys
+                (
+                    F.count("*")
+                    - F.count_distinct(F.struct(*[F.col(c) for c in cols]))
+                )
                 .cast("long")
                 .alias("n_violations"),
             ).select(

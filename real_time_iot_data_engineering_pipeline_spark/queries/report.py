@@ -1237,24 +1237,16 @@ def q_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism can never change the signature; the manifest is #sources
     rows regardless of corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    h15 = F.expr(
-        "cast(conv(substr(md5(concat(cast(doc_id AS string), ':', text)), 1, 15),"
-        " 16, 10) AS bigint)"
-    )
-    h8 = F.expr(
-        "cast(conv(substr(md5(concat(cast(doc_id AS string), ':', text)), 1, 8),"
-        " 16, 10) AS bigint)"
-    )
+    _h = "md5(concat(cast(doc_id AS string), ':', text))"
+    h15_sql = f"cast(conv(substr({_h}, 1, 15), 16, 10) AS bigint)"
+    h8_sql = f"cast(conv(substr({_h}, 1, 8), 16, 10) AS bigint)"
     return (
         docs.groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("n_chars"),
-            F.expr(
-                "bit_xor(cast(conv(substr(md5(concat(cast(doc_id AS string),"
-                " ':', text)), 1, 15), 16, 10) AS bigint))"
-            ).alias("content_sig"),
-            F.sum(h8).cast("long").alias("content_sum"),
+            F.expr(f"bit_xor({h15_sql})").alias("content_sig"),
+            F.sum(F.expr(h8_sql)).cast("long").alias("content_sum"),
         )
         .orderBy("source")
     )

@@ -166,26 +166,25 @@ def ingest_doc_stream(
         rejects.append((F.col("dup_token_frac") > DUP_TOKEN_MAX, "repetitive"))
         rejects.append((F.col("quality_score") < QUALITY_MIN, "low_quality"))
     if eval_grams is not None:
-        from ..queries.curation import NGRAM
+        from ..queries.curation import gram_array_expr
 
         eval_row = eval_grams.agg(
             F.collect_set("h").alias("_eval_grams")
         )
-        # NB: the SQL literal needs a DOUBLE backslash ('\\s+') — a single
-        # one is escape-processed to 's+' by the SQL parser (the regex
-        # gotcha queries/prep.py documents)
-        grams = F.expr(
-            f"CASE WHEN size(split(trim(text), '\\\\s+')) < {NGRAM}"
-            "  THEN cast(array() AS array<string>)"
-            f" ELSE transform(sequence(1, size(split(trim(text),"
-            f" '\\\\s+')) - {NGRAM - 1}),"
-            f" i -> md5(array_join(slice(split(trim(text), '\\\\s+'), i,"
-            f" {NGRAM}), ' '))) END"
+        # tokens hoisted ONCE (linear work per doc); the gram recipe is the
+        # shared helper q_eval_grams also builds its export from
+        df = (
+            df.withColumn("_gram_toks", F.split(F.trim("text"), r"\s+"))
+            .crossJoin(F.broadcast(eval_row))
+            .withColumn(
+                "contaminated",
+                F.arrays_overlap(
+                    F.expr(gram_array_expr("_gram_toks")),
+                    F.col("_eval_grams"),
+                ),
+            )
+            .drop("_eval_grams", "_gram_toks")
         )
-        df = df.crossJoin(F.broadcast(eval_row)).withColumn(
-            "contaminated",
-            F.arrays_overlap(grams, F.col("_eval_grams")),
-        ).drop("_eval_grams")
         rejects.append((F.col("contaminated"), "contaminated"))
     reason = F.when(rejects[0][0], F.lit(rejects[0][1]))
     for cond, label in rejects[1:]:

@@ -131,20 +131,32 @@ def run_topology(
             .start()
         )
 
+    def epoch_writer(target_dir: str):
+        """foreachBatch body appending each non-empty micro-batch under its
+        own epoch directory (idempotent on replay) — shared by every
+        file-append branch of the topology."""
+
+        def _write(batch_df: DataFrame, epoch_id: int) -> None:
+            if not batch_df.isEmpty():
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(target_dir, f"epoch={int(epoch_id)}")
+                )
+
+        return _write
+
     raw = parse_event_stream(
         read_event_file_stream(spark, source_dir, max_files_per_trigger)
     )
     validated = validated_stream(raw)
+    valid_events = validated.filter("is_valid").drop(
+        "failure_reasons", "is_valid", CORRUPT_COL
+    )
 
     # main path: valid -> dedup(state) -> window agg -> keyed upsert.
     # dedup_stream sets the event-time watermark; the chained aggregation
     # must NOT redefine it (multiple stateful operators share one watermark)
     main = windowed_aggregate(
-        dedup_stream(
-            validated.filter("is_valid").drop(
-                "failure_reasons", "is_valid", CORRUPT_COL
-            )
-        ),
+        dedup_stream(valid_events),
         watermark_delay=None,
         family=window_family,
     )
@@ -176,13 +188,7 @@ def run_topology(
         .drop("is_valid")
     )
 
-    def write_dlq(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.isEmpty():
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(dlq_dir, f"epoch={int(epoch_id)}")
-            )
-
-    q_dlq = start(dlq, "topology-dlq", write_dlq)
+    q_dlq = start(dlq, "topology-dlq", epoch_writer(dlq_dir))
 
     # optional attribution branch: stream-stream interval join of the
     # VALIDATED stream against itself (view -> click within the window),
@@ -192,21 +198,16 @@ def run_topology(
     q_attr = None
     if with_attribution:
         attribution_dir = os.path.join(out_dir, "attribution")
-        valid_events = validated.filter("is_valid").drop(
-            "failure_reasons", "is_valid", CORRUPT_COL
-        )
         attributed = attribute_clicks(
             split_by_type(valid_events, "view"),
             split_by_type(valid_events, "click"),
         )
-
-        def write_attr(batch_df: DataFrame, epoch_id: int) -> None:
-            if not batch_df.isEmpty():
-                batch_df.write.mode("overwrite").parquet(
-                    os.path.join(attribution_dir, f"epoch={int(epoch_id)}")
-                )
-
-        q_attr = start(attributed, "topology-attribution", write_attr, mode="append")
+        q_attr = start(
+            attributed,
+            "topology-attribution",
+            epoch_writer(attribution_dir),
+            mode="append",
+        )
 
     # optional monitoring branch (Learning Guide §5-6): per-batch quality
     # metrics + alert verdicts over the SAME validated stream
@@ -228,9 +229,7 @@ def run_topology(
         drift = DriftMonitorSink(
             spark, os.path.join(out_dir, "drift"), drift_reference
         )
-        queries.append(
-            start(validated.filter("is_valid"), "topology-drift", drift)
-        )
+        queries.append(start(valid_events, "topology-drift", drift))
 
     # optional online-CUSUM branch: per-sensor changepoint alarms with
     # state carried across micro-batches (streaming/stateful.py) — the
@@ -240,21 +239,9 @@ def run_topology(
         from .stateful import cusum_stream
 
         cusum_dir = os.path.join(out_dir, "cusum")
-        flagged = cusum_stream(
-            validated.filter("is_valid").drop(
-                "failure_reasons", "is_valid", CORRUPT_COL
-            ),
-            mu0=cusum_mu0,
-        )
-
-        def write_cusum(batch_df: DataFrame, epoch_id: int) -> None:
-            if not batch_df.isEmpty():
-                batch_df.write.mode("overwrite").parquet(
-                    os.path.join(cusum_dir, f"epoch={int(epoch_id)}")
-                )
-
+        flagged = cusum_stream(valid_events, mu0=cusum_mu0)
         queries.append(
-            start(flagged, "topology-cusum", write_cusum, mode="append")
+            start(flagged, "topology-cusum", epoch_writer(cusum_dir), mode="append")
         )
 
     # optional online z-score gate: per-sensor Welford moments carried
@@ -265,20 +252,13 @@ def run_topology(
         from .stateful import zscore_stream
 
         zscore_dir = os.path.join(out_dir, "zscore")
-        scored = zscore_stream(
-            validated.filter("is_valid").drop(
-                "failure_reasons", "is_valid", CORRUPT_COL
-            )
-        )
-
-        def write_zscore(batch_df: DataFrame, epoch_id: int) -> None:
-            if not batch_df.isEmpty():
-                batch_df.write.mode("overwrite").parquet(
-                    os.path.join(zscore_dir, f"epoch={int(epoch_id)}")
-                )
-
         queries.append(
-            start(scored, "topology-zscore", write_zscore, mode="append")
+            start(
+                zscore_stream(valid_events),
+                "topology-zscore",
+                epoch_writer(zscore_dir),
+                mode="append",
+            )
         )
 
     # optional flood-detector branch: bounded-memory Misra-Gries heavy
@@ -289,20 +269,13 @@ def run_topology(
         from .stateful import heavy_hitters_stream
 
         flood_dir = os.path.join(out_dir, "flood")
-        summaries = heavy_hitters_stream(
-            validated.filter("is_valid").drop(
-                "failure_reasons", "is_valid", CORRUPT_COL
-            )
-        )
-
-        def write_flood(batch_df: DataFrame, epoch_id: int) -> None:
-            if not batch_df.isEmpty():
-                batch_df.write.mode("overwrite").parquet(
-                    os.path.join(flood_dir, f"epoch={int(epoch_id)}")
-                )
-
         queries.append(
-            start(summaries, "topology-flood", write_flood, mode="append")
+            start(
+                heavy_hitters_stream(valid_events),
+                "topology-flood",
+                epoch_writer(flood_dir),
+                mode="append",
+            )
         )
 
     try:
