@@ -488,3 +488,130 @@ class TestMadModel:
             assert r["med"] == pytest.approx(med, abs=1e-9)
             assert r["mad"] == pytest.approx(mad, abs=1e-9)
             assert (r["n"], r["n_outliers"]) == (len(xs), n_out)
+
+
+class TestMisraGriesProperty:
+    """The streaming heavy-hitter fold must honor the Misra-Gries
+    guarantee on ARBITRARY streams split at ARBITRARY batch boundaries:
+    estimates never exceed true counts, undercount by at most
+    processed/capacity, every key above the bound survives, and the fold
+    is batching-invariant (same final summary regardless of where the
+    stream was cut)."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        keys=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=120),
+        cut=st.integers(min_value=0, max_value=120),
+        capacity=st.integers(min_value=2, max_value=8),
+    )
+    def test_mg_bound_and_batching_invariance(self, keys, cut, capacity):
+        from collections import Counter
+
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.streaming.stateful import (
+            _misra_gries,
+        )
+        from .test_stateful import _FakeState
+
+        fn = _misra_gries(capacity)
+
+        def batch(ks, start):
+            return pd.DataFrame(
+                {
+                    "key": ks,
+                    "ts": pd.to_datetime("2024-01-15")
+                    + pd.to_timedelta(range(start, start + len(ks)), unit="s"),
+                    "event_id": range(start, start + len(ks)),
+                }
+            )
+
+        def run(chunks):
+            state = _FakeState()
+            for i, ks in enumerate(chunks):
+                if not ks:
+                    continue
+                out = list(
+                    fn((0,), iter([batch(ks, sum(map(len, chunks[:i])))]), state)
+                )
+                state = _FakeState(value=state.updated)
+            k, c, processed = state.get
+            return dict(zip(k, c)), processed
+
+        cut = min(cut, len(keys))
+        est_split, n_split = run([keys[:cut], keys[cut:]])
+        est_whole, n_whole = run([keys])
+        assert est_split == est_whole and n_split == n_whole == len(keys)
+        truth = Counter(keys)
+        bound = len(keys) / capacity
+        for key, true_n in truth.items():
+            if key in est_whole:
+                assert 0 < est_whole[key] <= true_n
+                assert true_n - est_whole[key] <= bound
+            else:
+                assert true_n <= bound
+
+
+class TestWelfordZGateProperty:
+    """The z-gate's Welford fold must be batching-invariant and its
+    retained moments must match numpy on the non-anomalous subsequence."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        values=st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            min_size=1,
+            max_size=60,
+        ),
+        cut=st.integers(min_value=0, max_value=60),
+    )
+    def test_batching_invariance_and_moment_fidelity(self, values, cut):
+        import numpy as np
+        import pandas as pd
+
+        from real_time_iot_data_engineering_pipeline_spark.streaming.stateful import (
+            _zscore,
+        )
+        from .test_stateful import _FakeState
+
+        fn = _zscore(3.0, 5)
+
+        def batch(vs, start):
+            return pd.DataFrame(
+                {
+                    "value": vs,
+                    "ts": pd.to_datetime("2024-01-15")
+                    + pd.to_timedelta(range(start, start + len(vs)), unit="s"),
+                    "event_id": range(start, start + len(vs)),
+                }
+            )
+
+        def run(chunks):
+            state, flags = _FakeState(), []
+            for i, vs in enumerate(chunks):
+                if not vs:
+                    continue
+                (out,) = list(
+                    fn((0,), iter([batch(vs, sum(map(len, chunks[:i])))]), state)
+                )
+                flags += list(out["is_anomaly"])
+                state = _FakeState(value=state.updated)
+            return state.get, flags
+
+        cut = min(cut, len(values))
+        (m_split, f_split) = run([values[:cut], values[cut:]])
+        (m_whole, f_whole) = run([values])
+        assert f_split == f_whole
+        assert m_split[0] == m_whole[0]
+        assert m_split[1] == pytest.approx(m_whole[1], rel=1e-9, abs=1e-9)
+        # retained moments == numpy over the values that actually entered
+        kept = [v for v, a in zip(values, f_whole) if not a]
+        n, mean, m2 = m_whole
+        assert n == len(kept)
+        if kept:
+            assert mean == pytest.approx(float(np.mean(kept)), rel=1e-9, abs=1e-9)
+            assert m2 == pytest.approx(
+                float(np.sum((np.asarray(kept) - np.mean(kept)) ** 2)),
+                rel=1e-6,
+                abs=1e-6,
+            )
