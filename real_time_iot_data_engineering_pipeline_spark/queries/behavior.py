@@ -1727,3 +1727,86 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mix-shift monitor: monthly order-priority mix vs the overall mix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mix_shift",
+    oracle=f"""
+    WITH cell AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+               o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    overall AS (
+        SELECT priority, sum(n) AS n_p FROM cell GROUP BY priority
+    ),
+    tot AS (SELECT sum(n_p) AS n_total FROM overall),
+    scored AS (
+        SELECT c.month, c.priority, c.n,
+               sum(c.n) OVER (PARTITION BY c.month) * o.n_p / t.n_total
+                   AS expected
+        FROM cell c JOIN overall o USING (priority), tot t
+    )
+    SELECT month,
+           CAST(sum(n) AS BIGINT) AS n_orders,
+           {fround_sql(
+               "sum((n - expected) * (n - expected) / expected)", 4)} AS chi2,
+           CAST(count(*) AS BIGINT) - 1 AS dof
+    FROM scored
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix-shift monitor: each month's order-priority mix
+    tested against the corpus-wide mix with a per-month chi-square
+    (expected cell = month volume x overall share) — the drift check a
+    pipeline runs on every categorical dimension, the composition-over-
+    time sibling of q_psi (numeric drift) and q_chi_square (two-sample).
+    Months whose chi2 spikes above ~dof signal a real mix change.
+
+    Scale: cell counts partial-aggregate on (month, priority); the
+    overall mix is #priorities rows joined back on the priority key; the
+    month-total window runs over the bounded (month x priority) cell
+    table, never raw orders."""
+    cell = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    overall = cell.groupBy("priority").agg(F.sum("n").alias("n_p"))
+    tot = overall.agg(F.sum("n_p").alias("n_total"))
+    w = Window.partitionBy("month")
+    scored = (
+        cell.join(F.broadcast(overall), "priority")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "expected",
+            F.sum("n").over(w) * F.col("n_p") / F.col("n_total"),
+        )
+    )
+    return (
+        scored.groupBy("month")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            fround(
+                F.sum(
+                    (F.col("n") - F.col("expected"))
+                    * (F.col("n") - F.col("expected"))
+                    / F.col("expected")
+                ),
+                4,
+            ).alias("chi2"),
+            (F.count("*") - 1).cast("long").alias("dof"),
+        )
+        .orderBy("month")
+    )

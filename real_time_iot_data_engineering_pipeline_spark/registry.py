@@ -211,6 +211,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_weekday_anova",
     "q_revenue_motifs",
     "q_price_index",
+    "q_mix_shift",
 )
 
 

@@ -625,3 +625,34 @@ class TestActiveUsersHllTwin:
         assert set(approx) == set(exact)
         for day, n in exact.items():
             assert abs(approx[day] - n) <= max(3, 5 * rsd * n), day
+
+
+class TestMixShift:
+    def test_matches_scipy_free_recompute(self, spark, sf_dir):
+        import os
+
+        import pandas as pd
+
+        o = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+        o["month"] = (
+            pd.to_datetime(o["o_orderdate"]).dt.to_period("M").dt.start_time
+        )
+        cell = o.groupby(["month", "o_orderpriority"]).size()
+        overall = o.groupby("o_orderpriority").size()
+        total = len(o)
+        rows = {
+            pd.Timestamp(r.month): r
+            for r in registry.QUERIES["q_mix_shift"](spark, sf_dir).collect()
+        }
+        assert set(rows) == set(cell.index.get_level_values(0).unique())
+        for m, grp in cell.groupby(level=0):
+            month_total = grp.sum()
+            chi2 = 0.0
+            for (_, prio), n in grp.items():
+                exp = month_total * overall[prio] / total
+                chi2 += (n - exp) ** 2 / exp
+            r = rows[pd.Timestamp(m)]
+            assert r.n_orders == month_total
+            assert r.chi2 == pytest.approx(chi2, rel=1e-4)
+            assert r.dof == len(grp) - 1
+            assert r.chi2 >= 0
