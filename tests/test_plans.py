@@ -870,3 +870,69 @@ class TestAuditOpsTier:
         plan = plan_of(spark, sf_dir, "q_abc_classes")
         assert "partial_sum" in plan or "partial_" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestContinuationTierPlans:
+    """Plan pins for the continuation-session operators: no cartesian
+    products, no Python row stages anywhere; broadcast / top-k shapes
+    where the docstrings claim them."""
+
+    _NAMES = (
+        "q_dup_group_stats",
+        "q_simhash_pairs",
+        "q_simhash_eval",
+        "q_readability",
+        "q_skew_report",
+        "q_join_cardinality",
+        "q_also_bought",
+        "q_ctr_wilson",
+        "q_hill_tail",
+        "q_doc_containment",
+        "q_embed_truncation_eval",
+        "q_embed_binary_eval",
+        "q_pack_efficiency",
+        "q_mixture_sample",
+        "q_vocab_coverage",
+        "q_dataset_manifest",
+        "q_active_users",
+        "q_market_concentration",
+        "q_cluster_purity",
+        "q_integrity_audit",
+        "q_eval_grams",
+        "q_weekday_anova",
+        "q_revenue_motifs",
+        "q_price_index",
+        "q_mix_shift",
+    )
+
+    def _plan(self, spark, sf_dir, name) -> str:
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        registry.load_all()
+        df = registry.QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_no_cartesian_or_python_rows(self, spark, sf_dir):
+        # Scalar-broadcast crossJoins (1-row totals) legitimately compile
+        # to BroadcastNestedLoopJoin, and the eval scorecards broadcast a
+        # tiny query batch against the corpus by design (the q_embed_knn
+        # shape) — so BNLJ is asserted absent only where it would be a
+        # real bug: the candidate-pair detectors, whose whole point is a
+        # keyed bucket join instead of an all-pairs scan.
+        no_bnlj = {"q_simhash_pairs", "q_doc_containment", "q_also_bought"}
+        for name in self._NAMES:
+            plan = self._plan(spark, sf_dir, name)
+            assert "CartesianProduct" not in plan, name
+            if name in no_bnlj:
+                assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+
+    def test_topk_shapes(self, spark, sf_dir):
+        for name in ("q_skew_report", "q_ctr_wilson", "q_hill_tail", "q_vocab_coverage"):
+            assert "TakeOrderedAndProject" in self._plan(spark, sf_dir, name), name
+        assert "WindowGroupLimit" in self._plan(spark, sf_dir, "q_also_bought")
+
+    def test_broadcast_shapes(self, spark, sf_dir):
+        for name in ("q_mixture_sample", "q_market_concentration", "q_mix_shift"):
+            assert "BroadcastHashJoin" in self._plan(spark, sf_dir, name), name
