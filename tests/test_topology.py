@@ -467,3 +467,67 @@ def test_topology_flood_detector_branch(spark, tmp_path):
     assert est.get(7, 0) == max(est.values())  # the flood key dominates
     assert est[7] >= 30 - sum(final_processed.values()) / 8
     assert result.aggregates.read().count() >= 1  # main path unaffected
+
+
+def test_topology_all_branches_together(spark, tmp_path):
+    """All six optional branches active in ONE topology run (attribution,
+    monitor, drift, CUSUM, z-gate, flood detector) beside the main and
+    DLQ paths: eight concurrent streaming queries over the shared source
+    listing, each with its own checkpoint — the configuration no
+    per-branch test exercises, guarding against checkpoint collisions or
+    cross-branch watermark interference."""
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}')
+    eid = 0
+
+    def rows(seq, pairs):
+        nonlocal eid
+        out = []
+        for etype, value, user in pairs:
+            out.append(
+                dict(
+                    ev(eid, f"2024-01-19 10:{seq:02d}:{eid % 60:02d}", value=value),
+                    user_id=user,
+                    event_type=etype,
+                    **valid_kwargs,
+                )
+            )
+            eid += 1
+        return out
+
+    write_file(
+        str(src),
+        "f1.json",
+        rows(0, [("view", 10.0, 1), ("click", 12.0, 1), ("view", 10.0, 2),
+                 ("click", 65.0, 2), ("bad type!", 5.0, 3)]),
+        seq=0,
+    )
+    write_file(
+        str(src),
+        "f2.json",
+        rows(1, [("click", 65.0, 2), ("click", 65.0, 2), ("view", 11.0, 1)]),
+        seq=1,
+    )
+    reference = spark.createDataFrame(
+        [(float(v),) for v in (5, 10, 15, 20, 25, 30, 35, 40)], "value DOUBLE"
+    )
+    result = run_topology(
+        spark,
+        str(src),
+        str(tmp_path / "out"),
+        with_monitor=True,
+        with_attribution=True,
+        drift_reference=reference,
+        cusum_mu0=50.0,
+        with_zscore_gate=True,
+        with_flood_detector=True,
+    )
+    # every branch produced its artifact; none starved another
+    assert result.aggregates.read().count() >= 1
+    assert result.read_dlq().count() == 1  # the bad event_type row
+    assert result.read_cusum().count() >= 1
+    assert result.read_zscore().count() >= 1
+    assert result.read_flood().count() >= 1
+    assert result.monitor is not None and result.monitor.read().count() >= 1
+    assert result.drift is not None and result.drift.read().count() >= 1
