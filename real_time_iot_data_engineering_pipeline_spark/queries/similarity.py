@@ -1862,3 +1862,81 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding anisotropy: exact mean pairwise cosine without any pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embed_anisotropy",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS emb,
+               {_NORM_DUCK} AS nrm
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT u.i AS dim, sum(c.emb[u.i] / c.nrm) AS s
+        FROM c, (SELECT unnest(generate_series(1, {DIM})) AS i) u
+        GROUP BY u.i
+    ),
+    agg AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n,
+               (SELECT sum(s * s) FROM dims) AS sum_sq,
+               (SELECT avg(nrm) FROM c) AS mean_norm,
+               (SELECT stddev_samp(nrm) FROM c) AS std_norm
+    )
+    SELECT n,
+           {fround_sql("(sum_sq - n) / (CAST(n AS DOUBLE) * (n - 1))", 6)}
+               AS mean_pairwise_cos,
+           {fround_sql("mean_norm")} AS mean_norm,
+           {fround_sql("std_norm")} AS std_norm
+    FROM agg
+    """,
+)
+def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy diagnostic (Ethayarajh 2019): the EXACT
+    mean pairwise cosine over all N(N-1) vector pairs computed WITHOUT
+    materializing a single pair, via the sum-vector identity
+    ||sum of unit vectors||^2 = N + sum of off-diagonal cosines — a
+    well-conditioned corpus sits near 0 (isotropic), a collapsed
+    embedding space near 1; reported with the raw-norm distribution the
+    normalization step should be checked against.
+
+    Scale: normalize per row, partial-sum the {DIM} unit coordinates
+    (one exchange of {DIM} doubles per map task), square-sum the
+    {DIM}-row result — O(N x {DIM}) work and O({DIM}) shuffle for a
+    statistic naively costing O(N^2 x {DIM}).  The exactness makes it
+    the calibration oracle for any sampled anisotropy estimate."""
+    c = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_EMB_D_SPARK).alias("emb"),
+        F.expr(_NORM_SPARK).alias("nrm"),
+    )
+    dims = (
+        c.select(F.posexplode(F.expr("transform(emb, x -> x / nrm)")).alias("dim", "u"))
+        .groupBy("dim")
+        .agg(F.sum("u").alias("s"))
+    )
+    sum_sq = dims.agg(F.sum(F.col("s") * F.col("s")).alias("sum_sq"))
+    stats = c.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("nrm").alias("mean_norm"),
+        F.stddev_samp("nrm").alias("std_norm"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(sum_sq))
+        .select(
+            "n",
+            fround(
+                (F.col("sum_sq") - F.col("n"))
+                / (F.col("n").cast("double") * (F.col("n") - 1)),
+                6,
+            ).alias("mean_pairwise_cos"),
+            fround(F.col("mean_norm"), 4).alias("mean_norm"),
+            fround(F.col("std_norm"), 4).alias("std_norm"),
+        )
+    )

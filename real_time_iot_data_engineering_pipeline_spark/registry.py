@@ -212,6 +212,7 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_revenue_motifs",
     "q_price_index",
     "q_mix_shift",
+    "q_embed_anisotropy",
 )
 
 

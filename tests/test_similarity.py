@@ -379,3 +379,26 @@ class TestClusterPurity:
         total = sum(len(v) for v in members.values())
         for r in rows.values():
             assert abs(r.corpus_purity - round(maj_total / total, 4)) < 1e-9
+
+
+class TestAnisotropy:
+    def test_identity_matches_brute_force(self, spark, sf_dir):
+        """The sum-vector identity must reproduce the literal all-pairs
+        mean cosine (numpy gram matrix) to rounding precision."""
+        import os
+
+        import numpy as np
+        import pandas as pd
+
+        emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        U = M / np.linalg.norm(M, axis=1, keepdims=True)
+        G = U @ U.T
+        n = len(U)
+        brute = (G.sum() - np.trace(G)) / (n * (n - 1))
+        row = registry.QUERIES["q_embed_anisotropy"](spark, sf_dir).head()
+        assert row.n == n
+        assert row.mean_pairwise_cos == pytest.approx(brute, abs=2e-6)
+        norms = np.linalg.norm(M, axis=1)
+        assert row.mean_norm == pytest.approx(float(norms.mean()), abs=1e-3)
+        assert row.std_norm == pytest.approx(float(norms.std(ddof=1)), abs=1e-3)
