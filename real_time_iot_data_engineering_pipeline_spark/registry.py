@@ -59,75 +59,17 @@ _QUERY_MODULES = (
 # order; every query that falls outside the window as a result already
 # holds a green driver row (CORRECTNESS_r01 and/or _r02).
 _DRIVER_PRIORITY = (
-    # round-3 additions that landed past the 50-query cut (held local parity
-    # rows only through round 3 — promoted here for hard driver rows)
-    "q_gap_fill",
-    "q_cube_summary",
-    "q_paragraph_dedup",
-    "q_quality_buckets",
-    "q_audience_setops",
-    "q_min_cost_supplier",
-    "q_length_histogram",
-    "q_dedup_survivor",
-    "q_semantic_decontaminate",
-    "q_large_orders",
-    "q_disjunctive_revenue",
-    "q_embed_quantize",
-    "q_bm25_rank",
-    "q_unigram_ppl",
-    "q_hard_negatives",
-    "q_winsorize",
-    "q_nation_volume",
-    "q_dormant_rich",
-    "q_promo_share",
-    "q_token_entropy",
-    # modified in round 3 (commit f12495c dropped a distinct shuffle; minhash
-    # oracle touched) — prior r02 rows no longer certify the current code
-    "q_doc_dedup_minhash",
-    "q_doc_ngram_jaccard",
-    # new in round 4 (serving layer — reference api spec read paths)
-    "q_serve_latest",
-    "q_serve_analytics",
-    "q_serve_health",
-    # new in round 4 (exact CC over the LSH dup graph, large/small-star)
-    "q_doc_dup_groups_cc",
-    # new in round 4 (second relational tier: remaining TPC-H plan shapes)
-    "q_forecast_revenue",
-    "q_mkt_share",
-    "q_product_profit",
-    "q_important_parts",
-    "q_custdist",
-    "q_top_supplier",
-    "q_part_supplier_count",
-    "q_small_qty_revenue",
-    "q_excess_suppliers",
-    "q_waiting_suppliers",
-    # new in round 4 (corpus n-gram/sparse-similarity + robust stats tier)
-    "q_bigram_topk",
-    "q_pmi_collocations",
-    "q_sparse_cosine_topk",
-    "q_scd2_intervals",
-    "q_mad_outliers",
-    "q_value_deciles",
-    "q_event_pairs",
-    # new in round 4 (function-surface batch: grouping sets, generated
-    # calendar anti-join, ordered-list agg, argmin/argmax, regex UDTF)
-    "q_grouping_sets",
-    "q_missing_days",
-    "q_behavior_signatures",
-    "q_first_touch",
-    "q_keyword_extract",
-    "q_profile_events",
-    "q_sessionize",
-)
-
-# Added AFTER the 50-query window filled (the slots above are this round's
-# must-verify set: never-driver-verified + new/rewritten queries).  These
-# order immediately after the window (positions 51+), hold green local
-# parity rows (tests/test_oracle_parity.py), and are next round's
-# front-load candidates once the slots above convert to hard CORRECTNESS
-# rows.
-_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
+    # round-5 rotation: first 50 of the 81 queries that held only local
+    # parity rows after round 4 (all 50 round-4 window entries converted to
+    # hard CORRECTNESS_r04 rows, zero failures).  The eval-scorecard family
+    # is front-loaded — these are the queries a 100 TB dedup/ANN deployment
+    # tunes bands/bits against, so their oracle rows matter most.
+    "q_minhash_eval",
+    "q_simhash_eval",
+    "q_ann_recall",
+    "q_embed_binary_eval",
+    "q_embed_truncation_eval",
+    # remaining round-4 backlog, original registration order
     "q_repeated_substrings",
     "q_bigram_ppl",
     "q_markov_transitions",
@@ -144,7 +86,6 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_cusum",
     "q_hour_profile",
     "q_knn_classify",
-    "q_ann_recall",
     "q_pagerank",
     "q_corr_matrix",
     "q_chi_square",
@@ -163,7 +104,6 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_abc_classes",
     "q_cycle_time",
     "q_runs_test",
-    # round-4 continuation: classical mining/statistics tier
     "q_kaplan_meier",
     "q_rfm_segments",
     "q_market_basket",
@@ -172,12 +112,22 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_durbin_watson",
     "q_bollinger",
     "q_burstiness",
-    # round-4 continuation: lexical corpus tier
     "q_skipgram_pairs",
     "q_zipf_fit",
     "q_ngram_novelty",
-    # round-4 continuation: composition tier (evaluation harnesses, graph
-    # completion, embedding curation, retail analytics)
+)
+
+# Added AFTER the 50-query window filled (the slots above are this round's
+# must-verify set: never-driver-verified + new/rewritten queries).  These
+# order immediately after the window (positions 51+), hold green local
+# parity rows (tests/test_oracle_parity.py), and are next round's
+# front-load candidates once the slots above convert to hard CORRECTNESS
+# rows.
+_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
+    # round-6 must-verify queue: the 31 queries the 50-slot round-5 window
+    # could not hold (81-entry backlog minus the 50 rotated above).  New
+    # query registration is frozen until this queue clears (round-4 verdict
+    # ask #2) — only bug-fix replacements may register.
     "q_lang_confusion",
     "q_tokenizer_fertility",
     "q_link_prediction",
@@ -186,7 +136,6 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_repeat_interval",
     "q_degree_distribution",
     "q_cluster_keywords",
-    "q_minhash_eval",
     "q_dup_group_stats",
     "q_simhash_pairs",
     "q_readability",
@@ -196,9 +145,6 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_ctr_wilson",
     "q_hill_tail",
     "q_doc_containment",
-    "q_simhash_eval",
-    "q_embed_truncation_eval",
-    "q_embed_binary_eval",
     "q_pack_efficiency",
     "q_mixture_sample",
     "q_vocab_coverage",

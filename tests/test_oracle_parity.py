@@ -54,6 +54,33 @@ def test_driver_priority_queries_inside_50_window():
     assert not missing, f"priority queries past the driver's 50-query cut: {missing}"
 
 
+def test_driver_priority_rotated_to_uncertified():
+    """Forcing function for the per-round window rotation: every slot in the
+    driver's 50-query window is wasted if its query already holds a green
+    CORRECTNESS row from a prior round.  This fails at the START of round
+    N+1 until _DRIVER_PRIORITY is rotated to never-certified queries.  If a
+    certified query is legitimately re-fronted (its code or oracle changed,
+    invalidating the old row), list it in _RECERTIFY below with the reason.
+    """
+    import json
+    from pathlib import Path
+
+    _RECERTIFY: set[str] = set()  # name -> re-fronted because its code changed
+    repo = Path(__file__).resolve().parents[1]
+    certified: set[str] = set()
+    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
+        certified |= set(json.loads(p.read_text()))
+    stale = [
+        n
+        for n in registry._DRIVER_PRIORITY
+        if n in certified and n not in _RECERTIFY
+    ]
+    assert not stale, (
+        "driver-window slots burned on already-certified queries (rotate "
+        f"registry._DRIVER_PRIORITY): {stale}"
+    )
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_dir, name):
     """Queries without an oracle (currently none — every registered query is
