@@ -59,75 +59,10 @@ _QUERY_MODULES = (
 # order; every query that falls outside the window as a result already
 # holds a green driver row (CORRECTNESS_r01 and/or _r02).
 _DRIVER_PRIORITY = (
-    # round-5 rotation: first 50 of the 81 queries that held only local
-    # parity rows after round 4 (all 50 round-4 window entries converted to
-    # hard CORRECTNESS_r04 rows, zero failures).  The eval-scorecard family
-    # is front-loaded — these are the queries a 100 TB dedup/ANN deployment
-    # tunes bands/bits against, so their oracle rows matter most.
-    "q_minhash_eval",
-    "q_simhash_eval",
-    "q_ann_recall",
-    "q_embed_binary_eval",
-    "q_embed_truncation_eval",
-    # remaining round-4 backlog, original registration order
-    "q_repeated_substrings",
-    "q_bigram_ppl",
-    "q_markov_transitions",
-    "q_name_linkage",
-    "q_cosupply_triangles",
-    "q_ewma_daily",
-    "q_welch_ttest",
-    "q_bpe_pairs",
-    "q_curation_pipeline",
-    "q_ks_test",
-    "q_psi",
-    "q_trend_slope",
-    "q_autocorr",
-    "q_cusum",
-    "q_hour_profile",
-    "q_knn_classify",
-    "q_pagerank",
-    "q_corr_matrix",
-    "q_chi_square",
-    "q_gap_interp",
-    "q_heaps_law",
-    "q_pq_codes",
-    "q_rolling_corr",
-    "q_revenue_gini",
-    "q_conversion_latency",
-    "q_source_quality_report",
-    "q_open_orders",
-    "q_source_divergence",
-    "q_source_overlap",
-    "q_seasonal_decompose",
-    "q_benford",
-    "q_abc_classes",
-    "q_cycle_time",
-    "q_runs_test",
-    "q_kaplan_meier",
-    "q_rfm_segments",
-    "q_market_basket",
-    "q_mann_whitney",
-    "q_theil_sen",
-    "q_durbin_watson",
-    "q_bollinger",
-    "q_burstiness",
-    "q_skipgram_pairs",
-    "q_zipf_fit",
-    "q_ngram_novelty",
-)
-
-# Added AFTER the 50-query window filled (the slots above are this round's
-# must-verify set: never-driver-verified + new/rewritten queries).  These
-# order immediately after the window (positions 51+), hold green local
-# parity rows (tests/test_oracle_parity.py), and are next round's
-# front-load candidates once the slots above convert to hard CORRECTNESS
-# rows.
-_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # round-6 must-verify queue: the 31 queries the 50-slot round-5 window
-    # could not hold (81-entry backlog minus the 50 rotated above).  New
-    # query registration is frozen until this queue clears (round-4 verdict
-    # ask #2) — only bug-fix replacements may register.
+    # round-6 rotation: the final 31 never-driver-certified queries (the
+    # round-5 backlog that didn't fit the 50-slot window — all 50 r5 window
+    # entries converted to hard CORRECTNESS_r05 rows, zero failures).
+    # Certifying these takes driver coverage to 226/226.
     "q_lang_confusion",
     "q_tokenizer_fertility",
     "q_link_prediction",
@@ -159,7 +94,38 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_price_index",
     "q_mix_shift",
     "q_embed_anisotropy",
+    # round-6 NEW queries (registration freeze lifted with the verdict's
+    # ≤19-new cap — every new query earns its driver row the round it
+    # ships; 31 backlog + 19 new = exactly the 50-slot window).
+    # Batch oracle twins of the stateful streaming folds + 100 TB-brief ops:
+    "q_misra_gries",
+    "q_welford_stats",
+    "q_cusum_alarm",
+    "q_reservoir_sketch",
+    "q_tdigest_quantiles",
+    "q_hll_distinct",
+    "q_bloom_membership",
+    "q_doc_minhash_containment",
+    "q_shingle_profile",
+    "q_embed_centroid_drift",
+    "q_token_budget_plan",
+    "q_ngram_coverage",
+    "q_dedup_cost_curve",
+    "q_doc_length_bands",
+    "q_stopword_profile",
+    "q_session_windows",
+    "q_order_reorder_rate",
+    "q_supplier_herfindahl",
+    "q_part_affinity",
 )
+
+# Added AFTER the 50-query window filled (the slots above are this round's
+# must-verify set: never-driver-verified + new/rewritten queries).  These
+# order immediately after the window (positions 51+), hold green local
+# parity rows (tests/test_oracle_parity.py), and are next round's
+# front-load candidates once the slots above convert to hard CORRECTNESS
+# rows.
+_NEXT_ROUND_PRIORITY: tuple[str, ...] = ()
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -61,6 +61,15 @@ def test_driver_priority_rotated_to_uncertified():
     N+1 until _DRIVER_PRIORITY is rotated to never-certified queries.  If a
     certified query is legitimately re-fronted (its code or oracle changed,
     invalidating the old row), list it in _RECERTIFY below with the reason.
+
+    ATOMIC-COMMIT REQUIREMENT: by design this test goes red the moment a
+    round's CORRECTNESS_rNN.json certifying the current window lands —
+    commit the round-N artifact and the round-N+1 rotation TOGETHER (or
+    rotate first in the same working tree) so CI never sits between them.
+
+    A query counts as *certified* only if some round's row is fully green
+    (rows_match, schema_match, hash_match all true, err null); a failing
+    driver row must keep its query inside the window for re-verification.
     """
     import json
     from pathlib import Path
@@ -69,7 +78,15 @@ def test_driver_priority_rotated_to_uncertified():
     repo = Path(__file__).resolve().parents[1]
     certified: set[str] = set()
     for p in sorted(repo.glob("CORRECTNESS_r*.json")):
-        certified |= set(json.loads(p.read_text()))
+        for name, row in json.loads(p.read_text()).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+                and row.get("err") is None
+            ):
+                certified.add(name)
     stale = [
         n
         for n in registry._DRIVER_PRIORITY
