@@ -208,7 +208,13 @@ def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # endpoint/degree scan, and the edge count); _edges_df persists it so
     # the lineitem self-join + rank cutoff runs ONCE instead of five times
     # (measured 5.8 s -> ~1.2 s at sf0.1).
-    edges = _edges_df(spark, sf_dir)
+    return triangle_stats(_edges_df(spark, sf_dir))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Node/edge/triangle counts + global clustering over a canonical
+    (u < v, deduplicated) edge list — the plan shared by
+    q_cosupply_triangles and the synthetic-graph property test."""
     endpoints = edges.select(F.col("u").alias("x")).unionAll(
         edges.select(F.col("v").alias("x"))
     )

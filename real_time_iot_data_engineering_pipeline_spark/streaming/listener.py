@@ -28,6 +28,7 @@ class BatchMetrics:
     duration_seconds: float
     state_rows: int
     is_slow: bool
+    query_name: str | None = None  # progress.name; None for unnamed queries
 
 
 @dataclass
@@ -61,6 +62,7 @@ class MetricsListener(L.StreamingQueryListener):
             duration_seconds=duration,
             state_rows=state_rows,
             is_slow=duration > self.slow_batch_seconds,
+            query_name=p.name,
         )
         self.batches.append(m)
         if m.is_slow:

@@ -531,3 +531,115 @@ def test_topology_all_branches_together(spark, tmp_path):
     assert result.read_flood().count() >= 1
     assert result.monitor is not None and result.monitor.read().count() >= 1
     assert result.drift is not None and result.drift.read().count() >= 1
+
+
+def test_topology_soak_state_plateaus_under_late_dup_dlq_traffic(
+    spark, tmp_path
+):
+    """Soak run: >=24 micro-batches of mixed traffic (the late-arrival
+    taxonomy from streaming/late_fixtures.py, plus an exact duplicate and
+    an out-of-range DLQ row per batch) through the full topology, with a
+    MetricsListener attached.  The watermark-eviction guarantee SURVEY
+    §2.8 claims — RocksDB state rows PLATEAU while cumulative input grows
+    linearly — is asserted on the listener's per-batch state counts, and
+    the DLQ/dedup/agg branches are cross-checked on exact row counts."""
+    import datetime as dt
+
+    from real_time_iot_data_engineering_pipeline_spark.streaming import (
+        MetricsListener,
+    )
+    from real_time_iot_data_engineering_pipeline_spark.streaming.late_fixtures import (
+        late_events,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    n_files, per_batch = 24, 25
+    base = dt.datetime(2024, 1, 15, 10, 0, 0)
+    # late_events emits props="{}", which the validator rejects
+    # (bad_type:props.k) — give the soak's valid traffic a numeric k
+    stream = [
+        dict(e, props='{"k": 1}')
+        for e in late_events(n_files * per_batch, base)
+    ]
+    n_dlq = 0
+    for seq in range(n_files):
+        batch = stream[seq * per_batch : (seq + 1) * per_batch]
+        rows = list(batch)
+        # exact duplicate of the batch's first event (same event_id/ts):
+        # must be absorbed by dropDuplicatesWithinWatermark, not the agg
+        rows.append(dict(batch[0]))
+        # one out-of-range reading per batch: must route to the DLQ
+        rows.append(
+            {
+                "event_id": 100_000 + seq,
+                "ts": batch[-1]["ts"],
+                "user_id": 1,
+                "event_type": "reading",
+                "value": 500.0,
+                "props": "{}",
+            }
+        )
+        n_dlq += 1
+        write_file(str(src), f"soak-{seq:03d}.json", rows, seq=seq)
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        result = run_topology(spark, str(src), str(tmp_path / "out"))
+        import time
+
+        deadline = time.time() + 30
+        while (
+            time.time() < deadline
+            and sum(
+                1
+                for b in listener.batches
+                if b.query_name == "topology-main" and b.num_input_rows > 0
+            )
+            < n_files
+        ):
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    main = [
+        b
+        for b in listener.batches
+        if b.query_name == "topology-main" and b.num_input_rows > 0
+    ]
+    main.sort(key=lambda b: b.batch_id)
+    assert len(main) >= n_files, "one non-empty micro-batch per soak file"
+    total_in = sum(b.num_input_rows for b in main)
+    assert total_in == n_files * (per_batch + 2)
+
+    # --- the plateau claim -------------------------------------------------
+    # Cumulative input grows linearly across the soak; state must not.
+    # Warm-up (watermark still catching the 60-min lateness tail) is the
+    # first third; after that the per-batch state-row count must flatline:
+    # the late-thirds peak may not exceed the middle-third peak, and the
+    # overall peak must be a small multiple of one batch, not of the run.
+    third = len(main) // 3
+    peak_mid = max(b.state_rows for b in main[third : 2 * third])
+    peak_late = max(b.state_rows for b in main[2 * third :])
+    assert peak_late <= peak_mid, (
+        f"state still growing late in the soak: {peak_late} > {peak_mid} "
+        f"(per-batch: {[b.state_rows for b in main]})"
+    )
+    peak = max(b.state_rows for b in main)
+    assert peak < 4 * (per_batch + 2), (
+        f"state peak {peak} is not O(one batch) — eviction is not happening"
+    )
+    assert peak < total_in / 4, "state scaled with cumulative input"
+
+    # --- branch cross-checks ----------------------------------------------
+    assert result.read_dlq().count() == n_dlq
+    aggs = result.aggregates.read()
+    assert aggs.count() >= 5
+    # dedup absorbed every injected duplicate: total aggregated count ==
+    # distinct surviving (non-late, in-range) events, never double-counted
+    from pyspark.sql import functions as F
+
+    agg_total = aggs.agg(F.sum("count")).collect()[0][0]
+    assert agg_total <= n_files * per_batch  # late rows drop, dups never add
+    assert agg_total > n_files * per_batch // 2  # but most rows survive
