@@ -105,9 +105,16 @@ def main() -> None:
     # to BENCH_DETAIL.json (committed, judge-readable); stdout gets ONE
     # compact line with the totals plus the headline-per-family timings,
     # sized to survive the capture.
+    # BENCH_DETAIL.json is the committed, round-over-round-comparable
+    # artifact and must stay at the driver's sf (0.1); an iteration run at
+    # another sf writes a sibling file instead of silently replacing it
+    # (round-5 ADVICE: the committed detail once shipped as an sf0.01 run).
+    default_name = (
+        "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    )
     detail_path = os.environ.get(
         "SPARK_GRAFT_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), default_name),
     )
     with open(detail_path, "w") as f:
         json.dump(summary, f, separators=(",", ":"))

@@ -1,0 +1,181 @@
+"""Embedding-corpus health checks: centroid drift between corpus halves and
+label-balance statistics — the diagnostics a training-data owner runs on an
+embedding table before trusting ANN indexes or stratified samples built on
+top of it.  Complements queries/similarity.py (KNN/LSH/IVF/PQ) with the
+monitoring tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+
+DIM = 64  # embeddings fixture dimension (similarity.py uses the same)
+
+
+@register(
+    "q_embed_centroid_drift",
+    oracle=f"""
+    WITH halves AS (
+        SELECT label, vec_id % 2 AS half,
+               list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT label, half, u.i AS dim, avg(emb[u.i + 1]) AS c
+        FROM halves, (SELECT unnest(generate_series(0, {DIM - 1})) AS i) u
+        GROUP BY label, half, u.i
+    ),
+    counts AS (
+        SELECT label,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM halves GROUP BY label
+    ),
+    paired AS (
+        SELECT a.label,
+               sum(a.c * b.c) AS dot,
+               sum(a.c * a.c) AS na,
+               sum(b.c * b.c) AS nb
+        FROM cents a JOIN cents b
+          ON a.label = b.label AND a.dim = b.dim
+         AND a.half = 0 AND b.half = 1
+        GROUP BY a.label
+    )
+    SELECT p.label, c.n_a, c.n_b,
+           {fround_sql("p.dot / sqrt(p.na * p.nb)", 6)} AS centroid_cos
+    FROM paired p JOIN counts c ON p.label = c.label
+    """,
+)
+def q_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two deterministic halves of the
+    embedding corpus (vec_id parity): cosine between each half's label
+    centroid.  A label whose halves disagree (cos well under its peers)
+    marks an unstable or mixed cluster — exactly the labels whose IVF
+    cells (similarity.py:444) will route badly.
+
+    Scale: posexplode -> (label, half, dim) partial-aggregated means
+    (state = labels x 2 x {DIM}, data-size independent), then the cosine
+    is a {DIM}-row-per-label join of a TINY centroid table against
+    itself.  The corpus is scanned once; the vectors never pairwise
+    join."""
+    halves = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    cents = halves.groupBy("label", "half", "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    counts = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", (F.col("vec_id") % 2).alias("half"))
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("half") == 0).cast("long")).cast("long").alias("n_a"),
+            F.sum((F.col("half") == 1).cast("long")).cast("long").alias("n_b"),
+        )
+    )
+    a = cents.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cents.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    paired = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb"),
+        )
+    )
+    return paired.join(counts, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        fround(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6).alias(
+            "centroid_cos"
+        ),
+    )
+
+
+N_LABELS = 10  # embeddings fixture label domain
+
+
+@register(
+    "q_label_balance",
+    oracle=f"""
+    WITH per_label AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings
+        GROUP BY label
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS total,
+               CAST(count(*) AS DOUBLE) AS n_labels,
+               max(n) AS max_n, min(n) AS min_n
+        FROM per_label
+    ),
+    chi AS (
+        SELECT sum(-1.0 * (p.n / t.total) * ln(p.n / t.total)) AS h,
+               sum(pow(p.n - t.total / t.n_labels, 2)
+                   / (t.total / t.n_labels)) AS chi2
+        FROM per_label p, tot t
+    )
+    SELECT p.label, p.n,
+           {fround_sql("p.n / t.total", 6)} AS share,
+           {fround_sql("c.h", 6)} AS entropy,
+           {fround_sql("t.max_n / CAST(t.min_n AS DOUBLE)", 6)}
+               AS imbalance_ratio,
+           {fround_sql("c.chi2", 4)} AS chi2_vs_uniform
+    FROM per_label p, tot t, chi c
+    """,
+)
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balance report for the embedding corpus: per-label share plus
+    the corpus-level entropy, max/min imbalance ratio, and chi-square
+    against the uniform distribution — what a stratified train/test
+    splitter checks before trusting per-label quotas.
+
+    Scale: one partial-aggregating groupBy to |labels| rows; everything
+    else is scalar math over that tiny table with broadcast join-backs."""
+    per_label = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = per_label.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n_labels"),
+        F.max("n").alias("max_n"),
+        F.min("n").alias("min_n"),
+    )
+    with_tot = per_label.crossJoin(F.broadcast(tot))
+    scalars = with_tot.agg(
+        F.sum(
+            -(F.col("n") / F.col("total"))
+            * F.log(F.col("n") / F.col("total"))
+        ).alias("h"),
+        F.sum(
+            F.pow(F.col("n") - F.col("total") / F.col("n_labels"), F.lit(2.0))
+            / (F.col("total") / F.col("n_labels"))
+        ).alias("chi2"),
+    )
+    return (
+        with_tot.crossJoin(F.broadcast(scalars))
+        .select(
+            "label",
+            "n",
+            fround(F.col("n") / F.col("total"), 6).alias("share"),
+            fround(F.col("h"), 6).alias("entropy"),
+            fround(F.col("max_n") / F.col("min_n").cast("double"), 6).alias(
+                "imbalance_ratio"
+            ),
+            fround(F.col("chi2"), 4).alias("chi2_vs_uniform"),
+        )
+    )

@@ -32,6 +32,7 @@ plans for training-data/warehouse users.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -761,53 +762,97 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs after every load, generalizing the events-only validation suite
     to the relational schema.
 
-    Scale: each PK check is a count vs distinct-count partial aggregate
-    (two-phase, map-side combined); each FK check is a LEFT ANTI join
-    counted — key-keyed equi-joins where only keys shuffle, with the
-    small parent sides broadcast by AQE.  All 17 checks are independent
-    single-row aggregates unioned lazily; nothing materializes more than
-    its keys."""
-    out = []
-    for name, table, cols in _PK_CHECKS:
-        t = load_table(spark, sf_dir, table).select(*cols)
-        out.append(
-            t.agg(
-                F.count("*").cast("long").alias("n_checked"),
-                # count_distinct over a STRUCT keeps null-containing keys as
-                # distinct groups — matching SELECT DISTINCT (and pandas
-                # drop_duplicates); bare count_distinct would drop them and
-                # overcount violations for nullable keys
-                (
-                    F.count("*")
-                    - F.count_distinct(F.struct(*[F.col(c) for c in cols]))
-                )
-                .cast("long")
-                .alias("n_violations"),
-            ).select(
-                F.lit(name).alias("check_name"), "n_checked", "n_violations"
-            )
-        )
+    Scale (round-6 restructure, verdict ask #5): every table is scanned
+    EXACTLY ONCE.  Each row explodes into one (check, key-string) entry
+    per check that table participates in — its PK plus every FK column it
+    carries — and one persisted groupBy(check, key) pass yields, per
+    check, the row count (sum of per-key counts), the distinct-key count
+    (PK violations = rows - groups), and the per-key counts the orphan
+    join needs.  The FK orphan check then LEFT ANTI joins the child's
+    grouped keys against the PARENT's grouped PK keys — which come from
+    the same pass, so parent tables are not re-scanned either.  The old
+    shape (17 independent aggregates) cost up to 7 passes over lineitem
+    alone; at 100 TB, scans dominate and this is the difference between
+    one pass over the warehouse and seventeen."""
+    SEP = "\x01"
+    NULLTAG = "\x02null"
+    fk_by_table: dict[str, list[tuple[str, str, str, str]]] = {}
     for name, child, ck, parent, pk in _FK_CHECKS:
-        c = (
-            load_table(spark, sf_dir, child)
-            .select(F.col(ck).alias("k"))
+        fk_by_table.setdefault(child, []).append((name, ck, parent, pk))
+
+    parts = []
+    for name, table, cols in _PK_CHECKS:
+        fks = fk_by_table.get(table, ())
+        t = load_table(spark, sf_dir, table).select(
+            *{c for c in cols} | {ck for _, ck, _, _ in fks}
+        )
+        # PK key string: NULLTAG-coalesced so null-containing keys stay
+        # distinct groups (matching SELECT DISTINCT); single-column parent
+        # PKs are never null in a valid key column, so the encoding equals
+        # the child FK's plain cast and the orphan join keys line up.
+        pk_key = F.concat_ws(
+            SEP, *[F.coalesce(F.col(c).cast("string"), F.lit(NULLTAG)) for c in cols]
+        )
+        entries = [
+            F.struct(F.lit(name).alias("check"), pk_key.alias("k"))
+        ]
+        for fk_name, ck, _, _ in fks:
+            # null FK values are exempt (SQL FK semantics): a null key makes
+            # the entry null and the post-explode filter drops it
+            entries.append(
+                F.struct(
+                    F.lit(fk_name).alias("check"),
+                    F.col(ck).cast("string").alias("k"),
+                )
+            )
+        parts.append(
+            t.select(F.explode(F.array(*entries)).alias("e"))
+            .select("e.check", "e.k")
             .filter(F.col("k").isNotNull())
         )
-        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
-        orphans = c.join(p, "k", "left_anti").agg(
-            F.count("*").cast("long").alias("n_violations")
+    all_entries = parts[0]
+    for p in parts[1:]:
+        all_entries = all_entries.unionByName(p)
+    # persisted: three consumers (per-check stats, orphan child side,
+    # orphan parent side) must not re-trigger the table scans
+    grouped = (
+        all_entries.groupBy("check", "k")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = grouped.groupBy("check").agg(
+        F.sum("cnt").cast("long").alias("n_checked"),
+        (F.sum("cnt") - F.count("*")).cast("long").alias("dup_violations"),
+    )
+    fk_parent = spark.createDataFrame(
+        [(name, f"pk:{parent}") for name, _, ck, parent, _ in _FK_CHECKS],
+        "check string, parent_check string",
+    )
+    parent_keys = grouped.select(
+        F.col("check").alias("parent_check"), "k"
+    ).join(
+        F.broadcast(fk_parent.select("parent_check").distinct()),
+        "parent_check",
+    )
+    orphan = (
+        grouped.join(F.broadcast(fk_parent), "check")
+        .join(parent_keys, ["parent_check", "k"], "left_anti")
+        .groupBy("check")
+        .agg(F.sum("cnt").cast("long").alias("orphan_violations"))
+    )
+    is_fk = F.col("check").startswith("fk:")
+    return (
+        stats.join(orphan, "check", "left")
+        .select(
+            F.col("check").alias("check_name"),
+            "n_checked",
+            F.when(is_fk, F.coalesce("orphan_violations", F.lit(0)))
+            .otherwise(F.col("dup_violations"))
+            .cast("long")
+            .alias("n_violations"),
         )
-        out.append(
-            c.agg(F.count("*").cast("long").alias("n_checked"))
-            .crossJoin(F.broadcast(orphans))
-            .select(
-                F.lit(name).alias("check_name"), "n_checked", "n_violations"
-            )
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res.orderBy("check_name")
+        .orderBy("check_name")
+    )
 
 
 # ---------------------------------------------------------------------------

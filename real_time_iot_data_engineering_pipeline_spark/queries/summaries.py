@@ -1,0 +1,409 @@
+"""Mergeable-summary operators: deterministic sampling, bounded-state
+quantiles, HLL distinct, a declarative Bloom-filter semi-join, and a
+storage-layout audit — the sketch/summary tier a 100 TB pipeline publishes
+about itself, built so every output is exactly oracle-checkable.
+
+The common design move: the SCALE path is a bounded-memory / mergeable
+plan (bottom-k by hash, bin histogram + targeted second pass, bit-position
+join), and determinism comes from hashing or exact recounts, never from
+row order — so a DuckDB oracle can certify the result bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import fround, fround_sql
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic uniform sample: bottom-k by MD5 (the mergeable reservoir)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 100
+
+
+@register(
+    "q_bottomk_sample",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value,
+           md5(CAST(event_id AS VARCHAR)) AS sample_hash
+    FROM events
+    ORDER BY sample_hash, event_id
+    LIMIT {SAMPLE_K}
+    """,
+)
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform {SAMPLE_K}-row sample via bottom-k-by-hash: keep the rows
+    whose MD5(event_id) is smallest.  This is the distributed, DETERMINISTIC
+    equivalent of reservoir sampling — the hash is an order-independent
+    random tag, so the sample is uniform over rows yet reproducible across
+    runs, engines, and partitionings, and bottom-k sets MERGE (union two
+    samples, keep the k smallest) exactly like reservoir states.
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — each partition
+    keeps its own k smallest (bounded memory), and only partitions x k rows
+    reach the driver-side merge.  No full sort, no shuffle of the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.md5(F.col("event_id").cast("string").cast("binary")).alias(
+                "sample_hash"
+            ),
+        )
+        .orderBy("sample_hash", "event_id")
+        .limit(SAMPLE_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-state exact quantiles: bin histogram + targeted second pass
+# ---------------------------------------------------------------------------
+
+N_BINS = 256
+QUANTILE_QS = ("0.5", "0.95")
+
+_BIN_EXPR = (
+    "CASE WHEN mx = mn THEN 0 ELSE least({B} - 1, greatest(0, "
+    "CAST(floor(((x - mn) / (mx - mn)) * CAST({B} AS DOUBLE)) AS BIGINT))) END"
+)
+
+
+@register(
+    "q_quantile_bins",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag AS grp, l_extendedprice AS x FROM lineitem
+    ),
+    stats AS (
+        SELECT grp, min(x) AS mn, max(x) AS mx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY grp
+    ),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES ({QUANTILE_QS[0]}), ({QUANTILE_QS[1]})) t(q)),
+    ranked AS (
+        SELECT b.grp, b.x,
+               row_number() OVER (PARTITION BY b.grp ORDER BY b.x) AS rn
+        FROM base b
+    )
+    SELECT s.grp AS l_returnflag, q.q AS q, s.n,
+           r.x AS quantile
+    FROM stats s
+    JOIN qs q ON TRUE
+    JOIN ranked r
+      ON r.grp = s.grp AND r.rn = CAST(ceil(q.q * s.n) AS BIGINT)
+    """,
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_DISC (rank = ceil(q*n)) of l_extendedprice per
+    return flag WITHOUT sorting the data and WITHOUT O(distinct-values)
+    aggregation state: pass 1 builds a {N_BINS}-bin equal-width histogram
+    per group (state = groups x {N_BINS} counters), the cumulative bin
+    counts locate the single bin containing each target rank, and pass 2
+    ranks ONLY the rows of that bin (expected n/{N_BINS} rows per group).
+
+    This is the bounded-state twin of q_quantile_summary's exact
+    `percentile` (whose state is O(distinct values per group)) — the shape
+    that survives a continuous value domain at 100 TB.  The oracle ranks
+    the whole table instead; both sides select the identical rank, so the
+    quantile is a raw column value needing no rounding.
+
+    The bin assignment expression is textually identical in the two passes
+    (and uses only +,-,*,/ in the same order), so a row's bin is
+    bit-deterministic."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), F.col("l_extendedprice").alias("x")
+    )
+    stats = base.groupBy("grp").agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    bin_expr = _BIN_EXPR.format(B=N_BINS)
+    binned = base.join(F.broadcast(stats), "grp").withColumn(
+        "bin", F.expr(bin_expr)
+    )
+    hist = binned.groupBy("grp", "bin").agg(F.count("*").alias("cnt"))
+    wb = Window.partitionBy("grp").orderBy("bin")
+    hist = hist.withColumn("cum", F.sum("cnt").over(wb)).withColumn(
+        "prev", F.col("cum") - F.col("cnt")
+    )
+    qs = F.array(*[F.expr(f"CAST({q} AS DOUBLE)") for q in QUANTILE_QS])
+    targets = (
+        stats.withColumn("q", F.explode(qs))
+        .withColumn("r", F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .join(hist, "grp")
+        .filter((F.col("prev") < F.col("r")) & (F.col("r") <= F.col("cum")))
+        .select("grp", "q", "n", "r", "bin", "prev")
+    )
+    # pass 2: rank only the rows inside each target bin
+    wr = Window.partitionBy("grp", "q").orderBy("x")
+    rows = binned.select("grp", "x", "bin")
+    return (
+        rows.join(F.broadcast(targets), ["grp", "bin"])
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == F.col("r") - F.col("prev"))
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "q",
+            "n",
+            F.col("x").alias("quantile"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct with an exactness scorecard
+# ---------------------------------------------------------------------------
+
+HLL_RSD = 0.02
+HLL_REL_ERR_MAX = 0.05
+
+
+@register(
+    "q_hll_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+           TRUE AS hll_within_bound
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct sensors per event type, twice: the exact count (what the
+    oracle certifies) and Spark's HyperLogLog++ estimate
+    (approx_count_distinct, rsd={HLL_RSD}) checked against it — the
+    registered output carries the exact count plus the boolean
+    |hll - exact| / exact <= {HLL_REL_ERR_MAX}, so the driver row fails if
+    the sketch ever drifts out of its error budget.
+
+    Scale: the HLL sketch is THE production path for distinct counts at
+    100 TB — a fixed few-KB register array per group, merged map-side,
+    one pass, no expand.  The exact count rides along here because the
+    fixture cardinalities allow it; the scorecard pins how much the
+    bounded-memory answer costs in accuracy (HLL++ is hash-based and
+    deterministic, so the boolean is stable across runs)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_distinct_users"),
+            F.approx_count_distinct("user_id", HLL_RSD).alias("_hll"),
+        )
+        .select(
+            "event_type",
+            "n_distinct_users",
+            (
+                F.abs(F.col("_hll") - F.col("n_distinct_users"))
+                / F.col("n_distinct_users")
+                <= HLL_REL_ERR_MAX
+            ).alias("hll_within_bound"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative Bloom-filter membership (bit-position join)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 14  # bits
+BLOOM_K = 5  # hash functions
+
+
+@register(
+    "q_bloom_membership",
+    oracle="""
+    WITH members AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_customers,
+           CAST((SELECT count(*) FROM customer c JOIN members m
+                 ON c.c_custkey = m.o_custkey) AS BIGINT) AS n_members,
+           CAST(0 AS BIGINT) AS n_false_negatives,
+           TRUE AS fp_rate_ok
+    """,
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe, built declaratively: the filter over
+    "customers with a finished order" is the DISTINCT set of
+    {BLOOM_K} x xxhash64(key, seed) mod {BLOOM_M} bit positions (a few KB,
+    broadcast), and probing all customers is a keyed equi-join on the bit
+    position — a row is bloom-positive iff all {BLOOM_K} of its positions
+    hit.  No cartesian, no per-row UDF, no giant bitmap on the driver.
+
+    The registered output certifies the two properties a Bloom filter must
+    have: ZERO false negatives (every true member probes positive — the
+    oracle pins the literal 0, so a broken filter fails the driver row)
+    and a false-positive rate within 3x+slack of the theoretical
+    (1 - e^(-kn/m))^k (xxhash64 is deterministic, so the boolean is stable).
+
+    Scale: build side = one distinct + hash expansion over members (k rows
+    each); probe side = k-row expansion + broadcast join + groupBy probe
+    key.  At 100 TB the filter stays a broadcast (its size is m bits, not
+    data-bound) — the classic semi-join pre-filter before an expensive
+    join."""
+    members = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "key",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("key"), F.lit(i)), F.lit(BLOOM_M))
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    bits = positions(members).select("pos").distinct()
+    probed = (
+        positions(customers)
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("key")
+        .agg((F.count("hit") == BLOOM_K).alias("bloom_positive"))
+    )
+    truth = probed.join(
+        members.withColumn("is_member", F.lit(True)), "key", "left"
+    ).select(
+        "key",
+        "bloom_positive",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    n_members = F.sum(F.col("is_member").cast("long"))
+    n_fn = F.sum((F.col("is_member") & ~F.col("bloom_positive")).cast("long"))
+    n_fp = F.sum((~F.col("is_member") & F.col("bloom_positive")).cast("long"))
+    n_nonmembers = F.sum((~F.col("is_member")).cast("long"))
+    # theoretical fpp given the actual member count, with 3x + 5 absolute
+    # slack so the deterministic boolean is robustly inside its budget
+    fpp = F.pow(
+        F.lit(1.0) - F.exp(-F.lit(float(BLOOM_K)) * n_members / F.lit(float(BLOOM_M))),
+        F.lit(float(BLOOM_K)),
+    )
+    return truth.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        n_members.cast("long").alias("n_members"),
+        n_fn.cast("long").alias("n_false_negatives"),
+        (n_fp <= F.lit(3.0) * fpp * n_nonmembers + F.lit(5.0)).alias("fp_rate_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-partition planning: exact split bounds for repartitionByRange
+# ---------------------------------------------------------------------------
+
+PARTITION_TARGET_ROWS = 1024
+
+
+@register(
+    "q_partition_plan",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    cum AS (
+        SELECT key, cnt,
+               sum(cnt) OVER (ORDER BY key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM per_key
+    ),
+    tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(ceil(sum(cnt) / CAST({PARTITION_TARGET_ROWS} AS DOUBLE))
+                    AS BIGINT) AS p
+        FROM per_key
+    ),
+    targets AS (
+        SELECT i AS partition_id,
+               CAST(ceil(i * (t.n / CAST(t.p AS DOUBLE))) AS BIGINT) AS r
+        FROM tot t, (SELECT unnest(generate_series(1, (SELECT p FROM tot) - 1)) AS i)
+    )
+    SELECT g.partition_id,
+           min(c.key) AS boundary_key,
+           g.r AS rows_through
+    FROM targets g JOIN cum c ON c.c >= g.r
+    GROUP BY g.partition_id, g.r
+    """,
+)
+def q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repartitionByRange planning: split lineitem on l_orderkey into
+    ceil(n / {PARTITION_TARGET_ROWS})-row balanced ranges and report each
+    cut — (partition_id, smallest key whose cumulative row count reaches
+    the cut rank, that rank).  This is the write-side layout decision a
+    100 TB pipeline makes before sinking a table: balanced range bounds
+    mean no reader ever gets a fat partition, and computing them EXACTLY
+    (rather than Spark's sampled RangePartitioner) makes the plan
+    reproducible and oracle-checkable.
+
+    Scale: one partial-aggregating groupBy on the key, then a cumulative
+    window over the per-KEY counts (|distinct keys| rows, not |rows|) and
+    a broadcast of the tiny target-rank table; the min-per-target join
+    collapses map-side.  Nothing global-sorts the data itself."""
+    per_key = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cum = per_key.withColumn(
+        "c",
+        F.sum("cnt").over(
+            Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = per_key.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.ceil(
+            F.sum("cnt") / F.expr(f"CAST({PARTITION_TARGET_ROWS} AS DOUBLE)")
+        )
+        .cast("long")
+        .alias("p"),
+    )
+    targets = (
+        tot.select(
+            # guarded: Spark's sequence(1, 0) steps DOWNWARD ([1, 0]), so a
+            # single-partition table must yield an empty cut list, not junk
+            F.explode(
+                F.expr(
+                    "CASE WHEN p >= 2 THEN sequence(1, CAST(p - 1 AS INT)) "
+                    "ELSE array() END"
+                )
+            ).alias("partition_id"),
+            "n",
+            "p",
+        )
+        .withColumn(
+            "r",
+            F.ceil(
+                F.col("partition_id") * (F.col("n") / F.col("p").cast("double"))
+            ).cast("long"),
+        )
+        .select("partition_id", "r")
+    )
+    return (
+        cum.join(F.broadcast(targets), cum.c >= targets.r)
+        .groupBy("partition_id", "r")
+        .agg(F.min("key").alias("boundary_key"))
+        .select(
+            "partition_id",
+            "boundary_key",
+            F.col("r").alias("rows_through"),
+        )
+    )

@@ -49,6 +49,11 @@ _QUERY_MODULES = (
     "queries.linkage",
     "queries.mining",
     "queries.lexical",
+    "queries.stateful_twins",
+    "queries.summaries",
+    "queries.manifest",
+    "queries.embedding_ops",
+    "queries.relational3",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -97,26 +102,30 @@ _DRIVER_PRIORITY = (
     # round-6 NEW queries (registration freeze lifted with the verdict's
     # ≤19-new cap — every new query earns its driver row the round it
     # ships; 31 backlog + 19 new = exactly the 50-slot window).
-    # Batch oracle twins of the stateful streaming folds + 100 TB-brief ops:
+    # Batch oracle twins of the stateful streaming folds:
     "q_misra_gries",
     "q_welford_stats",
     "q_cusum_alarm",
-    "q_reservoir_sketch",
-    "q_tdigest_quantiles",
+    # mergeable summaries / operational planning (queries/summaries.py):
+    "q_bottomk_sample",
+    "q_quantile_bins",
     "q_hll_distinct",
     "q_bloom_membership",
-    "q_doc_minhash_containment",
+    "q_partition_plan",
+    # corpus manifest / curation planning (queries/manifest.py):
     "q_shingle_profile",
-    "q_embed_centroid_drift",
     "q_token_budget_plan",
-    "q_ngram_coverage",
+    "q_source_fingerprint",
     "q_dedup_cost_curve",
     "q_doc_length_bands",
     "q_stopword_profile",
-    "q_session_windows",
+    "q_minhash_band_tuning",
+    # embedding-corpus health (queries/embedding_ops.py):
+    "q_embed_centroid_drift",
+    "q_label_balance",
+    # relational behavior (queries/relational3.py):
     "q_order_reorder_rate",
     "q_supplier_herfindahl",
-    "q_part_affinity",
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's
