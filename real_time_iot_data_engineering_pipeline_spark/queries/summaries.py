@@ -331,16 +331,27 @@ PARTITION_TARGET_ROWS = 1024
                     AS BIGINT) AS p
         FROM per_key
     ),
-    targets AS (
-        SELECT i AS partition_id,
-               CAST(ceil(i * (t.n / CAST(t.p AS DOUBLE))) AS BIGINT) AS r
-        FROM tot t, (SELECT unnest(generate_series(1, (SELECT p FROM tot) - 1)) AS i)
+    spans AS (
+        -- each key's cumulative interval (c_prev, c]; the cut ranks it can
+        -- contain are the integers i with r_i = ceil(i*n/p) inside it, an
+        -- arithmetic range of width ~cnt*p/n (usually 0 or 1) — candidate
+        -- generation is padded by one on each side, the exact predicate
+        -- decides membership, so no key ever scans the full target list
+        SELECT c.key, c.c, c.c - c.cnt AS c_prev, t.n, t.p
+        FROM cum c, tot t WHERE t.p >= 2
+    ),
+    hits AS (
+        SELECT s.key, s.c, s.c_prev, s.n, s.p, u.i AS partition_id,
+               CAST(ceil(u.i * (s.n / CAST(s.p AS DOUBLE))) AS BIGINT) AS r
+        FROM spans s,
+             unnest(generate_series(
+                 greatest(1, CAST(floor(s.c_prev * s.p / CAST(s.n AS DOUBLE)) AS BIGINT)),
+                 least(s.p - 1, CAST(floor(s.c * s.p / CAST(s.n AS DOUBLE)) AS BIGINT) + 1)
+             )) AS u(i)
     )
-    SELECT g.partition_id,
-           min(c.key) AS boundary_key,
-           g.r AS rows_through
-    FROM targets g JOIN cum c ON c.c >= g.r
-    GROUP BY g.partition_id, g.r
+    SELECT partition_id, key AS boundary_key, r AS rows_through
+    FROM hits
+    WHERE c_prev < r AND r <= c
     """,
 )
 def q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,9 +365,14 @@ def q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible and oracle-checkable.
 
     Scale: one partial-aggregating groupBy on the key, then a cumulative
-    window over the per-KEY counts (|distinct keys| rows, not |rows|) and
-    a broadcast of the tiny target-rank table; the min-per-target join
-    collapses map-side.  Nothing global-sorts the data itself."""
+    window over the per-KEY counts (|distinct keys| rows, not |rows|), and
+    each key computes ARITHMETICALLY the <= O(cnt*p/n + 2) cut ranks its
+    cumulative interval (c_prev, c] can contain (candidate range padded,
+    exact predicate decides).  The naive alternative — joining every key
+    against the full cut table on c >= r — is a broadcast nested loop
+    whose cost is |keys| x |cuts| = O(n^2 / target): measured 106 s at
+    the 10x fixture vs 2.1 s for this plan (SCALE.md, round-6 entry).
+    Nothing global-sorts the data itself."""
     per_key = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey").alias("key"))
@@ -376,18 +392,37 @@ def q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p"),
     )
-    targets = (
-        tot.select(
-            # guarded: Spark's sequence(1, 0) steps DOWNWARD ([1, 0]), so a
-            # single-partition table must yield an empty cut list, not junk
+    spans = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("p") >= 2)
+        .withColumn("c_prev", F.col("c") - F.col("cnt"))
+    )
+    i_lo = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(
+            F.col("c_prev") * F.col("p") / F.col("n").cast("double")
+        ).cast("long"),
+    )
+    i_hi = F.least(
+        F.col("p") - 1,
+        F.floor(F.col("c") * F.col("p") / F.col("n").cast("double")).cast(
+            "long"
+        )
+        + 1,
+    )
+    hits = (
+        spans.withColumn("i_lo", i_lo)
+        .withColumn("i_hi", i_hi)
+        # guarded: Spark's sequence() steps DOWNWARD when lo > hi, so an
+        # empty candidate range must yield an empty array, not junk
+        .withColumn(
+            "partition_id",
             F.explode(
                 F.expr(
-                    "CASE WHEN p >= 2 THEN sequence(1, CAST(p - 1 AS INT)) "
+                    "CASE WHEN i_lo <= i_hi THEN sequence(i_lo, i_hi) "
                     "ELSE array() END"
                 )
-            ).alias("partition_id"),
-            "n",
-            "p",
+            ),
         )
         .withColumn(
             "r",
@@ -395,15 +430,11 @@ def q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("partition_id") * (F.col("n") / F.col("p").cast("double"))
             ).cast("long"),
         )
-        .select("partition_id", "r")
     )
-    return (
-        cum.join(F.broadcast(targets), cum.c >= targets.r)
-        .groupBy("partition_id", "r")
-        .agg(F.min("key").alias("boundary_key"))
-        .select(
-            "partition_id",
-            "boundary_key",
-            F.col("r").alias("rows_through"),
-        )
+    return hits.filter(
+        (F.col("c_prev") < F.col("r")) & (F.col("r") <= F.col("c"))
+    ).select(
+        "partition_id",
+        F.col("key").alias("boundary_key"),
+        F.col("r").alias("rows_through"),
     )
