@@ -394,3 +394,106 @@ def heavy_hitters_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming uniform sample (bottom-k by hash, the mergeable reservoir)
+# ---------------------------------------------------------------------------
+
+SAMPLE_BUCKETS = 4
+SAMPLE_CAPACITY = 100  # per-bucket k; matches queries/summaries.py SAMPLE_K
+
+SAMPLE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("sample_hash", T.StringType()),
+        T.StructField("processed", T.LongType()),
+    ]
+)
+
+SAMPLE_STATE_SCHEMA = "hashes array<string>, ids array<bigint>, processed bigint"
+
+
+def _bottom_k(capacity: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        if state.hasTimedOut:
+            # watermark passed the idle deadline: evict, emit nothing —
+            # without this branch every idle key re-arms its own timeout
+            # forever and state never shrinks
+            state.remove()
+            return
+        if state.exists:
+            hashes, ids, processed = state.get
+            kept = list(zip(list(hashes), list(ids)))
+        else:
+            kept, processed = [], 0
+        for pdf in pdfs:
+            processed += len(pdf)
+            kept.extend(zip(pdf["sample_hash"], (int(i) for i in pdf["event_id"])))
+            # merge step of the mergeable summary: keep the k smallest tags
+            kept = sorted(kept)[:capacity]
+        state.update(
+            ([h for h, _ in kept], [i for _, i in kept], processed)
+        )
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * len(kept),
+                "event_id": [i for _, i in kept],
+                "sample_hash": [h for h, _ in kept],
+                "processed": [processed] * len(kept),
+            }
+        )
+
+    return fn
+
+
+def sample_stream(
+    events: DataFrame,
+    buckets: int = SAMPLE_BUCKETS,
+    capacity: int = SAMPLE_CAPACITY,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming uniform sample with bounded memory: the batch twin
+    (queries/summaries.py::q_bottomk_sample) takes the k rows with the
+    smallest MD5(event_id); a stream folds the same bottom-k summary
+    across micro-batches in GroupState.  Because the hash tag is a pure
+    function of the row, the sample is DETERMINISTIC and identical to the
+    batch answer over the same prefix — bottom-k sets merge exactly like
+    reservoir states but without RNG, so the final global sample is the
+    k smallest tags across the per-bucket summaries (cross-path-tested
+    against q_bottomk_sample in tests/test_stateful.py).
+
+    The MD5 tag and bucket id are computed JVM-side (codegen) before the
+    stateful fold; the pandas fold only merges sorted (hash, id) lists —
+    state is <= capacity pairs per bucket, constant in stream length.
+
+    Scale: one shuffle per micro-batch on the bucket id; `buckets` sets
+    the summary stage's parallelism, and the per-bucket k keeps the
+    global bottom-k derivable because buckets PARTITION the rows (every
+    global top tag is necessarily inside its own bucket's top k)."""
+    tagged = (
+        events.withWatermark("ts", watermark_delay)
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            F.col("ts"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.md5(F.col("event_id").cast("string").cast("binary")).alias(
+                "sample_hash"
+            ),
+            F.pmod(F.hash("event_id"), F.lit(buckets)).alias("bucket"),
+        )
+    )
+    return tagged.groupBy("bucket").applyInPandasWithState(
+        _bottom_k(capacity),
+        outputStructType=SAMPLE_OUTPUT_SCHEMA,
+        stateStructType=SAMPLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -58,6 +58,7 @@ class TopologyResult:
         cusum_dir: str | None = None,
         zscore_dir: str | None = None,
         flood_dir: str | None = None,
+        sample_dir: str | None = None,
     ):
         self.spark = spark
         self.aggregates = agg_sink
@@ -68,6 +69,7 @@ class TopologyResult:
         self.cusum_dir = cusum_dir
         self.zscore_dir = zscore_dir
         self.flood_dir = flood_dir
+        self.sample_dir = sample_dir
 
     def read_cusum(self) -> DataFrame:
         assert self.cusum_dir is not None
@@ -76,6 +78,10 @@ class TopologyResult:
     def read_zscore(self) -> DataFrame:
         assert self.zscore_dir is not None
         return self.spark.read.parquet(self.zscore_dir + "/epoch=*")
+
+    def read_sample(self) -> DataFrame:
+        assert self.sample_dir is not None
+        return self.spark.read.parquet(self.sample_dir + "/epoch=*")
 
     def read_flood(self) -> DataFrame:
         assert self.flood_dir is not None
@@ -104,6 +110,7 @@ def run_topology(
     cusum_mu0: float | None = None,
     with_zscore_gate: bool = False,
     with_flood_detector: bool = False,
+    with_sampler: bool = False,
 ) -> TopologyResult:
     """Drain source_dir through the full validate->route->dedup->window->
     upsert topology with Trigger.AvailableNow on both branches.
@@ -278,6 +285,25 @@ def run_topology(
             )
         )
 
+    # optional audit-sample branch: deterministic bottom-k-by-hash uniform
+    # sample of the VALID stream folded across micro-batches
+    # (streaming/stateful.py::sample_stream) — the live twin of the batch
+    # q_bottomk_sample, giving operators a stable inspection sample of
+    # what the pipeline actually admitted
+    sample_dir = None
+    if with_sampler:
+        from .stateful import sample_stream
+
+        sample_dir = os.path.join(out_dir, "sample")
+        queries.append(
+            start(
+                sample_stream(valid_events),
+                "topology-sample",
+                epoch_writer(sample_dir),
+                mode="append",
+            )
+        )
+
     try:
         for q in queries:
             q.awaitTermination(timeout_seconds)
@@ -295,4 +321,5 @@ def run_topology(
         cusum_dir,
         zscore_dir,
         flood_dir,
+        sample_dir,
     )

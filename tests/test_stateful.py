@@ -361,3 +361,70 @@ def test_zscore_constant_baseline_flags_any_deviation():
     assert not rows[2]["is_anomaly"]  # back on the constant baseline
     n, mean, m2 = state.updated
     assert (n, mean, m2) == (7, 10.0, 0.0)  # spike never entered the moments
+
+
+def test_sample_stream_equals_batch_bottom_k(spark, tmp_path):
+    """Cross-path guarantee: the streaming bottom-k sample folded across
+    micro-batches must equal the BATCH bottom-k (python MD5 recompute, the
+    same rule as queries/summaries.py::q_bottomk_sample) over the full
+    drained stream — the determinism that makes a hash-tag sample superior
+    to an RNG reservoir at 100 TB (re-runs, engines, and batch/stream
+    paths all agree)."""
+    import hashlib
+
+    from real_time_iot_data_engineering_pipeline_spark.streaming.stateful import (
+        SAMPLE_CAPACITY,
+        sample_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    eid = 0
+    all_ids = []
+    for seq in range(3):
+        rows = []
+        for _ in range(150):
+            rows.append(
+                ev(eid, f"2024-01-15 10:{seq:02d}:{eid % 60:02d}", value=1.0)
+            )
+            all_ids.append(eid)
+            eid += 1
+        write_file(str(src), f"s{seq}.json", rows, seq=seq)
+    out = sample_stream(
+        parse_event_stream(read_event_file_stream(spark, str(src)))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sample_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sample"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sample_out").collect()
+    # final summary per bucket = the emission with the largest processed
+    final_processed = {}
+    for r in rows:
+        final_processed[r.bucket] = max(
+            final_processed.get(r.bucket, 0), r.processed
+        )
+    final = [
+        (r.sample_hash, r.event_id)
+        for r in rows
+        if r.processed == final_processed[r.bucket]
+    ]
+    got = sorted(set(final))[:SAMPLE_CAPACITY]
+    expect = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i in all_ids
+    )[:SAMPLE_CAPACITY]
+    assert got == expect
+    # per-bucket state is bounded by capacity
+    from collections import Counter
+
+    per_bucket = Counter(
+        r.bucket for r in rows if r.processed == final_processed[r.bucket]
+    )
+    assert all(c <= SAMPLE_CAPACITY for c in per_bucket.values())
+    # every stream row was processed exactly once across the buckets
+    assert sum(final_processed.values()) == len(all_ids)

@@ -643,3 +643,33 @@ def test_topology_soak_state_plateaus_under_late_dup_dlq_traffic(
     agg_total = aggs.agg(F.sum("count")).collect()[0][0]
     assert agg_total <= n_files * per_batch  # late rows drop, dups never add
     assert agg_total > n_files * per_batch // 2  # but most rows survive
+
+
+def test_topology_sampler_branch(spark, tmp_path):
+    """The audit-sample branch emits the deterministic bottom-k sample of
+    the VALID stream only — DLQ'd rows must never enter the sample."""
+    import hashlib
+
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}', event_type="click")
+    good_ids = list(range(8))
+    rows = [
+        dict(ev(i, f"2024-01-19 10:00:{i:02d}", value=2.0), **valid_kwargs)
+        for i in good_ids
+    ]
+    rows.append(
+        dict(ev(99, "2024-01-19 10:00:30", value=500.0), **valid_kwargs)
+    )  # out of range -> DLQ
+    write_file(str(src), "f1.json", rows, seq=0)
+    result = run_topology(
+        spark, str(src), str(tmp_path / "out"), with_sampler=True
+    )
+    sample = result.read_sample().collect()
+    got = {r.event_id for r in sample}
+    assert 99 not in got
+    assert got == set(good_ids)  # fewer rows than capacity: all sampled
+    for r in sample:
+        assert r.sample_hash == hashlib.md5(
+            str(r.event_id).encode()
+        ).hexdigest()
