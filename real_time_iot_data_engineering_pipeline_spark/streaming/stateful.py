@@ -18,9 +18,11 @@ only by user_id (the same partitioning the aggregation already needs).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -494,6 +496,147 @@ def sample_stream(
         _bottom_k(capacity),
         outputStructType=SAMPLE_OUTPUT_SCHEMA,
         stateStructType=SAMPLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantile summary (fixed-bin histogram, the mergeable sketch)
+# ---------------------------------------------------------------------------
+
+Q_BINS = 256
+Q_LO, Q_HI = 0.0, 100.0  # admission range the VALID stream is filtered to
+Q_QUANTILES = (0.5, 0.9, 0.99)
+
+QUANTILE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("p50", T.DoubleType()),
+        T.StructField("p90", T.DoubleType()),
+        T.StructField("p99", T.DoubleType()),
+        T.StructField("err_bound", T.DoubleType()),
+        T.StructField("processed", T.LongType()),
+    ]
+)
+
+QUANTILE_STATE_SCHEMA = "counts array<bigint>, processed bigint"
+
+
+def histogram_quantile(
+    counts: list[int], q: float, lo: float, width: float
+) -> float:
+    """Deterministic quantile readout of a fixed-bin histogram: the value at
+    continuous rank ceil(q*n), linearly interpolated inside its bin under a
+    uniform-within-bin assumption.  Error vs the exact order statistic is
+    <= one bin width by construction.  Shared by the stream fold and the
+    cross-path test's reference implementation so both compute the SAME
+    number, bit-for-bit."""
+    n = sum(counts)
+    rank = max(1, math.ceil(q * n))
+    cum = 0
+    for b, c in enumerate(counts):
+        if c and cum + c >= rank:
+            return lo + width * (b + (rank - cum) / c)
+        cum += c
+    return lo + width * len(counts)
+
+
+def _hist_fold(bins: int, lo: float, hi: float, quantiles: tuple[float, ...]):
+    width = (hi - lo) / bins
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.hasTimedOut:
+            # watermark passed the idle deadline: evict, emit nothing —
+            # without this branch every idle key re-arms its own timeout
+            # forever and state never shrinks
+            state.remove()
+            return
+        if state.exists:
+            counts, processed = state.get
+            counts = list(counts)
+        else:
+            counts, processed = [0] * bins, 0
+        for pdf in pdfs:
+            processed += len(pdf)
+            # merge step of the mergeable summary: element-wise add of the
+            # micro-batch's bincount (bin index precomputed JVM-side)
+            bc = np.bincount(pdf["bin"].to_numpy(), minlength=bins)
+            counts = [c + int(b) for c, b in zip(counts, bc)]
+        state.update((counts, processed))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        if processed == 0:
+            return
+        ests = [histogram_quantile(counts, q, lo, width) for q in quantiles]
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "p50": [ests[0]],
+                "p90": [ests[1]],
+                "p99": [ests[2]],
+                "err_bound": [width],
+                "processed": [processed],
+            }
+        )
+
+    return fn
+
+
+def quantile_stream(
+    events: DataFrame,
+    bins: int = Q_BINS,
+    lo: float = Q_LO,
+    hi: float = Q_HI,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming per-event-type value-distribution summary with bounded
+    memory: the batch twin (queries/sketches.py::q_quantile_summary)
+    computes exact p50/p90/p99 with a value->count map whose state is
+    O(distinct values); a stream over unbounded input cannot.  This folds a
+    FIXED-BIN histogram (`bins` counters spanning [lo, hi], the range the
+    validation rules admit into the VALID stream) across micro-batches in
+    GroupState and reads p50/p90/p99 off the cumulative histogram with
+    within-bin interpolation — deterministic, mergeable (histograms add
+    element-wise), and with readout error <= one bin width, the bound
+    emitted alongside every row as `err_bound` and pinned against the exact
+    batch quantile in tests/test_stateful.py.
+
+    The bin index is computed JVM-side (codegen) before the stateful fold;
+    the pandas fold is one np.bincount add per micro-batch — state is
+    exactly `bins` counters per event type, constant in stream length and
+    value cardinality.
+
+    Scale: one shuffle per micro-batch on event_type (bounded domain); at
+    high key skew the same histogram could hash-sub-bucket like
+    heavy_hitters_stream since histograms merge exactly — not needed while
+    the per-key fold is O(batch rows)."""
+    width = (hi - lo) / bins
+    binned = (
+        events.withWatermark("ts", watermark_delay)
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.col("ts"),
+            F.col("event_type"),
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast(
+                        "int"
+                    ),
+                ),
+            ).alias("bin"),
+        )
+    )
+    return binned.groupBy("event_type").applyInPandasWithState(
+        _hist_fold(bins, lo, hi, Q_QUANTILES),
+        outputStructType=QUANTILE_OUTPUT_SCHEMA,
+        stateStructType=QUANTILE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -59,6 +59,7 @@ class TopologyResult:
         zscore_dir: str | None = None,
         flood_dir: str | None = None,
         sample_dir: str | None = None,
+        quantile_dir: str | None = None,
     ):
         self.spark = spark
         self.aggregates = agg_sink
@@ -70,6 +71,7 @@ class TopologyResult:
         self.zscore_dir = zscore_dir
         self.flood_dir = flood_dir
         self.sample_dir = sample_dir
+        self.quantile_dir = quantile_dir
 
     def read_cusum(self) -> DataFrame:
         assert self.cusum_dir is not None
@@ -82,6 +84,10 @@ class TopologyResult:
     def read_sample(self) -> DataFrame:
         assert self.sample_dir is not None
         return self.spark.read.parquet(self.sample_dir + "/epoch=*")
+
+    def read_quantiles(self) -> DataFrame:
+        assert self.quantile_dir is not None
+        return self.spark.read.parquet(self.quantile_dir + "/epoch=*")
 
     def read_flood(self) -> DataFrame:
         assert self.flood_dir is not None
@@ -111,6 +117,7 @@ def run_topology(
     with_zscore_gate: bool = False,
     with_flood_detector: bool = False,
     with_sampler: bool = False,
+    with_quantiles: bool = False,
 ) -> TopologyResult:
     """Drain source_dir through the full validate->route->dedup->window->
     upsert topology with Trigger.AvailableNow on both branches.
@@ -304,6 +311,24 @@ def run_topology(
             )
         )
 
+    # optional distribution-summary branch: per-event-type fixed-bin
+    # histogram quantiles (p50/p90/p99 with an explicit error bound) folded
+    # across micro-batches (streaming/stateful.py::quantile_stream) — the
+    # live twin of the batch q_quantile_summary, bounded state per key
+    quantile_dir = None
+    if with_quantiles:
+        from .stateful import quantile_stream
+
+        quantile_dir = os.path.join(out_dir, "quantiles")
+        queries.append(
+            start(
+                quantile_stream(valid_events),
+                "topology-quantiles",
+                epoch_writer(quantile_dir),
+                mode="append",
+            )
+        )
+
     try:
         for q in queries:
             q.awaitTermination(timeout_seconds)
@@ -322,4 +347,5 @@ def run_topology(
         zscore_dir,
         flood_dir,
         sample_dir,
+        quantile_dir,
     )

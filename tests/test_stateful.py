@@ -3,6 +3,8 @@ state must carry the last reading ACROSS micro-batches per sensor."""
 
 from __future__ import annotations
 
+import math
+
 from real_time_iot_data_engineering_pipeline_spark.streaming.pipeline import (
     parse_event_stream,
     read_event_file_stream,
@@ -428,3 +430,77 @@ def test_sample_stream_equals_batch_bottom_k(spark, tmp_path):
     assert all(c <= SAMPLE_CAPACITY for c in per_bucket.values())
     # every stream row was processed exactly once across the buckets
     assert sum(final_processed.values()) == len(all_ids)
+
+
+def test_histogram_quantile_readout_pure():
+    """The shared readout rule on a known histogram: 10 counts of 1 across
+    [0,10) unit bins — rank ceil(q*10) interpolates to the exact order
+    statistic's bin edge."""
+    from real_time_iot_data_engineering_pipeline_spark.streaming.stateful import (
+        histogram_quantile,
+    )
+
+    counts = [1] * 10
+    assert histogram_quantile(counts, 0.5, 0.0, 1.0) == 5.0  # rank 5, bin 4
+    assert histogram_quantile(counts, 0.99, 0.0, 1.0) == 10.0  # rank 10
+    assert histogram_quantile([0, 4, 0], 0.5, 0.0, 1.0) == 1.5  # mid-bin
+
+
+def test_quantile_stream_matches_reference_and_bounds_error(spark, tmp_path):
+    """Cross-path guarantee: the streaming histogram quantiles folded across
+    micro-batches must (a) EQUAL a python recompute of the same fixed-bin
+    rule over the full drained stream — determinism — and (b) sit within
+    one bin width of the exact order statistic — the emitted err_bound."""
+    import numpy as np
+
+    from real_time_iot_data_engineering_pipeline_spark.streaming.stateful import (
+        Q_BINS,
+        Q_HI,
+        Q_LO,
+        Q_QUANTILES,
+        histogram_quantile,
+        quantile_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    eid = 0
+    values = []
+    for seq in range(3):
+        rows = []
+        for j in range(120):
+            v = float((eid * 37) % 97) + 0.25  # deterministic spread in [0,97)
+            rows.append(ev(eid, f"2024-01-15 10:{seq:02d}:{j % 60:02d}", value=v))
+            values.append(v)
+            eid += 1
+        write_file(str(src), f"s{seq}.json", rows, seq=seq)
+    out = quantile_stream(
+        parse_event_stream(read_event_file_stream(spark, str(src)))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quantile_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_quant"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM quantile_out").collect()
+    assert rows, "stream emitted nothing"
+    final = max(rows, key=lambda r: r.processed)  # the full-stream summary
+    assert final.processed == len(values)
+    width = (Q_HI - Q_LO) / Q_BINS
+    assert final.err_bound == width
+    # (a) bit-for-bit vs the python reference of the same histogram rule
+    counts = [0] * Q_BINS
+    for v in values:
+        b = min(Q_BINS - 1, max(0, int((v - Q_LO) // width)))
+        counts[b] += 1
+    for col, qq in zip(("p50", "p90", "p99"), Q_QUANTILES):
+        assert getattr(final, col) == histogram_quantile(counts, qq, Q_LO, width)
+        # (b) within one bin width of the exact order statistic
+        exact = float(
+            np.sort(np.array(values))[max(0, math.ceil(qq * len(values)) - 1)]
+        )
+        assert abs(getattr(final, col) - exact) <= width

@@ -673,3 +673,30 @@ def test_topology_sampler_branch(spark, tmp_path):
         assert r.sample_hash == hashlib.md5(
             str(r.event_id).encode()
         ).hexdigest()
+
+
+def test_topology_quantiles_branch(spark, tmp_path):
+    """The distribution-summary branch emits per-type histogram quantiles of
+    the VALID stream only — an out-of-range (DLQ) value must not move the
+    summary, and processed must count exactly the admitted rows."""
+    src = tmp_path / "src"
+    src.mkdir()
+    valid_kwargs = dict(props='{"k": 1}', event_type="click")
+    rows = [
+        dict(ev(i, f"2024-01-19 10:00:{i:02d}", value=float(10 * i)), **valid_kwargs)
+        for i in range(1, 9)  # values 10..80, all in range
+    ]
+    rows.append(
+        dict(ev(99, "2024-01-19 10:00:30", value=500.0), **valid_kwargs)
+    )  # out of range -> DLQ, must not enter the histogram
+    write_file(str(src), "f1.json", rows, seq=0)
+    result = run_topology(
+        spark, str(src), str(tmp_path / "out"), with_quantiles=True
+    )
+    summ = result.read_quantiles().collect()
+    final = max(summ, key=lambda r: r.processed)
+    assert final.event_type == "click"
+    assert final.processed == 8  # the DLQ'd row is not counted
+    # p50 of 10..80 = rank ceil(0.5*8)=4 -> the bin holding 40
+    assert abs(final.p50 - 40.0) <= final.err_bound
+    assert final.p99 <= 80.0 + final.err_bound  # 500 never entered
