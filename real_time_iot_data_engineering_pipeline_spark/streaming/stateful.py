@@ -640,3 +640,127 @@ def quantile_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming distinct count (K-minimum-values, the mergeable cardinality sketch)
+# ---------------------------------------------------------------------------
+
+KMV_K = 256  # relative error ~ 1/sqrt(k-2) ~ 6%
+
+KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("est_distinct", T.DoubleType()),
+        T.StructField("n_held", T.IntegerType()),
+        T.StructField("is_exact", T.BooleanType()),
+        T.StructField("processed", T.LongType()),
+    ]
+)
+
+KMV_STATE_SCHEMA = "hashes array<string>, processed bigint"
+
+_MD5_SPACE = float(16**32)
+
+
+def kmv_estimate(hashes: list[str], k: int) -> tuple[float, bool]:
+    """Deterministic KMV readout: with fewer than k distinct hashes the set
+    IS the distinct population (exact); at capacity the k-th smallest
+    normalized hash h_k estimates cardinality as (k-1)/h_k.  Fixed-width
+    lowercase hex sorts lexicographically in numeric order, so the state
+    array needs no numeric decode until readout.  Shared by the stream
+    fold and the cross-path test's reference implementation."""
+    if len(hashes) < k:
+        return float(len(hashes)), True
+    return (k - 1) / (int(hashes[k - 1], 16) / _MD5_SPACE), False
+
+
+def _kmv(k: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.hasTimedOut:
+            # watermark passed the idle deadline: evict, emit nothing —
+            # without this branch every idle key re-arms its own timeout
+            # forever and state never shrinks
+            state.remove()
+            return
+        if state.exists:
+            hashes, processed = state.get
+            held = set(hashes)
+        else:
+            held, processed = set(), 0
+        for pdf in pdfs:
+            processed += len(pdf)
+            # merge step of the mergeable summary: union of distinct
+            # hash sets, truncated back to the k smallest
+            held.update(pdf["kmv_hash"])
+            held = set(sorted(held)[:k])
+        final = sorted(held)
+        state.update((final, processed))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        if processed == 0:
+            return
+        est, exact = kmv_estimate(final, k)
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "est_distinct": [est],
+                "n_held": [len(final)],
+                "is_exact": [exact],
+                "processed": [processed],
+            }
+        )
+
+    return fn
+
+
+def distinct_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    k: int = KMV_K,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming per-event-type distinct-key count with bounded memory: the
+    batch twin (queries/sketches.py::q_distinct_users) counts exactly with
+    a distinct aggregation whose state is O(distinct keys); a stream over
+    an unbounded key domain cannot.  This folds a K-MINIMUM-VALUES sketch
+    across micro-batches in GroupState: the k smallest MD5 tags of the
+    distinct keys seen, from which cardinality reads off as (k-1)/h_k.
+    Below k distinct keys the readout is EXACT (is_exact=true — the sketch
+    still holds every distinct tag); above, the estimator's relative error
+    is ~1/sqrt(k-2).  Because the tag is a pure function of the key, the
+    sketch is DETERMINISTIC — re-runs, engines, and batch/stream paths
+    agree bit-for-bit (cross-path-tested against a python recompute in
+    tests/test_stateful.py) — and KMV sets merge exactly (union, re-truncate),
+    the same mergeable-summary property the sampler and histogram use.
+
+    The MD5 tag is computed JVM-side (codegen) before the stateful fold;
+    the pandas fold only unions sorted hash sets — state is <= k tags per
+    event type, constant in stream length and key cardinality.
+
+    Scale: one shuffle per micro-batch on event_type (bounded domain); a
+    skewed type could hash-sub-bucket like heavy_hitters_stream since the
+    global KMV is the truncated union of sub-bucket KMVs computed over a
+    PARTITION of the keys."""
+    tagged = (
+        events.withWatermark("ts", watermark_delay)
+        .filter(F.col(key_col).isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.col("ts"),
+            F.col("event_type"),
+            F.md5(F.col(key_col).cast("string").cast("binary")).alias(
+                "kmv_hash"
+            ),
+        )
+    )
+    return tagged.groupBy("event_type").applyInPandasWithState(
+        _kmv(k),
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

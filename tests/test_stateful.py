@@ -504,3 +504,70 @@ def test_quantile_stream_matches_reference_and_bounds_error(spark, tmp_path):
             np.sort(np.array(values))[max(0, math.ceil(qq * len(values)) - 1)]
         )
         assert abs(getattr(final, col) - exact) <= width
+
+
+def test_kmv_estimate_readout_pure():
+    """The shared KMV readout rule: below k the set is the population
+    (exact); at k the (k-1)/h_k estimator on a known hash set."""
+    from real_time_iot_data_engineering_pipeline_spark.streaming.stateful import (
+        _MD5_SPACE,
+        kmv_estimate,
+    )
+
+    assert kmv_estimate(["aa", "bb"], 4) == (2.0, True)
+    h = [format(i, "032x") for i in (10, 20, 30, 40)]  # tiny known tags
+    est, exact = kmv_estimate(h, 4)
+    assert not exact
+    assert est == 3 / (40 / _MD5_SPACE)
+
+
+def test_distinct_stream_matches_python_kmv(spark, tmp_path):
+    """Cross-path guarantee: the streaming KMV folded across micro-batches
+    must EQUAL a python recompute of the same rule (MD5 tags, k smallest,
+    (k-1)/h_k) over the full drained stream — determinism — and estimate
+    the true cardinality within the sketch's error envelope."""
+    import hashlib
+
+    from real_time_iot_data_engineering_pipeline_spark.streaming.stateful import (
+        KMV_K,
+        distinct_stream,
+        kmv_estimate,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    eid = 0
+    users = set()
+    for seq in range(3):
+        rows = []
+        for j in range(150):
+            uid = 1000 + (eid * 7) % 400  # 400 distinct users > KMV_K=256
+            rows.append(
+                ev(eid, f"2024-01-15 10:{seq:02d}:{j % 60:02d}", user_id=uid)
+            )
+            users.add(uid)
+            eid += 1
+        write_file(str(src), f"s{seq}.json", rows, seq=seq)
+    out = distinct_stream(
+        parse_event_stream(read_event_file_stream(spark, str(src)))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmv_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM kmv_out").collect()
+    assert rows, "stream emitted nothing"
+    final = max(rows, key=lambda r: r.processed)
+    assert final.processed == 450
+    assert final.n_held == KMV_K and not final.is_exact
+    # (a) bit-for-bit vs the python reference of the same KMV rule
+    tags = sorted(hashlib.md5(str(u).encode()).hexdigest() for u in users)
+    expect, exact = kmv_estimate(tags[:KMV_K], KMV_K)
+    assert final.est_distinct == expect and not exact
+    # (b) inside the sketch's error envelope around the true 400
+    assert abs(final.est_distinct - len(users)) / len(users) < 0.25
