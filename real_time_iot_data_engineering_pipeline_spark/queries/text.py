@@ -1091,17 +1091,22 @@ def q_dup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy would drop).  Composed on the registered CC operator, so the
     report always describes the exact groups the pipeline would act on.
 
-    Scale: two partial aggregations above the CC output — group sizes on
-    the group key, then the histogram on the tiny distinct-size domain;
-    the totals ride a broadcast-size window over histogram rows."""
+    Scale: ONE pass above the CC output — group sizes on the group key,
+    then the histogram on the tiny distinct-size domain; the corpus
+    totals (doc mass, removable mass) are derived FROM the histogram
+    (n_docs = sum sz*n_groups, n_removable = sum (sz-1)*n_groups over
+    sz>1), so the label table is never aggregated a second time."""
     groups = q_doc_dup_groups_cc(spark, sf_dir)
     sizes = groups.groupBy("dup_group").agg(
         F.count("*").cast("long").alias("sz")
     )
     hist = sizes.groupBy("sz").agg(F.count("*").cast("long").alias("n_groups"))
-    tot = sizes.agg(
-        F.sum("sz").cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("sz") > 1, F.col("sz") - 1).otherwise(0))
+    tot = hist.agg(
+        F.sum(F.col("sz") * F.col("n_groups")).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("sz") > 1, (F.col("sz") - 1) * F.col("n_groups"))
+            .otherwise(0)
+        )
         .cast("long")
         .alias("n_removable"),
     )
