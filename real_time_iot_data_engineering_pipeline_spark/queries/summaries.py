@@ -310,6 +310,7 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PARTITION_TARGET_ROWS = 1024
+PARTITION_PLAN_BUCKETS = 1024
 
 
 @register(
@@ -364,27 +365,37 @@ def q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rather than Spark's sampled RangePartitioner) makes the plan
     reproducible and oracle-checkable.
 
-    Scale: one partial-aggregating groupBy on the key, then a cumulative
-    window over the per-KEY counts (|distinct keys| rows, not |rows|), and
-    each key computes ARITHMETICALLY the <= O(cnt*p/n + 2) cut ranks its
-    cumulative interval (c_prev, c] can contain (candidate range padded,
-    exact predicate decides).  The naive alternative — joining every key
-    against the full cut table on c >= r — is a broadcast nested loop
-    whose cost is |keys| x |cuts| = O(n^2 / target): measured 106 s at
-    the 10x fixture vs 2.1 s for this plan (SCALE.md, round-6 entry).
-    Nothing global-sorts the data itself."""
+    Scale: one partial-aggregating groupBy on the key, then a TWO-PHASE
+    prefix sum over the per-KEY counts: keys are bucketed into
+    {PARTITION_PLAN_BUCKETS} order-preserving value ranges (a pure
+    arithmetic map — no sampling, no sort), the cumulative window runs
+    PARTITIONED by bucket (each task holds |keys|/B rows, never the whole
+    key set), and the per-bucket totals — a {PARTITION_PLAN_BUCKETS}-row
+    table — carry the global offsets back via a broadcast join.  A single
+    unpartitioned cumulative window (the previous shape) serializes every
+    distinct key through one task — the classic WindowExec straggler that
+    dies first at 100 TB.  Each key then computes ARITHMETICALLY the
+    <= O(cnt*p/n + 2) cut ranks its cumulative interval (c_prev, c] can
+    contain (candidate range padded, exact predicate decides).  The naive
+    alternative — joining every key against the full cut table on c >= r —
+    is a broadcast nested loop whose cost is |keys| x |cuts| =
+    O(n^2 / target): measured 106 s at the 10x fixture vs 2.1 s for this
+    plan (SCALE.md, round-6 entry).  Nothing global-sorts the data
+    itself."""
     per_key = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey").alias("key"))
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    cum = per_key.withColumn(
-        "c",
-        F.sum("cnt").over(
-            Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    tot = per_key.agg(
+    # order-preserving arithmetic bucketing: bkt = floor((key-kmin)*B /
+    # (kmax-kmin+1)) is monotone in key, so bucket-local prefix sums plus
+    # bucket offsets reproduce the global cumulative EXACTLY.  kmin/kmax/
+    # n/p come from ONE stats pass (a single 1-row broadcast) shared by
+    # every consumer.
+    B = PARTITION_PLAN_BUCKETS
+    stats = per_key.agg(
+        F.min("key").alias("kmin"),
+        F.max("key").alias("kmax"),
         F.sum("cnt").cast("long").alias("n"),
         F.ceil(
             F.sum("cnt") / F.expr(f"CAST({PARTITION_TARGET_ROWS} AS DOUBLE)")
@@ -392,8 +403,38 @@ def q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p"),
     )
+
+    def bucketed() -> DataFrame:
+        return per_key.join(F.broadcast(stats)).withColumn(
+            "bkt",
+            F.least(
+                F.lit(B - 1).cast("long"),
+                F.floor(
+                    (F.col("key") - F.col("kmin"))
+                    * F.lit(B)
+                    / (F.col("kmax") - F.col("kmin") + 1)
+                ).cast("long"),
+            ),
+        )
+
+    # bucket offsets: B rows max — the ONLY unpartitioned window, bounded
+    # by construction, never by data volume
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed()
+        .groupBy("bkt")
+        .agg(F.sum("cnt").alias("bsum"))
+        .withColumn("off", F.coalesce(F.sum("bsum").over(w_off), F.lit(0)))
+        .select("bkt", "off")
+    )
+    w_local = Window.partitionBy("bkt").orderBy("key").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     spans = (
-        cum.crossJoin(F.broadcast(tot))
+        bucketed()
+        .withColumn("lc", F.sum("cnt").over(w_local))
+        .join(F.broadcast(offsets), "bkt")
+        .withColumn("c", F.col("lc") + F.col("off"))
         .filter(F.col("p") >= 2)
         .withColumn("c_prev", F.col("c") - F.col("cnt"))
     )

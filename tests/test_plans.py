@@ -936,3 +936,111 @@ class TestContinuationTierPlans:
     def test_broadcast_shapes(self, spark, sf_dir):
         for name in ("q_mixture_sample", "q_market_concentration", "q_mix_shift"):
             assert "BroadcastHashJoin" in self._plan(spark, sf_dir, name), name
+
+
+class TestSummariesAndTwinsTier:
+    """Round-6 sketch/summary/stateful-twin tier: the bounded-state plans
+    these operators claim (mergeable bottom-k, bucketed prefix sums,
+    partition-local MG summaries, keyed CUSUM windows) asserted as physical
+    shapes, so a refactor can't silently reintroduce an unbounded state or
+    an unpartitioned window."""
+
+    def _plan(self, spark, sf_dir, name) -> str:
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        registry.load_all()
+        df = registry.QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def _specs(self, plan: str) -> list[str]:
+        import re
+
+        return [
+            m.group(1)
+            for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+        ]
+
+    def test_no_cartesian_or_python_rows(self, spark, sf_dir):
+        for name in (
+            "q_bottomk_sample",
+            "q_quantile_bins",
+            "q_hll_distinct",
+            "q_bloom_membership",
+            "q_partition_plan",
+            "q_misra_gries",
+            "q_welford_stats",
+            "q_cusum_alarm",
+            "q_order_reorder_rate",
+            "q_supplier_herfindahl",
+            "q_embed_centroid_drift",
+            "q_label_balance",
+            "q_shingle_profile",
+            "q_token_budget_plan",
+            "q_source_fingerprint",
+            "q_dedup_cost_curve",
+            "q_doc_length_bands",
+            "q_stopword_profile",
+            "q_minhash_band_tuning",
+        ):
+            plan = self._plan(spark, sf_dir, name)
+            assert "CartesianProduct" not in plan, name
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+
+    def test_bottomk_is_take_ordered_not_global_sort(self, spark, sf_dir):
+        """Bottom-k-by-hash must compile to TakeOrderedAndProject (each
+        partition keeps k rows, driver merges partitions x k) — a global
+        Sort + Limit would shuffle the whole corpus through one task."""
+        plan = self._plan(spark, sf_dir, "q_bottomk_sample")
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_partition_plan_prefix_sum_is_bucketed(self, spark, sf_dir):
+        """The cumulative row count runs PARTITIONED by the arithmetic
+        range bucket; the only unpartitioned window is over the <= B-row
+        bucket-offset table.  Every windowspec must therefore carry bkt."""
+        plan = self._plan(spark, sf_dir, "q_partition_plan")
+        specs = self._specs(plan)
+        assert specs, "expected window operators in the plan"
+        for s in specs:
+            assert "bkt" in s, s
+
+    def test_quantile_bins_windows_are_group_keyed(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "q_quantile_bins")
+        for s in self._specs(plan):
+            assert "grp" in s, s
+        assert "BroadcastHashJoin" in plan
+
+    def test_cusum_windows_are_sensor_keyed(self, spark, sf_dir):
+        """All four cumulative windows (c+/c- sums, running minima) must be
+        keyed by user_id — the Lindley closed form is per-sensor math and an
+        unpartitioned window would serialize the fleet through one task."""
+        plan = self._plan(spark, sf_dir, "q_cusum_alarm")
+        specs = self._specs(plan)
+        assert specs
+        for s in specs:
+            assert "user_id" in s, s
+        # mu0 is the single allowed 1-row broadcast
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    def test_hll_and_welford_single_pass(self, spark, sf_dir):
+        """Sketch and moment aggregates are one partial+final pass over one
+        scan — no window, no join, no second read of events."""
+        for name in ("q_hll_distinct", "q_welford_stats"):
+            plan = self._plan(spark, sf_dir, name)
+            assert plan.count("Scan parquet") == 1, name
+            assert "Window" not in plan, name
+
+    def test_misra_gries_candidates_broadcast_recount(self, spark, sf_dir):
+        """Phase 1 is partition-local Arrow batches (MapInPandas); phase 2
+        recounts via a BROADCAST semi-join of the bounded candidate set —
+        never a shuffle of the corpus on the candidate key."""
+        plan = self._plan(spark, sf_dir, "q_misra_gries")
+        assert "MapInPandas" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_bloom_probe_is_hash_join_on_bit_positions(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "q_bloom_membership")
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
