@@ -28,6 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.prefix import (
+    bucketed_row_number,
+    bucketed_running_sum,
+    ntile_from_rank,
+)
 from ..functions.rounding import fround, fround_sql
 from ..registry import register
 from ..sources import load_table
@@ -333,24 +338,29 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the descending totals, then per-decile population and value
     range — the marketing-segmentation staple.
 
-    Scale: ntile needs a TOTAL order, which in Spark means a
-    SinglePartition window — acceptable here ONLY because it runs over
-    the per-user AGGREGATE (|users| rows, already collapsed by a
-    partial-agg groupBy), never the raw stream; the same discipline as
-    q_quality_buckets.  For user counts too big for one partition, the
-    production swap is percentile-cutoff bucketing (approx_percentile
-    cutoffs broadcast back, same output schema at 1/10^4 boundary
-    error).  Totals are 4 dp-quantized before ranking with user_id
-    tiebreaks, so decile boundaries are engine-exact."""
+    Scale: ntile needs a TOTAL order, but not a single-partition window —
+    the rank comes from functions/prefix.bucketed_row_number (per-user
+    totals map into order-preserving value-range buckets, row_number runs
+    PARTITIONED by bucket, integer bucket-count offsets restore the
+    global rank bit-exactly) and ntile is then pure arithmetic on
+    (rank, n): the first n%10 deciles hold ceil(n/10) users.  The input
+    is the per-user AGGREGATE (|users| rows, already collapsed by a
+    partial-agg groupBy), never the raw stream.  Totals are 4 dp-quantized
+    before ranking with user_id tiebreaks, so decile boundaries are
+    engine-exact."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     per_user = ev.groupBy("user_id").agg(
         fround(F.sum("value"), 4).alias("total_value")
     )
-    bucketed = per_user.withColumn(
-        "decile",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("total_value").desc(), F.col("user_id")))
-        .cast("long"),
+    n_tot = per_user.agg(F.count("*").cast("long").alias("_n"))
+    bucketed = (
+        bucketed_row_number(
+            per_user, "total_value", ["user_id"], descending=True
+        )
+        .join(F.broadcast(n_tot))
+        .withColumn(
+            "decile", ntile_from_rank(F.col("rk"), F.col("_n"), 10)
+        )
     )
     return (
         bucketed.groupBy("decile")
@@ -1166,22 +1176,24 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     tells a business whether its revenue base is diversified or five
     accounts ARE the business.
 
-    Scale: revenue partial-aggregates per customer first; the rank is
-    ONE ordered window over |customers| pre-reduced rows (at true scale
-    this global sort is the operator's cost — the documented alternative
-    approximates the Lorenz curve from a quantile sketch, trading exact
-    G for O(1) memory); the closed-form needs no self-join or
-    per-percentile pass.  Deterministic (revenue, custkey) ordering
-    makes tied revenues rank identically on both engines."""
+    Scale: revenue partial-aggregates per customer first; the rank over
+    |customers| pre-reduced rows comes from
+    functions/prefix.bucketed_row_number — revenue-range buckets, a
+    bucket-PARTITIONED row_number, and integer bucket-count offsets
+    restore the global (revenue, custkey) rank bit-exactly with no
+    single-partition sort (a quantile-sketch Lorenz approximation remains
+    the O(1)-memory fallback if even |customers|/B per task is too much).
+    The closed-form needs no self-join or per-percentile pass.
+    Deterministic (revenue, custkey) ordering makes tied revenues rank
+    identically on both engines."""
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").asc(), F.col("o_custkey").asc())
-    ranked = rev.select(
-        "revenue", F.row_number().over(w).alias("rk")
-    )
+    ranked = bucketed_row_number(
+        rev, "revenue", ["o_custkey"], descending=False
+    ).select("revenue", "rk")
     s = ranked.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("revenue").alias("tot"),
@@ -1458,16 +1470,17 @@ def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     class's part count, revenue, and share — the inventory-priority
     split behind 'A-items get daily counts, C-items get yearly'.
 
-    Scale: revenue partial-aggregates per part; the ranking is one
-    ordered window over |parts| pre-reduced rows (same global-prefix-sum
-    caveat and sketch alternative as q_revenue_gini, its
-    customer-concentration sibling); the class rollup is three cells.
-    Cumulative-share boundaries are computed from exact integer-free
-    sums on both engines with deterministic (revenue, partkey) tie
-    order, and fround guards the reported aggregates only — class
-    membership is decided on raw doubles that both engines derive from
-    identical inputs in identical window order, quantized at 9 dp so a
-    sub-ULP accumulation difference cannot flip a boundary part."""
+    Scale: revenue partial-aggregates per part; the running cumulative
+    over |parts| pre-reduced rows comes from
+    functions/prefix.bucketed_running_sum — revenue-range buckets, a
+    bucket-PARTITIONED cumulative window, per-bucket sums prefix-summed
+    as a <=B-row broadcast — so no single task ever holds the part
+    table (the sibling caveat in q_revenue_gini); the class rollup is
+    three cells.  Regrouped float addition can differ from strict
+    sequential summation (and from DuckDB's) by ULPs, which is exactly
+    why class membership compares the share at 9 dp: both engines
+    quantize before the boundary test, so a sub-ULP regrouping
+    difference cannot flip a part's class."""
     rev = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -1478,13 +1491,21 @@ def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = rev.agg(F.sum("revenue").alias("t"))
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = rev.crossJoin(F.broadcast(tot)).select(
-        "l_partkey",
-        "revenue",
-        (F.sum("revenue").over(w) / F.col("t")).alias("cum_share"),
+    ranked = (
+        bucketed_running_sum(
+            rev,
+            "revenue",
+            "revenue",
+            ["l_partkey"],
+            descending=True,
+            out_col="_cum",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "revenue",
+            (F.col("_cum") / F.col("t")).alias("cum_share"),
+        )
     )
     cs9 = fround(F.col("cum_share"), 9)
     classed = ranked.select(

@@ -134,7 +134,16 @@ _DRIVER_PRIORITY = (
 # parity rows (tests/test_oracle_parity.py), and are next round's
 # front-load candidates once the slots above convert to hard CORRECTNESS
 # rows.
-_NEXT_ROUND_PRIORITY: tuple[str, ...] = ()
+_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
+    # round-6 late rewrites of already-certified queries (global
+    # single-partition windows replaced by two-phase bucketed prefix
+    # plans, functions/prefix.py) — outputs are locally parity-green but
+    # the driver rows certifying them predate the rewrite, so re-front
+    # them in the round-7 window:
+    "q_value_deciles",
+    "q_revenue_gini",
+    "q_abc_classes",
+)
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

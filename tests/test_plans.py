@@ -1044,3 +1044,39 @@ class TestSummariesAndTwinsTier:
         plan = self._plan(spark, sf_dir, "q_bloom_membership")
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTotalOrderRewrites:
+    """Round-6 late rewrites: the three total-order statistics (deciles,
+    Gini rank, Pareto cumulative share) must run their data-sized windows
+    PARTITIONED by the prefix-plan bucket — the unpartitioned ntile /
+    row_number / running-sum shapes they replaced are the plans that
+    single-task at scale."""
+
+    def _specs(self, spark, sf_dir, name):
+        import re
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        registry.load_all()
+        plan = (
+            registry.QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return plan, [
+            m.group(1)
+            for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+        ]
+
+    @pytest.mark.parametrize(
+        "name", ["q_value_deciles", "q_revenue_gini", "q_abc_classes"]
+    )
+    def test_windows_are_bucket_partitioned(self, spark, sf_dir, name):
+        plan, specs = self._specs(spark, sf_dir, name)
+        assert specs, name
+        for s in specs:
+            assert "bkt" in s, f"{name}: {s}"
+        assert "CartesianProduct" not in plan, name
+        assert "ntile" not in plan.lower(), name  # arithmetic ntile only
