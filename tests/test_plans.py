@@ -681,13 +681,11 @@ class TestCorpusAndRobustStatsPlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
-    def test_value_deciles_single_partition_only_after_agg(self, spark, sf_dir):
-        """ntile's total order runs on the per-user aggregate: one hash
-        shuffle (the groupBy), then the SinglePartition window, then the
-        decile agg reuses that partitioning — no further exchanges."""
-        plan = plan_of(spark, sf_dir, "q_value_deciles")
-        assert plan.count("Exchange hashpartitioning") == 1
-        assert "SinglePartition" in plan
+    # q_value_deciles' plan pin moved to TestTotalOrderRewrites below: the
+    # round-6 rewrite replaced the per-user SinglePartition ntile window
+    # with the bucketed two-phase prefix plan (functions/prefix.py), so the
+    # old "exactly one hash exchange + SinglePartition" shape is the very
+    # plan the rewrite exists to eliminate.
 
     def test_event_pairs_expand_in_array_domain(self, spark, sf_dir):
         """The i<j pair expansion is a nested lambda over the per-user type
