@@ -27,6 +27,15 @@ Skewed value distributions concentrate rows into few buckets; the bound
 degrades toward the single-task shape only if nearly ALL mass shares one
 value — in which case no exact total-order plan does better.  B is a
 constant (default 1024) chosen so the offsets table always broadcasts.
+
+Below the adaptive scale switch (sources/tables.is_large_input, same
+crossover as q_rank_per_group's bucketed rank) the restructuring overhead
+— two extra broadcast joins and the bucket bookkeeping — costs more than
+the single sort it avoids (measured ~2-3x at sf0.1), so callers pass
+``bucketed=is_large_input(sf_dir, table)`` and small inputs take the
+plain unpartitioned window.  Both paths are bit-identical for ranks and
+ULP-identical for running sums (tests/test_prefix.py pins equivalence;
+the driver-facing queries pin BOTH paths against the DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -68,18 +77,27 @@ def bucketed_row_number(
     descending: bool = False,
     rank_col: str = "rk",
     buckets: int = DEFAULT_BUCKETS,
+    bucketed: bool = True,
 ) -> DataFrame:
     """Exact global ``row_number()`` over (value_col [DESC], *tiebreak_cols)
     as a bucket-partitioned window plus integer offsets — bit-identical to
-    the unpartitioned form, with no single-task sort of the data."""
-    bucketed = _with_bucket(df, value_col, descending=descending, buckets=buckets)
+    the unpartitioned form, with no single-task sort of the data.
+
+    ``bucketed=False`` emits the plain unpartitioned window instead: the
+    right plan below the adaptive scale switch, where one task sorts the
+    whole (pre-reduced) input faster than the two-phase bookkeeping."""
     order = [
         F.col(value_col).desc() if descending else F.col(value_col).asc()
     ] + [F.col(c).asc() for c in tiebreak_cols]
+    if not bucketed:
+        return df.withColumn(
+            rank_col, F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+    bucketed_df = _with_bucket(df, value_col, descending=descending, buckets=buckets)
     w_local = Window.partitionBy("bkt").orderBy(*order)
     w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        bucketed.groupBy("bkt")
+        bucketed_df.groupBy("bkt")
         .agg(F.count("*").cast("long").alias("_bn"))
         .withColumn(
             "_off",
@@ -88,7 +106,7 @@ def bucketed_row_number(
         .select("bkt", "_off")
     )
     return (
-        bucketed.withColumn("_lr", F.row_number().over(w_local).cast("long"))
+        bucketed_df.withColumn("_lr", F.row_number().over(w_local).cast("long"))
         .join(F.broadcast(offsets), "bkt")
         .withColumn(rank_col, F.col("_lr") + F.col("_off"))
         .drop("bkt", "_lr", "_off")
@@ -104,27 +122,35 @@ def bucketed_running_sum(
     descending: bool = False,
     out_col: str = "running_sum",
     buckets: int = DEFAULT_BUCKETS,
+    bucketed: bool = True,
 ) -> DataFrame:
     """Exact-order global running sum of ``sum_col`` over
     (value_col [DESC], *tiebreak_cols).  Regroups float additions
     (bucket-local + bucket offsets): derived comparisons must be quantized
-    (fround) on both engines, as cross-engine parity already requires."""
-    bucketed = _with_bucket(df, value_col, descending=descending, buckets=buckets)
+    (fround) on both engines, as cross-engine parity already requires.
+
+    ``bucketed=False`` emits the plain unpartitioned cumulative window —
+    the right plan below the adaptive scale switch (and strictly
+    sequential addition, so no regrouping at all)."""
     order = [
         F.col(value_col).desc() if descending else F.col(value_col).asc()
     ] + [F.col(c).asc() for c in tiebreak_cols]
+    if not bucketed:
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        return df.withColumn(out_col, F.sum(sum_col).over(w))
+    bucketed_df = _with_bucket(df, value_col, descending=descending, buckets=buckets)
     w_local = Window.partitionBy("bkt").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
     w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        bucketed.groupBy("bkt")
+        bucketed_df.groupBy("bkt")
         .agg(F.sum(sum_col).alias("_bs"))
         .withColumn("_off", F.coalesce(F.sum("_bs").over(w_off), F.lit(0.0)))
         .select("bkt", "_off")
     )
     return (
-        bucketed.withColumn("_ls", F.sum(sum_col).over(w_local))
+        bucketed_df.withColumn("_ls", F.sum(sum_col).over(w_local))
         .join(F.broadcast(offsets), "bkt")
         .withColumn(out_col, F.col("_ls") + F.col("_off"))
         .drop("bkt", "_ls", "_off")

@@ -36,6 +36,7 @@ from ..functions.prefix import (
 from ..functions.rounding import fround, fround_sql
 from ..registry import register
 from ..sources import load_table
+from ..sources.tables import is_large_input
 
 # The fixture's device/event vocabulary (TESTDATA.md).  Supplying it to
 # pivot() skips the extra distinct-values job Spark otherwise runs, and at
@@ -347,7 +348,10 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the per-user AGGREGATE (|users| rows, already collapsed by a
     partial-agg groupBy), never the raw stream.  Totals are 4 dp-quantized
     before ranking with user_id tiebreaks, so decile boundaries are
-    engine-exact."""
+    engine-exact.  Below the adaptive scale switch (is_large_input, the
+    q_rank_per_group crossover) the plain unpartitioned window wins and
+    is taken instead — both paths are rank-identical and oracle-pinned
+    (tests force the bucketed path via SPARK_GRAFT_SCALE_SWITCH_BYTES=0)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     per_user = ev.groupBy("user_id").agg(
         fround(F.sum("value"), 4).alias("total_value")
@@ -355,7 +359,11 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tot = per_user.agg(F.count("*").cast("long").alias("_n"))
     bucketed = (
         bucketed_row_number(
-            per_user, "total_value", ["user_id"], descending=True
+            per_user,
+            "total_value",
+            ["user_id"],
+            descending=True,
+            bucketed=is_large_input(sf_dir, "events"),
         )
         .join(F.broadcast(n_tot))
         .withColumn(
@@ -1185,14 +1193,20 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(1)-memory fallback if even |customers|/B per task is too much).
     The closed-form needs no self-join or per-percentile pass.
     Deterministic (revenue, custkey) ordering makes tied revenues rank
-    identically on both engines."""
+    identically on both engines.  Below the adaptive scale switch
+    (is_large_input) the plain window is cheaper and taken instead; the
+    bucketed path stays test-forced via SPARK_GRAFT_SCALE_SWITCH_BYTES=0."""
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("revenue"))
     )
     ranked = bucketed_row_number(
-        rev, "revenue", ["o_custkey"], descending=False
+        rev,
+        "revenue",
+        ["o_custkey"],
+        descending=False,
+        bucketed=is_large_input(sf_dir, "orders"),
     ).select("revenue", "rk")
     s = ranked.agg(
         F.count("*").cast("long").alias("n"),
@@ -1480,7 +1494,11 @@ def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential summation (and from DuckDB's) by ULPs, which is exactly
     why class membership compares the share at 9 dp: both engines
     quantize before the boundary test, so a sub-ULP regrouping
-    difference cannot flip a part's class."""
+    difference cannot flip a part's class.  Below the adaptive scale
+    switch (is_large_input) the plain cumulative window is cheaper and
+    taken instead (strictly sequential addition, no regrouping at all);
+    the bucketed path stays test-forced via
+    SPARK_GRAFT_SCALE_SWITCH_BYTES=0."""
     rev = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -1499,6 +1517,7 @@ def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["l_partkey"],
             descending=True,
             out_col="_cum",
+            bucketed=is_large_input(sf_dir, "lineitem"),
         )
         .crossJoin(F.broadcast(tot))
         .select(

@@ -1049,7 +1049,13 @@ class TestTotalOrderRewrites:
     Gini rank, Pareto cumulative share) must run their data-sized windows
     PARTITIONED by the prefix-plan bucket — the unpartitioned ntile /
     row_number / running-sum shapes they replaced are the plans that
-    single-task at scale."""
+    single-task at scale.  Like q_rank_per_group, the bucketed plan is
+    adaptive (is_large_input): fixture-sized inputs take the plain window
+    (where the two-phase bookkeeping costs more than the sort it avoids),
+    so the scale path is forced here via SPARK_GRAFT_SCALE_SWITCH_BYTES=0
+    and BOTH paths are oracle-pinned below."""
+
+    NAMES = ["q_value_deciles", "q_revenue_gini", "q_abc_classes"]
 
     def _specs(self, spark, sf_dir, name):
         import re
@@ -1068,13 +1074,42 @@ class TestTotalOrderRewrites:
             for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
         ]
 
-    @pytest.mark.parametrize(
-        "name", ["q_value_deciles", "q_revenue_gini", "q_abc_classes"]
-    )
-    def test_windows_are_bucket_partitioned(self, spark, sf_dir, name):
+    @pytest.mark.parametrize("name", NAMES)
+    def test_windows_are_bucket_partitioned(self, spark, sf_dir, name, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_SCALE_SWITCH_BYTES", "0")
         plan, specs = self._specs(spark, sf_dir, name)
         assert specs, name
         for s in specs:
             assert "bkt" in s, f"{name}: {s}"
         assert "CartesianProduct" not in plan, name
         assert "ntile" not in plan.lower(), name  # arithmetic ntile only
+
+    @pytest.mark.parametrize("name", NAMES)
+    def test_small_input_path_takes_plain_window(self, spark, sf_dir, name):
+        """At fixture sizes (default switch) the plan must NOT pay the
+        bucket bookkeeping — no bkt windowspec anywhere."""
+        plan, specs = self._specs(spark, sf_dir, name)
+        assert specs, name
+        for s in specs:
+            assert "bkt" not in s, f"{name}: {s}"
+
+    @pytest.mark.parametrize("name", NAMES)
+    def test_bucketed_scale_path_parity(self, spark, sf_dir, name, monkeypatch):
+        """Both adaptive paths must hash-match the DuckDB oracle — the
+        default path is covered by test_oracle_parity; this forces the
+        cluster-scale bucketed plan (q_rank_per_group's twin check)."""
+        import duckdb
+
+        from real_time_iot_data_engineering_pipeline_spark import registry
+        from .oracle_utils import compare, duck_connection
+
+        monkeypatch.setenv("SPARK_GRAFT_SCALE_SWITCH_BYTES", "0")
+        registry.load_all()
+        sdf = registry.QUERIES[name](spark, sf_dir).toPandas()
+        con = duck_connection(sf_dir)
+        try:
+            ddf = con.execute(registry.ORACLES[name]).fetchdf()
+        finally:
+            con.close()
+        problems = compare(sdf, ddf)
+        assert not problems, f"{name}[bucketed]: " + " | ".join(problems)
