@@ -98,11 +98,13 @@ def test_driver_priority_rotated_to_uncertified():
     )
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
-def test_rows_only_queries_run(spark, sf_dir, name):
-    """Queries without an oracle (currently none — every registered query is
-    oracle-checked) must still produce a non-trivial result, not merely
-    avoid throwing."""
-    df = registry.QUERIES[name](spark, sf_dir)
-    assert len(df.columns) > 0
-    assert df.count() > 0
+def test_rows_only_queries_run(spark, sf_dir):
+    """Queries without an oracle must still produce a non-trivial result,
+    not merely avoid throwing.  Currently EVERY registered query is
+    oracle-checked, so the loop is vacuously green — written this way
+    (not parametrized) so an empty set reads as a pass on the stronger
+    invariant instead of a perpetual pytest skip."""
+    for name in _ROWS_ONLY:
+        df = registry.QUERIES[name](spark, sf_dir)
+        assert len(df.columns) > 0, name
+        assert df.count() > 0, name
