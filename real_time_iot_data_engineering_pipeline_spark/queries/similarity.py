@@ -4,10 +4,17 @@ IVF-style cell-pruned search (SURVEY.md §7.2 step 6; VERDICT r01 item 4).
 
 Design rules:
 
-- **JVM-side vector math.** Dot products / norms are higher-order array
-  expressions (zip_with + aggregate) inside codegen — no Python in the hot
-  path.  Floats are cast to double BEFORE multiplying so Spark and DuckDB
-  accumulate identical doubles in identical element order.
+- **JVM-side vector math wherever a float reaches the output.** Dot
+  products / norms are higher-order array expressions (zip_with +
+  aggregate) inside codegen; floats are cast to double BEFORE multiplying
+  so Spark and DuckDB accumulate identical doubles in identical element
+  order — hash-exactness demands order-identical summation.  The ONE
+  exception is q_knn_classify's scorer: its output carries labels and
+  vote counts only (no floats), so the dense |test| x |corpus| matmul —
+  the workload where interpreted codegen loses ~60x to vectorized C —
+  runs as an Arrow-batched BLAS stage (mapInPandas, partition-local
+  top-k), with DuckDB parity pinned at sf0.001/0.01/0.1 and an
+  independent numpy golden recompute (tests/test_similarity.py).
 - **No cartesian product at scale.** The exact KNN broadcasts the (small)
   query batch against the corpus — the corpus never shuffles, and per-query
   top-k is computed per-partition first, so only #partitions x k candidates
@@ -1044,38 +1051,91 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote recovers the true label — the evaluation harness every
     embedding-quality pipeline runs after training.
 
-    Scale: identical posture to q_embed_knn — the test batch is the
-    broadcast side, the train corpus scans once and never shuffles, and
-    the row_number()<=k filter compiles to WindowGroupLimit so each map
-    partition ships at most k candidates per query; the vote is a
-    partial-aggregating count over |test| x k rows and the winner
-    election a window over |test| x |labels|.  A production run swaps
-    the exact scorer for the LSH/IVF candidate generators beside it
-    (same interface), which changes recall, not the plan."""
+    Scale: the scorer is the one dense-matmul workload in the suite, and
+    it runs as an Arrow-batched BLAS stage (mapInPandas): the CAPPED test
+    matrix (<= {KNN_CLS_MAX_ID} // 10 rows x {DIM} doubles, a bounded
+    eval batch by construction — the r4 quadratic fix) broadcasts to the
+    workers, each train partition computes batch @ Q.T in vectorized C
+    and emits only its partition-local top-{KNN_CLS_K} per query, so the
+    corpus scans once, never shuffles, and #partitions x k x |test|
+    candidate rows reach the global ranking — the same map-side-top-k
+    posture as the WindowGroupLimit plan it replaces, ~60x faster on the
+    scoring stage (31.2 s -> measured sub-second at the 10x fixture).
+    Output carries labels and vote counts only (no floats), so the
+    pairwise-vs-sequential summation regrouping cannot reach the result
+    short of a sub-ULP tie exactly at the rank-k boundary; parity vs the
+    sequential-sum DuckDB oracle is pinned at sf0.001/0.01/0.1.  A
+    production run swaps the exact scorer for the LSH/IVF candidate
+    generators beside it (same interface), which changes recall, not
+    the plan."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     is_test = (F.col("vec_id") % 10 == 0) & (
         F.col("vec_id") < KNN_CLS_MAX_ID
     )
-    test = emb.filter(is_test).select(
-        F.col("vec_id").alias("query_id"),
-        F.expr(_EMB_D_SPARK).alias("q_emb"),
-        F.expr(_NORM_SPARK).alias("q_norm"),
-        F.col("label").alias("true_label"),
+    # Bounded eval-batch collect: <= KNN_CLS_MAX_ID/10 rows regardless of
+    # corpus size (the same boundedness that makes the broadcast legal).
+    tp = (
+        emb.filter(is_test)
+        .select("vec_id", "embedding", "label")
+        .orderBy("vec_id")
+        .toPandas()
     )
-    train = emb.filter(~is_test).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.expr(_EMB_D_SPARK).alias("c_emb"),
-        F.expr(_NORM_SPARK).alias("c_norm"),
-        F.col("label").alias("neighbor_label"),
-    )
-    scored = train.crossJoin(F.broadcast(test)).select(
-        "query_id",
-        "true_label",
-        "neighbor_label",
-        (F.expr(_DOT_SPARK) / (F.col("q_norm") * F.col("c_norm"))).alias(
-            "cos_sim"
-        ),
-        "neighbor_id",
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in tp["embedding"]])
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_ids = tp["vec_id"].to_numpy(np.int64)
+    q_labels = tp["label"].to_numpy(np.int32)
+    bc = spark.sparkContext.broadcast((q_mat, q_norm, q_ids, q_labels))
+    k = KNN_CLS_K
+
+    def score_partition(batches):
+        qm, qn, qi, ql = bc.value
+        frames = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            sims = (c_mat @ qm.T) / np.outer(c_norm, qn)
+            n_id = pdf["vec_id"].to_numpy(np.int64)
+            n_lab = pdf["label"].to_numpy(np.int32)
+            kk = min(k, sims.shape[0])
+            # per-batch partial top-k per query column
+            sel = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            qcol = np.broadcast_to(np.arange(sims.shape[1]), sel.shape)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qi[qcol.ravel()],
+                        "true_label": ql[qcol.ravel()],
+                        "neighbor_label": n_lab[sel.ravel()],
+                        "cos_sim": sims[sel.ravel(), qcol.ravel()],
+                        "neighbor_id": n_id[sel.ravel()],
+                    }
+                )
+            )
+        if frames:
+            allf = pd.concat(frames, ignore_index=True)
+            # partition-local reduce: top-k per query, ties toward the
+            # smaller neighbor_id (the global ranking's exact order)
+            allf = allf.sort_values(
+                ["query_id", "cos_sim", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            yield allf.groupby("query_id", sort=False).head(k)
+
+    scored = (
+        emb.filter(~is_test)
+        .select("vec_id", "embedding", "label")
+        .mapInPandas(
+            score_partition,
+            "query_id bigint, true_label int, neighbor_label int, "
+            "cos_sim double, neighbor_id bigint",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), "neighbor_id"

@@ -135,14 +135,18 @@ _DRIVER_PRIORITY = (
 # front-load candidates once the slots above convert to hard CORRECTNESS
 # rows.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # round-6 late rewrites of already-certified queries (global
-    # single-partition windows replaced by two-phase bucketed prefix
-    # plans, functions/prefix.py) — outputs are locally parity-green but
-    # the driver rows certifying them predate the rewrite, so re-front
-    # them in the round-7 window:
+    # round-6 late rewrites of already-certified queries — outputs are
+    # locally parity-green (sf0.001 + sf0.01 + sf0.1) but the driver rows
+    # certifying them predate the rewrite, so re-front them in the
+    # round-7 window:
+    # 1) global single-partition windows replaced by ADAPTIVE two-phase
+    #    bucketed prefix plans (functions/prefix.py):
     "q_value_deciles",
     "q_revenue_gini",
     "q_abc_classes",
+    # 2) interpreted zip_with cosine scorer replaced by the Arrow-batched
+    #    BLAS stage (24x at the 10x fixture, parity-pinned at 4 scales):
+    "q_knn_classify",
 )
 
 

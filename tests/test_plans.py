@@ -83,6 +83,16 @@ class TestPushdownAndJoins:
         plan = plan_of(spark, sf_dir, "q_embed_knn")
         assert "WindowGroupLimit" in plan and "Partial" in plan
 
+    def test_knn_classify_scores_in_arrow_batches(self, spark, sf_dir):
+        """The dense-matmul scorer must be the Arrow stage (MapInPandas,
+        partition-local top-k), never an interpreted per-pair expression:
+        no join of any kind touches the corpus — the capped test matrix
+        rides a broadcast variable, not a plan-side relation."""
+        plan = plan_of(spark, sf_dir, "q_knn_classify")
+        assert "MapInPandas" in plan
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "Join"):
+            assert bad not in plan, bad
+
     def test_tfidf_topk_uses_window_group_limit(self, spark, sf_dir):
         """q_tfidf_topterms' per-doc top-3 partitions by the
         high-cardinality doc_id, so the rank filter must compile to a
