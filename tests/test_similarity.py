@@ -206,6 +206,36 @@ class TestKnnClassify:
         assert 0 < n_correct < len(rows), "both verdicts must occur"
 
 
+class TestKnnClassifyPartitionInvariance:
+    def test_result_invariant_under_scan_fragmentation(self, spark, sf_dir):
+        """The Arrow scorer reduces per PARTITION (partial top-k) before
+        the global rank; its output must be bit-identical however the
+        scan happens to split — including partitions holding fewer than
+        k train rows (kk = min(k, n) per batch).  Force maximal
+        fragmentation via tiny maxPartitionBytes and compare against the
+        default scan."""
+        from real_time_iot_data_engineering_pipeline_spark import registry
+
+        registry.load_all()
+        key = "spark.sql.files.maxPartitionBytes"
+        baseline = [
+            tuple(r)
+            for r in registry.QUERIES["q_knn_classify"](spark, sf_dir).collect()
+        ]
+        old = spark.conf.get(key)
+        spark.conf.set(key, "4096")
+        try:
+            fragged = [
+                tuple(r)
+                for r in registry.QUERIES["q_knn_classify"](
+                    spark, sf_dir
+                ).collect()
+            ]
+        finally:
+            spark.conf.set(key, old)
+        assert fragged == baseline
+
+
 class TestPqCodes:
     def test_matches_numpy_recompute_and_quality(self, spark, sf_dir):
         """numpy recompute of every block assignment and MSE; the
