@@ -992,6 +992,13 @@ KNN_CLS_K = 5  # neighbors per test vector
 # keeping the scorer linear in the corpus instead of quadratic).
 KNN_CLS_MAX_ID = 5000
 
+# One broadcast test-matrix per (applicationId, sf_dir): q_knn_classify is
+# invoked repeatedly within a session (plan pin + parity + partition-
+# invariance tests) and re-broadcasting the eval batch each call leaks
+# broadcast blocks.  Entries for dead applications are inert tuples of a
+# few MB at most (the eval batch is bounded by KNN_CLS_MAX_ID).
+_KNN_CLS_BC_CACHE: dict[tuple[str, str], object] = {}
+
 _CLS_TEST_DUCK = f"""
     SELECT vec_id AS query_id,
            list_transform(embedding, x -> x::DOUBLE) AS q_emb,
@@ -1014,7 +1021,7 @@ _CLS_TRAIN_DUCK = f"""
     scored AS (
         SELECT q.query_id, q.label AS true_label,
                c.label AS neighbor_label,
-               {_DOT_DUCK} / (q.q_norm * c.c_norm) AS cos_sim,
+               {fround_sql(f"{_DOT_DUCK} / (q.q_norm * c.c_norm)", 9)} AS cos_sim,
                c.neighbor_id
         FROM q, c
     ),
@@ -1061,13 +1068,14 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate rows reach the global ranking — the same map-side-top-k
     posture as the WindowGroupLimit plan it replaces, ~60x faster on the
     scoring stage (31.2 s -> measured sub-second at the 10x fixture).
-    Output carries labels and vote counts only (no floats), so the
-    pairwise-vs-sequential summation regrouping cannot reach the result
-    short of a sub-ULP tie exactly at the rank-k boundary; parity vs the
-    sequential-sum DuckDB oracle is pinned at sf0.001/0.01/0.1.  A
-    production run swaps the exact scorer for the LSH/IVF candidate
-    generators beside it (same interface), which changes recall, not
-    the plan."""
+    cos_sim is quantized with fround(·, 9) on BOTH sides (the suite's
+    derived-float convention) before any ranking, so the rank-k boundary
+    comparison is engine-exact: BLAS-vs-sequential summation regroupings
+    (~1e-16 relative) land on the same quantum, and genuine ties break by
+    neighbor_id identically in Spark and the oracle; parity is pinned at
+    sf0.001/0.01/0.1.  A production run swaps the exact scorer for the
+    LSH/IVF candidate generators beside it (same interface), which
+    changes recall, not the plan."""
     import numpy as np
     import pandas as pd
 
@@ -1075,19 +1083,38 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_test = (F.col("vec_id") % 10 == 0) & (
         F.col("vec_id") < KNN_CLS_MAX_ID
     )
-    # Bounded eval-batch collect: <= KNN_CLS_MAX_ID/10 rows regardless of
-    # corpus size (the same boundedness that makes the broadcast legal).
-    tp = (
-        emb.filter(is_test)
-        .select("vec_id", "embedding", "label")
-        .orderBy("vec_id")
-        .toPandas()
+    out_schema = (
+        "query_id bigint, true_label int, pred_label int, "
+        "n_votes bigint, correct boolean"
     )
-    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in tp["embedding"]])
-    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
-    q_ids = tp["vec_id"].to_numpy(np.int64)
-    q_labels = tp["label"].to_numpy(np.int32)
-    bc = spark.sparkContext.broadcast((q_mat, q_norm, q_ids, q_labels))
+    # One broadcast of the bounded test matrix per (application, sf_dir):
+    # repeated invocations in one session (plan tests + parity tests)
+    # must not accumulate broadcast blocks on the driver/executors.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KNN_CLS_BC_CACHE.get(key)
+    if cached is None:
+        # Bounded eval-batch collect: <= KNN_CLS_MAX_ID/10 rows regardless
+        # of corpus size (the same boundedness that makes the broadcast
+        # legal).
+        tp = (
+            emb.filter(is_test)
+            .select("vec_id", "embedding", "label")
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        if tp.empty:
+            return spark.createDataFrame([], out_schema)
+        q_mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in tp["embedding"]]
+        )
+        q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+        q_ids = tp["vec_id"].to_numpy(np.int64)
+        q_labels = tp["label"].to_numpy(np.int32)
+        cached = spark.sparkContext.broadcast((q_mat, q_norm, q_ids, q_labels))
+        _KNN_CLS_BC_CACHE[key] = cached
+    bc = cached
+    if bc.value[0].shape[0] == 0:
+        return spark.createDataFrame([], out_schema)
     k = KNN_CLS_K
 
     def score_partition(batches):
@@ -1101,20 +1128,29 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
             sims = (c_mat @ qm.T) / np.outer(c_norm, qn)
+            # fround(·, 9): same quantization as the oracle's ranking key,
+            # applied BEFORE any selection so batch-local cuts see the
+            # exact values the global rank will order by.
+            sims = np.floor(sims * 1e9 * (1.0 + 1e-12) + 0.5) / 1e9
             n_id = pdf["vec_id"].to_numpy(np.int64)
             n_lab = pdf["label"].to_numpy(np.int32)
             kk = min(k, sims.shape[0])
-            # per-batch partial top-k per query column
-            sel = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            qcol = np.broadcast_to(np.arange(sims.shape[1]), sel.shape)
+            # Tie-AWARE per-batch partial top-k per query column: keep
+            # every row at or above the kk-th value (boundary ties
+            # included — a tied candidate with a smaller neighbor_id may
+            # be the one the global order keeps); the partition-local
+            # reduce below truncates under the full (cos_sim desc,
+            # neighbor_id asc) order, so no batch-boundary dependence.
+            kth = -np.partition(-sims, kk - 1, axis=0)[kk - 1]
+            rows, cols = np.nonzero(sims >= kth)
             frames.append(
                 pd.DataFrame(
                     {
-                        "query_id": qi[qcol.ravel()],
-                        "true_label": ql[qcol.ravel()],
-                        "neighbor_label": n_lab[sel.ravel()],
-                        "cos_sim": sims[sel.ravel(), qcol.ravel()],
-                        "neighbor_id": n_id[sel.ravel()],
+                        "query_id": qi[cols],
+                        "true_label": ql[cols],
+                        "neighbor_label": n_lab[rows],
+                        "cos_sim": sims[rows, cols],
+                        "neighbor_id": n_id[rows],
                     }
                 )
             )

@@ -64,68 +64,18 @@ _QUERY_MODULES = (
 # order; every query that falls outside the window as a result already
 # holds a green driver row (CORRECTNESS_r01 and/or _r02).
 _DRIVER_PRIORITY = (
-    # round-6 rotation: the final 31 never-driver-certified queries (the
-    # round-5 backlog that didn't fit the 50-slot window — all 50 r5 window
-    # entries converted to hard CORRECTNESS_r05 rows, zero failures).
-    # Certifying these takes driver coverage to 226/226.
-    "q_lang_confusion",
-    "q_tokenizer_fertility",
-    "q_link_prediction",
-    "q_embed_outliers",
-    "q_price_elasticity",
-    "q_repeat_interval",
-    "q_degree_distribution",
-    "q_cluster_keywords",
-    "q_dup_group_stats",
-    "q_simhash_pairs",
-    "q_readability",
-    "q_skew_report",
-    "q_join_cardinality",
-    "q_also_bought",
-    "q_ctr_wilson",
-    "q_hill_tail",
-    "q_doc_containment",
-    "q_pack_efficiency",
-    "q_mixture_sample",
-    "q_vocab_coverage",
-    "q_dataset_manifest",
-    "q_active_users",
-    "q_market_concentration",
-    "q_cluster_purity",
-    "q_integrity_audit",
-    "q_eval_grams",
-    "q_weekday_anova",
-    "q_revenue_motifs",
-    "q_price_index",
-    "q_mix_shift",
-    "q_embed_anisotropy",
-    # round-6 NEW queries (registration freeze lifted with the verdict's
-    # ≤19-new cap — every new query earns its driver row the round it
-    # ships; 31 backlog + 19 new = exactly the 50-slot window).
-    # Batch oracle twins of the stateful streaming folds:
-    "q_misra_gries",
-    "q_welford_stats",
-    "q_cusum_alarm",
-    # mergeable summaries / operational planning (queries/summaries.py):
-    "q_bottomk_sample",
-    "q_quantile_bins",
-    "q_hll_distinct",
-    "q_bloom_membership",
-    "q_partition_plan",
-    # corpus manifest / curation planning (queries/manifest.py):
-    "q_shingle_profile",
-    "q_token_budget_plan",
-    "q_source_fingerprint",
-    "q_dedup_cost_curve",
-    "q_doc_length_bands",
-    "q_stopword_profile",
-    "q_minhash_band_tuning",
-    # embedding-corpus health (queries/embedding_ops.py):
-    "q_embed_centroid_drift",
-    "q_label_balance",
-    # relational behavior (queries/relational3.py):
-    "q_order_reorder_rate",
-    "q_supplier_herfindahl",
+    # round-7 rotation.  CORRECTNESS_r06 converted all 50 round-6 window
+    # slots to green rows (driver coverage now 245/245 cumulatively), so the
+    # window re-fronts (a) the five queries whose code changed AFTER their
+    # certifying round — their green rows predate the rewrite, re-cert is
+    # the hard signal — and (b) every query NEW this round.
+    #
+    # (a) round-6 rewrites needing re-certification:
+    "q_value_deciles",  # adaptive bucketed-prefix plan (functions/prefix.py)
+    "q_revenue_gini",  # adaptive bucketed-prefix plan
+    "q_abc_classes",  # adaptive bucketed-prefix plan
+    "q_knn_classify",  # Arrow-batched BLAS scorer (+ r7 tie-aware top-k fix)
+    "q_cosupply_triangles",  # triangle_stats extraction (linkage.py refactor)
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's
@@ -134,20 +84,7 @@ _DRIVER_PRIORITY = (
 # parity rows (tests/test_oracle_parity.py), and are next round's
 # front-load candidates once the slots above convert to hard CORRECTNESS
 # rows.
-_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # round-6 late rewrites of already-certified queries — outputs are
-    # locally parity-green (sf0.001 + sf0.01 + sf0.1) but the driver rows
-    # certifying them predate the rewrite, so re-front them in the
-    # round-7 window:
-    # 1) global single-partition windows replaced by ADAPTIVE two-phase
-    #    bucketed prefix plans (functions/prefix.py):
-    "q_value_deciles",
-    "q_revenue_gini",
-    "q_abc_classes",
-    # 2) interpreted zip_with cosine scorer replaced by the Arrow-batched
-    #    BLAS stage (24x at the 10x fixture, parity-pinned at 4 scales):
-    "q_knn_classify",
-)
+_NEXT_ROUND_PRIORITY: tuple[str, ...] = ()
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

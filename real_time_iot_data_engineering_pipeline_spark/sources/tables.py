@@ -75,7 +75,17 @@ def is_large_input(sf_dir: str, name: str = "events") -> bool:
     """Adaptive-plan switch: True = take the scale-restructured plan.
     Unknown size (non-local path) defaults to True — on a real cluster the
     scale plan is the safe choice.  Override the threshold with
-    SPARK_GRAFT_SCALE_SWITCH_BYTES (tests set 0 to pin the scale path)."""
+    SPARK_GRAFT_SCALE_SWITCH_BYTES (tests set 0 to pin the scale path).
+
+    The key is the BASE table's on-disk size even when the restructured
+    stage runs over a smaller derived input (e.g. the per-key aggregate
+    feeding a ranking window): an intentional conservative proxy.  Both
+    plans are output-identical, the base size is free to read (no extra
+    Spark job), and the failure mode of over-triggering is bounded bucket
+    bookkeeping on a small input — versus a driver-side cardinality
+    estimate per query, or under-triggering a SinglePartition window on a
+    many-key aggregate, which is the 100 TB failure this switch exists to
+    prevent."""
     threshold = int(
         os.environ.get("SPARK_GRAFT_SCALE_SWITCH_BYTES", _SCALE_SWITCH_BYTES_DEFAULT)
     )

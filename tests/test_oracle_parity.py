@@ -74,7 +74,16 @@ def test_driver_priority_rotated_to_uncertified():
     import json
     from pathlib import Path
 
-    _RECERTIFY: set[str] = set()  # name -> re-fronted because its code changed
+    # Re-fronted because their code changed after the certifying round:
+    # the three bucketed-prefix rewrites + the Arrow BLAS kNN scorer (all
+    # round-6 rewrites) and the linkage.py triangle_stats extraction.
+    _RECERTIFY: set[str] = {
+        "q_value_deciles",
+        "q_revenue_gini",
+        "q_abc_classes",
+        "q_knn_classify",
+        "q_cosupply_triangles",
+    }
     repo = Path(__file__).resolve().parents[1]
     certified: set[str] = set()
     for p in sorted(repo.glob("CORRECTNESS_r*.json")):
