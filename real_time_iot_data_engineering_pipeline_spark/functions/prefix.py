@@ -169,3 +169,72 @@ def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
         .otherwise(r + F.ceil((rank - big) / q))
         .cast("long")
     )
+
+
+def grouped_bucketed_row_number(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    *,
+    descending: bool = False,
+    rank_col: str = "rk",
+    buckets: int = DEFAULT_BUCKETS,
+    bucketed: bool = True,
+) -> DataFrame:
+    """Per-group exact ``row_number()`` over (value_col [DESC],
+    *tiebreak_cols) WITHIN each part_cols group — the partitioned twin of
+    bucketed_row_number, for low-cardinality grouping keys (language,
+    source) where Window.partitionBy(part_cols) alone would sort each
+    group in ONE task however large the group grows.
+
+    Bucket boundaries come from per-group min/max (broadcast); local
+    ranks run per (group, bucket) and per-group bucket offsets restore
+    the exact global-within-group rank.  ``bucketed=False`` emits the
+    plain partitioned window — right below the adaptive scale switch."""
+    order = [
+        F.col(value_col).desc() if descending else F.col(value_col).asc()
+    ] + [F.col(c).asc() for c in tiebreak_cols]
+    if not bucketed:
+        w = Window.partitionBy(*part_cols).orderBy(*order)
+        return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+    stats = df.groupBy(*part_cols).agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    )
+    v = F.col(value_col).cast("double")
+    mn = F.col("_mn").cast("double")
+    mx = F.col("_mx").cast("double")
+    dist = (mx - v) if descending else (v - mn)
+    span = mx - mn
+    raw = F.floor(dist * F.lit(float(buckets)) / span).cast("long")
+    bkt = F.when(span == 0.0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(buckets - 1).cast("long"),
+            F.greatest(F.lit(0).cast("long"), raw),
+        )
+    )
+    bucketed_df = (
+        df.join(F.broadcast(stats), part_cols)
+        .withColumn("bkt", bkt)
+        .drop("_mn", "_mx")
+    )
+    w_local = Window.partitionBy(*part_cols, "bkt").orderBy(*order)
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed_df.groupBy(*part_cols, "bkt")
+        .agg(F.count("*").cast("long").alias("_bn"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).cast("long")
+        )
+        .select(*part_cols, "bkt", "_off")
+    )
+    return (
+        bucketed_df.withColumn("_lr", F.row_number().over(w_local).cast("long"))
+        .join(F.broadcast(offsets), [*part_cols, "bkt"])
+        .withColumn(rank_col, F.col("_lr") + F.col("_off"))
+        .drop("bkt", "_lr", "_off")
+    )

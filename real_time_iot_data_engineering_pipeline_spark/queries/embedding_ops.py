@@ -179,3 +179,200 @@ def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("chi2"), 4).alias("chi2_vs_uniform"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One Lloyd iteration of k-means (deterministic seeds)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8  # seeds = the vectors with vec_id < KMEANS_K
+
+
+@register(
+    "q_kmeans_step",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cid, emb AS cent FROM vecs
+        WHERE vec_id < {KMEANS_K}
+    ),
+    dists AS (
+        SELECT v.vec_id, c.cid,
+               {fround_sql(
+                   "list_sum(list_transform(generate_series(1, " + str(DIM)
+                   + "), i -> (v.emb[i] - c.cent[i]) * (v.emb[i] - c.cent[i])))",
+                   9,
+               )} AS sqd
+        FROM vecs v, cents c
+    ),
+    assigned AS (
+        SELECT vec_id, cid, sqd,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY sqd, cid
+               ) AS rn
+        FROM dists
+    )
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           {fround_sql("avg(sqd)")} AS avg_sqdist,
+           {fround_sql("sum(sqd)", 2)} AS inertia
+    FROM assigned WHERE rn = 1
+    GROUP BY cid
+    ORDER BY cid
+    """,
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus with
+    deterministic seeds (the {KMEANS_K} lowest vec_ids): assign every
+    vector to its nearest seed by squared L2 (ties to the smaller
+    centroid id) and report per-cluster size, mean squared distance, and
+    inertia — the building block an iterative clustering driver loops,
+    shown as a single certified step (iteration count doesn't change the
+    plan, only how many times it runs).
+
+    Scale: the K seed vectors ride a broadcast; assignment is a map-side
+    argmin over K per row (no shuffle, no pairwise corpus join), and the
+    per-cluster stats partial-aggregate down to K rows.  Distances are
+    quantized (fround 9) BEFORE the argmin on both engines so the
+    nearest-seed choice can't flip on summation regrouping."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("emb")
+    )
+    cents = (
+        vecs.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cent"))
+    )
+    sqd = fround(
+        F.expr(
+            "aggregate(zip_with(emb, cent, (x, y) -> (x - y) * (x - y)), "
+            "0d, (acc, d) -> acc + d)"
+        ),
+        9,
+    )
+    dists = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", sqd.alias("sqd")
+    )
+    best = dists.groupBy("vec_id").agg(
+        F.min(F.struct("sqd", "cid")).alias("m")
+    )
+    return (
+        best.select(F.col("m.cid").alias("cluster_id"), F.col("m.sqd").alias("sqd"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_assigned"),
+            fround(F.avg("sqd")).alias("avg_sqdist"),
+            fround(F.sum("sqd"), 2).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Centroid silhouette (simplified silhouette against label centroids)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_silhouette",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, u.i AS dim, avg(emb[u.i]) AS c
+        FROM vecs, (SELECT unnest(generate_series(1, {DIM})) AS i) u
+        GROUP BY label, u.i
+    ),
+    cents AS (
+        SELECT label AS c_label, list(c ORDER BY dim) AS cent
+        FROM dims GROUP BY label
+    ),
+    dists AS (
+        SELECT v.vec_id, v.label, c.c_label,
+               sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                   i -> (v.emb[i] - c.cent[i]) * (v.emb[i] - c.cent[i]))))
+                   AS d
+        FROM vecs v, cents c
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               max(CASE WHEN c_label = label THEN d END) AS a,
+               min(CASE WHEN c_label != label THEN d END) AS b
+        FROM dists GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           {fround_sql("avg((b - a) / greatest(a, b))")} AS avg_silhouette,
+           {fround_sql(
+               "sum(CASE WHEN b > a THEN 1 ELSE 0 END)"
+               " / CAST(count(*) AS DOUBLE)",
+               6,
+           )} AS well_assigned_frac
+    FROM ab
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid) silhouette per label: a(i) = distance to the
+    own-label centroid, b(i) = distance to the nearest other label's
+    centroid, s(i) = (b - a) / max(a, b) — the O(N x K) variant of the
+    O(N^2) full silhouette, which is the only form that survives large
+    corpora.  Low avg_silhouette labels are mixed or overlapping
+    clusters; well_assigned_frac is the share of vectors closer to their
+    own centroid than to any other.
+
+    Scale: centroids come from ONE posexplode partial-agg pass (state =
+    labels x {DIM}); the K centroid rows then ride a broadcast and every
+    distance is a map-side {DIM}-step fold — the corpus never joins
+    itself.  Per-vector distances fold dimensions in index order on both
+    engines (bit-identical), so a/b selection can't diverge; only the
+    final label means are quantized."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("emb"),
+    )
+    dims = vecs.select(
+        "label", F.posexplode("emb").alias("dim", "v")
+    ).groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    cents = (
+        dims.groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+            ).alias("cent")
+        )
+    )
+    d = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(emb, cent, (x, y) -> (x - y) * (x - y)), "
+            "0d, (acc, v) -> acc + v)"
+        )
+    )
+    dists = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "c_label", d.alias("d")
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c_label") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("d"))).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return (
+        ab.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            fround(F.avg(s)).alias("avg_silhouette"),
+            fround(
+                F.sum((F.col("b") > F.col("a")).cast("long"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("well_assigned_frac"),
+        )
+        .orderBy("label")
+    )

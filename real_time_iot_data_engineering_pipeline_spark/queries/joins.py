@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import fround
+from ..functions.rounding import fround, fround_sql
 from ..registry import register
 from ..sources import load_table
 
@@ -94,3 +94,151 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted join
+# ---------------------------------------------------------------------------
+
+SALT_N = 16
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    WITH weights AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS type_n,
+               avg(value) AS type_avg
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           (floor((sum(e.value / w.type_avg)) * 1e4 * (1 + 1e-12) + 0.5) / 1e4)
+               AS sum_rel_value
+    FROM events e JOIN weights w USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join: the fact side's join key (event_type, ~5
+    values) is exactly the key distribution where a shuffled equi-join
+    stragglers — every row of a hot key lands on one reducer.  Salting
+    decomposes each hot key into SALT_N sub-keys: the fact side tags
+    rows with a deterministic salt, the dimension side replicates each
+    row SALT_N times, and the join runs on (key, salt) with SALT_N-fold
+    finer granularity.  Result is provably identical to the unsalted
+    join (the oracle IS the unsalted join).
+
+    Scale: this is the pattern for skewed BIG-big joins where the dim
+    side is too large to broadcast — replication costs SALT_N x |dim|
+    rows, tiny next to the fact shuffle it de-stragglers; AQE's skew
+    split handles moderate skew automatically, salting handles the
+    extreme tail deterministically.  The demo dimension (per-type
+    weights) is derived in-query so the oracle sees identical values."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    weights = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("type_n"),
+        F.avg("value").alias("type_avg"),
+    )
+    salted_dim = weights.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_N - 1)))
+    )
+    salted_fact = ev.withColumn(
+        "salt", (F.col("event_id") % SALT_N).cast("int")
+    )
+    j = salted_fact.join(salted_dim, ["event_type", "salt"])
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            fround(F.sum(F.col("value") / F.col("type_avg")), 4).alias(
+                "sum_rel_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 17  # bit-position domain
+BLOOM_K = 3  # hash functions
+
+
+@register(
+    "q_bloom_join",
+    oracle=f"""
+    SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {fround_sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)}
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY date_trunc('month', l.l_shipdate)
+    ORDER BY ship_month
+    """,
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join: revenue by ship month for line items of
+    1996 URGENT orders.  The selective build side (filtered orders) is
+    condensed into a Bloom filter — {BLOOM_K} deterministic xxhash64
+    probes into a {BLOOM_M}-position domain, materialized as a sorted
+    distinct-position array — broadcast to the probe side, which drops
+    non-matching line items BEFORE the join shuffle.  False positives
+    are then removed by the exact equi-join, so the result is provably
+    identical to the plain join (the oracle IS the plain join).
+
+    Scale: this hand-rolls what Spark's runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects for
+    selective joins — shown explicitly because at 100 TB the probe-side
+    shuffle is THE cost, and pre-shuffle filtering is the only lever
+    that shrinks it.  The position array is bounded by min(|build| x
+    {BLOOM_K}, {BLOOM_M}) ints regardless of data volume (distinct
+    positions saturate at the domain size), so the broadcast never
+    grows past ~1 MB."""
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    probes = ", ".join(
+        f"pmod(xxhash64({{col}}, {s}), {BLOOM_M})" for s in range(BLOOM_K)
+    )
+    bloom = (
+        orders_f.select(
+            F.explode(
+                F.expr(f"array({probes.format(col='o_orderkey')})")
+            ).alias("pos")
+        )
+        .agg(F.sort_array(F.collect_set("pos")).alias("bloom"))
+    )
+    candidate = li.crossJoin(F.broadcast(bloom)).filter(
+        F.expr(
+            f"forall(array({probes.format(col='l_orderkey')}), "
+            "p -> array_contains(bloom, p))"
+        )
+    )
+    j = candidate.join(
+        orders_f.select("o_orderkey"),
+        candidate.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )

@@ -484,3 +484,93 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+@register(
+    "q_local_clustering",
+    oracle=f"""
+    WITH {_EDGES_DUCK},
+    deg AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY x
+    ),
+    tris AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    node_tri AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS t
+        FROM (
+            SELECT a AS x FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        )
+        GROUP BY x
+    ),
+    local AS (
+        SELECT deg.x, deg.d, coalesce(node_tri.t, 0) AS t,
+               CASE WHEN deg.d >= 2
+                    THEN 2.0 * coalesce(node_tri.t, 0) / (deg.d * (deg.d - 1))
+                    ELSE 0.0 END AS c
+        FROM deg LEFT JOIN node_tri ON deg.x = node_tri.x
+    )
+    SELECT d AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(t) AS BIGINT) AS sum_triangles,
+           {fround_sql("avg(c)", 6)} AS avg_local_clustering
+    FROM local
+    GROUP BY d
+    ORDER BY degree
+    """,
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients over the co-supply graph, rolled up
+    by node degree: c(v) = 2*T(v) / (d(v)*(d(v)-1)), with T(v) the
+    number of triangles through v — the per-node refinement of
+    q_cosupply_triangles' single global coefficient, and the standard
+    probe for tightly-knit supplier cliques vs hub-and-spoke structure.
+
+    Scale: reuses the persisted canonical edge set (_edges_df) and the
+    same never-cartesian edge-wedge triangle join (Suri & Vassilvitskii
+    2011); per-node triangle counts come from unioning the three corner
+    projections of the enumerated triangles and partial-aggregating on
+    node id.  The degree rollup makes the output bounded by the degree
+    domain, not the node count."""
+    edges = _edges_df(spark, sf_dir)
+    endpoints = edges.select(F.col("u").alias("x")).unionAll(
+        edges.select(F.col("v").alias("x"))
+    )
+    deg = endpoints.groupBy("x").agg(F.count("*").cast("long").alias("d"))
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w2"))
+    e3 = edges.select("u", F.col("v").alias("w2"))
+    tris = edges.join(e2, "v").join(e3, ["u", "w2"])
+    corners = (
+        tris.select(F.col("u").alias("x"))
+        .unionAll(tris.select(F.col("v").alias("x")))
+        .unionAll(tris.select(F.col("w2").alias("x")))
+    )
+    node_tri = corners.groupBy("x").agg(F.count("*").cast("long").alias("t"))
+    local = deg.join(node_tri, "x", "left").select(
+        "d",
+        F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        F.when(
+            F.col("d") >= 2,
+            2.0
+            * F.coalesce(F.col("t"), F.lit(0))
+            / (F.col("d") * (F.col("d") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("c"),
+    )
+    return (
+        local.groupBy(F.col("d").alias("degree"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("t").cast("long").alias("sum_triangles"),
+            fround(F.avg("c"), 6).alias("avg_local_clustering"),
+        )
+        .orderBy("degree")
+    )

@@ -407,3 +407,119 @@ def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("nll"), 6) <= F.expr(f"CAST({NLL2_KEEP} AS DOUBLE)")
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets per language
+# ---------------------------------------------------------------------------
+
+CCNET_TILES = 3
+_BUCKET_NAME_SQL = (
+    "CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+)
+
+
+@register(
+    "q_ccnet_buckets",
+    oracle=f"""
+    WITH toks AS ({_TOKS_DUCK}),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks GROUP BY doc_id, token
+    ),
+    vocab AS (
+        SELECT token, CAST(sum(tf) AS DOUBLE) AS c FROM tf GROUP BY token
+    ),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+    perdoc AS (
+        SELECT tf.doc_id,
+               sum(tf.tf * (0.0 - ln(v.c / s.t))) / sum(tf.tf) AS nll
+        FROM tf JOIN vocab v USING (token), total s
+        GROUP BY tf.doc_id
+    ),
+    langd AS (
+        SELECT p.doc_id, d.lang, {fround_sql("p.nll", 6)} AS nll_q, p.nll
+        FROM perdoc p JOIN documents d USING (doc_id)
+    ),
+    tiled AS (
+        SELECT lang, nll,
+               ntile({CCNET_TILES}) OVER (
+                   PARTITION BY lang ORDER BY nll_q, doc_id
+               ) AS tile
+        FROM langd
+    )
+    SELECT lang, {_BUCKET_NAME_SQL} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {fround_sql("avg(nll)")} AS avg_nll,
+           {fround_sql("min(nll)", 6)} AS min_nll,
+           {fround_sql("max(nll)", 6)} AS max_nll
+    FROM tiled
+    GROUP BY lang, {_BUCKET_NAME_SQL}
+    ORDER BY lang, bucket
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020 §3.3): per
+    language, rank documents by LM score (the corpus-unigram nll standing
+    in for KenLM, as in q_unigram_ppl) and cut into {CCNET_TILES} equal
+    tiles — head = most-typical text kept unconditionally, tail = the
+    candidate-discard stratum; reported as per-(lang, tile) stats.
+
+    Scale: the nll scoring is the q_unigram_ppl plan (tf partial-aggs,
+    token-keyed vocab join, text never shuffles).  The per-language
+    ranking uses the adaptive two-phase bucketed rank
+    (functions/prefix.py::grouped_bucketed_row_number) above the scale
+    switch — per-(lang, value-bucket) local sorts plus broadcast offsets,
+    bit-identical to the partitioned window it replaces — because
+    PARTITION BY lang alone sorts each language's entire corpus in ONE
+    task at 100 TB.  Ranks order by the 6 dp-quantized score with doc_id
+    tiebreak, so tile boundaries are engine-exact; ntile is computed
+    arithmetically from the rank (prefix.ntile_from_rank)."""
+    from ..functions.prefix import grouped_bucketed_row_number, ntile_from_rank
+    from ..sources.tables import is_large_input
+
+    tf = (
+        _toks(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").cast("double").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("t"))
+    nll_t = F.lit(0.0) - F.log(F.col("c") / F.col("t"))
+    perdoc = (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("tf") * nll_t) / F.sum("tf")).alias("nll"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    langd = perdoc.join(docs, "doc_id").withColumn(
+        "nll_q", fround(F.col("nll"), 6)
+    )
+    ranked = grouped_bucketed_row_number(
+        langd,
+        ["lang"],
+        "nll_q",
+        ["doc_id"],
+        rank_col="rk",
+        bucketed=is_large_input(sf_dir, "documents"),
+    )
+    counts = ranked.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    tiled = ranked.join(F.broadcast(counts), "lang").withColumn(
+        "tile", ntile_from_rank(F.col("rk"), F.col("n"), CCNET_TILES)
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiled.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            fround(F.avg("nll")).alias("avg_nll"),
+            fround(F.min("nll"), 6).alias("min_nll"),
+            fround(F.max("nll"), 6).alias("max_nll"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -145,3 +145,116 @@ def q_supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.min("h"), 6).alias("min_hhi"),
         fround(F.max("h"), 6).alias("max_hhi"),
     )
+
+
+@register(
+    "q_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (order-priority checking): orders placed in 1996
+    with at least one line item shipped more than 30 days after the order
+    date, counted per priority — the classic EXISTS-correlated-subquery
+    shape.  The fixture schema carries no commit/receipt dates
+    (TESTDATA.md), so ship-vs-order lateness stands in for Q4's
+    commit-vs-receipt predicate.
+
+    Scale: the EXISTS compiles to a LEFT SEMI hash join keyed on the
+    order key (first match short-circuits; no duplication of the orders
+    side however many line items qualify).  The orderdate range filter
+    pushes into the orders scan, shrinking the build side before the
+    join; at 100 TB both tables bucket on the order key so the semi join
+    is co-located, and the tiny priority rollup partial-aggregates."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    qualifying = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return (
+        qualifying.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_late_shipment_mix",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                          AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_high_count,
+           CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                          AND o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_low_count,
+           CAST(count(*) AS BIGINT) AS line_count,
+           {fround_sql(
+               "sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY"
+               " THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)",
+               6,
+           )} AS late_frac
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q_late_shipment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (shipping-priority mix): per return flag, how many
+    line items shipped more than 90 days after their order date split by
+    high (URGENT/HIGH) vs lower order priority, plus the overall late
+    fraction — Q12's conditional-aggregation-over-a-join shape with
+    ship-vs-order lateness standing in for the schema's missing
+    shipmode/receipt columns.
+
+    Scale: ONE keyed big-big equi-join on the order key (co-located under
+    bucketing; no filter, so the join IS the query) followed by a 3-group
+    conditional rollup that partial-aggregates map-side — the shuffle
+    carries 3 keys x a handful of counters, nothing else."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAY"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum((late & high).cast("long")).cast("long").alias(
+                "late_high_count"
+            ),
+            F.sum((late & ~high).cast("long")).cast("long").alias(
+                "late_low_count"
+            ),
+            F.count("*").cast("long").alias("line_count"),
+            fround(
+                F.sum(late.cast("long")) / F.count("*").cast("double"), 6
+            ).alias("late_frac"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -290,3 +290,180 @@ def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("alarm"), F.col("ts"))).alias("first_alarm_ts"),
         F.coalesce(F.max("alarm"), F.lit(False)).alias("alarmed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TTL dedup: chained suppress-within-TTL-of-last-ACCEPTED (rate-limiter state)
+# ---------------------------------------------------------------------------
+
+TTL_SEC = 7200  # suppress events within 2 h of the last accepted one
+
+
+def _ttl_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Chained TTL fold for ONE (user_id, event_type) group: an event is
+    accepted iff it is the first, or falls strictly more than TTL_SEC
+    after the last ACCEPTED event.  Chained acceptance is genuinely
+    sequential (each verdict depends on the previous accepted time, not
+    the previous event), so no window function expresses it — this is the
+    batch twin of a streaming applyInPandasWithState keyed TTL state.
+    O(rows) per key; state is one timestamp."""
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    ttl = pd.Timedelta(seconds=TTL_SEC)
+    last_acc = None
+    accepted = []
+    for t in pdf["ts"]:
+        if last_acc is None or t > last_acc + ttl:
+            accepted.append(True)
+            last_acc = t
+        else:
+            accepted.append(False)
+    acc_ts = pdf["ts"][accepted]
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_events": [len(pdf)],
+            "n_accepted": [int(sum(accepted))],
+            "first_accepted": [acc_ts.iloc[0]],
+            "last_accepted": [acc_ts.iloc[-1]],
+        }
+    )
+
+
+@register(
+    "q_ttl_dedup",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ),
+    acc AS (
+        SELECT user_id, event_type, ts, event_id, rn,
+               ts AS last_acc, TRUE AS accepted
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_type, e.ts, e.event_id, e.rn,
+               CASE WHEN e.ts > a.last_acc + INTERVAL {TTL_SEC} SECOND
+                    THEN e.ts ELSE a.last_acc END,
+               e.ts > a.last_acc + INTERVAL {TTL_SEC} SECOND
+        FROM e JOIN acc a
+          ON e.user_id = a.user_id AND e.event_type = a.event_type
+         AND e.rn = a.rn + 1
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_accepted,
+           min(CASE WHEN accepted THEN ts END) AS first_accepted,
+           max(CASE WHEN accepted THEN ts END) AS last_accepted
+    FROM acc
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def q_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained TTL dedup (alert-suppression semantics): per sensor/metric
+    key, accept an event only if it falls more than {TTL_SEC} s after the
+    last ACCEPTED event — NOT the last event, which is what separates this
+    from gap-based sessionization and makes the fold genuinely sequential
+    (a window lag() cannot express it; the DuckDB oracle needs a
+    recursive CTE stepping one row at a time).
+
+    Scale: applyInPandas keyed by (user_id, event_type) — millions of
+    independent keys shard across executors; per-key work is a single
+    O(rows) pass with ONE timestamp of state, and the output is one row
+    per key, so nothing downstream sees raw events.  The canonical
+    in-group sort by (ts, event_id) makes the result independent of
+    physical partitioning.  Timestamps compare at full microsecond
+    precision in both engines (Arrow datetime64[us] vs native TIMESTAMP)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    out_schema = (
+        "user_id bigint, event_type string, n_events bigint, "
+        "n_accepted bigint, first_accepted timestamp_ntz, "
+        "last_accepted timestamp_ntz"
+    )
+    return (
+        ev.groupBy("user_id", "event_type")
+        .applyInPandas(_ttl_fold, out_schema)
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-window rate limiting: first N per key per tumbling window
+# ---------------------------------------------------------------------------
+
+RATE_WINDOW_MIN = 10  # tumbling window width
+RATE_LIMIT_N = 3  # accepted events per key per window
+
+
+@register(
+    "q_rate_limit",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id,
+               time_bucket(INTERVAL {RATE_WINDOW_MIN} MINUTE, ts) AS win,
+               row_number() OVER (
+                   PARTITION BY user_id,
+                       time_bucket(INTERVAL {RATE_WINDOW_MIN} MINUTE, ts)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN rn <= {RATE_LIMIT_N} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_accepted,
+           CAST(count(DISTINCT win) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN rn > {RATE_LIMIT_N} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_throttled
+    FROM ranked
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window rate limiter (batch twin of a keyed streaming
+    throttle): per sensor, admit the first {RATE_LIMIT_N} events of every
+    tumbling {RATE_WINDOW_MIN}-minute window by (ts, event_id) order and
+    throttle the rest; report per-sensor admitted/throttled totals.
+
+    Scale: the ranking window partitions by (user_id, window-bucket) —
+    cardinality grows with keys x time, so partitions stay small and
+    shard evenly regardless of per-key volume (a hot sensor's events
+    split across its windows); the per-user rollup partial-aggregates.
+    window() bucketing matches DuckDB's time_bucket on the NTZ domain."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id")
+    )
+    bucketed = ev.withColumn(
+        "win",
+        F.window("ts", f"{RATE_WINDOW_MIN} minutes").start,
+    )
+    w = Window.partitionBy("user_id", "win").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = bucketed.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum((F.col("rn") <= RATE_LIMIT_N).cast("long"))
+            .cast("long")
+            .alias("n_accepted"),
+            F.countDistinct("win").cast("long").alias("n_windows"),
+            F.sum((F.col("rn") > RATE_LIMIT_N).cast("long"))
+            .cast("long")
+            .alias("n_throttled"),
+        )
+        .orderBy("user_id")
+    )

@@ -479,3 +479,302 @@ def q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("boundary_key"),
         F.col("r").alias("rows_through"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch scorecard (deterministic md5 row-hashes)
+# ---------------------------------------------------------------------------
+
+CMS_W = 1024  # cells per row
+CMS_D = 4  # hash rows
+CMS_TOP = 20  # exact top-k items scored against the sketch
+
+
+def _cms_cell_duck(seed: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#{seed}'),"
+        f" 1, 15))::BIGINT % {CMS_W} AS INT)"
+    )
+
+
+def _cms_cell_spark(seed: str) -> str:
+    return (
+        f"cast(cast(conv(substr(md5(concat(cast(user_id AS string), '#{seed}')),"
+        f" 1, 15), 16, 10) AS bigint) % {CMS_W} AS int)"
+    )
+
+
+@register(
+    "q_cms_heavy_hitters",
+    oracle=f"""
+    WITH exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    keyed AS (
+        SELECT user_id, n,
+               {", ".join(_cms_cell_duck(str(s)) + f" AS c{s}" for s in range(CMS_D))}
+        FROM exact
+    ),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {s} AS seed, c{s} AS cell, sum(n) AS total"
+            f" FROM keyed GROUP BY c{s}"
+            for s in range(CMS_D)
+        )}
+    ),
+    est AS (
+        SELECT k.user_id, k.n,
+               least({", ".join(
+                   f"(SELECT total FROM cells WHERE seed = {s} AND cell = k.c{s})"
+                   for s in range(CMS_D)
+               )}) AS cms_est
+        FROM keyed k
+    ),
+    top AS (
+        SELECT user_id, n, cms_est,
+               row_number() OVER (ORDER BY n DESC, user_id) AS rk
+        FROM est
+    )
+    SELECT user_id, n AS exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - n AS BIGINT) AS overcount
+    FROM top WHERE rk <= {CMS_TOP}
+    ORDER BY exact_n DESC, user_id
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch scorecard: build a {CMS_D}x{CMS_W} CMS over event
+    counts per sensor (deterministic md5 row-hashes so both engines
+    reproduce the exact same cells), then read the sketch back for the
+    exact top-{CMS_TOP} sensors and report estimate vs truth — the
+    overcount column IS the sketch's collision cost on this data, and the
+    driver row fails if the estimate ever dips below truth (CMS
+    guarantees est >= exact).
+
+    Scale: the sketch is {CMS_D}x{CMS_W} counters — map-side
+    partial-aggregated, constant memory regardless of key cardinality;
+    the read-back joins each probe key's {CMS_D} cells against the tiny
+    cell table via broadcast.  The exact top-k here is the scorecard's
+    truth column, not part of the sketch path."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    exact = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    keyed = exact.select(
+        "user_id",
+        "n",
+        *[
+            F.expr(_cms_cell_spark(str(s))).alias(f"c{s}")
+            for s in range(CMS_D)
+        ],
+    )
+    cells = None
+    for s in range(CMS_D):
+        part = keyed.groupBy(F.col(f"c{s}").alias("cell")).agg(
+            F.sum("n").alias("total")
+        ).select(F.lit(s).alias("seed"), "cell", "total")
+        cells = part if cells is None else cells.unionByName(part)
+    est = keyed
+    for s in range(CMS_D):
+        cs = cells.filter(F.col("seed") == s).select(
+            F.col("cell").alias(f"c{s}"), F.col("total").alias(f"t{s}")
+        )
+        est = est.join(F.broadcast(cs), f"c{s}")
+    est = est.withColumn(
+        "cms_est", F.least(*[F.col(f"t{s}") for s in range(CMS_D)])
+    )
+    top = est.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+        ),
+    ).filter(F.col("rk") <= CMS_TOP)
+    return top.select(
+        "user_id",
+        F.col("n").alias("exact_n"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("n")).cast("long").alias("overcount"),
+    ).orderBy(F.col("exact_n").desc(), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) set-operation estimates between event audiences
+# ---------------------------------------------------------------------------
+
+KMV_K = 128
+# md5 hash of the sensor id normalized to (0, 1]
+_KMV_H_DUCK = (
+    "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT + 1)"
+    " / 1152921504606846976.0"
+)
+_KMV_H_SPARK = (
+    "(cast(conv(substr(md5(cast(user_id AS string)), 1, 15), 16, 10)"
+    " AS bigint) + 1) / 1152921504606846976.0d"
+)
+_KMV_PAIRS = (("view", "click"), ("view", "purchase"), ("signup", "error"))
+_KMV_PAIRS_DUCK = " UNION ALL ".join(
+    f"SELECT '{a}' AS ta, '{b}' AS tb" for a, b in _KMV_PAIRS
+)
+
+
+@register(
+    "q_kmv_setops",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id, {_KMV_H_DUCK} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    sk AS (
+        SELECT event_type, user_id, h,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY h, user_id
+               ) AS rn
+        FROM du
+    ),
+    sketch AS (SELECT event_type, user_id, h FROM sk WHERE rn <= {KMV_K}),
+    pairs AS ({_KMV_PAIRS_DUCK}),
+    merged AS (
+        SELECT p.ta, p.tb, m.user_id, m.h,
+               max(CASE WHEN m.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN m.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p
+        JOIN sketch m ON m.event_type IN (p.ta, p.tb)
+        GROUP BY p.ta, p.tb, m.user_id, m.h
+    ),
+    ranked AS (
+        SELECT ta, tb, user_id, h, in_a, in_b,
+               row_number() OVER (
+                   PARTITION BY ta, tb ORDER BY h, user_id
+               ) AS rn
+        FROM merged
+    ),
+    kk AS (
+        SELECT ta, tb,
+               count(*) AS n_merged,
+               max(h) AS h_k,
+               sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                   AS n_both
+        FROM ranked WHERE rn <= {KMV_K}
+        GROUP BY ta, tb
+    ),
+    exact_users AS (
+        SELECT p.ta, p.tb, d.user_id,
+               max(CASE WHEN d.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN d.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN du d ON d.event_type IN (p.ta, p.tb)
+        GROUP BY p.ta, p.tb, d.user_id
+    ),
+    exact AS (
+        SELECT ta, tb,
+               count(*) AS u_exact,
+               sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                   AS i_exact
+        FROM exact_users
+        GROUP BY ta, tb
+    )
+    SELECT k.ta AS type_a, k.tb AS type_b,
+           {fround_sql(f"(least(k.n_merged, {KMV_K}) - 1) / k.h_k", 2)}
+               AS est_union,
+           {fround_sql(f"k.n_both / CAST(least(k.n_merged, {KMV_K}) AS DOUBLE)", 6)}
+               AS est_jaccard,
+           CAST(e.u_exact AS BIGINT) AS exact_union,
+           {fround_sql("e.i_exact / CAST(e.u_exact AS DOUBLE)", 6)}
+               AS exact_jaccard
+    FROM kk k JOIN exact e ON k.ta = e.ta AND k.tb = e.tb
+    ORDER BY type_a, type_b
+    """,
+)
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch set operations: per audience pair,
+    estimate the distinct-user union size ((k-1)/h_k over the merged
+    k-minimum hashes) and Jaccard overlap (fraction of the merged
+    sketch present in both sides), reported next to the exact values —
+    the mergeable-sketch algebra behind audience-overlap dashboards
+    (Beyer et al. 2007).
+
+    Scale: each audience reduces to its {KMV_K} smallest deterministic
+    md5 hashes — constant-size, mergeable state (at 100 TB the per-type
+    top-k runs as a partial top-k per partition, never a global sort of
+    users); pair estimates then work entirely on 2x{KMV_K}-row sketches.
+    The exact columns are the fixture-scale truth for the scorecard; a
+    production run drops them and keeps only sketch arithmetic."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    du = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", F.expr(_KMV_H_SPARK))
+    )
+    w_t = Window.partitionBy("event_type").orderBy(
+        F.col("h").asc(), F.col("user_id").asc()
+    )
+    sketch = (
+        du.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    pairs = None
+    for a, b in _KMV_PAIRS:
+        row = spark.range(1).select(F.lit(a).alias("ta"), F.lit(b).alias("tb"))
+        pairs = row if pairs is None else pairs.unionByName(row)
+    merged = (
+        F.broadcast(pairs)
+        .join(
+            sketch,
+            (sketch.event_type == F.col("ta"))
+            | (sketch.event_type == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "user_id", "h")
+        .agg(
+            F.max((F.col("event_type") == F.col("ta")).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == F.col("tb")).cast("int")).alias("in_b"),
+        )
+    )
+    w_p = Window.partitionBy("ta", "tb").orderBy(
+        F.col("h").asc(), F.col("user_id").asc()
+    )
+    kk = (
+        merged.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count("*").alias("n_merged"),
+            F.max("h").alias("h_k"),
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias(
+                "n_both"
+            ),
+        )
+    )
+    exact_sets = (
+        F.broadcast(pairs)
+        .join(
+            du.select("event_type", "user_id"),
+            (du.event_type == F.col("ta")) | (du.event_type == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "user_id")
+        .agg(
+            F.max((F.col("event_type") == F.col("ta")).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == F.col("tb")).cast("int")).alias("in_b"),
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.count("*").cast("long").alias("u_exact"),
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias(
+                "i_exact"
+            ),
+        )
+    )
+    kmerged = F.least(F.col("n_merged"), F.lit(KMV_K))
+    return (
+        kk.join(exact_sets, ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            fround((kmerged - 1) / F.col("h_k"), 2).alias("est_union"),
+            fround(
+                F.col("n_both") / kmerged.cast("double"), 6
+            ).alias("est_jaccard"),
+            F.col("u_exact").cast("long").alias("exact_union"),
+            fround(
+                F.col("i_exact") / F.col("u_exact").cast("double"), 6
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1748,3 +1748,247 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(fround(z, 6)) <= F.expr(f"CAST({_RUNS_CRIT} AS DOUBLE)")
         ).alias("random_ok"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Daily ingest-volume anomaly (data-quality monitoring)
+# ---------------------------------------------------------------------------
+
+VOL_Z_MAX = 2.0
+
+
+@register(
+    "q_volume_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    stats AS (
+        SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day,
+           CAST(d.n AS BIGINT) AS n_events,
+           {fround_sql("(d.n - s.mu) / s.sd")} AS z,
+           abs({fround_sql("(d.n - s.mu) / s.sd", 6)}) > {VOL_Z_MAX}
+               AS is_anomaly
+    FROM daily d JOIN stats s USING (event_type)
+    ORDER BY d.event_type, d.day
+    """,
+)
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly monitor: per event type, each observed day's
+    row count z-scored against that type's own daily mean/stddev, flagged
+    when |z| > {VOL_Z_MAX} — the pipeline-health check that catches a
+    producer outage or a duplicate-replay flood even when every
+    individual record validates (per-record checks can't see volume).
+
+    Scale: the daily count partial-aggregates map-side down to
+    (types x days) rows before any exchange; the per-type moments reduce
+    that tiny table again, and the join back is a broadcast.  Raw events
+    cross the wire exactly zero times."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n_events"),
+            fround(z).alias("z"),
+            (F.abs(fround(z, 6)) > VOL_Z_MAX).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two event streams
+# ---------------------------------------------------------------------------
+
+XCORR_MAX_LAG = 7
+
+
+@register(
+    "q_cross_corr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS vc,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS cc
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IN ('view', 'click')
+        GROUP BY date_trunc('day', ts)
+    ),
+    lags AS (
+        SELECT unnest(generate_series(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG}))
+            AS lag
+    )
+    SELECT l.lag,
+           CAST(count(*) AS BIGINT) AS n_days,
+           {fround_sql("corr(a.vc, b.cc)")} AS xcorr
+    FROM lags l
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+    GROUP BY l.lag
+    ORDER BY l.lag
+    """,
+)
+def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag discovery between two event streams: Pearson correlation
+    of daily view counts against daily click counts shifted by every lag
+    in [-{XCORR_MAX_LAG}, {XCORR_MAX_LAG}] days — the cross-correlogram
+    that surfaces "clicks follow views by k days" without fitting a
+    model.
+
+    Scale: events reduce to (day, view-count, click-count) map-side
+    before any exchange — the correlation runs over a calendar-bounded
+    series, so the lag x day join is constant-size however big the event
+    table gets; the 15-row lag spine rides a broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isin("view", "click")
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("double")
+        .alias("vc"),
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("double")
+        .alias("cc"),
+    )
+    lags = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(-XCORR_MAX_LAG), F.lit(XCORR_MAX_LAG))
+        ).alias("lag")
+    )
+    a = daily.alias("a")
+    b = daily.select(
+        F.col("day").alias("b_day"), F.col("cc").alias("b_cc")
+    ).alias("b")
+    joined = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn(
+            "shifted", F.expr("timestampadd(DAY, lag, day)")
+        )
+        .join(b, F.col("b_day") == F.col("shifted"))
+    )
+    return (
+        joined.groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            fround(F.corr("vc", "b_cc")).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear-trend exponential smoothing over daily revenue
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = "0.5"  # level gain (literal: both engines must see same bits)
+HOLT_BETA = "0.3"  # trend gain
+HOLT_1MB = "0.7"  # 1 - beta, spelled as its own literal
+
+
+@register(
+    "q_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               {fround_sql("sum(o_totalprice)", 2)} AS y
+        FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    idx AS (
+        SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    holt AS (
+        SELECT i1.rn, i1.day, i1.y,
+               i1.y AS lvl,
+               (SELECT y FROM idx WHERE rn = 2) - i1.y AS tr,
+               CAST(NULL AS DOUBLE) AS fitted
+        FROM idx i1 WHERE i1.rn = 1
+        UNION ALL
+        SELECT i.rn, i.day, i.y,
+               {HOLT_ALPHA} * i.y + {HOLT_ALPHA} * (h.lvl + h.tr),
+               {HOLT_BETA} * (({HOLT_ALPHA} * i.y
+                   + {HOLT_ALPHA} * (h.lvl + h.tr)) - h.lvl)
+                   + {HOLT_1MB} * h.tr,
+               h.lvl + h.tr
+        FROM idx i JOIN holt h ON i.rn = h.rn + 1
+    )
+    SELECT day, y AS actual,
+           {fround_sql("fitted")} AS fitted,
+           {fround_sql("y - fitted")} AS residual
+    FROM holt WHERE rn >= 2
+    ORDER BY day
+    """,
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957) over daily
+    order revenue: level/trend recursion l_t = a*y_t + (1-a)*(l+b),
+    b_t = B*(l_t - l) + (1-B)*b with one-step-ahead fitted values and
+    residuals — the classic trend-following forecaster, which no window
+    function expresses (each step depends on the previous SMOOTHED state,
+    so the fold is genuinely sequential; the DuckDB oracle needs a
+    recursive CTE).
+
+    Scale: the heavy part — reducing the order table to one row per day —
+    is a distributed partial-aggregating groupBy; the recursion then runs
+    over a CALENDAR-bounded series (~2.5k rows for 7 years, constant in
+    data volume) inside one applyInPandas group, the same bounded-domain
+    argument as q_theil_sen.  Daily revenue is quantized (fround 2)
+    BEFORE the recursion on both engines; the fold then performs
+    bit-identical float64 arithmetic (same literals, same operation
+    order), so even the compounding state stays engine-exact."""
+    import pandas as pd
+
+    a = float(HOLT_ALPHA)
+    b = float(HOLT_BETA)
+    omb = float(HOLT_1MB)
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(fround(F.sum("o_totalprice"), 2).alias("y"))
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        y = pdf["y"].to_numpy()
+        out_day, out_actual, out_fit = [], [], []
+        lvl = y[0]
+        tr = y[1] - y[0]
+        for t in range(1, len(y)):
+            fitted = lvl + tr
+            new_lvl = a * y[t] + a * (lvl + tr)
+            tr = b * (new_lvl - lvl) + omb * tr
+            lvl = new_lvl
+            out_day.append(pdf["day"].iloc[t])
+            out_actual.append(y[t])
+            out_fit.append(fitted)
+        out = pd.DataFrame(
+            {"day": out_day, "actual": out_actual, "fitted_raw": out_fit}
+        )
+        return out
+
+    folded = daily.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        _holt, "day timestamp_ntz, actual double, fitted_raw double"
+    )
+    return folded.select(
+        "day",
+        "actual",
+        fround(F.col("fitted_raw")).alias("fitted"),
+        fround(F.col("actual") - F.col("fitted_raw")).alias("residual"),
+    ).orderBy("day")

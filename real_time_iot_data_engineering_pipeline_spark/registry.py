@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "queries.manifest",
     "queries.embedding_ops",
     "queries.relational3",
+    "queries.quality",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -76,6 +77,39 @@ _DRIVER_PRIORITY = (
     "q_abc_classes",  # adaptive bucketed-prefix plan
     "q_knn_classify",  # Arrow-batched BLAS scorer (+ r7 tie-aware top-k fix)
     "q_cosupply_triangles",  # triangle_stats extraction (linkage.py refactor)
+    # (b) NEW this round — published-heuristic quality filters (queries/quality.py):
+    "q_gopher_rules",
+    "q_c4_filters",
+    "q_code_detect",
+    "q_boilerplate",
+    # CCNet ppl tiles (queries/ranking.py):
+    "q_ccnet_buckets",
+    # relational completions — TPC-H Q4/Q12 analog shapes (queries/relational3.py):
+    "q_order_priority_exists",
+    "q_late_shipment_mix",
+    # temporal: volume monitoring, cross-correlogram, Holt smoothing:
+    "q_volume_anomaly",
+    "q_cross_corr",
+    "q_holt_linear",
+    # sequential stateful twins (queries/stateful_twins.py):
+    "q_ttl_dedup",
+    "q_rate_limit",
+    # join strategies (queries/joins.py):
+    "q_join_salted",
+    "q_bloom_join",
+    # embedding clustering diagnostics (queries/embedding_ops.py):
+    "q_kmeans_step",
+    "q_silhouette",
+    # sketches (queries/summaries.py):
+    "q_cms_heavy_hitters",
+    "q_kmv_setops",
+    # graph (queries/linkage.py):
+    "q_local_clustering",
+    # API spec surface completion (queries/serve.py — verdict r6 ask #3):
+    "q_serve_sensors_page",
+    "q_serve_analytics_hourly",
+    "q_serve_sensor_detail",
+    "q_serve_request_audit",
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's

@@ -163,6 +163,119 @@ def sensor_analytics_frame(
     )
 
 
+def sensor_detail_frame(events: DataFrame, sensor_id: int) -> DataFrame:
+    """GET /sensors/{sensor_id}: one sensor's latest reading plus lifetime
+    stats — the detail view the spec's list endpoint links to (the spec's
+    404 what-if: "What if sensor_id doesn't exist?" — an empty frame here
+    is what ServingLayer.sensor maps to SensorNotFoundError).
+
+    The sensor-equality predicate sits directly on the scan (pushdown /
+    row-group skip); the rest is one aggregate over the pruned slice, so
+    the detail read never touches other sensors' data.
+    """
+    one = events.filter(F.col("user_id") == F.lit(int(sensor_id)))
+    return (
+        one.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_id", "value", "event_type")).alias("m"),
+            F.min("ts").alias("first_ts"),
+            F.count("*").cast("bigint").alias("n_readings"),
+            fround(F.avg("value")).alias("avg_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+        )
+        .select(
+            "user_id",
+            F.col("m.ts").alias("last_ts"),
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.value").alias("last_value"),
+            F.col("m.event_type").alias("location"),
+            _status_col(F.col("m.value")).alias("sensor_status"),
+            "first_ts",
+            "n_readings",
+            "avg_value",
+            "max_value",
+            "min_value",
+        )
+    )
+
+
+def classify_requests_frame(events: DataFrame, requests: DataFrame) -> DataFrame:
+    """Batch twin of the API's request-validation / error mapping
+    (Learning Guide.txt:1084 §3-4: 400 invalid parameters, 404 sensor not
+    found, else 200): given a frame of candidate /analytics requests
+    (request_id, sensor_id, start_date, end_date, granularity), return
+    each request's HTTP status, the machine-readable reason, and the row
+    count a 200 would serve.
+
+    Same rules as sensor_analytics_frame's guards, expressed as column
+    predicates so a replay/audit log of requests can be validated in bulk:
+    parseable ISO dates (try_cast), start <= end, range <= MAX_RANGE_DAYS,
+    granularity in GRANULARITIES; then 404 when the sensor has no readings
+    inside the closed range.
+
+    Scale: the request table is API-log-sized next to the fact table, so
+    it broadcasts; the events scan joins it on sensor equality + ts range
+    and partial-aggregates per request before the (tiny) final shuffle —
+    one pass over events no matter how many requests ride along.
+    """
+    req = requests.select(
+        "request_id",
+        "sensor_id",
+        F.col("start_date").try_cast("date").alias("start_d"),
+        F.col("end_date").try_cast("date").alias("end_d"),
+        "granularity",
+    )
+    reason = (
+        F.when(
+            F.col("start_d").isNull() | F.col("end_d").isNull(),
+            "bad_date_format",
+        )
+        .when(F.col("start_d") > F.col("end_d"), "start_after_end")
+        .when(
+            F.datediff(F.col("end_d"), F.col("start_d")) > MAX_RANGE_DAYS,
+            "range_over_90_days",
+        )
+        .when(~F.col("granularity").isin(*GRANULARITIES), "bad_granularity")
+    )
+    checked = req.withColumn("reason", reason)
+    valid = checked.filter(F.col("reason").isNull()).select(
+        "request_id",
+        "sensor_id",
+        F.col("start_d").cast("timestamp_ntz").alias("lo"),
+        F.date_add(F.col("end_d"), 1).cast("timestamp_ntz").alias("hi"),
+    )
+    counts = (
+        events.join(
+            F.broadcast(valid),
+            (F.col("user_id") == F.col("sensor_id"))
+            & (F.col("ts") >= F.col("lo"))
+            & (F.col("ts") < F.col("hi")),
+            "inner",
+        )
+        .groupBy("request_id")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    return (
+        checked.join(counts, "request_id", "left")
+        .select(
+            "request_id",
+            "sensor_id",
+            "granularity",
+            F.when(F.col("reason").isNotNull(), 400)
+            .when(F.col("n_rows").isNull(), 404)
+            .otherwise(200)
+            .cast("int")
+            .alias("status_code"),
+            F.coalesce(
+                "reason",
+                F.when(F.col("n_rows").isNull(), "sensor_not_found"),
+            ).alias("error_reason"),
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
 def health_frame(events: DataFrame, now: str) -> DataFrame:
     """GET /health: latest data timestamp, freshness vs `now`, last-24h
     volume and failure count, and an ok/stale verdict (monitoring spec:
@@ -267,6 +380,20 @@ class ServingLayer:
                 .collect()
             ],
         )
+
+    def sensor(self, sensor_id: int) -> dict:
+        """GET /sensors/{sensor_id}: detail view; 404-analog when the id
+        has no readings (spec what-if: "What if sensor_id doesn't exist?
+        -> Return 404 with clear message")."""
+        key = ("sensor", sensor_id)
+
+        def compute() -> dict:
+            rows = sensor_detail_frame(self._events(), sensor_id).collect()
+            if not rows:
+                raise SensorNotFoundError(f"sensor {sensor_id} has no readings")
+            return rows[0].asDict()
+
+        return self._sensors_cache.get_or_compute(key, compute)
 
     def analytics(
         self,
