@@ -56,3 +56,135 @@ def q_sync_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         F.max("ts").alias("watermark"), F.count(F.lit(1)).alias("n_rows")
     )
+
+
+# --- round-7: CDC apply + snapshot diff --------------------------------
+# The reference sync is pure upsert (mongo_to_postgres_sync.py:378-399 ON
+# CONFLICT DO UPDATE); a real change-data-capture feed also carries
+# deletes.  events stands in for the change log: each row is a change to
+# key user_id ordered by (ts, event_id), and event_type='error' marks a
+# tombstone (delete) — deterministic in both engines.
+
+CDC_T1 = "2024-01-15 00:00:00"
+CDC_T2 = "2024-01-31 00:00:00"
+
+
+def _cdc_state(spark: SparkSession, sf_dir: str, upto: str) -> DataFrame:
+    """Materialize the keyed state implied by the change log at time
+    `upto`: last change per key wins; a last-change tombstone removes the
+    key.  One struct-max argmax shuffle (same plan family as the keyed
+    upsert sink, sinks/keyed_parquet.py) — never a window over history."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(upto).cast("timestamp_ntz")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "ts",
+                    "event_id",
+                    (F.col("event_type") == "error").alias("is_delete"),
+                    "value",
+                )
+            ).alias("m"),
+            F.count("*").cast("bigint").alias("n_changes"),
+        )
+        .filter(~F.col("m.is_delete"))
+        .select(
+            "user_id",
+            F.col("m.ts").alias("last_ts"),
+            F.col("m.value").alias("last_value"),
+            "n_changes",
+        )
+    )
+
+
+_CDC_STATE_SQL = """
+    SELECT user_id, last_ts, last_value, n_changes
+    FROM (
+        SELECT user_id,
+               ts AS last_ts,
+               value AS last_value,
+               event_type = 'error' AS is_delete,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_changes,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{upto}'
+    ) WHERE rn = 1 AND NOT is_delete
+"""
+
+
+@register(
+    "q_cdc_apply",
+    oracle=_CDC_STATE_SQL.format(upto=CDC_T2) + " ORDER BY user_id",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change-data-capture log to a keyed table: last change per
+    key wins, tombstones (event_type='error' stand-in) delete the key —
+    the MERGE semantics a warehouse sync needs beyond the reference's
+    upsert-only ON CONFLICT path.
+
+    Scale: map-side partial struct-max per key, one hash shuffle on the
+    high-cardinality key, no window over history; tombstone filtering
+    happens on the one-row-per-key aggregate."""
+    return _cdc_state(spark, sf_dir, CDC_T2).orderBy("user_id")
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS ({_CDC_STATE_SQL.format(upto=CDC_T1)}),
+    v2 AS ({_CDC_STATE_SQL.format(upto=CDC_T2)})
+    SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+           CASE WHEN v1.user_id IS NULL THEN 'added'
+                WHEN v2.user_id IS NULL THEN 'removed'
+                WHEN v1.last_ts <> v2.last_ts
+                     OR v1.last_value <> v2.last_value THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           v1.last_value AS v1_value,
+           v2.last_value AS v2_value
+    FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+    ORDER BY user_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two versions of the CDC-derived keyed table (state at T1 vs
+    T2): per key, added / removed / changed / unchanged with both values —
+    the audit a warehouse runs after every sync window (and the batch twin
+    of comparing two KeyedParquetSink versions).
+
+    Scale: each snapshot is one argmax aggregate; the diff is a single
+    full-outer sort-merge join on the key — both sides arrive hash-
+    partitioned by that key, so the join reuses the aggregation exchange
+    (no extra shuffle)."""
+    v1 = _cdc_state(spark, sf_dir, CDC_T1).select(
+        F.col("user_id").alias("u1"),
+        F.col("last_ts").alias("t1"),
+        F.col("last_value").alias("v1_value"),
+    )
+    v2 = _cdc_state(spark, sf_dir, CDC_T2).select(
+        F.col("user_id").alias("u2"),
+        F.col("last_ts").alias("t2"),
+        F.col("last_value").alias("v2_value"),
+    )
+    joined = v1.join(v2, v1.u1 == v2.u2, "full_outer")
+    change = (
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("u2").isNull(), "removed")
+        .when(
+            (F.col("t1") != F.col("t2"))
+            | (F.col("v1_value") != F.col("v2_value")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.coalesce("u1", "u2").alias("user_id"),
+        change.alias("change_type"),
+        "v1_value",
+        "v2_value",
+    ).orderBy("user_id")

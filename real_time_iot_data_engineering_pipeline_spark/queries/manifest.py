@@ -712,3 +712,82 @@ def q_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pairs_ge90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruning audit (round 7)
+# ---------------------------------------------------------------------------
+
+PRUNE_VALUE_MIN = 90.0  # the audited predicate: value > 90 (Faulty band)
+
+
+@register(
+    "q_pruning_audit",
+    oracle=f"""
+    WITH parts AS (
+        SELECT event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               count(*) AS n_rows,
+               max(value) AS max_value,
+               min(value) AS min_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(sum(CASE WHEN max_value <= {PRUNE_VALUE_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_prunable,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           CAST(sum(CASE WHEN max_value <= {PRUNE_VALUE_MIN} THEN n_rows
+                         ELSE 0 END) AS BIGINT) AS rows_skipped,
+           {fround_sql(
+               f"sum(CASE WHEN max_value <= {PRUNE_VALUE_MIN} THEN n_rows"
+               " ELSE 0 END) / CAST(sum(n_rows) AS DOUBLE)",
+               6,
+           )} AS skip_frac
+    FROM parts
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-effectiveness audit for the 100 TB question "will this
+    predicate prune?": build the (event_type, day) partition-statistics
+    frame a lakehouse layout would expose (per-partition min/max/rows —
+    what parquet row-group footers and Iceberg manifests store), then
+    score the hot predicate `value > {PRUNE_VALUE_MIN}` — how many
+    partitions a scan could SKIP on max_value alone, and what row fraction
+    that saves.  A low skip_frac says the column needs clustering/z-order
+    before the predicate gets cheap; this query is how you know before
+    paying for the rewrite.
+
+    Scale: the stats frame is one partial-agg pass keyed by the bounded
+    partition tuple; the verdict is a re-aggregation of that already-tiny
+    frame.  Nothing data-proportional shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+    prunable = F.col("max_value") <= PRUNE_VALUE_MIN
+    return (
+        parts.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_partitions"),
+            F.sum(prunable.cast("long")).cast("long").alias("n_prunable"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.sum(F.when(prunable, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_skipped"),
+            fround(
+                F.sum(F.when(prunable, F.col("n_rows")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("n_rows").cast("double"),
+                6,
+            ).alias("skip_frac"),
+        )
+        .orderBy("event_type")
+    )

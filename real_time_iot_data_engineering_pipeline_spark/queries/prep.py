@@ -477,3 +477,145 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens") / F.col("n_docs").cast("double"), 2
         ).alias("mean_doc_tokens"),
     ).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (round 7)
+# ---------------------------------------------------------------------------
+
+K_ANON = 5  # a quasi-identifier group smaller than this re-identifies
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+        SELECT event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               CAST(floor(value / 10) AS BIGINT) AS value_band
+        FROM events
+    ),
+    groups AS (
+        SELECT event_type, day, value_band, count(*) AS k
+        FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(sum(CASE WHEN k < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_groups,
+           CAST(sum(CASE WHEN k < {K_ANON} THEN k ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           {fround_sql(
+               f"sum(CASE WHEN k < {K_ANON} THEN k ELSE 0 END)"
+               " / CAST(sum(k) AS DOUBLE)",
+               6,
+           )} AS suppression_rate
+    FROM groups
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (event_type, day,
+    value decade band): group sizes k, the groups below k={K_ANON}, and the
+    row fraction a suppress-small-groups release policy would drop — the
+    privacy gate a data release runs after PII redaction (q_pii_redact
+    handles direct identifiers; this handles re-identification by joining
+    background knowledge on the quasi-identifiers).
+
+    Scale: two chained aggregations — the first keyed by the (bounded)
+    quasi-identifier tuple with map-side partial agg, the second by its
+    event_type prefix (re-aggregation of an already-reduced frame), so
+    nothing data-proportional ever shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    groups = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") / 10).cast("long").alias("value_band"),
+        )
+        .groupBy("event_type", "day", "value_band")
+        .agg(F.count("*").alias("k"))
+    )
+    small = F.col("k") < K_ANON
+    return (
+        groups.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.min("k").cast("long").alias("min_k"),
+            F.sum(small.cast("long")).cast("long").alias("n_small_groups"),
+            F.sum(F.when(small, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            fround(
+                F.sum(F.when(small, F.col("k")).otherwise(0)).cast("double")
+                / F.sum("k").cast("double"),
+                6,
+            ).alias("suppression_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-key lag features (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lag_features",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               {fround_sql("sum(value)", 6)} AS day_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day, day_value,
+           lag(day_value, 1) OVER w AS lag_1,
+           lag(day_value, 7) OVER w AS lag_7,
+           {fround_sql("day_value - lag(day_value, 1) OVER w", 6)} AS delta_1,
+           {fround_sql(
+               "(day_value - lag(day_value, 7) OVER w)"
+               " / nullif(lag(day_value, 7) OVER w, 0)",
+               6,
+           )} AS pct_change_7
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ORDER BY user_id, day
+    """,
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning feature generation: per entity's daily series,
+    lag-1 / lag-7 values, the one-day delta and the week-over-week percent
+    change — the standard autoregressive feature block a forecasting or
+    churn model trains on.
+
+    Scale: the window partitions by the HIGH-cardinality entity key over
+    the pre-aggregated daily frame (<=31 rows per key here; bounded by the
+    date span generally), so per-partition sorts are tiny and the exchange
+    is the same user_id hash shuffle the daily aggregate already made —
+    lag features are free once the groupBy ran.  day_value is quantized
+    (fround 6) BEFORE the lags so every derived column compares
+    engine-exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(fround(F.sum("value"), 6).alias("day_value"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    lag1 = F.lag("day_value", 1).over(w)
+    lag7 = F.lag("day_value", 7).over(w)
+    return daily.select(
+        "user_id",
+        "day",
+        "day_value",
+        lag1.alias("lag_1"),
+        lag7.alias("lag_7"),
+        fround(F.col("day_value") - lag1, 6).alias("delta_1"),
+        fround(
+            (F.col("day_value") - lag7) / F.nullif(lag7, F.lit(0)), 6
+        ).alias("pct_change_7"),
+    ).orderBy("user_id", "day")

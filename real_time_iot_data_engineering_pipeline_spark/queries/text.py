@@ -1618,3 +1618,144 @@ def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_ham_planted",
         "mean_ham_background",
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance refinement of blocked near-dup candidates (round 7)
+# ---------------------------------------------------------------------------
+
+ED_VARIANT_OFFSET = 10_000_000  # planted-variant doc_id namespace
+ED_VARIANT_MOD = 17  # every 17th doc gets a near-dup variant planted
+ED_PREFIX = 64  # refine on the first N chars (bounds the DP cost)
+ED_CONFIRM_SIM = 0.6
+
+# Variant = same token count, same first-3 tokens (so it lands in the
+# candidate block), 4th token replaced by a fixed marker — the edit
+# distance to its base is therefore the original 4th token vs 'qqq',
+# different per doc: the refinement verdict is non-trivial and
+# oracle-checked, not vacuously green (queries/quality.py plant pattern).
+_ED_WS_SPARK = r"split(trim(text), '\\s+')"
+_ED_WS_DUCK = r"string_split_regex(trim(text), '\s+')"
+
+
+@register(
+    "q_editdist_refine",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, trim(text) AS text FROM documents
+    ),
+    variants AS (
+        SELECT doc_id + {ED_VARIANT_OFFSET} AS doc_id, lang,
+               array_to_string(
+                   list_concat(list_concat(ws[1:3], ['qqq']),
+                               ws[5:len(ws)]), ' ') AS text
+        FROM (SELECT doc_id, lang, {_ED_WS_DUCK} AS ws FROM base)
+        WHERE doc_id % {ED_VARIANT_MOD} = 0 AND len(ws) >= 5
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
+    keyed AS (
+        SELECT doc_id, lang, text,
+               len({_ED_WS_DUCK}) AS n_tokens,
+               array_to_string(({_ED_WS_DUCK})[1:3], ' ') AS block3,
+               substr(text, 1, {ED_PREFIX}) AS prefix
+        FROM corpus
+    ),
+    pairs AS (
+        SELECT a.lang,
+               levenshtein(a.prefix, b.prefix) AS dist,
+               1.0 - levenshtein(a.prefix, b.prefix)
+                   / CAST(greatest(length(a.prefix), length(b.prefix))
+                          AS DOUBLE) AS sim
+        FROM keyed a JOIN keyed b
+          ON a.lang = b.lang AND a.n_tokens = b.n_tokens
+         AND a.block3 = b.block3 AND a.doc_id < b.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(sum(CASE WHEN {fround_sql("sim", 6)} >= {ED_CONFIRM_SIM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed,
+           {fround_sql("avg(sim)", 6)} AS avg_sim,
+           CAST(min(dist) AS BIGINT) AS min_dist,
+           CAST(max(dist) AS BIGINT) AS max_dist
+    FROM pairs
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_editdist_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance refinement of blocked near-duplicate candidates: block
+    on (lang, token count, first-3 tokens) — content-based blocking, the
+    record-linkage classic — then confirm each candidate pair with
+    Levenshtein similarity over a {ED_PREFIX}-char prefix, reported per
+    language.  This is the exact-verify stage that runs AFTER MinHash/LSH
+    recall (q_doc_dedup_minhash) and BEFORE survivor selection
+    (q_dedup_survivor): cheap hashes find candidates, edit distance
+    adjudicates them.
+
+    Scale: pairs exist only inside (lang, n_tokens, block3) buckets —
+    content blocking means bucket population tracks real duplicate
+    clusters, not corpus size (measured: 0 natural pairs at sf0.01, 2 at
+    sf0.1 + the planted variants), so the join is linear in dup volume.
+    The {ED_PREFIX}-char prefix caps each DP at a constant; text itself
+    never shuffles (only prefixes and block keys ride the exchange)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.trim("text").alias("text")
+    )
+    ws = F.expr(_ED_WS_SPARK)
+    variants = (
+        docs.select("doc_id", "lang", ws.alias("ws"))
+        .filter(
+            (F.col("doc_id") % ED_VARIANT_MOD == 0) & (F.size("ws") >= 5)
+        )
+        .select(
+            (F.col("doc_id") + ED_VARIANT_OFFSET).alias("doc_id"),
+            "lang",
+            F.array_join(
+                F.expr("concat(slice(ws, 1, 3), array('qqq'), "
+                       "slice(ws, 5, size(ws) - 4))"),
+                " ",
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(variants)
+    keyed = corpus.select(
+        "doc_id",
+        "lang",
+        F.size(ws).alias("n_tokens"),
+        F.array_join(F.expr(f"slice({_ED_WS_SPARK}, 1, 3)"), " ").alias(
+            "block3"
+        ),
+        F.substring("text", 1, ED_PREFIX).alias("prefix"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.n_tokens") == F.col("b.n_tokens"))
+        & (F.col("a.block3") == F.col("b.block3"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        F.levenshtein("a.prefix", "b.prefix").alias("dist"),
+        (
+            F.lit(1.0)
+            - F.levenshtein("a.prefix", "b.prefix")
+            / F.greatest(
+                F.length("a.prefix"), F.length("b.prefix")
+            ).cast("double")
+        ).alias("sim"),
+    )
+    return (
+        pairs.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_candidate_pairs"),
+            F.sum((fround(F.col("sim"), 6) >= ED_CONFIRM_SIM).cast("long"))
+            .cast("long")
+            .alias("n_confirmed"),
+            fround(F.avg("sim"), 6).alias("avg_sim"),
+            F.min("dist").cast("long").alias("min_dist"),
+            F.max("dist").cast("long").alias("max_dist"),
+        )
+        .orderBy("lang")
+    )

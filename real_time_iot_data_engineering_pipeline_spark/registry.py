@@ -110,6 +110,18 @@ _DRIVER_PRIORITY = (
     "q_serve_analytics_hourly",
     "q_serve_sensor_detail",
     "q_serve_request_audit",
+    # CDC / warehouse-maintenance surface (queries/incremental.py):
+    "q_cdc_apply",
+    "q_snapshot_diff",
+    # privacy + feature-engineering (queries/prep.py):
+    "q_k_anonymity",
+    "q_lag_features",
+    # decayed-counter stateful twin (queries/stateful_twins.py):
+    "q_decayed_counts",
+    # layout audit (queries/manifest.py):
+    "q_pruning_audit",
+    # blocked near-dup adjudication (queries/text.py):
+    "q_editdist_refine",
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's

@@ -1123,3 +1123,74 @@ class TestTotalOrderRewrites:
             con.close()
         problems = compare(sdf, ddf)
         assert not problems, f"{name}[bucketed]: " + " | ".join(problems)
+
+
+class TestRound7Plans:
+    """Plan shapes for the round-7 additions: the serve read paths, the
+    CDC argmax family, and the content-blocked pair join."""
+
+    def test_serve_request_audit_broadcasts_requests(self, spark, sf_dir):
+        """The request table is API-log-sized next to events: it must ride
+        a BroadcastHashJoin into the one fact pass, never shuffle events
+        by request key."""
+        plan = plan_of(spark, sf_dir, "q_serve_request_audit")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_serve_sensors_page_take_ordered(self, spark, sf_dir):
+        """limit+orderBy must lower to TakeOrderedAndProject — the page is
+        assembled from per-partition top-k, not a global sort."""
+        plan = plan_of(spark, sf_dir, "q_serve_sensors_page")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_serve_sensor_detail_pushes_sensor_filter(self, spark, sf_dir):
+        """The /sensors/{id} detail must prune to the one sensor at the
+        scan (row-group skip), not post-filter an aggregate."""
+        plan = plan_of(spark, sf_dir, "q_serve_sensor_detail")
+        assert "PushedFilters: [" in plan
+        assert "EqualTo(user_id" in plan
+
+    def test_cdc_apply_is_partial_agg_no_window(self, spark, sf_dir):
+        """CDC state is a struct-max argmax: map-side partial aggregation,
+        one key shuffle, NO window over change history."""
+        plan = plan_of(spark, sf_dir, "q_cdc_apply")
+        assert "partial_max" in plan or "partial" in plan.lower()
+        assert "WindowExec" not in plan and "RunningWindowFunction" not in plan
+
+    def test_snapshot_diff_join_reuses_key_partitioning(self, spark, sf_dir):
+        """The v1/v2 full-outer join keys match the aggregation keys, so
+        the join must be a SortMergeJoin over the aggregate outputs with
+        no cartesian/broadcast-NL fallback."""
+        plan = plan_of(spark, sf_dir, "q_snapshot_diff")
+        assert "FullOuter" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_editdist_refine_joins_inside_blocks_only(self, spark, sf_dir):
+        """The candidate join must be an equi-join on the blocking key
+        (lang, n_tokens, block3) with the doc_id< residual — a cartesian
+        or broadcast-NL here is the quadratic catastrophe at corpus
+        scale."""
+        plan = plan_of(spark, sf_dir, "q_editdist_refine")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_bloom_join_probes_stay_in_codegen(self, spark, sf_dir):
+        """The bloom probe must lower to broadcast HASH joins on the
+        (word, bits) relation — a one-row-array crossJoin variant fused
+        the probe into a BroadcastNestedLoopJoin condition, which Spark
+        evaluates interpreted (measured 6x slower at sf0.1)."""
+        plan = plan_of(spark, sf_dir, "q_bloom_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # 3 probe joins + the exact false-positive-removing join
+        assert plan.count("BroadcastHashJoin") >= 4
+
+    def test_lag_features_window_partitions_by_user(self, spark, sf_dir):
+        """The lag window must partition by the high-cardinality user key
+        (tiny per-key series), never run unpartitioned."""
+        plan = plan_of(spark, sf_dir, "q_lag_features")
+        assert "user_id" in plan
+        # an unpartitioned window would log/plan a single-partition sort
+        assert "SinglePartition" not in plan
