@@ -51,22 +51,28 @@ def decode_media(payload: bytes, content_type: str) -> tuple[int, int, int]:
     parse can handle, returning (width, height, n_frames):
 
       - image/png  -> (pixel width, pixel height, 1) from the IHDR chunk
+      - image/jpeg -> (pixel width, pixel height, 1) from the first SOFn
+                      marker segment (baseline + progressive DCT)
       - audio/wav  -> (sample rate, channel count, audio-frame count) from
                       the RIFF fmt/data chunks — audio frames fill the
                       n_frames slot, channels stand in for height
 
-    Pixel/sample DATA decoding (zlib scanlines, PCM) still needs a codec
-    stack (PIL/ffmpeg/soundfile, not in this container), so video/mp4 and
-    payload-level transforms stay NotImplementedError — but the seam is
-    exercised with real bytes (tests/test_golden.py feeds a genuine PNG and
-    WAV through mapInPandas via extract_features_real)."""
+    Payload-level AUDIO decode is also real: decode_wav_pcm unpacks the
+    8/16/32-bit integer-PCM samples themselves (extract_audio_stats_real
+    feeds them through mapInPandas).  Pixel-data decoding (zlib scanlines,
+    DCT) and video containers still need a codec stack (PIL/ffmpeg, not in
+    this container), so video/mp4 alone stays NotImplementedError — the
+    seam is exercised with real bytes (tests/test_golden.py feeds a genuine
+    PNG, JPEG and WAV through mapInPandas via extract_features_real)."""
     if content_type == "image/png":
         return _decode_png_header(payload)
+    if content_type == "image/jpeg":
+        return _decode_jpeg_header(payload)
     if content_type == "audio/wav":
         return _decode_wav_header(payload)
     raise NotImplementedError(
-        f"no codec available for {content_type}; install an image/audio "
-        "stack and extend decode_media"
+        f"no codec available for {content_type}; install a video stack "
+        "(ffmpeg) and extend decode_media"
     )
 
 
@@ -83,6 +89,113 @@ def _decode_png_header(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("not a PNG: first chunk is not IHDR")
     width, height = struct.unpack(">II", payload[16:24])
     return (width, height, 1)
+
+
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOFn minus DHT / JPG-extension / DAC
+
+
+def _decode_jpeg_header(payload: bytes) -> tuple[int, int, int]:
+    """Width/height from the first SOFn segment (baseline/progressive DCT
+    alike): walk the FF-marker segment list from SOI; every non-SOI segment
+    carries a big-endian u16 length, and SOFn's body is
+    [precision u8, height u16, width u16, ...] (ITU T.81 B.2.2)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI marker")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("not a JPEG: marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD9:  # RSTn/SOI/EOI: no length field
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF_MARKERS:
+            if pos + 9 > len(payload):
+                raise ValueError("not a JPEG: truncated SOF segment")
+            height, width = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return (width, height, 1)
+        if marker == 0xDA:  # SOS: entropy-coded data follows, no SOF seen
+            break
+        pos += 2 + seg_len
+    raise ValueError("not a JPEG: no SOF marker before SOS/EOF")
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[int, int, list[int]]:
+    """PCM sample decode (the payload-level step beyond the RIFF header):
+    returns (sample_rate, channels, interleaved integer samples) for the
+    8/16/32-bit integer-PCM WAVs the `wave` stdlib writes — pure Python +
+    struct, no codec stack.  Float/compressed formats raise ValueError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    fmt_tag = channels = rate = bits = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and csize >= 16:
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)
+    if None in (fmt_tag, channels, rate, bits) or data is None:
+        raise ValueError("not a WAV: missing fmt/data chunk")
+    if fmt_tag != 1:  # integer PCM only
+        raise ValueError(f"unsupported WAV format tag {fmt_tag} (PCM only)")
+    if bits == 8:  # 8-bit PCM is unsigned, centered on 128
+        samples = [b - 128 for b in data]
+    elif bits == 16:
+        samples = list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
+    elif bits == 32:
+        samples = list(struct.unpack(f"<{len(data) // 4}i", data[: len(data) // 4 * 4]))
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    return (rate, channels, samples)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_stats_real(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body over REAL integer-PCM WAV payloads: decodes every
+    sample (decode_wav_pcm) and emits per-clip loudness stats — the
+    payload-level audio feature pass (silence/clipping filters, loudness
+    normalization) a training-data pipeline runs before transcription.
+    Partition-local, one Arrow crossing per batch, like extract_features_real."""
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "sample_rate", "channels", "n_samples", "peak_abs", "rms"
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, channels, samples = decode_wav_pcm(bytes(payload))
+            n = len(samples)
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(rate)
+            out["channels"].append(channels)
+            out["n_samples"].append(n)
+            out["peak_abs"].append(max((abs(s) for s in samples), default=0))
+            out["rms"].append(
+                (sum(s * s for s in samples) / n) ** 0.5 if n else 0.0
+            )
+        yield pd.DataFrame(out)
 
 
 def _decode_wav_header(payload: bytes) -> tuple[int, int, int]:

@@ -280,9 +280,9 @@ class TestQualityAlertThresholds:
 
 
 class TestRealMediaDecode:
-    """Genuine PNG/WAV bytes through the decode_media seam — the real-codec
-    branch of the multimodal stage (fake_decode_features stays the oracle
-    path because fixture payloads are utf8 text, not media)."""
+    """Genuine PNG/JPEG/WAV bytes through the decode_media seam — the
+    real-codec branch of the multimodal stage (fake_decode_features stays
+    the oracle path because fixture payloads are utf8 text, not media)."""
 
     @staticmethod
     def _png(width: int, height: int) -> bytes:
@@ -317,6 +317,25 @@ class TestRealMediaDecode:
             w.writeframes(b"\x01\x02" * channels * n_frames)
         return buf.getvalue()
 
+    @staticmethod
+    def _jpeg(width: int, height: int) -> bytes:
+        """Minimal well-formed JPEG prefix: SOI, APP0/JFIF, a comment
+        segment (exercises segment walking), DQT stub, then SOF0 carrying
+        the dimensions.  Entropy data is irrelevant to the header parse."""
+        import struct
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+        app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        com = seg(0xFE, b"synthetic fixture")
+        dqt = seg(0xDB, b"\x00" + bytes(64))
+        sof0 = seg(
+            0xC0,
+            struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00",
+        )
+        return b"\xff\xd8" + app0 + com + dqt + sof0 + b"\xff\xd9"
+
     def test_real_bytes_through_mapinpandas(self, spark):
         from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
             FEATURE_SCHEMA,
@@ -324,9 +343,14 @@ class TestRealMediaDecode:
         )
 
         png = self._png(17, 9)
+        jpg = self._jpeg(33, 21)
         wav = self._wav(8000, 2, 5)
         df = spark.createDataFrame(
-            [(1, "image/png", bytearray(png)), (2, "audio/wav", bytearray(wav))],
+            [
+                (1, "image/png", bytearray(png)),
+                (2, "audio/wav", bytearray(wav)),
+                (3, "image/jpeg", bytearray(jpg)),
+            ],
             "doc_id long, content_type string, payload binary",
         )
         rows = {
@@ -335,7 +359,72 @@ class TestRealMediaDecode:
         }
         assert (rows[1].width, rows[1].height, rows[1].n_frames) == (17, 9, 1)
         assert (rows[2].width, rows[2].height, rows[2].n_frames) == (8000, 2, 5)
+        assert (rows[3].width, rows[3].height, rows[3].n_frames) == (33, 21, 1)
         assert rows[1].byte_len == len(png) and rows[2].byte_len == len(wav)
+
+    def test_pcm_samples_decoded_through_mapinpandas(self, spark):
+        """Payload-level audio decode: known 16-bit PCM samples come back
+        with exact loudness stats through the Arrow stage."""
+        import io
+        import struct
+        import wave
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            AUDIO_STATS_SCHEMA,
+            decode_wav_pcm,
+            extract_audio_stats_real,
+        )
+
+        samples = [0, 100, -200, 300, -32768, 32767]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        wav = buf.getvalue()
+
+        rate, channels, got = decode_wav_pcm(wav)
+        assert (rate, channels, got) == (16000, 1, samples)
+
+        df = spark.createDataFrame(
+            [(1, bytearray(wav))], "doc_id long, payload binary"
+        )
+        [row] = df.mapInPandas(
+            extract_audio_stats_real, AUDIO_STATS_SCHEMA
+        ).collect()
+        assert row.sample_rate == 16000 and row.channels == 1
+        assert row.n_samples == len(samples)
+        assert row.peak_abs == 32768
+        expect_rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+        assert abs(row.rms - expect_rms) < 1e-9
+
+    def test_pcm_rejects_non_integer_formats(self):
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            decode_wav_pcm,
+        )
+        import pytest as _pytest
+        import struct
+
+        # hand-build a float-PCM (format tag 3) WAV: must be refused
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", 4) + b"\x00\x00\x80\x3f"
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        with _pytest.raises(ValueError, match="format tag"):
+            decode_wav_pcm(wav)
+
+    def test_jpeg_corrupt_bytes_rejected(self):
+        import pytest as _pytest
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            decode_media,
+        )
+
+        with _pytest.raises(ValueError):
+            decode_media(b"\xff\xd8\x00\x00", "image/jpeg")  # marker desync
+        with _pytest.raises(ValueError):
+            decode_media(b"GIF89a", "image/jpeg")  # no SOI
 
     def test_unsupported_type_raises(self):
         import pytest as _pytest
