@@ -276,6 +276,46 @@ def classify_requests_frame(events: DataFrame, requests: DataFrame) -> DataFrame
     )
 
 
+def dashboard_latest_frame(aggs: DataFrame) -> DataFrame:
+    """The reference dashboard's read path (docs/topic3_usage_guide.md:
+    187-189): the continuously-upserted window-aggregate table, reduced to
+    each sensor's LATEST window.  Same struct-max argmax as the /sensors
+    listing, but over the streaming sink's (user_id, window_start) keyed
+    state instead of raw events — the table the API actually serves in the
+    reference architecture (Kafka -> Spark -> Mongo -> Postgres -> API).
+
+    Input schema is streaming/pipeline.windowed_aggregate's output; the
+    argmax rides (window_start, window_end) so sliding windows tie-break
+    deterministically."""
+    return (
+        aggs.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "window_start",
+                    "window_end",
+                    "avg_value",
+                    "max_value",
+                    "min_value",
+                    "count",
+                    "event_type",
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.window_start").alias("window_start"),
+            F.col("m.window_end").alias("window_end"),
+            F.col("m.avg_value").alias("avg_value"),
+            F.col("m.max_value").alias("max_value"),
+            F.col("m.min_value").alias("min_value"),
+            F.col("m.count").alias("n_readings"),
+            F.col("m.event_type").alias("location"),
+            _status_col(F.col("m.avg_value")).alias("sensor_status"),
+        )
+    )
+
+
 def health_frame(events: DataFrame, now: str) -> DataFrame:
     """GET /health: latest data timestamp, freshness vs `now`, last-24h
     volume and failure count, and an ok/stale verdict (monitoring spec:
@@ -353,9 +393,11 @@ class ServingLayer:
         spark: SparkSession,
         sf_dir: str,
         clock: Callable[[], float] = time.monotonic,
+        aggregates: Callable[[], DataFrame] | None = None,
     ) -> None:
         self._spark = spark
         self._sf_dir = sf_dir
+        self._aggregates = aggregates
         self._sensors_cache = _TTLCache(SENSORS_TTL_SEC, clock)
         self._analytics_cache = _TTLCache(ANALYTICS_TTL_SEC, clock)
 
@@ -420,6 +462,26 @@ class ServingLayer:
             return [r.asDict() for r in rows]
 
         return self._analytics_cache.get_or_compute(key, compute)
+
+    def dashboard(self) -> list[dict]:
+        """Dashboard read over the LIVE streaming sink: latest window per
+        sensor from the continuously-upserted aggregate table (requires the
+        `aggregates` source, e.g. `run_topology(...).aggregates.read`).
+        Cached on the /sensors TTL — mid-stream readers see at-most-60s-old
+        state, exactly the spec's freshness contract."""
+        if self._aggregates is None:
+            raise InvalidQueryError(
+                "no aggregates source wired; pass aggregates= to ServingLayer"
+            )
+        return self._sensors_cache.get_or_compute(
+            ("dashboard",),
+            lambda: [
+                r.asDict()
+                for r in dashboard_latest_frame(self._aggregates())
+                .orderBy("user_id")
+                .collect()
+            ],
+        )
 
     def health(self, now: str) -> dict:
         [row] = health_frame(self._events(), now).collect()

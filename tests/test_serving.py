@@ -123,6 +123,82 @@ class TestEndpoints:
         assert h["n_faulty_24h"] == (in24.value > 90).sum()
 
 
+class TestLiveSinkDashboard:
+    """Round-6 verdict ask #6: the reference dashboard reads the
+    CONTINUOUSLY-UPSERTED aggregate table (docs/topic3_usage_guide.md:
+    187-189), not a static frame.  Drive run_topology's keyed sink epoch
+    by epoch and read it back through ServingLayer mid-stream: the API
+    must see exactly the last-write-wins state after each epoch, with the
+    /sensors TTL bounding staleness in between."""
+
+    def test_dashboard_tracks_last_write_wins_state_per_epoch(
+        self, spark, sf_dir, tmp_path
+    ):
+        from real_time_iot_data_engineering_pipeline_spark.streaming.topology import (
+            run_topology,
+        )
+
+        from .test_streaming import ev, write_file
+
+        valid = dict(event_type="click", props='{"k": 1}')
+        src = tmp_path / "src"
+        src.mkdir()
+        out = str(tmp_path / "out")
+
+        # epoch 1: two sensors, one 5-minute window each
+        write_file(
+            str(src),
+            "f1.json",
+            [
+                dict(ev(1, "2024-01-19 10:00:10", user_id=1, value=10.0), **valid),
+                dict(ev(2, "2024-01-19 10:01:00", user_id=2, value=20.0), **valid),
+            ],
+            seq=0,
+        )
+        res = run_topology(spark, str(src), out)
+        clock = FakeClock()
+        api = ServingLayer(
+            spark, sf_dir, clock=clock, aggregates=res.aggregates.read
+        )
+        first = {r["user_id"]: r for r in api.dashboard()}
+        assert set(first) == {1, 2}
+        assert first[1]["avg_value"] == 10.0 and first[1]["n_readings"] == 1
+        assert first[2]["avg_value"] == 20.0
+        assert str(first[1]["window_start"]) == "2024-01-19 10:00:00"
+        assert first[1]["sensor_status"] == "Working"
+
+        # epoch 2: sensor 1 moves to a NEW window (argmax must advance);
+        # sensor 2 gets a second event in the SAME window (the upsert must
+        # replace the old row's aggregates in place).
+        write_file(
+            str(src),
+            "f2.json",
+            [
+                dict(ev(3, "2024-01-19 10:07:00", user_id=1, value=30.0), **valid),
+                dict(ev(4, "2024-01-19 10:01:30", user_id=2, value=40.0), **valid),
+            ],
+            seq=1,
+        )
+        run_topology(spark, str(src), out)  # checkpoint resume: only f2
+
+        # inside the TTL the API serves the cached epoch-1 state
+        assert {r["user_id"]: r for r in api.dashboard()} == first
+
+        clock.t += SENSORS_TTL_SEC + 1
+        second = {r["user_id"]: r for r in api.dashboard()}
+        assert str(second[1]["window_start"]) == "2024-01-19 10:05:00"
+        assert second[1]["avg_value"] == 30.0 and second[1]["n_readings"] == 1
+        # sensor 2: same window key, merged aggregates — last write won
+        assert str(second[2]["window_start"]) == "2024-01-19 10:00:00"
+        assert second[2]["avg_value"] == 30.0  # (20 + 40) / 2
+        assert second[2]["n_readings"] == 2
+
+    def test_dashboard_without_source_is_invalid(self, spark, sf_dir):
+        api = ServingLayer(spark, sf_dir, clock=FakeClock())
+        with pytest.raises(InvalidQueryError, match="aggregates"):
+            api.dashboard()
+
+
 class TestCacheTTL:
     def test_sensors_cached_one_minute(self, spark, sf_dir):
         clock = FakeClock()
