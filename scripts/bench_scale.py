@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Per-round 10x scaling artifact (round-6 verdict ask #5): runs the full
+suite at sf0.1 AND at the 10x derived fixture back-to-back, and turns the
+"no super-linear query" claim from SCALE.md prose into committed CI inputs.
+
+Outputs (all under bench_snapshots/):
+- BENCH_SF0.1_SCALE_RUN.json — the sf0.1 leg (single-shot, same session
+  protocol as the 10x leg so host conditions pair up and cancel in ratios)
+- BENCH_10X_DETAIL.json      — the 10x leg
+- SCALE_RATIOS.json          — {query: {"t1": s, "t10": s, "ratio": r}},
+  plus run metadata (round tag, calib_sec of both legs)
+- SCALE_BANDS.json           — per-query max allowed 10x ratio, FIRST-SEEN
+  FROZEN like BASELINES.json: a new query's band is set from its first
+  measured ratio with headroom (max(4.0, 1.75 * ratio)); existing bands
+  never change, so a plan rewrite that turns a linear query super-linear
+  trips tests/test_scale_guard.py instead of silently re-baselining.
+
+The 10x fixture is derived from sf0.1 by make_scale_fixture.py (disjoint
+keys, disjoint replica vocabularies, rotated embeddings — constant dup
+density, see that script's docstring) and is built here if missing.
+
+Usage: python scripts/bench_scale.py [round-tag]   (e.g. r07)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SNAPDIR = os.path.join(REPO, "bench_snapshots")
+FIXTURE = os.environ.get("SPARK_GRAFT_SCALE_DIR", os.path.join(REPO, ".scale", "sf1"))
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BAND_FLOOR = 4.0  # minimum band: sub-second queries jitter below this
+BAND_HEADROOM = 1.75  # first-seen band = max(floor, headroom * measured)
+
+
+def _run_leg(sf_dir: str, detail_path: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_REPS="1",
+        SPARK_GRAFT_DETAIL=detail_path,
+    )
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        check=True,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    with open(detail_path) as f:
+        return json.load(f)
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "head"
+    os.makedirs(SNAPDIR, exist_ok=True)
+    if not os.path.isdir(FIXTURE):
+        print(f"[bench_scale] building 10x fixture at {FIXTURE}", file=sys.stderr)
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "scripts", "make_scale_fixture.py"),
+                "10",
+                SF01,
+                FIXTURE,
+            ],
+            check=True,
+        )
+
+    print("[bench_scale] sf0.1 leg", file=sys.stderr)
+    leg1 = _run_leg(SF01, os.path.join(SNAPDIR, "BENCH_SF0.1_SCALE_RUN.json"))
+    print("[bench_scale] 10x leg", file=sys.stderr)
+    leg10 = _run_leg(FIXTURE, os.path.join(SNAPDIR, "BENCH_10X_DETAIL.json"))
+
+    # Host-drift normalization: the legs run back-to-back, but minutes
+    # apart — the fixed calibration job measures how much the host itself
+    # sped up/slowed down between them (r07 initial run: calib 0.161 ->
+    # 0.42 s, a 2.6x slowdown DURING the 10x leg that would otherwise be
+    # billed to every query's scaling ratio).  ratio_norm divides that
+    # out; bands and the guard use ratio_norm.
+    c1, c10 = leg1.get("calib_sec"), leg10.get("calib_sec")
+    drift = (c10 / c1) if (c1 and c10) else 1.0
+    ratios: dict[str, dict] = {}
+    for name, t1 in leg1["queries"].items():
+        t10 = leg10["queries"].get(name)
+        if t10 is None:
+            continue
+        raw = t10 / t1 if t1 > 0 else float("inf")
+        ratios[name] = {
+            "t1": t1,
+            "t10": t10,
+            "ratio": round(raw, 2),
+            "ratio_norm": round(raw / drift, 2) if math.isfinite(raw) else raw,
+        }
+    report = {
+        "round": tag,
+        "n_queries": len(ratios),
+        "total_t1": leg1["value"],
+        "total_t10": leg10["value"],
+        "total_ratio": round(leg10["value"] / leg1["value"], 2),
+        "total_ratio_norm": round(
+            leg10["value"] / leg1["value"] / drift, 2
+        ),
+        "calib_t1": c1,
+        "calib_t10": c10,
+        "calib_drift": round(drift, 3),
+        "queries": ratios,
+    }
+    with open(os.path.join(SNAPDIR, "SCALE_RATIOS.json"), "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    bands_path = os.path.join(SNAPDIR, "SCALE_BANDS.json")
+    bands: dict[str, float] = {}
+    if os.path.exists(bands_path):
+        with open(bands_path) as f:
+            bands = json.load(f)
+    # Band = headroom x the PESSIMISTIC (larger) of the raw and
+    # drift-normalized readings: the calibration job is a point sample of
+    # a drifting host, so neither reading alone is trustworthy — the max
+    # makes first-seen bands generous enough to never false-positive on
+    # drift mis-correction, while the guard's min()-side check (see
+    # tests/test_scale_guard.py) still catches real regressions.
+    added = 0
+    for name, r in ratios.items():
+        if name not in bands and math.isfinite(r["ratio_norm"]):
+            worst_reading = max(r["ratio"], r["ratio_norm"])
+            bands[name] = max(
+                BAND_FLOOR, round(BAND_HEADROOM * worst_reading, 1)
+            )
+            added += 1
+    with open(bands_path, "w") as f:
+        json.dump(bands, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_10x_ratio",
+                "value": report["total_ratio"],
+                "t1": report["total_t1"],
+                "t10": report["total_t10"],
+                "n_queries": report["n_queries"],
+                "new_bands": added,
+                "round": tag,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
