@@ -376,3 +376,72 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration step (round 7)
+# ---------------------------------------------------------------------------
+
+# v0 = the all-equal unit vector (1/sqrt(DIM) per coordinate): fully
+# deterministic, and x . v0 reduces to a per-row sequential list sum that
+# both engines evaluate in identical order.
+_V0 = 0.125  # 1 / sqrt(64)
+
+
+@register(
+    "q_power_iteration",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT vec_id, e, list_sum(e) * {_V0} AS s FROM emb
+    ),
+    w AS (
+        SELECT u.i AS dim,
+               (floor((sum(s * e[u.i + 1])) * 1e6 * (1 + 1e-12) + 0.5) / 1e6)
+                   AS w
+        FROM scored, (SELECT unnest(generate_series(0, {DIM - 1})) AS i) u
+        GROUP BY u.i
+    ),
+    nrm AS (SELECT sqrt(sum(w * w)) AS n FROM w)
+    SELECT dim, w,
+           (floor((w / n) * 1e4 * (1 + 1e-12) + 0.5) / 1e4) AS v1
+    FROM w, nrm
+    ORDER BY dim
+    """,
+)
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus Gram matrix's top
+    eigenvector: w = sum_x (x . v0) x from the all-equal unit start
+    vector, then the normalized iterate v1 = w / ||w|| — the first step
+    of the dominant-direction estimate behind anisotropy correction
+    (all-but-the-top removal) and spectral diagnostics, as a certifiable
+    query.  Further iterations repeat the same shape with v1 broadcast
+    back in.
+
+    Scale: the projection x . v0 is a per-row array fold (no shuffle);
+    the per-dimension accumulation posexplodes to (dim, s*x_d) rows and
+    partial-aggregates into exactly DIM groups — one bounded shuffle of
+    DIM x n_partitions rows, never a d x d matrix.  w is quantized
+    (fround 6) BEFORE the norm on both engines so normalization cannot
+    amplify summation-order ULPs."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+    scored = emb.select(
+        "e",
+        (F.expr("aggregate(e, 0D, (acc, x) -> acc + x)") * _V0).alias("s"),
+    )
+    w = (
+        scored.select(F.posexplode("e").alias("dim", "x"), "s")
+        .groupBy("dim")
+        .agg(fround(F.sum(F.col("s") * F.col("x")), 6).alias("w"))
+    )
+    nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
+    return (
+        w.crossJoin(F.broadcast(nrm))
+        .select("dim", "w", fround(F.col("w") / F.col("n"), 4).alias("v1"))
+        .orderBy("dim")
+    )

@@ -574,3 +574,122 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation, one synchronous round (round 7)
+# ---------------------------------------------------------------------------
+
+LP_SEED_MOD = 10  # suppliers with id % 10 == 0 carry seed labels
+LP_N_LABELS = 3
+
+
+@register(
+    "q_label_propagation",
+    oracle=f"""
+    WITH {{edges}},
+    nodes AS (
+        SELECT DISTINCT x FROM (
+            SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges
+        )
+    ),
+    seeds AS (
+        SELECT x, CAST(x % {LP_N_LABELS} AS INT) AS label
+        FROM nodes WHERE x % {LP_SEED_MOD} = 0
+    ),
+    directed AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v AS src, u AS dst FROM edges
+    ),
+    votes AS (
+        SELECT d.src AS x, s.label, count(*) AS n
+        FROM directed d JOIN seeds s ON d.dst = s.x
+        GROUP BY d.src, s.label
+    ),
+    best AS (
+        SELECT x, label FROM (
+            SELECT x, label,
+                   row_number() OVER (
+                       PARTITION BY x ORDER BY n DESC, label) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    ),
+    assigned AS (
+        SELECT n.x,
+               coalesce(s.label, b.label) AS label,
+               CASE WHEN s.x IS NOT NULL THEN 'seed'
+                    WHEN b.x IS NOT NULL THEN 'propagated'
+                    ELSE 'unlabeled' END AS source
+        FROM nodes n
+        LEFT JOIN seeds s ON n.x = s.x
+        LEFT JOIN best b ON n.x = b.x
+    )
+    SELECT label, source, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM assigned
+    GROUP BY label, source
+    ORDER BY label NULLS FIRST, source
+    """.format(edges=_EDGES_DUCK),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous round of semi-supervised label propagation over
+    the co-supply graph: seed nodes (id % {LP_SEED_MOD} == 0) carry fixed
+    labels (id % {LP_N_LABELS}); every other node takes the MODE of its
+    labeled neighbors' labels, smallest label on ties, and stays
+    unlabeled with no labeled neighbor.  Rolled up to (label, source)
+    census rows.  Further rounds repeat the same vote-join with the
+    updated assignment — the classic community/label-spreading primitive
+    (Raghavan et al. 2007), one certifiable step.
+
+    Scale: the vote join ships only (node, neighbor) edge keys against
+    the seed table; per-node mode selection is a partial-agg count plus
+    one row_number over per-node vote groups (bounded by the label
+    domain, {LP_N_LABELS} rows per node).  Nothing quadratic — the edge
+    set itself is the thresholded co-supply graph reused (persisted)
+    across all graph queries."""
+    edges = _edges_df(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("x") % LP_SEED_MOD == 0).select(
+        "x", (F.col("x") % LP_N_LABELS).cast("int").alias("label")
+    )
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    votes = (
+        directed.join(
+            seeds.select(F.col("x").alias("dst"), "label"), "dst"
+        )
+        .groupBy(F.col("src").alias("x"), "label")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    best = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("x").orderBy(F.desc("n"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("x", "label")
+    )
+    assigned = (
+        nodes.join(seeds.withColumnRenamed("label", "seed_label"), "x", "left")
+        .join(best.withColumnRenamed("label", "prop_label"), "x", "left")
+        .select(
+            F.coalesce("seed_label", "prop_label").alias("label"),
+            F.when(F.col("seed_label").isNotNull(), "seed")
+            .when(F.col("prop_label").isNotNull(), "propagated")
+            .otherwise("unlabeled")
+            .alias("source"),
+        )
+    )
+    return (
+        assigned.groupBy("label", "source")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy(F.col("label").asc_nulls_first(), "source")
+    )

@@ -619,3 +619,107 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("day_value") - lag7) / F.nullif(lag7, F.lit(0)), 6
         ).alias("pct_change_7"),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (round 7)
+# ---------------------------------------------------------------------------
+
+# Planted raw URLs: item number and surface variant derive from coprime
+# doc_id residues (7 and 5), so every item appears under several surface
+# forms across the corpus and canonicalization genuinely merges groups —
+# oracle-checked, not vacuous (the curation-tier plant pattern).
+_URL_HOST = "cdn.example.com"
+_URL_HOST_UC = "CDN.Example.COM"
+
+_RAW_URL_SPARK = (
+    "concat('https://', "
+    f"if(doc_id % 5 = 1, '{_URL_HOST_UC}', '{_URL_HOST}'), "
+    "'/items/', cast(doc_id % 7 as string), "
+    "if(doc_id % 5 = 1, '/', ''), "
+    "if(doc_id % 5 = 2, '?utm_source=feed', ''), "
+    "if(doc_id % 5 = 4, '?keep=1&utm_medium=email', ''), "
+    "if(doc_id % 5 = 3, '#section', ''))"
+)
+_RAW_URL_DUCK = (
+    "'https://' || "
+    f"CASE WHEN doc_id % 5 = 1 THEN '{_URL_HOST_UC}' ELSE '{_URL_HOST}' END "
+    "|| '/items/' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| CASE WHEN doc_id % 5 = 1 THEN '/' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 2 THEN '?utm_source=feed' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 4 THEN '?keep=1&utm_medium=email' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 3 THEN '#section' ELSE '' END"
+)
+
+# canonicalization pipeline, identical regex steps in both engines:
+# 1. drop the fragment   2. drop utm_* params   3. drop dangling ?/&
+# 4. drop a trailing path slash   5. lowercase scheme://host
+_CANON_STEPS = (
+    ("#.*$", ""),
+    ("utm_[a-z]+=[A-Za-z0-9]*&?", ""),
+    ("[?&]+$", ""),
+    ("/$", ""),
+)
+
+
+def _canon_spark(expr: str) -> str:
+    for pat, rep in _CANON_STEPS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}')"
+    return (
+        f"concat(lower(regexp_extract({expr}, '^https?://[^/]+', 0)), "
+        f"regexp_replace({expr}, '^https?://[^/]+', ''))"
+    )
+
+
+def _canon_duck(expr: str) -> str:
+    for pat, rep in _CANON_STEPS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return (
+        f"lower(regexp_extract({expr}, '^https?://[^/]+')) || "
+        f"regexp_replace({expr}, '^https?://[^/]+', '')"
+    )
+
+
+@register(
+    "q_url_dedup",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url, {_canon_duck("url")} AS canonical_url FROM raw
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_surface_forms,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first stage of a web-corpus
+    pipeline (CCNet/C4 dedup by URL before any content hashing): strip
+    fragments, tracking (utm_*) parameters, dangling separators and
+    trailing slashes, lowercase scheme+host, then group by the canonical
+    form.  Emits each canonical URL's doc count, how many distinct
+    surface forms collapsed into it, and the min-doc_id survivor the
+    keep-first policy would retain.
+
+    Scale: canonicalization is a fixed regex chain in whole-stage
+    codegen; only the canonical-URL strings shuffle (never text), keyed
+    by a high-cardinality column with map-side partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_RAW_URL_SPARK).alias("url")
+    )
+    canon = docs.withColumn("canonical_url", F.expr(_canon_spark("url")))
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_surface_forms"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -500,3 +500,143 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning-policy ensemble (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_quality_ensemble",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_DUCK}),
+    feat AS (
+        SELECT doc_id, text, {_WS_DUCK} AS ws,
+               (length(text) - length(replace(text, '#', ''))) AS sym_hits
+        FROM corpus
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               list_sum(list_transform(ws, w -> length(w)))
+                   / CAST(len(ws) AS DOUBLE) AS mwl,
+               len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                   / CAST(len(ws) AS DOUBLE) AS alpha_frac,
+               sym_hits / CAST(len(ws) AS DOUBLE) AS symbol_ratio,
+               len(list_intersect(ws, {_STOPS_DUCK})) AS n_stop,
+               len(list_filter(ws, w ->
+                   list_contains({_CODE_TOKENS_DUCK}, w)))
+                   / CAST(len(ws) AS DOUBLE) AS code_token_frac,
+               (contains(text, 'lorem ipsum') OR contains(text, '{{'))
+                   AS c4_doc_drop
+        FROM feat
+    ),
+    verdicts AS (
+        SELECT doc_id,
+               NOT (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+                   AS r_gopher_words,
+               NOT ({fround_sql("mwl", 6)}
+                    BETWEEN {GOPHER_MWL_LO} AND {GOPHER_MWL_HI})
+                   AS r_gopher_wordlen,
+               {fround_sql("symbol_ratio", 6)} > {GOPHER_SYMBOL_MAX}
+                   AS r_gopher_symbols,
+               {fround_sql("alpha_frac", 6)} < {GOPHER_ALPHA_MIN}
+                   AS r_gopher_alpha,
+               n_stop < 2 AS r_gopher_stopwords,
+               c4_doc_drop AS r_c4_marker,
+               {fround_sql("code_token_frac", 6)} >= {CODE_SCORE_MIN}
+                   AS r_route_code
+        FROM m
+    )
+    SELECT doc_id,
+           list_filter([
+               CASE WHEN r_gopher_words THEN 'gopher_words' END,
+               CASE WHEN r_gopher_wordlen THEN 'gopher_wordlen' END,
+               CASE WHEN r_gopher_symbols THEN 'gopher_symbols' END,
+               CASE WHEN r_gopher_alpha THEN 'gopher_alpha' END,
+               CASE WHEN r_gopher_stopwords THEN 'gopher_stopwords' END,
+               CASE WHEN r_c4_marker THEN 'c4_marker' END
+           ], x -> x IS NOT NULL) AS drop_reasons,
+           CASE WHEN r_route_code THEN 'code'
+                WHEN r_gopher_words OR r_gopher_wordlen OR r_gopher_symbols
+                     OR r_gopher_alpha OR r_gopher_stopwords OR r_c4_marker
+                     THEN 'drop'
+                ELSE 'keep' END AS route
+    FROM verdicts
+    ORDER BY doc_id
+    """,
+)
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning POLICY the individual filters feed: one pass computes
+    every rule's verdict and routes each document — 'code' documents go to
+    the code pipeline (checked FIRST: code legitimately fails prose
+    rules), everything violating a Gopher/C4 rule is 'drop' with the full
+    machine-readable reason list, the rest 'keep'.  This is the
+    composition a production corpus cleaner actually runs — one scan, one
+    decision, auditable reasons — rather than N independent passes.
+
+    Scale: identical posture to the component filters — a single map-only
+    projection, all higher-order array folds in whole-stage codegen; the
+    reason list is built per row with no explode and no shuffle."""
+    ws = F.expr(_WS_SPARK)
+    feat = _planted(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        ws.alias("ws"),
+        (
+            F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+        ).alias("sym_hits"),
+    )
+    n = F.size("ws").cast("double")
+    m = feat.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        (
+            F.expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))") / n
+        ).alias("mwl"),
+        (F.expr("size(filter(ws, w -> w rlike '[a-z]'))") / n).alias(
+            "alpha_frac"
+        ),
+        (F.col("sym_hits") / n).alias("symbol_ratio"),
+        F.expr(f"size(array_intersect(ws, {_STOPS_SPARK}))").alias("n_stop"),
+        (
+            F.expr(
+                f"size(filter(ws, w -> array_contains({_CODE_TOKENS_SPARK}, w)))"
+            )
+            / n
+        ).alias("code_token_frac"),
+        (
+            F.col("text").contains("lorem ipsum") | F.col("text").contains("{")
+        ).alias("c4_doc_drop"),
+    )
+    rules = [
+        (
+            "gopher_words",
+            ~F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS),
+        ),
+        (
+            "gopher_wordlen",
+            ~fround(F.col("mwl"), 6).between(GOPHER_MWL_LO, GOPHER_MWL_HI),
+        ),
+        ("gopher_symbols", fround(F.col("symbol_ratio"), 6) > GOPHER_SYMBOL_MAX),
+        ("gopher_alpha", fround(F.col("alpha_frac"), 6) < GOPHER_ALPHA_MIN),
+        ("gopher_stopwords", F.col("n_stop") < 2),
+        ("c4_marker", F.col("c4_doc_drop")),
+    ]
+    is_code = fround(F.col("code_token_frac"), 6) >= CODE_SCORE_MIN
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in rules]),
+        lambda x: x.isNotNull(),
+    )
+    any_drop = rules[0][1]
+    for _, cond in rules[1:]:
+        any_drop = any_drop | cond
+    return m.select(
+        "doc_id",
+        reasons.alias("drop_reasons"),
+        F.when(is_code, "code")
+        .when(any_drop, "drop")
+        .otherwise("keep")
+        .alias("route"),
+    ).orderBy("doc_id")

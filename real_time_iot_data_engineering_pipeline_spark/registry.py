@@ -122,6 +122,12 @@ _DRIVER_PRIORITY = (
     "q_pruning_audit",
     # blocked near-dup adjudication (queries/text.py):
     "q_editdist_refine",
+    # round-7 second batch:
+    "q_quality_ensemble",  # cleaning-policy composition (queries/quality.py)
+    "q_url_dedup",  # URL canonicalization dedup (queries/prep.py)
+    "q_ivm_merge",  # partial-agg mart merge == recompute (queries/incremental.py)
+    "q_power_iteration",  # Gram top-eigenvector step (queries/embedding_ops.py)
+    "q_label_propagation",  # semi-supervised LPA round (queries/linkage.py)
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's
