@@ -40,10 +40,14 @@ BAND_HEADROOM = 1.75  # first-seen band = max(floor, headroom * measured)
 
 
 def _run_leg(sf_dir: str, detail_path: str) -> dict:
+    # min-of-2 legs, same as bench.py's default protocol: a single-shot
+    # refresh attempt measured 2x+ swings on sub-second queries (e.g.
+    # q_join_inner ratio 1.9 -> 7.0 between runs with identical code),
+    # which is leg noise, not scaling — min-of-k is the established fix.
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
-        SPARK_GRAFT_BENCH_REPS="1",
+        SPARK_GRAFT_BENCH_REPS=os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"),
         SPARK_GRAFT_DETAIL=detail_path,
     )
     subprocess.run(
