@@ -550,14 +550,18 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
     )
     SELECT doc_id,
-           list_filter([
+           -- serialized (';'-joined) per the q_validate_reasons convention:
+           -- the driver canonicalizer hashes atomic columns only.  coalesce:
+           -- DuckDB's array_to_string returns NULL for an empty list, Spark's
+           -- array_join returns '' — '' is the contract.
+           coalesce(array_to_string(list_filter([
                CASE WHEN r_gopher_words THEN 'gopher_words' END,
                CASE WHEN r_gopher_wordlen THEN 'gopher_wordlen' END,
                CASE WHEN r_gopher_symbols THEN 'gopher_symbols' END,
                CASE WHEN r_gopher_alpha THEN 'gopher_alpha' END,
                CASE WHEN r_gopher_stopwords THEN 'gopher_stopwords' END,
                CASE WHEN r_c4_marker THEN 'c4_marker' END
-           ], x -> x IS NOT NULL) AS drop_reasons,
+           ], x -> x IS NOT NULL), ';'), '') AS drop_reasons,
            CASE WHEN r_route_code THEN 'code'
                 WHEN r_gopher_words OR r_gopher_wordlen OR r_gopher_symbols
                      OR r_gopher_alpha OR r_gopher_stopwords OR r_c4_marker
@@ -634,7 +638,7 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         any_drop = any_drop | cond
     return m.select(
         "doc_id",
-        reasons.alias("drop_reasons"),
+        F.array_join(reasons, ";").alias("drop_reasons"),
         F.when(is_code, "code")
         .when(any_drop, "drop")
         .otherwise("keep")

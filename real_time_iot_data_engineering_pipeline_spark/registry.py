@@ -65,69 +65,13 @@ _QUERY_MODULES = (
 # order; every query that falls outside the window as a result already
 # holds a green driver row (CORRECTNESS_r01 and/or _r02).
 _DRIVER_PRIORITY = (
-    # round-7 rotation.  CORRECTNESS_r06 converted all 50 round-6 window
-    # slots to green rows (driver coverage now 245/245 cumulatively), so the
-    # window re-fronts (a) the five queries whose code changed AFTER their
-    # certifying round — their green rows predate the rewrite, re-cert is
-    # the hard signal — and (b) every query NEW this round.
-    #
-    # (a) round-6 rewrites needing re-certification:
-    "q_value_deciles",  # adaptive bucketed-prefix plan (functions/prefix.py)
-    "q_revenue_gini",  # adaptive bucketed-prefix plan
-    "q_abc_classes",  # adaptive bucketed-prefix plan
-    "q_knn_classify",  # Arrow-batched BLAS scorer (+ r7 tie-aware top-k fix)
-    "q_cosupply_triangles",  # triangle_stats extraction (linkage.py refactor)
-    # (b) NEW this round — published-heuristic quality filters (queries/quality.py):
-    "q_gopher_rules",
-    "q_c4_filters",
-    "q_code_detect",
-    "q_boilerplate",
-    # CCNet ppl tiles (queries/ranking.py):
-    "q_ccnet_buckets",
-    # relational completions — TPC-H Q4/Q12 analog shapes (queries/relational3.py):
-    "q_order_priority_exists",
-    "q_late_shipment_mix",
-    # temporal: volume monitoring, cross-correlogram, Holt smoothing:
-    "q_volume_anomaly",
-    "q_cross_corr",
-    "q_holt_linear",
-    # sequential stateful twins (queries/stateful_twins.py):
-    "q_ttl_dedup",
-    "q_rate_limit",
-    # join strategies (queries/joins.py):
-    "q_join_salted",
-    "q_bloom_join",
-    # embedding clustering diagnostics (queries/embedding_ops.py):
-    "q_kmeans_step",
-    "q_silhouette",
-    # sketches (queries/summaries.py):
-    "q_cms_heavy_hitters",
-    "q_kmv_setops",
-    # graph (queries/linkage.py):
-    "q_local_clustering",
-    # API spec surface completion (queries/serve.py — verdict r6 ask #3):
-    "q_serve_sensors_page",
-    "q_serve_analytics_hourly",
-    "q_serve_sensor_detail",
-    "q_serve_request_audit",
-    # CDC / warehouse-maintenance surface (queries/incremental.py):
-    "q_cdc_apply",
-    "q_snapshot_diff",
-    # privacy + feature-engineering (queries/prep.py):
-    "q_k_anonymity",
-    "q_lag_features",
-    # decayed-counter stateful twin (queries/stateful_twins.py):
-    "q_decayed_counts",
-    # layout audit (queries/manifest.py):
-    "q_pruning_audit",
-    # blocked near-dup adjudication (queries/text.py):
-    "q_editdist_refine",
-    # round-7 second batch:
-    "q_quality_ensemble",  # cleaning-policy composition (queries/quality.py)
-    "q_url_dedup",  # URL canonicalization dedup (queries/prep.py)
-    "q_ivm_merge",  # partial-agg mart merge == recompute (queries/incremental.py)
-    "q_power_iteration",  # Gram top-eigenvector step (queries/embedding_ops.py)
-    "q_label_propagation",  # semi-supervised LPA round (queries/linkage.py)
+    # round-8 rotation.  CORRECTNESS_r07 converted 49 of the 50 round-7
+    # window slots to green rows; the one red was q_quality_ensemble, whose
+    # ArrayType(StringType) drop_reasons column broke the driver's pandas
+    # canonicalizer (unhashable list).  It is re-fronted after the
+    # array_join(';') serialization fix (queries/quality.py), alongside
+    # every query NEW in round 8 (appended below as they land).
+    "q_quality_ensemble",
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's

@@ -74,16 +74,10 @@ def test_driver_priority_rotated_to_uncertified():
     import json
     from pathlib import Path
 
-    # Re-fronted because their code changed after the certifying round:
-    # the three bucketed-prefix rewrites + the Arrow BLAS kNN scorer (all
-    # round-6 rewrites) and the linkage.py triangle_stats extraction.
-    _RECERTIFY: set[str] = {
-        "q_value_deciles",
-        "q_revenue_gini",
-        "q_abc_classes",
-        "q_knn_classify",
-        "q_cosupply_triangles",
-    }
+    # Re-fronted because their code changed after the certifying round.
+    # Round 8: empty — the only re-fronted query, q_quality_ensemble, was
+    # never certified (its r07 row errored), so it needs no exemption.
+    _RECERTIFY: set[str] = set()
     repo = Path(__file__).resolve().parents[1]
     certified: set[str] = set()
     for p in sorted(repo.glob("CORRECTNESS_r*.json")):
@@ -117,3 +111,23 @@ def test_rows_only_queries_run(spark, sf_dir):
         df = registry.QUERIES[name](spark, sf_dir)
         assert len(df.columns) > 0, name
         assert df.count() > 0, name
+
+
+def test_registered_query_schemas_are_atomic(spark, sf_dir):
+    """The driver's canonicalizer pandas-sorts and hashes the result frame;
+    a top-level array/map/struct column is unhashable there and errors the
+    row (q_quality_ensemble, CORRECTNESS_r07).  Guard the whole class:
+    every registered query must return only atomic top-level columns.
+    Schema resolution is lazy (plan analysis only), so this sweeps all ~280
+    queries without executing them."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}:{f.dataType.simpleString()}")
+    assert not offenders, (
+        "non-atomic top-level result columns (serialize with array_join or "
+        f"to_json before returning): {offenders}"
+    )
