@@ -5,11 +5,14 @@ The pattern a 100 TB training-data pipeline needs: media lives as a `binary`
 column (or object-store pointers) beside typed metadata; decode / feature-
 extract / resize / frame-sample run as `mapInPandas` stages so each Arrow
 batch crosses the JVM<->Python boundary once and the work distributes with
-the partitioning.  The image/audio codecs are not available in this
-container, so `decode_media` is an explicit NotImplementedError stub and the
+the partitioning.  Container-metadata decode is REAL for every format
+(PNG/JPEG/WAV/MP4 header walks, plus full integer-PCM sample decode); only
+pixel/frame decode needs a codec stack absent from this container, so that
+single seam is `decode_video_frames`'s NotImplementedError.  The registered
 queries use `fake_decode_features` — a deterministic stand-in with the same
-signature and schema — keeping ALL the Spark-side plumbing (binary schema,
-Arrow batch shape, column contracts, partition behavior) real and tested.
+signature and schema — because fixture payloads are utf8 text, keeping ALL
+the Spark-side plumbing (binary schema, Arrow batch shape, column
+contracts, partition behavior) real, tested and oracle-checked.
 
 The payloads here are derived from documents.text (cast to utf8 bytes) so
 the DuckDB oracle can re-derive byte-identical inputs; every emitted feature
@@ -57,22 +60,31 @@ def decode_media(payload: bytes, content_type: str) -> tuple[int, int, int]:
                       the RIFF fmt/data chunks — audio frames fill the
                       n_frames slot, channels stand in for height
 
+      - video/mp4  -> (pixel width, pixel height, sample count) from the
+                      moov box walk: tkhd 16.16 fixed-point dimensions of
+                      the video track, stsz sample count (decode_mp4_metadata
+                      also surfaces the ftyp brand and mvhd
+                      duration/timescale)
+
     Payload-level AUDIO decode is also real: decode_wav_pcm unpacks the
     8/16/32-bit integer-PCM samples themselves (extract_audio_stats_real
     feeds them through mapInPandas).  Pixel-data decoding (zlib scanlines,
-    DCT) and video containers still need a codec stack (PIL/ffmpeg, not in
-    this container), so video/mp4 alone stays NotImplementedError — the
-    seam is exercised with real bytes (tests/test_golden.py feeds a genuine
-    PNG, JPEG and WAV through mapInPandas via extract_features_real)."""
+    DCT, video codecs) still needs a codec stack (PIL/ffmpeg, not in this
+    container), so the NotImplementedError seam is narrowed to exactly
+    decode_video_frames — every container format's METADATA decode is real
+    and exercised with genuine bytes (tests/test_golden.py feeds a real
+    PNG, JPEG, WAV and MP4 through mapInPandas via extract_features_real)."""
     if content_type == "image/png":
         return _decode_png_header(payload)
     if content_type == "image/jpeg":
         return _decode_jpeg_header(payload)
     if content_type == "audio/wav":
         return _decode_wav_header(payload)
+    if content_type == "video/mp4":
+        meta = decode_mp4_metadata(payload)
+        return (meta["width"], meta["height"], meta["n_samples"])
     raise NotImplementedError(
-        f"no codec available for {content_type}; install a video stack "
-        "(ffmpeg) and extend decode_media"
+        f"no decoder for {content_type}; extend decode_media"
     )
 
 
@@ -216,6 +228,102 @@ def _decode_wav_header(payload: bytes) -> tuple[int, int, int]:
     if None in (channels, rate, block_align, data_size) or block_align == 0:
         raise ValueError("not a WAV: missing fmt/data chunk")
     return (rate, channels, data_size // block_align)
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for the sibling ISO-BMFF boxes in
+    payload[start:end) (ISO 14496-12 §4.2: u32 size + 4-char type, size==1
+    -> u64 largesize follows, size==0 -> box runs to the end)."""
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack(">I4s", payload[pos : pos + 8])
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("not an MP4: truncated largesize box")
+            (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("not an MP4: bad box size")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_stsz_count(payload: bytes, start: int, end: int) -> int:
+    """Sample count from the stsz box, descending minf/stbl containers."""
+    for btype, body, box_end in _mp4_boxes(payload, start, end):
+        if btype in (b"minf", b"stbl"):
+            n = _mp4_stsz_count(payload, body, box_end)
+            if n:
+                return n
+        elif btype == b"stsz" and body + 12 <= end:
+            return struct.unpack(">I", payload[body + 8 : body + 12])[0]
+    return 0
+
+
+def decode_mp4_metadata(payload: bytes) -> dict:
+    """REAL MP4 / ISO-BMFF container-metadata decode — the video twin of the
+    WAV RIFF walk (same pure-struct difficulty, no codec needed): major
+    brand from ftyp, movie duration/timescale from mvhd (v0 and v1 layouts),
+    and the video track's pixel dimensions (tkhd, 16.16 fixed point) plus
+    sample count (stsz) from the first trak with nonzero dims.  Raises
+    ValueError for bytes that are not an MP4 container."""
+    top = list(_mp4_boxes(payload, 0, len(payload)))
+    types = [t for t, _, _ in top]
+    if b"ftyp" not in types or b"moov" not in types:
+        raise ValueError("not an MP4: missing ftyp/moov box")
+    ftyp_body = next(b for t, b, _ in top if t == b"ftyp")
+    meta = {
+        "brand": payload[ftyp_body : ftyp_body + 4].decode("ascii", "replace"),
+        "timescale": 0,
+        "duration": 0,
+        "width": 0,
+        "height": 0,
+        "n_samples": 0,
+    }
+    moov_body, moov_end = next((b, e) for t, b, e in top if t == b"moov")
+    for btype, body, box_end in _mp4_boxes(payload, moov_body, moov_end):
+        if btype == b"mvhd":
+            if payload[body] == 1:  # v1: 64-bit creation/modification/duration
+                timescale, duration = struct.unpack(
+                    ">IQ", payload[body + 20 : body + 32]
+                )
+            else:
+                timescale, duration = struct.unpack(
+                    ">II", payload[body + 12 : body + 20]
+                )
+            meta["timescale"], meta["duration"] = timescale, duration
+        elif btype == b"trak":
+            width = height = n_samples = 0
+            for t2, b2, e2 in _mp4_boxes(payload, body, box_end):
+                if t2 == b"tkhd":
+                    # offset of the 16.16 width/height pair past version/
+                    # flags + ids/durations + reserved/layer block + matrix
+                    off = b2 + (4 + 32 if payload[b2] == 1 else 4 + 20) + 8 + 8 + 36
+                    w16, h16 = struct.unpack(">II", payload[off : off + 8])
+                    width, height = w16 >> 16, h16 >> 16
+                elif t2 == b"mdia":
+                    n_samples = _mp4_stsz_count(payload, b2, e2)
+            if width and height and not meta["width"]:
+                meta["width"], meta["height"] = width, height
+                meta["n_samples"] = n_samples
+    meta["duration_sec"] = (
+        meta["duration"] / meta["timescale"] if meta["timescale"] else 0.0
+    )
+    return meta
+
+
+def decode_video_frames(payload: bytes):
+    """THE narrowed codec seam: pixel/frame decode of video payloads needs a
+    codec stack (ffmpeg/pyav), which this container does not ship.  All
+    container METADATA (brand, duration, dimensions, sample count) is
+    decoded for real by decode_mp4_metadata."""
+    raise NotImplementedError(
+        "no video codec available for frame decode; install ffmpeg/pyav "
+        "and extend decode_video_frames"
+    )
 
 
 def extract_features_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

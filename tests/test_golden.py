@@ -336,6 +336,45 @@ class TestRealMediaDecode:
         )
         return b"\xff\xd8" + app0 + com + dqt + sof0 + b"\xff\xd9"
 
+    @staticmethod
+    def _mp4(
+        width: int,
+        height: int,
+        n_samples: int,
+        timescale: int = 1000,
+        duration: int = 2500,
+    ) -> bytes:
+        """Minimal spec-conformant ISO-BMFF container (ISO 14496-12):
+        ftyp + moov{mvhd v0, trak{tkhd v0, mdia{minf{stbl{stsz}}}}} with
+        constant sample size (no per-sample table)."""
+        import struct
+
+        def box(btype: bytes, body: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(body)) + btype + body
+
+        matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+        mvhd = box(
+            b"mvhd",
+            struct.pack(">IIIII", 0, 0, 0, timescale, duration)  # ver/flags..duration
+            + struct.pack(">IHH", 0x10000, 0x0100, 0)  # rate, volume, reserved
+            + bytes(8)  # reserved
+            + matrix
+            + bytes(24)  # pre_defined
+            + struct.pack(">I", 2),  # next_track_ID
+        )
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">IIIIII", 0x7, 0, 0, 1, 0, duration)  # flags..duration
+            + bytes(8)  # reserved
+            + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/alt_group/volume/reserved
+            + matrix
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        stsz = box(b"stsz", struct.pack(">III", 0, 100, n_samples))
+        trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl", stsz))))
+        return ftyp + box(b"moov", mvhd + trak) + box(b"mdat", b"\x00" * 16)
+
     def test_real_bytes_through_mapinpandas(self, spark):
         from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
             FEATURE_SCHEMA,
@@ -345,11 +384,13 @@ class TestRealMediaDecode:
         png = self._png(17, 9)
         jpg = self._jpeg(33, 21)
         wav = self._wav(8000, 2, 5)
+        mp4 = self._mp4(640, 360, 75)
         df = spark.createDataFrame(
             [
                 (1, "image/png", bytearray(png)),
                 (2, "audio/wav", bytearray(wav)),
                 (3, "image/jpeg", bytearray(jpg)),
+                (4, "video/mp4", bytearray(mp4)),
             ],
             "doc_id long, content_type string, payload binary",
         )
@@ -360,7 +401,56 @@ class TestRealMediaDecode:
         assert (rows[1].width, rows[1].height, rows[1].n_frames) == (17, 9, 1)
         assert (rows[2].width, rows[2].height, rows[2].n_frames) == (8000, 2, 5)
         assert (rows[3].width, rows[3].height, rows[3].n_frames) == (33, 21, 1)
+        assert (rows[4].width, rows[4].height, rows[4].n_frames) == (640, 360, 75)
         assert rows[1].byte_len == len(png) and rows[2].byte_len == len(wav)
+
+    def test_mp4_metadata_decoded(self):
+        """Brand + duration/timescale surface through decode_mp4_metadata,
+        and v1 (64-bit) mvhd parses identically."""
+        import struct
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            decode_mp4_metadata,
+        )
+
+        meta = decode_mp4_metadata(self._mp4(1280, 720, 30, 90000, 450000))
+        assert meta["brand"] == "isom"
+        assert (meta["timescale"], meta["duration"]) == (90000, 450000)
+        assert abs(meta["duration_sec"] - 5.0) < 1e-12
+        assert (meta["width"], meta["height"], meta["n_samples"]) == (1280, 720, 30)
+
+        # v1 mvhd: version byte 1, 64-bit creation/modification/duration
+        mvhd_v1_body = (
+            b"\x01\x00\x00\x00"
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">IQ", 600, 1800)
+            + struct.pack(">IHH", 0x10000, 0x0100, 0)
+            + bytes(8)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + bytes(24)
+            + struct.pack(">I", 2)
+        )
+        mvhd_v1 = struct.pack(">I", 8 + len(mvhd_v1_body)) + b"mvhd" + mvhd_v1_body
+        moov = struct.pack(">I", 8 + len(mvhd_v1)) + b"moov" + mvhd_v1
+        ftyp_body = b"mp42" + struct.pack(">I", 0) + b"mp42"
+        ftyp = struct.pack(">I", 8 + len(ftyp_body)) + b"ftyp" + ftyp_body
+        meta = decode_mp4_metadata(ftyp + moov)
+        assert meta["brand"] == "mp42"
+        assert (meta["timescale"], meta["duration"]) == (600, 1800)
+        assert abs(meta["duration_sec"] - 3.0) < 1e-12
+
+    def test_mp4_corrupt_bytes_rejected(self):
+        import pytest as _pytest
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            decode_media,
+        )
+
+        with _pytest.raises(ValueError):
+            decode_media(b"\x00\x01", "video/mp4")  # no ftyp/moov
+        with _pytest.raises(ValueError):
+            # well-formed size field pointing past the payload end
+            decode_media(b"\x00\x00\x00\xffftyp", "video/mp4")
 
     def test_pcm_samples_decoded_through_mapinpandas(self, spark):
         """Payload-level audio decode: known 16-bit PCM samples come back
@@ -427,14 +517,20 @@ class TestRealMediaDecode:
             decode_media(b"GIF89a", "image/jpeg")  # no SOI
 
     def test_unsupported_type_raises(self):
+        """The codec seam is narrowed to frame decode: unknown content
+        types and decode_video_frames raise NotImplementedError; every
+        supported container's metadata decode is real."""
         import pytest as _pytest
 
         from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
             decode_media,
+            decode_video_frames,
         )
 
         with _pytest.raises(NotImplementedError):
-            decode_media(b"\x00\x01", "video/mp4")
+            decode_media(b"\x00\x01", "video/webm")
+        with _pytest.raises(NotImplementedError):
+            decode_video_frames(self._mp4(64, 48, 3))
 
     def test_corrupt_bytes_rejected(self):
         import pytest as _pytest

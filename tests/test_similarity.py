@@ -98,10 +98,13 @@ class TestLshQuality:
 
 class TestMultimodal:
     def test_decode_contract(self):
-        # r03: PNG/WAV headers decode for real (pure-Python); formats
-        # without a codec stay NotImplementedError, corrupt bytes ValueError
-        with pytest.raises(NotImplementedError):
+        # r03: PNG/WAV headers decode for real (pure-Python); r08 added the
+        # MP4 box walk, so corrupt bytes of EVERY supported container are
+        # ValueError and only truly unknown formats stay NotImplementedError
+        with pytest.raises(ValueError):
             decode_media(b"\x00\x00", "video/mp4")
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x00\x00", "video/webm")
         with pytest.raises(ValueError):
             decode_media(b"\x89PNG...", "image/png")
 
