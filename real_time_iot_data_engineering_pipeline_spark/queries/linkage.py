@@ -693,3 +693,166 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy(F.col("label").asc_nulls_first(), "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation to fixpoint (round 8) — the multi-round production ask
+# ---------------------------------------------------------------------------
+
+LP_MAX_ROUNDS = 6  # synchronous-update cap; fixpoint exits earlier
+
+
+def _lpa_converged_oracle() -> str:
+    """Unrolled-rounds oracle: LP_MAX_ROUNDS synchronous vote/assign CTE
+    stages.  Sound for the fixpoint query because the update is a pure
+    function of the previous assignment — once a round changes nothing,
+    every further unrolled round reproduces it, so "early exit at
+    convergence" and "always run LP_MAX_ROUNDS" yield identical labels."""
+    rounds = []
+    for k in range(1, LP_MAX_ROUNDS + 1):
+        rounds.append(f"""
+    votes{k} AS (
+        SELECT d.src AS x, l.label, count(*) AS n
+        FROM directed d JOIN labels{k - 1} l ON d.dst = l.x
+        WHERE l.label IS NOT NULL
+        GROUP BY d.src, l.label
+    ),
+    best{k} AS (
+        SELECT x, label FROM (
+            SELECT x, label,
+                   row_number() OVER (
+                       PARTITION BY x ORDER BY n DESC, label) AS rn
+            FROM votes{k}
+        ) WHERE rn = 1
+    ),
+    labels{k} AS (
+        SELECT p.x, coalesce(s.label, b.label, p.label) AS label
+        FROM labels{k - 1} p
+        LEFT JOIN seeds s ON p.x = s.x
+        LEFT JOIN best{k} b ON p.x = b.x
+    )""")
+    return f"""
+    WITH {_EDGES_DUCK},
+    nodes AS (
+        SELECT DISTINCT x FROM (
+            SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges
+        )
+    ),
+    seeds AS (
+        SELECT x, CAST(x % {LP_N_LABELS} AS INT) AS label
+        FROM nodes WHERE x % {LP_SEED_MOD} = 0
+    ),
+    directed AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v AS src, u AS dst FROM edges
+    ),
+    labels0 AS (
+        SELECT n.x, s.label FROM nodes n LEFT JOIN seeds s ON n.x = s.x
+    ),{",".join(rounds)}
+    SELECT l.label,
+           CASE WHEN s.x IS NOT NULL THEN 'seed'
+                WHEN l.label IS NOT NULL THEN 'propagated'
+                ELSE 'unlabeled' END AS source,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM labels{LP_MAX_ROUNDS} l LEFT JOIN seeds s ON l.x = s.x
+    GROUP BY l.label, source
+    ORDER BY l.label NULLS FIRST, source
+    """
+
+
+@register("q_label_propagation_converged", oracle=_lpa_converged_oracle())
+def q_label_propagation_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation run to FIXPOINT (Raghavan et al. 2007, seeds
+    clamped): synchronous rounds of "take the mode of labeled neighbors,
+    smallest label on ties; keep the current label with no change signal"
+    until an entire round changes nothing, capped at LP_MAX_ROUNDS.  The
+    single-round primitive is q_label_propagation; this is the production
+    ask — labels keep spreading until the frontier exhausts.
+
+    Convergence machinery follows functions/components.py:100 (the CC
+    fixpoint loop): each round's assignment is localCheckpoint'ed (eager)
+    to truncate lineage, and the exit test is a bounded count of changed
+    rows, never a collect of the assignment.  The unrolled-rounds DuckDB
+    oracle is exact because a fixpoint is stable under further synchronous
+    rounds (see _lpa_converged_oracle).
+
+    Scale: per round, one edge-keyed join against the current labels
+    (labels never exceed one row per node), a partial-agg vote count
+    bounded by {LP_N_LABELS} labels/node, and one row_number per node —
+    all hash-partitioned on node id; rounds are bounded by graph diameter
+    (capped), and the edge set is the shared persisted co-supply graph."""
+    edges = _edges_df(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("x") % LP_SEED_MOD == 0).select(
+        "x", (F.col("x") % LP_N_LABELS).cast("int").alias("label")
+    )
+    directed = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed_tbl = seeds.withColumnRenamed("label", "seed_label")
+    labels = (
+        nodes.join(seeds, "x", "left")
+        .select("x", "label")
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql.window import Window as _W
+
+    for _ in range(LP_MAX_ROUNDS):
+        votes = (
+            directed.join(
+                labels.filter(F.col("label").isNotNull()).select(
+                    F.col("x").alias("dst"), "label"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("x"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        best = (
+            votes.withColumn(
+                "rn",
+                F.row_number().over(
+                    _W.partitionBy("x").orderBy(F.desc("n"), F.asc("label"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("x", F.col("label").alias("prop_label"))
+        )
+        nxt = (
+            labels.withColumnRenamed("label", "prev_label")
+            .join(seed_tbl, "x", "left")
+            .join(best, "x", "left")
+            .select(
+                "x",
+                F.coalesce("seed_label", "prop_label", "prev_label").alias(
+                    "label"
+                ),
+                "prev_label",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.filter(
+            ~F.col("label").eqNullSafe(F.col("prev_label"))
+        ).count()
+        labels = nxt.select("x", "label")
+        if changed == 0:
+            break
+    directed.unpersist()
+    assigned = labels.join(seed_tbl, "x", "left").select(
+        "label",
+        F.when(F.col("seed_label").isNotNull(), "seed")
+        .when(F.col("label").isNotNull(), "propagated")
+        .otherwise("unlabeled")
+        .alias("source"),
+    )
+    return (
+        assigned.groupBy("label", "source")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy(F.col("label").asc_nulls_first(), "source")
+    )

@@ -253,11 +253,10 @@ def q_doc_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir)
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, est_jaccard) near-dup pairs — shared by the pair query
-    and the dup-group assignment."""
-    sigs = _minhash_sigs(_shingle_rows(_near_corpus(spark, sf_dir)))
-    bands = sigs.select(
+def _banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, band_key) LSH band rows: x{_BANDS} explode over
+    the 32-int signature; the band_key string is the join/bucket key."""
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("band"),
@@ -268,6 +267,19 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x -> cast(x AS string)), '|')"
         ),
     )
+
+
+_EST_JACCARD_SQL = (
+    f"cast(size(filter(sequence(1, {_K}), "
+    f"i -> element_at(sig_a, i) = element_at(sig_b, i))) AS double) / {_K}"
+)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) near-dup pairs — shared by the pair query
+    and the dup-group assignment."""
+    sigs = _minhash_sigs(_shingle_rows(_near_corpus(spark, sf_dir)))
+    bands = _banded(sigs)
     left = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_key"
     )
@@ -288,6 +300,149 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-run dedup: today's batch vs the standing signature store
+# ---------------------------------------------------------------------------
+
+INCR_DELTA_MOD = 4  # doc_id % 4 == 0 simulates "arrived in today's batch"
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    SELECT doc_a, doc_b, est_jaccard,
+           CASE WHEN doc_a % {INCR_DELTA_MOD} = 0
+                 AND doc_b % {INCR_DELTA_MOD} = 0
+                THEN 'new_new' ELSE 'new_old' END AS pair_kind
+    FROM ({_MINHASH_ORACLE})
+    WHERE doc_a % {INCR_DELTA_MOD} = 0 OR doc_b % {INCR_DELTA_MOD} = 0
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-run) MinHash dedup — the 100 TB shape batch dedup
+    actually runs day to day: only TODAY's documents are shingled and
+    signed, and their LSH bands probe the STANDING signature store (the
+    persisted band rows of every prior run — here the non-delta corpus
+    slice, in production a parquet store bucketed by band_key, grown
+    incrementally exactly like the sync watermark pattern in the
+    reference's mongo_to_postgres_sync.py:129-139).  Emitted pairs touch
+    the delta by construction: new-vs-old (today's doc duplicates an
+    archived one) and new-vs-new (duplicates within today's batch, which
+    the delta-vs-(store ∪ delta) band join captures twice and the
+    normalized-ordering dedup collapses).  Store-vs-store pairs are never
+    generated — the store side only ever appears as the build side of the
+    band join, so per-run cost tracks |delta| x collision rate, not
+    corpus².
+
+    The oracle recomputes full-corpus LSH and restricts to pairs touching
+    the delta — equality proves the incremental path finds exactly the
+    duplicates a from-scratch rerun would.
+
+    Scale: signatures are ~256 B/doc (0.1% of a 100 TB corpus); the store
+    never re-shuffles (bucketed by band_key at write), today's bands
+    shuffle once to the store's bucketing, and raw text never moves."""
+    sigs = _minhash_sigs(_shingle_rows(_near_corpus(spark, sf_dir)))
+    bands = _banded(sigs)
+    is_new = F.col("doc_id") % INCR_DELTA_MOD == 0
+    delta = bands.filter(is_new).select(
+        F.col("doc_id").alias("doc_new"),
+        F.col("sig").alias("sig_new"),
+        "band",
+        "band_key",
+    )
+    store = bands.select(  # standing store ∪ today's rows (post-append view)
+        F.col("doc_id").alias("doc_other"),
+        F.col("sig").alias("sig_other"),
+        "band",
+        "band_key",
+    )
+    pairs = (
+        delta.join(store, ["band", "band_key"])
+        .filter(F.col("doc_new") != F.col("doc_other"))
+        .select(
+            F.least("doc_new", "doc_other").alias("doc_a"),
+            F.greatest("doc_new", "doc_other").alias("doc_b"),
+            F.when(F.col("doc_new") < F.col("doc_other"), F.col("sig_new"))
+            .otherwise(F.col("sig_other"))
+            .alias("sig_a"),
+            F.when(F.col("doc_new") < F.col("doc_other"), F.col("sig_other"))
+            .otherwise(F.col("sig_new"))
+            .alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.expr(_EST_JACCARD_SQL))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.when(
+                (F.col("doc_a") % INCR_DELTA_MOD == 0)
+                & (F.col("doc_b") % INCR_DELTA_MOD == 0),
+                "new_new",
+            )
+            .otherwise("new_old")
+            .alias("pair_kind"),
+        )
+    )
+
+
+@register(
+    "q_dedup_exact_incremental",
+    oracle=f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    hashed AS (
+        SELECT doc_id,
+               sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+        FROM corpus
+    ),
+    keepers AS (
+        SELECT content_hash, min(doc_id) AS keeper_doc_id FROM hashed GROUP BY content_hash
+    )
+    SELECT h.doc_id, k.keeper_doc_id,
+           CASE WHEN k.keeper_doc_id = h.doc_id THEN 'unique'
+                WHEN k.keeper_doc_id % {INCR_DELTA_MOD} = 0 THEN 'dup_in_batch'
+                ELSE 'dup_of_store' END AS dup_kind
+    FROM hashed h JOIN keepers k ON h.content_hash = k.content_hash
+    WHERE h.doc_id % {INCR_DELTA_MOD} = 0
+    """,
+)
+def q_dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-hash twin of q_dedup_incremental — the streaming doc-ingest
+    content-hash dedup expressed as a batch delta-vs-store probe: only
+    TODAY's documents (doc_id % {INCR_DELTA_MOD} == 0) are hashed and
+    verdicted against the standing hash store.  Each delta doc resolves to
+    'unique' (its hash is first seen, it becomes the keeper),
+    'dup_in_batch' (the keeper also arrived today), or 'dup_of_store'
+    (an archived doc already holds the content).
+
+    Scale: the store side is (content_hash, keeper_doc_id) — 72 bytes/doc
+    regardless of document size — bucketed by hash at write so the daily
+    probe is a co-partitioned join; the delta's text is read once, hashed
+    map-side, and never shuffled (only 64-char hashes move).  min-keeper
+    semantics make replays idempotent, mirroring the keyed upsert sink."""
+    corpus = _exact_corpus(spark, sf_dir)
+    normalized = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    hashed = corpus.select(
+        "doc_id", F.sha2(normalized, 256).alias("content_hash")
+    )
+    # standing store ∪ today's rows (post-append view): first-writer-wins
+    keepers = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keeper_doc_id")
+    )
+    delta = hashed.filter(F.col("doc_id") % INCR_DELTA_MOD == 0)
+    return delta.join(keepers, "content_hash").select(
+        "doc_id",
+        "keeper_doc_id",
+        F.when(F.col("keeper_doc_id") == F.col("doc_id"), "unique")
+        .when(F.col("keeper_doc_id") % INCR_DELTA_MOD == 0, "dup_in_batch")
+        .otherwise("dup_of_store")
+        .alias("dup_kind"),
     )
 
 
@@ -1758,4 +1913,177 @@ def q_editdist_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dist").cast("long").alias("max_dist"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly under a token budget (round 8)
+# ---------------------------------------------------------------------------
+
+BUDGET_NUM, BUDGET_DEN = 6, 10  # admit the best docs up to 60% of all tokens
+
+
+@register(
+    "q_token_budget_pack",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_WORDS_DUCK} AS ws FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, len(ws) AS n_tokens,
+               len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS ttr
+        FROM toks WHERE len(ws) > 0
+    ),
+    run AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   ORDER BY ttr DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n_tokens) OVER () AS total
+        FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_admitted,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_admitted
+    FROM run
+    WHERE cum * {BUDGET_DEN} <= total * {BUDGET_NUM}
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus assembly under a global token budget: rank every document by
+    a quality proxy (type-token ratio — dedup-style repetition scores low),
+    admit greedily in rank order until the budget ({BUDGET_NUM}/{BUDGET_DEN}
+    of all corpus tokens) is exhausted, and report the per-source admitted
+    mix — the final packing decision a training-data pipeline makes after
+    filtering/dedup, deciding WHICH clean documents fill the token budget.
+
+    Exactness: token counts are integers, so the running sum is exact (no
+    float regrouping concern), and the admission test is kept in integer
+    arithmetic (cum*{BUDGET_DEN} <= total*{BUDGET_NUM}) — no float
+    threshold to disagree across engines.  TTR is an exact IEEE division
+    of two small ints, identical in both engines, so the global order is
+    identical.
+
+    Scale: the global ordered cumulative sum uses the two-phase bucketed
+    prefix plan (functions/prefix.py) above the adaptive scale switch —
+    value-range buckets partition the window, per-bucket offsets prefix-sum
+    on a ≤1024-row table, and no SinglePartition exchange appears; below
+    the switch the plain window is cheaper and taken instead."""
+    from ..functions.prefix import bucketed_running_sum
+    from ..sources.tables import is_large_input
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ws = F.expr(_WORDS_SPARK)
+    scored = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(ws).cast("long").alias("n_tokens"),
+            (F.size(F.array_distinct(ws)).cast("double") / F.size(ws)).alias(
+                "ttr"
+            ),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    total = scored.agg(F.sum("n_tokens").alias("_total"))
+    run = bucketed_running_sum(
+        scored,
+        "ttr",
+        "n_tokens",
+        ["doc_id"],
+        descending=True,
+        out_col="cum",
+        bucketed=is_large_input(sf_dir, "documents"),
+    ).join(F.broadcast(total))
+    return (
+        run.filter(
+            F.col("cum").cast("long") * BUDGET_DEN
+            <= F.col("_total").cast("long") * BUDGET_NUM
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_admitted"),
+            F.sum("n_tokens").cast("long").alias("tokens_admitted"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty of the incoming batch vs the standing corpus (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_batch_novelty",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_WORDS_DUCK} AS _words FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source, {_SHINGLES_DUCK} AS _shingles FROM toks
+    ),
+    expl AS (
+        SELECT DISTINCT doc_id, source, s
+        FROM (SELECT doc_id, source, unnest(_shingles) AS s FROM sh)
+    ),
+    store AS (
+        SELECT DISTINCT s FROM expl WHERE doc_id % {INCR_DELTA_MOD} <> 0
+    ),
+    delta AS (
+        SELECT e.doc_id, e.source, e.s,
+               CASE WHEN st.s IS NULL THEN 1 ELSE 0 END AS novel
+        FROM expl e LEFT JOIN store st ON e.s = st.s
+        WHERE e.doc_id % {INCR_DELTA_MOD} = 0
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               sum(novel) / CAST(count(*) AS DOUBLE) AS novelty
+        FROM delta GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {fround_sql("avg(novelty)", 6)} AS avg_novelty
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def q_batch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-value estimation for an incoming batch: what fraction of each
+    new document's distinct 3-word shingles has the standing corpus never
+    seen?  Low novelty batches add little training signal even when they
+    are not literal duplicates — this is the acquisition-side metric that
+    complements q_dedup_incremental's removal-side verdicts.  Rolled up to
+    (source, n_docs, avg_novelty).
+
+    Scale: both sides reduce to DISTINCT shingle keys before the join; the
+    store side is the corpus-wide distinct-shingle table (bounded by
+    vocabulary growth, not corpus size — Heaps' law), the probe side is
+    delta-only, and the novelty test is a left join on the shingle key —
+    at full scale the join key is the shingle's 64-bit hash and a bloom
+    filter on the store prunes the probe before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sh = _shingle_rows(docs).dropDuplicates(["doc_id", "s"])
+    src = docs.select("doc_id", "source")
+    is_delta = F.col("doc_id") % INCR_DELTA_MOD == 0
+    store = sh.filter(~is_delta).select("s").distinct()
+    delta = (
+        sh.filter(is_delta)
+        .join(store.withColumn("_seen", F.lit(1)), "s", "left")
+        .select("doc_id", F.when(F.col("_seen").isNull(), 1).otherwise(0).alias("novel"))
+    )
+    per_doc = delta.groupBy("doc_id").agg(
+        (F.sum("novel") / F.count("*").cast("double")).alias("novelty")
+    )
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            fround(F.avg("novelty"), 6).alias("avg_novelty"),
+        )
+        .orderBy("source")
     )

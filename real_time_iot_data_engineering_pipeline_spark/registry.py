@@ -72,6 +72,13 @@ _DRIVER_PRIORITY = (
     # array_join(';') serialization fix (queries/quality.py), alongside
     # every query NEW in round 8 (appended below as they land).
     "q_quality_ensemble",
+    # NEW in round 8:
+    "q_dedup_incremental",  # delta-vs-standing-store MinHash (queries/text.py)
+    "q_dedup_exact_incremental",  # content-hash delta-vs-store twin (text.py)
+    "q_label_propagation_converged",  # LPA to fixpoint (queries/linkage.py)
+    "q_token_budget_pack",  # greedy corpus packing under a token budget (text.py)
+    "q_batch_novelty",  # delta-vs-store shingle novelty (text.py)
+    "q_feature_drift",  # PSI drift monitor ref-vs-current (temporal.py)
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's

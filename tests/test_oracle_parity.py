@@ -43,6 +43,18 @@ def test_rank_bucketed_scale_path_parity(spark, sf_dir, duck, monkeypatch):
     assert not problems, "q_rank_per_group[bucketed]: " + " | ".join(problems)
 
 
+def test_token_budget_bucketed_scale_path_parity(spark, sf_dir, duck, monkeypatch):
+    """q_token_budget_pack's cluster-scale bucketed running-sum plan is
+    bypassed at fixture sizes (adaptive switch); force it here so BOTH
+    paths stay oracle-exact (integer token sums make the two-phase plan
+    bit-identical, not merely ULP-close)."""
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_SWITCH_BYTES", "0")
+    sdf = registry.QUERIES["q_token_budget_pack"](spark, sf_dir).toPandas()
+    ddf = duck.execute(registry.ORACLES["q_token_budget_pack"]).fetchdf()
+    problems = compare(sdf, ddf)
+    assert not problems, "q_token_budget_pack[bucketed]: " + " | ".join(problems)
+
+
 def test_driver_priority_queries_inside_50_window():
     """The driver's correctness harness verifies only the first 50 entries of
     queries(); every query that still needs a hard-signal row (new or

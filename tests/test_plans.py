@@ -1194,3 +1194,15 @@ class TestRound7Plans:
         assert "user_id" in plan
         # an unpartitioned window would log/plan a single-partition sort
         assert "SinglePartition" not in plan
+
+    def test_dedup_incremental_band_joins_only_the_delta(self, spark, sf_dir):
+        """Incremental dedup must probe the standing signature store with
+        TODAY's band rows only: the delta restriction (doc_id % 4 == 0) is
+        a pre-join filter on the probe side, the join stays a hash/merge
+        join on (band, band_key), and no all-pairs shape may appear — at
+        100 TB the store side must never self-join."""
+        plan = plan_of(spark, sf_dir, "q_dedup_incremental")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "band_key" in plan
+        assert "% 4" in plan  # delta filter survives into the physical plan
