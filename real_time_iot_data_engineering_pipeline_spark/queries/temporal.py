@@ -1993,133 +1993,3 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("actual") - F.col("fitted_raw")).alias("residual"),
     ).orderBy("day")
 
-
-# ---------------------------------------------------------------------------
-# Distribution drift (PSI) between a reference and a current period (round 8)
-# ---------------------------------------------------------------------------
-
-DRIFT_SPLIT = "2024-01-22 00:00:00"  # reference = before, current = after
-DRIFT_BIN_W = 50.0  # fixed-width value bins 0..9 (value range ~0-490)
-DRIFT_BINS = 10
-DRIFT_EPS = 0.5  # Laplace smoothing so empty bins never divide by zero
-
-
-@register(
-    "q_feature_drift",
-    oracle=f"""
-    WITH ev AS (
-        SELECT event_type,
-               CAST(ts AS TIMESTAMP) < TIMESTAMP '{DRIFT_SPLIT}' AS is_ref,
-               least({DRIFT_BINS - 1},
-                     CAST(floor(value / {DRIFT_BIN_W}) AS INT)) AS bin
-        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-    ),
-    counts AS (
-        SELECT event_type, bin,
-               sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_cnt,
-               sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_cnt
-        FROM ev GROUP BY event_type, bin
-    ),
-    grid AS (
-        SELECT t.event_type, b.bin
-        FROM (SELECT DISTINCT event_type FROM ev) t,
-             (SELECT unnest(generate_series(0, {DRIFT_BINS - 1})) AS bin) b
-    ),
-    filled AS (
-        SELECT g.event_type, g.bin,
-               coalesce(c.ref_cnt, 0) AS ref_cnt,
-               coalesce(c.cur_cnt, 0) AS cur_cnt
-        FROM grid g LEFT JOIN counts c
-          ON g.event_type = c.event_type AND g.bin = c.bin
-    ),
-    totals AS (
-        SELECT event_type,
-               sum(ref_cnt) AS n_ref, sum(cur_cnt) AS n_cur
-        FROM filled GROUP BY event_type
-    ),
-    probs AS (
-        SELECT f.event_type, f.bin, t.n_ref, t.n_cur,
-               (f.ref_cnt + {DRIFT_EPS})
-                   / (t.n_ref + {DRIFT_BINS} * {DRIFT_EPS}) AS p,
-               (f.cur_cnt + {DRIFT_EPS})
-                   / (t.n_cur + {DRIFT_BINS} * {DRIFT_EPS}) AS q
-        FROM filled f JOIN totals t ON f.event_type = t.event_type
-    )
-    SELECT event_type,
-           CAST(min(n_ref) AS BIGINT) AS n_ref,
-           CAST(min(n_cur) AS BIGINT) AS n_cur,
-           {fround_sql("sum((p - q) * ln(p / q))", 6)} AS psi
-    FROM probs GROUP BY event_type ORDER BY event_type
-    """,
-)
-def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population-stability-index drift monitor: per event_type, compare
-    the value distribution of the current period against the reference
-    period over {DRIFT_BINS} fixed-width bins with Laplace smoothing —
-    PSI = sum((p-q)·ln(p/q)).  The standing drift check a training-data
-    (or feature-store) pipeline runs on every incoming batch before
-    admitting it; >0.2 conventionally flags actionable shift.
-
-    The period split compares TIMESTAMP_NTZ against an NTZ literal (no
-    epoch arithmetic, so a non-UTC driver session cannot shift it); bins
-    are fixed-width integer arithmetic; the only float reduction is the
-    final 10-term PSI sum, quantized at 6 dp on both engines.
-
-    Scale: one map-side pass bins every event (codegen'd), the shuffle
-    carries (event_type, bin) partial counts — at most types x {DRIFT_BINS}
-    rows regardless of data volume — and everything after the first agg is
-    metadata-sized."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("value").isNotNull()
-    )
-    binned = ev.select(
-        "event_type",
-        (
-            F.col("ts")
-            < F.lit(DRIFT_SPLIT).cast("timestamp_ntz")
-        ).alias("is_ref"),
-        F.least(
-            F.lit(DRIFT_BINS - 1),
-            F.floor(F.col("value") / DRIFT_BIN_W).cast("int"),
-        ).alias("bin"),
-    )
-    counts = binned.groupBy("event_type", "bin").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_cnt"),
-        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cur_cnt"),
-    )
-    grid = (
-        binned.select("event_type")
-        .distinct()
-        .crossJoin(
-            spark.range(DRIFT_BINS).select(F.col("id").cast("int").alias("bin"))
-        )
-    )
-    filled = grid.join(counts, ["event_type", "bin"], "left").select(
-        "event_type",
-        "bin",
-        F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
-        F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
-    )
-    totals = filled.groupBy("event_type").agg(
-        F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
-    )
-    smooth = DRIFT_BINS * DRIFT_EPS
-    probs = filled.join(totals, "event_type").select(
-        "event_type",
-        "n_ref",
-        "n_cur",
-        ((F.col("ref_cnt") + DRIFT_EPS) / (F.col("n_ref") + smooth)).alias("p"),
-        ((F.col("cur_cnt") + DRIFT_EPS) / (F.col("n_cur") + smooth)).alias("q"),
-    )
-    return (
-        probs.groupBy("event_type")
-        .agg(
-            F.min("n_ref").cast("long").alias("n_ref"),
-            F.min("n_cur").cast("long").alias("n_cur"),
-            fround(
-                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
-                6,
-            ).alias("psi"),
-        )
-        .orderBy("event_type")
-    )

@@ -1958,6 +1958,9 @@ def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     of all corpus tokens) is exhausted, and report the per-source admitted
     mix — the final packing decision a training-data pipeline makes after
     filtering/dedup, deciding WHICH clean documents fill the token budget.
+    (q_token_budget_plan is the upstream twin: it ALLOCATES the budget
+    across sources by mixture weight; this query ADMITS individual
+    documents by quality rank and reports the realized mix.)
 
     Exactness: token counts are integers, so the running sum is exact (no
     float regrouping concern), and the admission test is kept in integer
@@ -2054,7 +2057,8 @@ def q_batch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     new document's distinct 3-word shingles has the standing corpus never
     seen?  Low novelty batches add little training signal even when they
     are not literal duplicates — this is the acquisition-side metric that
-    complements q_dedup_incremental's removal-side verdicts.  Rolled up to
+    complements q_dedup_incremental's removal-side verdicts (and the
+    cross-RUN sibling of q_ngram_novelty's train/test split-time form).  Rolled up to
     (source, n_docs, avg_novelty).
 
     Scale: both sides reduce to DISTINCT shingle keys before the join; the

@@ -78,7 +78,6 @@ _DRIVER_PRIORITY = (
     "q_label_propagation_converged",  # LPA to fixpoint (queries/linkage.py)
     "q_token_budget_pack",  # greedy corpus packing under a token budget (text.py)
     "q_batch_novelty",  # delta-vs-store shingle novelty (text.py)
-    "q_feature_drift",  # PSI drift monitor ref-vs-current (temporal.py)
 )
 
 # Added AFTER the 50-query window filled (the slots above are this round's
