@@ -45,6 +45,22 @@ STATE_SCHEMA = "last_ts timestamp, last_value double"
 SUDDEN_THRESHOLD = 20.0  # Learning Guide.txt:1058 §3
 
 
+def arm_idle_timeout(state: GroupState, batch_max_ts, ttl_ms: int) -> None:
+    """Arm the idle-eviction deadline at TTL past the LATER of the current
+    watermark and this batch's own max event time.  In the FIRST micro-batch
+    the watermark is still 0 (it lags one batch), so a watermark-only
+    deadline is epoch-1970 + TTL — ancient the moment real event times
+    arrive, silently evicting every key armed in batch 0 that then idles
+    for one batch (surfaced by the near-dup bucket store's cross-batch
+    test; regression-pinned in tests/test_stateful.py)."""
+    batch_ms = 0
+    if batch_max_ts is not None and not pd.isna(batch_max_ts):
+        batch_ms = int(pd.Timestamp(batch_max_ts).value // 1_000_000)
+    state.setTimeoutTimestamp(
+        max(state.getCurrentWatermarkMs(), batch_ms) + ttl_ms
+    )
+
+
 def _detect(threshold: float):
     def fn(
         key: tuple[Any, ...],
@@ -75,7 +91,7 @@ def _detect(threshold: float):
         # state lives while the sensor keeps reporting; idle sensors expire
         # one watermark-delay after their last event (the reference's
         # in-process tracker expired after 1 minute too)
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+        arm_idle_timeout(state, rows["ts"].max(), 60_000)
         yield pd.DataFrame({"user_id": [user_id] * len(out["event_id"]), **out})
 
     return fn
@@ -150,7 +166,7 @@ def _cusum(mu0: float, slack: float, h: float):
             if alarm:  # standard CUSUM restart after signalling
                 s_pos, s_neg = 0.0, 0.0
         state.update((s_pos, s_neg))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+        arm_idle_timeout(state, rows["ts"].max(), 60_000)
         yield pd.DataFrame({"user_id": [user_id] * len(out["event_id"]), **out})
 
     return fn
@@ -254,7 +270,7 @@ def _zscore(threshold: float, min_obs: int):
                 mean += delta / n
                 m2 += delta * (x - mean)
         state.update((n, mean, m2))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+        arm_idle_timeout(state, rows["ts"].max(), 60_000)
         yield pd.DataFrame({"user_id": [user_id] * len(out["event_id"]), **out})
 
     return fn
@@ -341,7 +357,7 @@ def _misra_gries(capacity: int):
                 }
         ks = sorted(summary)
         state.update((ks, [summary[k] for k in ks], processed))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        arm_idle_timeout(state, rows["ts"].max(), 3_600_000)
         yield pd.DataFrame(
             {
                 "bucket": [bucket] * len(ks),
@@ -435,15 +451,19 @@ def _bottom_k(capacity: int):
             kept = list(zip(list(hashes), list(ids)))
         else:
             kept, processed = [], 0
+        batch_max_ts = None
         for pdf in pdfs:
             processed += len(pdf)
             kept.extend(zip(pdf["sample_hash"], (int(i) for i in pdf["event_id"])))
             # merge step of the mergeable summary: keep the k smallest tags
             kept = sorted(kept)[:capacity]
+            if len(pdf):
+                m = pdf["ts"].max()
+                batch_max_ts = m if batch_max_ts is None else max(batch_max_ts, m)
         state.update(
             ([h for h, _ in kept], [i for _, i in kept], processed)
         )
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        arm_idle_timeout(state, batch_max_ts, 3_600_000)
         yield pd.DataFrame(
             {
                 "bucket": [bucket] * len(kept),
@@ -562,14 +582,18 @@ def _hist_fold(bins: int, lo: float, hi: float, quantiles: tuple[float, ...]):
             counts = list(counts)
         else:
             counts, processed = [0] * bins, 0
+        batch_max_ts = None
         for pdf in pdfs:
             processed += len(pdf)
             # merge step of the mergeable summary: element-wise add of the
             # micro-batch's bincount (bin index precomputed JVM-side)
             bc = np.bincount(pdf["bin"].to_numpy(), minlength=bins)
             counts = [c + int(b) for c, b in zip(counts, bc)]
+            if len(pdf):
+                m = pdf["ts"].max()
+                batch_max_ts = m if batch_max_ts is None else max(batch_max_ts, m)
         state.update((counts, processed))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        arm_idle_timeout(state, batch_max_ts, 3_600_000)
         if processed == 0:
             return
         ests = [histogram_quantile(counts, q, lo, width) for q in quantiles]
@@ -693,15 +717,19 @@ def _kmv(k: int):
             held = set(hashes)
         else:
             held, processed = set(), 0
+        batch_max_ts = None
         for pdf in pdfs:
             processed += len(pdf)
             # merge step of the mergeable summary: union of distinct
             # hash sets, truncated back to the k smallest
             held.update(pdf["kmv_hash"])
             held = set(sorted(held)[:k])
+            if len(pdf):
+                m = pdf["ts"].max()
+                batch_max_ts = m if batch_max_ts is None else max(batch_max_ts, m)
         final = sorted(held)
         state.update((final, processed))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        arm_idle_timeout(state, batch_max_ts, 3_600_000)
         if processed == 0:
             return
         est, exact = kmv_estimate(final, k)

@@ -571,3 +571,53 @@ def test_distinct_stream_matches_python_kmv(spark, tmp_path):
     assert final.est_distinct == expect and not exact
     # (b) inside the sketch's error envelope around the true 400
     assert abs(final.est_distinct - len(users)) / len(users) < 0.25
+
+
+def test_batch0_state_survives_an_idle_batch(spark, tmp_path):
+    """Cold-start eviction regression (round 8): in the FIRST micro-batch
+    the watermark is still 0, so a deadline armed as watermark + TTL is
+    epoch-1970 + TTL — ancient the moment real event times arrive — and a
+    key armed in batch 0 that then idles ONE batch was silently evicted
+    (its next reading saw no baseline).  arm_idle_timeout anchors the
+    deadline to the batch's own max event time instead.  Here u1 reports
+    in batch 0, idles through batch 1, and returns in batch 2: the spike
+    must still be judged against the remembered batch-0 value."""
+    src = tmp_path / "src"
+    src.mkdir()
+    write_file(
+        str(src),
+        "f1.json",
+        [ev(1, "2024-01-15 10:00:00", user_id=1, value=10.0)],
+        seq=0,
+    )
+    write_file(
+        str(src),
+        "f2.json",
+        [ev(2, "2024-01-15 10:00:10", user_id=2, value=5.0)],
+        seq=1,
+    )
+    write_file(
+        str(src),
+        "f3.json",
+        [ev(3, "2024-01-15 10:00:20", user_id=1, value=35.0)],
+        seq=2,
+    )
+    out = sudden_change_stream(
+        parse_event_stream(read_event_file_stream(spark, str(src)))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sudden_idle")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.event_id: (r.delta, r.is_sudden_change)
+        for r in spark.sql("SELECT * FROM sudden_idle").collect()
+    }
+    assert rows[1] == (None, False)
+    # before the fix this read (None, False): u1's batch-0 state was gone
+    assert rows[3] == (25.0, True)
