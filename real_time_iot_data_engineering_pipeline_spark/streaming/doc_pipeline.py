@@ -233,6 +233,9 @@ class DocIngestSink:
     def read_stats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "stats", "epoch=*"))
 
+    def read_near_dups(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "near_dup"))
+
 
 def run_doc_ingest(
     spark: SparkSession,
@@ -243,9 +246,20 @@ def run_doc_ingest(
     policy: DataFrame | None = None,
     with_curation_gates: bool = False,
     eval_grams: DataFrame | None = None,
+    with_near_dup: bool = False,
 ) -> DocIngestSink:
     """Drain source_dir through dedup -> gate [-> policy join]
-    [-> curation gates] -> append with AvailableNow."""
+    [-> curation gates] -> append with AvailableNow.
+
+    `with_near_dup` runs the MinHash/LSH candidate-pair detector
+    (streaming/near_dup.py) as a PARALLEL query over the same file
+    source, appending pairs under out/near_dup.  A separate query rather
+    than a chained stage: the ingest path already spends its one
+    watermark on dropDuplicatesWithinWatermark, and chaining a second
+    stateful operator behind it inherits late-filtering semantics that
+    the near-dup bucket store should not (an exact-dup is DROPPED by the
+    hash dedup, so the LSH stage would never see it — near-dup pairs and
+    exact-dup suppression are different verdicts from the same wire)."""
     sink = DocIngestSink(spark, out_dir)
     stream = ingest_doc_stream(
         read_doc_file_stream(spark, source_dir, max_files_per_trigger),
@@ -261,9 +275,36 @@ def run_doc_ingest(
         .trigger(availableNow=True)
         .start()
     )
+    nq = None
+    if with_near_dup:
+        from .near_dup import near_dup_stream
+
+        raw = read_doc_file_stream(spark, source_dir, max_files_per_trigger)
+        pairs = near_dup_stream(
+            raw.withColumn("fetched_at", F.to_timestamp("fetched_at"))
+            .filter(F.col("fetched_at").isNotNull())
+            .filter(F.col("text").isNotNull()),
+            ts_col="fetched_at",
+            watermark=DOC_WATERMARK_DELAY,
+        )
+        nq = (
+            pairs.writeStream.outputMode("append")
+            .queryName("doc-near-dup")
+            .option(
+                "checkpointLocation", os.path.join(out_dir, "ckpt_near_dup")
+            )
+            .format("parquet")
+            .option("path", os.path.join(out_dir, "near_dup"))
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         q.awaitTermination(timeout_seconds)
+        if nq is not None:
+            nq.awaitTermination(timeout_seconds)
     finally:
         if q.isActive:
             q.stop()
+        if nq is not None and nq.isActive:
+            nq.stop()
     return sink

@@ -267,3 +267,32 @@ def test_stream_gate_agrees_with_batch_decontaminate(spark, tmp_path, sf_dir):
     }
     assert stream_rejected == batch - short
     assert stream_rejected  # the planted canaries guarantee a non-empty set
+
+
+def test_doc_ingest_near_dup_branch(spark, tmp_path):
+    """with_near_dup runs the LSH candidate detector as a parallel query:
+    a near-duplicate arriving a LATER file than the original must surface
+    as a (doc_a, doc_b) pair under out/near_dup — including when the
+    exact-dup hash dedup on the ingest path would have hidden it (the two
+    verdicts are independent)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the watchful "
+        "cat silently observes every single move from the warm wooden "
+        "porch nearby"
+    )
+    near = base.rsplit(" ", 1)[0]  # one word dropped: near-dup, not exact
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(str(src), "f1.json", [doc(1, base, "2024-01-19 10:00:00")], seq=0)
+    _write(str(src), "f2.json", [doc(5, OTHER, "2024-01-19 10:00:10")], seq=1)
+    _write(str(src), "f3.json", [doc(2, near, "2024-01-19 10:00:20")], seq=2)
+    sink = run_doc_ingest(
+        spark, str(src), str(tmp_path / "out"), with_near_dup=True
+    )
+    pairs = {
+        (r.doc_a, r.doc_b) for r in sink.read_near_dups().collect()
+    }
+    assert pairs == {(1, 2)}
+    # the ingest path itself is unaffected: all three docs are distinct
+    # content hashes, so all three land in docs/
+    assert sink.read_docs().count() == 3
