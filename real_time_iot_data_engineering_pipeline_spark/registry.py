@@ -65,28 +65,81 @@ _QUERY_MODULES = (
 # order; every query that falls outside the window as a result already
 # holds a green driver row (CORRECTNESS_r01 and/or _r02).
 _DRIVER_PRIORITY = (
-    # round-8 rotation.  CORRECTNESS_r07 converted 49 of the 50 round-7
-    # window slots to green rows; the one red was q_quality_ensemble, whose
-    # ArrayType(StringType) drop_reasons column broke the driver's pandas
-    # canonicalizer (unhashable list).  It is re-fronted after the
-    # array_join(';') serialization fix (queries/quality.py), alongside
-    # every query NEW in round 8 (appended below as they land).
-    "q_quality_ensemble",
-    # NEW in round 8:
-    "q_dedup_incremental",  # delta-vs-standing-store MinHash (queries/text.py)
-    "q_dedup_exact_incremental",  # content-hash delta-vs-store twin (text.py)
-    "q_label_propagation_converged",  # LPA to fixpoint (queries/linkage.py)
-    "q_token_budget_pack",  # greedy corpus packing under a token budget (text.py)
-    "q_batch_novelty",  # delta-vs-store shingle novelty (text.py)
+    # round-9 rotation: CERTIFICATION-FRESHNESS pass.  CORRECTNESS_r08
+    # converted all 50 round-8 slots to green rows, leaving the registry
+    # fully certified but with a staleness tail: 7 queries last checked in
+    # round 2 and 46 in round 3.  Per the round-8 verdict (ask #1) the
+    # window is now filled OLDEST-CERT-FIRST — all 7 r2-certified queries,
+    # then the alphabetically-first 43 of the 46 r3-certified ones (the
+    # remaining 3 overflow to _NEXT_ROUND_PRIORITY).  The oldest-first
+    # invariant and the ≤6-round cadence bar are both enforced by
+    # tests/test_oracle_parity.py.  New/changed queries always pre-empt
+    # re-certs: list them FIRST here (they count as cert round 0).
+    # -- last driver-certified round 2:
+    "q_dedup_window",
+    "q_doc_dedup_exact",
+    "q_doc_simhash",
+    "q_incremental_scan",
+    "q_sync_watermark",
+    "q_text_stats",
+    "q_upsert_last_write_wins",
+    # -- last driver-certified round 3 (first 43 of 46):
+    "q_asof_join",
+    "q_click_attribution",
+    "q_corpus_stats",
+    "q_decontaminate",
+    "q_distinct_users",
+    "q_doc_chunk",
+    "q_doc_dup_groups",
+    "q_doc_fingerprint",
+    "q_embed_centroids",
+    "q_embed_ivf",
+    "q_embed_knn",
+    "q_embed_knn_lsh",
+    "q_embed_near_dup",
+    "q_funnel",
+    "q_heavy_hitters",
+    "q_lang_id",
+    "q_mart_daily_sql",
+    "q_mart_hourly_sql",
+    "q_mart_location_sql",
+    "q_mixture_weights",
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    "q_pii_redact",
+    "q_pivot_daily",
+    "q_pricing_summary",
+    "q_priority_fill",
+    "q_quality_score",
+    "q_quantile_summary",
+    "q_range_join",
+    "q_reading_gaps",
+    "q_region_revenue",
+    "q_repetition_filter",
+    "q_retention",
+    "q_returned_revenue",
+    "q_rollup_hypertable",
+    "q_sample_stratified",
+    "q_semantic_dedup",
+    "q_sequence_pack",
+    "q_session_agg",
+    "q_ship_priority",
+    "q_sliding_agg",
+    "q_tfidf_topterms",
 )
 
-# Added AFTER the 50-query window filled (the slots above are this round's
-# must-verify set: never-driver-verified + new/rewritten queries).  These
-# order immediately after the window (positions 51+), hold green local
-# parity rows (tests/test_oracle_parity.py), and are next round's
-# front-load candidates once the slots above convert to hard CORRECTNESS
-# rows.
-_NEXT_ROUND_PRIORITY: tuple[str, ...] = ()
+# Rotation OVERFLOW queue: stale-certified queries that did not fit in this
+# round's 50-slot window.  They order immediately after the window
+# (positions 51+) and are the mandatory front of next round's rotation —
+# the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
+# "scheduled for re-cert" when enforcing the ≤6-round freshness bar.
+_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
+    # -- last driver-certified round 3 (remaining 3 of 46):
+    "q_token_count",
+    "q_train_test_split",
+    "q_vocab_topk",
+)
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

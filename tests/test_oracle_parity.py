@@ -66,33 +66,32 @@ def test_driver_priority_queries_inside_50_window():
     assert not missing, f"priority queries past the driver's 50-query cut: {missing}"
 
 
-def test_driver_priority_rotated_to_uncertified():
-    """Forcing function for the per-round window rotation: every slot in the
-    driver's 50-query window is wasted if its query already holds a green
-    CORRECTNESS row from a prior round.  This fails at the START of round
-    N+1 until _DRIVER_PRIORITY is rotated to never-certified queries.  If a
-    certified query is legitimately re-fronted (its code or oracle changed,
-    invalidating the old row), list it in _RECERTIFY below with the reason.
+# Re-fronted because their code or oracle changed after the certifying
+# round (the old green row no longer certifies the current behaviour).
+# These are exempt from the oldest-first invariant.  Round 9: empty.
+_RECERTIFY: set[str] = set()
 
-    ATOMIC-COMMIT REQUIREMENT: by design this test goes red the moment a
-    round's CORRECTNESS_rNN.json certifying the current window lands —
-    commit the round-N artifact and the round-N+1 rotation TOGETHER (or
-    rotate first in the same working tree) so CI never sits between them.
+# Certification-freshness horizon (rounds).  A query whose latest green
+# driver row is older than this must be scheduled for re-certification
+# (inside _DRIVER_PRIORITY or _NEXT_ROUND_PRIORITY).  6 == the worst case
+# observed at round 9 (r2-certified queries, age 7, all rotated in).
+_CADENCE_MAX_AGE_ROUNDS = 6
 
-    A query counts as *certified* only if some round's row is fully green
-    (rows_match, schema_match, hash_match all true, err null); a failing
-    driver row must keep its query inside the window for re-verification.
-    """
+
+def _cert_rounds() -> tuple[dict[str, int], int]:
+    """(latest fully-green driver-cert round per query — 0 if never), plus
+    the round currently being built (latest artifact round + 1).  A row
+    counts as green only with rows/schema/hash all matching and err null."""
     import json
+    import re
     from pathlib import Path
 
-    # Re-fronted because their code changed after the certifying round.
-    # Round 8: empty — the only re-fronted query, q_quality_ensemble, was
-    # never certified (its r07 row errored), so it needs no exemption.
-    _RECERTIFY: set[str] = set()
     repo = Path(__file__).resolve().parents[1]
-    certified: set[str] = set()
+    cert: dict[str, int] = {n: 0 for n in registry.QUERIES}
+    latest = 0
     for p in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p.stem).group(1))
+        latest = max(latest, rnd)
         for name, row in json.loads(p.read_text()).items():
             if (
                 isinstance(row, dict)
@@ -100,16 +99,56 @@ def test_driver_priority_rotated_to_uncertified():
                 and row.get("schema_match") is True
                 and row.get("hash_match") is True
                 and row.get("err") is None
+                and name in cert
             ):
-                certified.add(name)
-    stale = [
-        n
-        for n in registry._DRIVER_PRIORITY
-        if n in certified and n not in _RECERTIFY
+                cert[name] = max(cert[name], rnd)
+    return cert, latest + 1
+
+
+def test_driver_priority_rotated_oldest_cert_first():
+    """Forcing function for the per-round window rotation: the driver's
+    50-query window must be spent on the queries that need it most — never-
+    certified queries first (cert round 0), then stalest certifications.
+    Enforced as an invariant: the freshest cert INSIDE the window must not
+    be fresher than the stalest cert OUTSIDE window+overflow (modulo
+    _RECERTIFY, for queries legitimately re-fronted after a code change).
+
+    ATOMIC-COMMIT REQUIREMENT: by design this goes red the moment a round's
+    CORRECTNESS_rNN.json certifying the current window lands (the window's
+    certs jump to round N while stale queries wait outside) — commit the
+    round-N artifact and the round-N+1 rotation TOGETHER."""
+    cert, _ = _cert_rounds()
+    scheduled = set(registry._DRIVER_PRIORITY) | set(registry._NEXT_ROUND_PRIORITY)
+    window = [
+        n for n in registry._DRIVER_PRIORITY if n in cert and n not in _RECERTIFY
     ]
-    assert not stale, (
-        "driver-window slots burned on already-certified queries (rotate "
-        f"registry._DRIVER_PRIORITY): {stale}"
+    outside = [n for n in cert if n not in scheduled]
+    if not window or not outside:
+        return
+    freshest_in = max(window, key=lambda n: cert[n])
+    stalest_out = min(outside, key=lambda n: cert[n])
+    assert cert[freshest_in] <= cert[stalest_out], (
+        f"window slot burned on {freshest_in} (cert r{cert[freshest_in]}) while "
+        f"{stalest_out} (cert r{cert[stalest_out]}) waits outside — rotate "
+        "registry._DRIVER_PRIORITY oldest-cert-first"
+    )
+
+
+def test_certification_cadence():
+    """No registered query's latest green driver cert may be older than
+    _CADENCE_MAX_AGE_ROUNDS rounds unless it is already scheduled for
+    re-certification (window or overflow).  Keeps the whole registry's
+    correctness evidence fresh, not just the current round's additions."""
+    cert, building = _cert_rounds()
+    scheduled = set(registry._DRIVER_PRIORITY) | set(registry._NEXT_ROUND_PRIORITY)
+    overdue = sorted(
+        f"{n} (cert r{cert[n]}, age {building - cert[n]})"
+        for n in cert
+        if cert[n] and building - cert[n] > _CADENCE_MAX_AGE_ROUNDS and n not in scheduled
+    )
+    assert not overdue, (
+        f"certs older than {_CADENCE_MAX_AGE_ROUNDS} rounds and not scheduled "
+        f"for re-cert: {overdue}"
     )
 
 
