@@ -5,14 +5,25 @@ side is q_dedup_incremental (today's bands probe the standing signature
 store); this is the same probe running continuously, with the "standing
 store" living in streaming state.
 
-Shape: a stateless Arrow `mapInPandas` stage computes each document's
-32-slot MinHash signature and explodes it into 8 LSH band rows (the
-signature family is BIT-IDENTICAL to the batch queries' — md5 hex halves,
+Shape: a stateless JVM projection computes each document's 32-slot
+MinHash signature and explodes it into 8 LSH band rows (the signature
+family is BIT-IDENTICAL to the batch queries' — md5 hex halves,
 g_i = (h1 + i*h2) mod P over 3-word shingles — pinned by a golden test
 against the batch plan), then `applyInPandasWithState` keyed by the band
 key holds each bucket's recent signatures and emits a candidate pair the
 moment a new document collides with a stored one at estimated Jaccard
 >= {PAIR_MIN_EST}.
+
+The signature stage is pure column expressions (round 9; previously a
+per-doc Python md5 loop inside mapInPandas — the one row-at-a-time-ish
+Python stage on the hot ingest path).  The batch plan's posexplode+lead
+shingling (queries/text.py:_shingle_rows) needs a window function, which
+streaming forbids, so the stream folds the SAME hash family per row:
+shingles via transform(sequence(...)), one md5 each, then
+aggregate(...) min-folds all 32 slots in a single pass over the shingle
+array.  Higher-order lambdas evaluate interpreted (outside codegen), but
+stay JVM-side with zero Python serialization; Python now runs ONLY in the
+stateful band store, which has no JVM alternative.
 
 Emission semantics: at-least-once PER BAND — a pair colliding in several
 bands is emitted once per colliding band (each band bucket is an
@@ -42,7 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..queries.text import _BANDS, _K, _P, _ROWS
+from ..queries.text import _BANDS, _K, _P, _ROWS, _WORDS_SPARK
 from .stateful import arm_idle_timeout
 
 PAIR_MIN_EST = 0.5  # same survivor threshold as q_doc_dedup_minhash
@@ -55,7 +66,12 @@ def minhash_signature(text: str) -> list[int] | None:
     3-word shingles over split(trim(lower(text)), \\s+), one md5 per
     shingle, h1/h2 = the 15-hex-char halves, slot i = min (h1 + i*h2) % P.
     Returns None for documents with fewer than 3 words (the batch plan
-    produces no shingle rows for them either)."""
+    produces no shingle rows for them either).
+
+    REFERENCE TWIN ONLY: the stream computes signatures with the JVM
+    expression below (_SIG_SQL); this Python form exists so the golden
+    tests can pin all three members of the family (batch plan, stream
+    plan, readable spec) against each other."""
     words = re.split(r"\s+", text.strip().lower()) if text and text.strip() else []
     if len(words) < 3:
         return None
@@ -71,36 +87,67 @@ def minhash_signature(text: str) -> list[int] | None:
     return sig
 
 
-BAND_ROW_SCHEMA = T.StructType(
-    [
-        T.StructField("band_key", T.StringType()),
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("sig_json", T.StringType()),
-    ]
-)
+# Per-row 32-slot signature over a `_words` array column: 3-word shingles ->
+# one md5 each -> fold min((h1 + i*h2) % P) across all K slots in ONE pass
+# over the shingle array (aggregate's merge visits each shingle once; the
+# md5/conv work lives in the aggregate's input expression, evaluated once).
+# Bit-identical to the batch family (queries/text.py:_minhash_sigs): same
+# word split, same md5 hex halves, same mod-P arithmetic; the batch min
+# aggregate over >=1 shingle always lands below the P initializer.
+_SIG_SQL = f"""
+aggregate(
+  transform(
+    transform(
+      transform(sequence(0, size(_words) - 3),
+                j -> concat_ws(' ', _words[j], _words[j + 1], _words[j + 2])),
+      s -> md5(s)),
+    h -> struct(cast(conv(substr(h, 1, 15), 16, 10) AS bigint) % {_P} AS h1,
+                cast(conv(substr(h, 17, 15), 16, 10) AS bigint) % {_P} AS h2)),
+  array_repeat(cast({_P} AS bigint), {_K}),
+  (acc, x) -> transform(acc, (a, i) -> least(a, (x.h1 + i * x.h2) % {_P})))
+"""
 
 
-def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: (doc_id, text, ts) -> {_BANDS} band rows per doc.
+def banded_rows(docs: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """(doc_id, text, <ts_col>) -> (band_key, doc_id, ts, sig_json): the
+    stream's stateless signature stage, pure JVM column expressions.
+
     band_key embeds the band index ('<band>:<slot|slot|...>') so each LSH
-    band is its own state key group, matching the batch band join key."""
-    for pdf in batches:
-        out = {"band_key": [], "doc_id": [], "ts": [], "sig_json": []}
-        for doc_id, text, ts in zip(pdf["doc_id"], pdf["text"], pdf["ts"]):
-            sig = minhash_signature(text if isinstance(text, str) else "")
-            if sig is None:
-                continue
-            sj = json.dumps(sig, separators=(",", ":"))
-            for b in range(_BANDS):
-                key = f"{b}:" + "|".join(
-                    str(x) for x in sig[b * _ROWS : (b + 1) * _ROWS]
-                )
-                out["band_key"].append(key)
-                out["doc_id"].append(doc_id)
-                out["ts"].append(ts)
-                out["sig_json"].append(sj)
-        yield pd.DataFrame(out)
+    band is its own state key group, matching the batch band join key;
+    sig_json is the compact-JSON signature the stateful stage parses.
+    Documents with fewer than 3 words produce no rows (the batch plan
+    yields no shingle rows for them either).  The explode sits ABOVE the
+    signature projection, so the fold runs once per document, not once per
+    band row (CollapseProject cannot push band_key's expression through
+    the Generate node)."""
+    sig_strs = F.col("_sig").cast("array<string>")
+    return (
+        docs.select("doc_id", F.col(ts_col).alias("ts"), "text")
+        .select("doc_id", "ts", F.expr(_WORDS_SPARK).alias("_words"))
+        .filter(F.size("_words") >= 3)
+        .select("doc_id", "ts", F.expr(_SIG_SQL).alias("_sig"))
+        .select(
+            "doc_id",
+            "ts",
+            F.concat(F.lit("["), F.array_join(sig_strs, ","), F.lit("]")).alias(
+                "sig_json"
+            ),
+            sig_strs.alias("_sig_s"),
+            F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("_band"),
+        )
+        .select(
+            F.concat_ws(
+                ":",
+                F.col("_band"),
+                F.array_join(
+                    F.slice("_sig_s", F.col("_band") * _ROWS + F.lit(1), _ROWS), "|"
+                ),
+            ).alias("band_key"),
+            "doc_id",
+            "ts",
+            "sig_json",
+        )
+    )
 
 
 PAIR_SCHEMA = T.StructType(
@@ -182,16 +229,9 @@ def near_dup_stream(
     ttl_ms: int = TTL_MS,
 ) -> DataFrame:
     """Wire the two stages onto a streaming (doc_id, text, <ts_col>) frame:
-    watermark -> signature/band explode (stateless Arrow stage) -> per-band
-    stateful bucket probe.  Returns the candidate-pair stream."""
-    banded = (
-        docs.select("doc_id", "text", F.col(ts_col).alias("ts"))
-        .mapInPandas(band_rows, BAND_ROW_SCHEMA)
-        # watermark declared on the mapped output: event-time metadata does
-        # not survive an arbitrary Arrow projection, and the stateful
-        # operator's EventTimeTimeout needs it on ITS input
-        .withWatermark("ts", watermark)
-    )
+    signature/band explode (stateless JVM projections) -> watermark ->
+    per-band stateful bucket probe.  Returns the candidate-pair stream."""
+    banded = banded_rows(docs, ts_col).withWatermark("ts", watermark)
     return banded.groupBy("band_key").applyInPandasWithState(
         _bucket_fold(cap, ttl_ms),
         outputStructType=PAIR_SCHEMA,

@@ -16,7 +16,7 @@ from real_time_iot_data_engineering_pipeline_spark.queries.text import (
 from real_time_iot_data_engineering_pipeline_spark.streaming.near_dup import (
     BUCKET_CAP,
     PAIR_MIN_EST,
-    band_rows,
+    banded_rows,
     minhash_signature,
     near_dup_stream,
 )
@@ -60,6 +60,47 @@ def test_python_signature_matches_batch_plan(spark, tmp_path):
     }
     for doc_id, text in ((1, _BASE), (2, _NEAR), (3, _OTHER)):
         assert minhash_signature(text) == batch[doc_id], doc_id
+
+
+def test_jvm_stream_signature_matches_batch_plan(spark):
+    """The stream's per-row JVM signature fold (near_dup._SIG_SQL, used by
+    banded_rows) must reproduce the batch plan's signatures bit-for-bit,
+    and its band rows must carry the exact band_key/sig_json encodings the
+    stateful stage expects — the same pin the Python reference twin holds,
+    now covering all three family members."""
+    from real_time_iot_data_engineering_pipeline_spark.queries.text import (
+        _BANDS,
+        _ROWS,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, _BASE, "2024-01-15 10:00:00"),
+            (2, _NEAR, "2024-01-15 10:00:10"),
+            (3, _OTHER, "2024-01-15 10:00:20"),
+            (4, "two words", "2024-01-15 10:00:30"),  # <3 words: no rows
+        ],
+        "doc_id long, text string, ts string",
+    ).select("doc_id", "text", F.to_timestamp("ts").alias("ts"))
+    batch = {
+        r.doc_id: list(r.sig)
+        for r in _minhash_sigs(_shingle_rows(docs)).collect()
+    }
+    rows = banded_rows(docs).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 3}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, doc_rows in by_doc.items():
+        sig = batch[doc_id]
+        assert len(doc_rows) == _BANDS
+        expected_json = json.dumps(sig, separators=(",", ":"))
+        expected_keys = {
+            f"{b}:" + "|".join(str(x) for x in sig[b * _ROWS : (b + 1) * _ROWS])
+            for b in range(_BANDS)
+        }
+        assert all(r.sig_json == expected_json for r in doc_rows), doc_id
+        assert {r.band_key for r in doc_rows} == expected_keys, doc_id
 
 
 def test_signature_none_for_short_docs():
