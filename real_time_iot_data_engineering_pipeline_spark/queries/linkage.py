@@ -803,47 +803,52 @@ def q_label_propagation_converged(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from pyspark.sql.window import Window as _W
 
-    for _ in range(LP_MAX_ROUNDS):
-        votes = (
-            directed.join(
-                labels.filter(F.col("label").isNotNull()).select(
-                    F.col("x").alias("dst"), "label"
-                ),
-                "dst",
+    try:
+        for _ in range(LP_MAX_ROUNDS):
+            votes = (
+                directed.join(
+                    labels.filter(F.col("label").isNotNull()).select(
+                        F.col("x").alias("dst"), "label"
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("x"), "label")
+                .agg(F.count("*").alias("n"))
             )
-            .groupBy(F.col("src").alias("x"), "label")
-            .agg(F.count("*").alias("n"))
-        )
-        best = (
-            votes.withColumn(
-                "rn",
-                F.row_number().over(
-                    _W.partitionBy("x").orderBy(F.desc("n"), F.asc("label"))
-                ),
+            best = (
+                votes.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        _W.partitionBy("x").orderBy(F.desc("n"), F.asc("label"))
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .select("x", F.col("label").alias("prop_label"))
             )
-            .filter(F.col("rn") == 1)
-            .select("x", F.col("label").alias("prop_label"))
-        )
-        nxt = (
-            labels.withColumnRenamed("label", "prev_label")
-            .join(seed_tbl, "x", "left")
-            .join(best, "x", "left")
-            .select(
-                "x",
-                F.coalesce("seed_label", "prop_label", "prev_label").alias(
-                    "label"
-                ),
-                "prev_label",
+            nxt = (
+                labels.withColumnRenamed("label", "prev_label")
+                .join(seed_tbl, "x", "left")
+                .join(best, "x", "left")
+                .select(
+                    "x",
+                    F.coalesce("seed_label", "prop_label", "prev_label").alias(
+                        "label"
+                    ),
+                    "prev_label",
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = nxt.filter(
-            ~F.col("label").eqNullSafe(F.col("prev_label"))
-        ).count()
-        labels = nxt.select("x", "label")
-        if changed == 0:
-            break
-    directed.unpersist()
+            changed = nxt.filter(
+                ~F.col("label").eqNullSafe(F.col("prev_label"))
+            ).count()
+            labels = nxt.select("x", "label")
+            if changed == 0:
+                break
+    finally:
+        # unpersist even when a round's job fails: a leaked
+        # MEMORY_AND_DISK edge frame would outlive the query for the
+        # whole session
+        directed.unpersist()
     assigned = labels.join(seed_tbl, "x", "left").select(
         "label",
         F.when(F.col("seed_label").isNotNull(), "seed")
@@ -856,3 +861,12 @@ def q_label_propagation_converged(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy(F.col("label").asc_nulls_first(), "source")
     )
+
+
+# Declared for plan-analysis-only lints (tests/test_oracle_parity.py):
+# calling the function executes the fixpoint rounds eagerly, so schema
+# sweeps read this instead of invoking it.  Kept honest by the oracle
+# parity run, which executes the query and compares the real schema.
+q_label_propagation_converged.static_schema = (
+    "label int, source string, n_nodes bigint"
+)

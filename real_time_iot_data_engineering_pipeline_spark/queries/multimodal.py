@@ -258,7 +258,7 @@ def _mp4_stsz_count(payload: bytes, start: int, end: int) -> int:
             n = _mp4_stsz_count(payload, body, box_end)
             if n:
                 return n
-        elif btype == b"stsz" and body + 12 <= end:
+        elif btype == b"stsz" and body + 12 <= box_end:
             return struct.unpack(">I", payload[body + 8 : body + 12])[0]
     return 0
 

@@ -1016,6 +1016,14 @@ def q_doc_dup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Declared for plan-analysis-only lints (tests/test_oracle_parity.py):
+# calling the function runs the CC fixpoint eagerly, so schema sweeps read
+# this instead of invoking it.  Kept honest by the oracle parity run.
+q_doc_dup_groups_cc.static_schema = (
+    "doc_id bigint, dup_group bigint, is_keeper boolean"
+)
+
+
 # ---------------------------------------------------------------------------
 # MinHash/LSH evaluation harness: recall on planted pairs, precision vs
 # exact Jaccard, estimator error
@@ -1284,6 +1292,13 @@ def q_dup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+# Plan-analysis-only schema (composes the eager CC fixpoint above).
+q_dup_group_stats.static_schema = (
+    "group_size bigint, n_groups bigint, n_docs_in_size bigint, "
+    "doc_fraction double, corpus_dup_rate double"
+)
 
 
 # ---------------------------------------------------------------------------

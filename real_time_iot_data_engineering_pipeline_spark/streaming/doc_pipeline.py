@@ -24,6 +24,7 @@ replay, same protocol as the router sink).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -299,9 +300,13 @@ def run_doc_ingest(
             .start()
         )
     try:
+        # One shared deadline across both queries: timeout_seconds bounds
+        # the whole call, not each awaitTermination (with_near_dup=True
+        # used to block for up to 2x the caller's budget).
+        deadline = time.monotonic() + timeout_seconds
         q.awaitTermination(timeout_seconds)
         if nq is not None:
-            nq.awaitTermination(timeout_seconds)
+            nq.awaitTermination(max(0.0, deadline - time.monotonic()))
     finally:
         if q.isActive:
             q.stop()

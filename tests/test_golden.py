@@ -439,6 +439,24 @@ class TestRealMediaDecode:
         assert (meta["timescale"], meta["duration"]) == (600, 1800)
         assert abs(meta["duration_sec"] - 3.0) < 1e-12
 
+    def test_mp4_truncated_stsz_reads_zero_not_sibling_bytes(self):
+        """A truncated stsz box (body shorter than the 12-byte fixed header)
+        followed by a sibling box must yield sample count 0 — not silently
+        read the count from the sibling's header bytes."""
+        import struct
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            _mp4_stsz_count,
+        )
+
+        def box(btype: bytes, body: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(body)) + btype + body
+
+        truncated = box(b"stsz", struct.pack(">II", 0, 100))  # 8-byte body
+        sibling = box(b"free", struct.pack(">III", 7, 7, 7))
+        stbl = box(b"stbl", truncated + sibling)
+        assert _mp4_stsz_count(stbl, 0, len(stbl)) == 0
+
     def test_mp4_corrupt_bytes_rejected(self):
         import pytest as _pytest
 

@@ -169,16 +169,49 @@ def test_registered_query_schemas_are_atomic(spark, sf_dir):
     a top-level array/map/struct column is unhashable there and errors the
     row (q_quality_ensemble, CORRECTNESS_r07).  Guard the whole class:
     every registered query must return only atomic top-level columns.
-    Schema resolution is lazy (plan analysis only), so this sweeps all ~280
-    queries without executing them."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    Schema resolution is lazy (plan analysis only) for ordinary queries;
+    fixpoint queries run real Spark jobs at DataFrame-construction time
+    (localCheckpoint(eager=True) + exit-test counts), so they declare a
+    `static_schema` attribute the sweep reads instead — the declaration is
+    itself checked against the executed schema by
+    test_static_schemas_match_executed."""
+    from pyspark.sql.types import ArrayType, MapType, StructType, _parse_datatype_string
 
     offenders = []
     for name, fn in registry.QUERIES.items():
-        for f in fn(spark, sf_dir).schema.fields:
+        declared = getattr(fn, "static_schema", None)
+        schema = (
+            _parse_datatype_string(declared)
+            if declared
+            else fn(spark, sf_dir).schema
+        )
+        for f in schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{f.name}:{f.dataType.simpleString()}")
     assert not offenders, (
         "non-atomic top-level result columns (serialize with array_join or "
         f"to_json before returning): {offenders}"
     )
+
+
+def test_static_schemas_match_executed(spark, sf_dir):
+    """Every declared static_schema (the eager-fixpoint escape hatch above)
+    must equal the schema the query actually produces — names, types, and
+    order — so the lazy lint never drifts from reality."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    declared = {
+        name: fn.static_schema
+        for name, fn in registry.QUERIES.items()
+        if hasattr(fn, "static_schema")
+    }
+    assert declared, "expected at least the fixpoint queries to declare schemas"
+    for name, ddl in declared.items():
+        want = [
+            (f.name, f.dataType) for f in _parse_datatype_string(ddl).fields
+        ]
+        got = [
+            (f.name, f.dataType)
+            for f in registry.QUERIES[name](spark, sf_dir).schema.fields
+        ]
+        assert got == want, f"{name}: declared {want} != executed {got}"

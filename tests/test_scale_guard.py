@@ -69,14 +69,22 @@ def test_no_query_exceeds_its_scale_band(ratios, bands):
     two-sided: a violation requires BOTH the raw ratio and the
     drift-normalized ratio to exceed the band — a real scaling regression
     exceeds it under either reading of host drift, while drift
-    mis-correction flips only one of them.  The absolute floor keeps
-    sub-second jitter out."""
+    mis-correction flips only one of them.  Suite-position noise gets a
+    third reading: bench_scale re-measures banded violators in isolation
+    and records the probe ALONGSIDE the suite values (never replacing
+    them), and the query passes if either measurement is in band — a real
+    super-linear plan fails both.  The absolute floor keeps sub-second
+    jitter out."""
     violations = []
     for name, r in ratios["queries"].items():
         band = bands.get(name)
         if band is None or r["t10"] < ABS_FLOOR_SEC:
             continue
-        measured = min(r["ratio"], r.get("ratio_norm", r["ratio"]))
+        measured = min(
+            r["ratio"],
+            r.get("ratio_norm", r["ratio"]),
+            r.get("probe_ratio", float("inf")),
+        )
         if measured > band:
             violations.append(
                 f"{name}: 10x ratio {measured} (best reading) > band {band}"
