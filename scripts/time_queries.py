@@ -1,4 +1,6 @@
-"""Min-of-2 wall-clock for a subset of queries at a given fixture dir.
+"""Min-of-k wall-clock for a subset of queries at a given fixture dir
+(k = $SPARK_GRAFT_TIME_REPS, default 2; the isolated-probe protocol for
+bench-bar violators uses 3).
 Usage: python scripts/time_queries.py SF_DIR q_a q_b ...  -> JSON line."""
 import json
 import os
@@ -15,10 +17,11 @@ spark = build_session(app_name="time-queries")
 registry.QUERIES["q_tumbling_agg"](spark, sf_dir).write.format("noop").mode(
     "overwrite"
 ).save()  # warm the session
+reps = int(os.environ.get("SPARK_GRAFT_TIME_REPS", "2"))
 out = {}
 for n in names:
     best = None
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.monotonic()
         registry.QUERIES[n](spark, sf_dir).write.format("noop").mode(
             "overwrite"
