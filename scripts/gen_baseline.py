@@ -15,6 +15,15 @@ measurement and never moves once recorded):
    measurement for those tiers, and the prose is retained as history).
 4. BENCH_DETAIL.json — the current round's sf0.1 run (new queries).
 
+sf1.0 leg (round-8 verdict ask #5): the dedup/similarity families — the
+100 TB-critical operators — additionally carry a first-seen sf1.0 baseline
+measured on the .scale/sf1 fixture (scripts/make_scale_fixture.py).  The
+cumulative snapshot bench_snapshots/BENCH_SF1_FAMILIES.json feeds an
+optional "sf1" sub-entry per ledger row (first seen, never overwritten),
+rendered as an extra column in the autogen table.  Refresh with
+`SPARK_GRAFT_TIME_REPS=2 python scripts/time_queries.py .scale/sf1 <family
+queries>` and merge via this script.
+
 Output: rewrites bench_snapshots/BASELINES.json and the generated section
 of BASELINE.md between the AUTOGEN markers.
 
@@ -82,13 +91,28 @@ def main() -> None:
         else:
             missing.append(n)
 
+    # sf1.0 family leg: first-seen rows from the cumulative snapshot
+    sf1_path = os.path.join(REPO, "bench_snapshots", "BENCH_SF1_FAMILIES.json")
+    if os.path.exists(sf1_path):
+        sf1 = json.load(open(sf1_path))
+        for n, secs in sf1.get("queries", {}).items():
+            if n in ledger and "sf1" not in ledger[n]:
+                ledger[n]["sf1"] = {
+                    "round": sf1.get("round", new_round),
+                    "seconds": secs,
+                }
+
     os.makedirs(os.path.dirname(LEDGER), exist_ok=True)
     with open(LEDGER, "w") as f:
         json.dump(ledger, f, indent=1, sort_keys=True)
         f.write("\n")
 
+    def _sf1_cell(n: str) -> str:
+        e = ledger[n].get("sf1")
+        return f"{e['seconds']:.3f} ({e['round']})" if e else ""
+
     rows = [
-        f"| {n} | {ledger[n]['round']} | {ledger[n]['seconds']:.3f} |"
+        f"| {n} | {ledger[n]['round']} | {ledger[n]['seconds']:.3f} | {_sf1_cell(n)} |"
         for n in names
         if n in ledger
     ]
@@ -101,12 +125,16 @@ def main() -> None:
             "One row per registered query: the EARLIEST surviving sf0.1",
             "measurement (min-of-2 protocol from r03 on) and the round it was",
             "taken; the driver's 2x regression bar is computed against the",
-            "`seconds` column.  Regenerate with `python scripts/gen_baseline.py",
-            "rNN` after each round's sf0.1 bench run; existing rows never",
-            "change.  The prose notes above are historical context only.",
+            "`seconds` column.  The dedup/similarity families (100 TB-critical",
+            "operators) additionally carry a first-seen sf1.0 baseline from the",
+            ".scale/sf1 fixture (min-of-2, isolated run) — their regression bar",
+            "at the largest local scale.  Regenerate with `python",
+            "scripts/gen_baseline.py rNN` after each round's sf0.1 bench run;",
+            "existing rows never change.  The prose notes above are historical",
+            "context only.",
             "",
-            "| query | baseline round | seconds (sf0.1) |",
-            "|---|---|---|",
+            "| query | baseline round | seconds (sf0.1) | sf1.0 (families) |",
+            "|---|---|---|---|",
             *rows,
             "",
             MARK_END,
