@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import fround, fround_sql
 from ..registry import ORACLES, register
 from ..sources import load_table
+from . import text as _text_mod
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -722,4 +723,77 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("keep_doc_id"),
         )
         .orderBy("canonical_url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe (group-aware) train/validation/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_group_split",
+    oracle=f"""
+    WITH corpus AS ({_text_mod._EXACT_CORPUS_SQL}),
+    hashed AS (
+        SELECT doc_id,
+               sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS content_hash
+        FROM corpus
+    ),
+    groups AS (
+        SELECT content_hash,
+               min(doc_id) AS group_id,
+               CAST(count(*) AS BIGINT) AS group_size
+        FROM hashed GROUP BY content_hash
+    )
+    SELECT h.doc_id, g.group_id, g.group_size,
+           CASE WHEN ('0x' || substr(md5(CAST(g.group_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(g.group_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'validation'
+                ELSE 'test' END AS split
+    FROM hashed h JOIN groups g USING (content_hash)
+    """,
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation/test assignment: whole DUPLICATE
+    GROUPS move together, so two copies of the same content can never
+    straddle train and test (the contamination a doc-level hash split —
+    q_train_test_split — cannot prevent: every duplicate pair it separates
+    is an eval answer sitting in the training set).  Groups are the exact
+    content-hash groups of q_doc_dedup_exact; the split hash is keyed by
+    the group REPRESENTATIVE (min doc_id), md5-derived with the same
+    engine-portable 60-bit idiom as q_train_test_split, so group
+    membership — not surface doc identity — decides the split.
+
+    On the planted exact-dup corpus every (original, re-cased copy) pair
+    lands in one split by construction; the oracle checks the assignment
+    itself, and tests/test_setjoin.py asserts the no-straddle invariant
+    holds over every group.
+
+    Scale: one content-hash partial agg (64-byte hashes shuffle, text
+    never does) + a hash-keyed join back; the split expression is a pure
+    projection in whole-stage codegen.  Near-dup variants swap the group
+    key for the CC component id from q_doc_dup_groups_cc — same plan."""
+    corpus = _text_mod._exact_corpus(spark, sf_dir)
+    normalized = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    hashed = corpus.select(
+        "doc_id", F.sha2(normalized, 256).alias("content_hash")
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("group_id"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    bucket = F.expr(
+        "cast(cast(conv(substr(md5(cast(group_id AS string)), 1, 15), 16, 10) "
+        "AS bigint) % 100 AS int)"
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "validation")
+        .otherwise("test")
+    )
+    return hashed.join(groups, "content_hash").select(
+        "doc_id", "group_id", "group_size", split.alias("split")
     )

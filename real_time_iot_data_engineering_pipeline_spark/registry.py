@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "queries.embedding_ops",
     "queries.relational3",
     "queries.quality",
+    "queries.setjoin",
 )
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
@@ -75,6 +76,9 @@ _DRIVER_PRIORITY = (
     # invariant and the ≤6-round cadence bar are both enforced by
     # tests/test_oracle_parity.py.  New/changed queries always pre-empt
     # re-certs: list them FIRST here (they count as cert round 0).
+    # -- new in round 9 (never certified):
+    "q_jaccard_setjoin",
+    "q_group_split",
     # -- last driver-certified round 2:
     "q_dedup_window",
     "q_doc_dedup_exact",
@@ -125,8 +129,6 @@ _DRIVER_PRIORITY = (
     "q_sequence_pack",
     "q_session_agg",
     "q_ship_priority",
-    "q_sliding_agg",
-    "q_tfidf_topterms",
 )
 
 # Rotation OVERFLOW queue: stale-certified queries that did not fit in this
@@ -135,6 +137,10 @@ _DRIVER_PRIORITY = (
 # the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
 # "scheduled for re-cert" when enforcing the ≤6-round freshness bar.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
+    # -- last driver-certified round 3 (displaced from the window by the
+    # two round-9 additions, which pre-empt re-certs):
+    "q_sliding_agg",
+    "q_tfidf_topterms",
     # -- last driver-certified round 3 (remaining 3 of 46):
     "q_token_count",
     "q_train_test_split",
