@@ -125,10 +125,12 @@ def main() -> None:
             "One row per registered query: the EARLIEST surviving sf0.1",
             "measurement (min-of-2 protocol from r03 on) and the round it was",
             "taken; the driver's 2x regression bar is computed against the",
-            "`seconds` column.  The dedup/similarity families (100 TB-critical",
-            "operators) additionally carry a first-seen sf1.0 baseline from the",
-            ".scale/sf1 fixture (min-of-2, isolated run) — their regression bar",
-            "at the largest local scale.  Regenerate with `python",
+            "`seconds` column.  The 100 TB-critical tier — the dedup/similarity",
+            "families (r8 ask #5) and, since the r9 continuation, the whole",
+            "text/quality/curation family — additionally carries a first-seen",
+            "sf1.0 baseline from the .scale/sf1 fixture (min-of-2, isolated",
+            "run): their regression bar at the largest local scale.",
+            "Regenerate with `python",
             "scripts/gen_baseline.py rNN` after each round's sf0.1 bench run;",
             "existing rows never change.  The prose notes above are historical",
             "context only.",

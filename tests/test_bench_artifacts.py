@@ -38,10 +38,49 @@ def test_bench_detail_covers_current_registry():
     )
 
 
+# Doc-corpus modules: every query they register is part of the 100 TB
+# text-processing tier and must carry an sf1 row (round-9 extension of the
+# dedup/similarity leg).
+_TEXT_FAMILY_MODULES = (
+    "text",
+    "prep",
+    "curation",
+    "ranking",
+    "corpus",
+    "lexical",
+    "quality",
+    "setjoin",
+)
+# Doc-corpus queries living in mixed modules (report/manifest/mining hold
+# both relational and corpus operators; only the corpus ones get the bar).
+_TEXT_FAMILY_EXTRA = frozenset(
+    {
+        "q_bpe_pairs",
+        "q_burstiness",
+        "q_corpus_stats",
+        "q_dataset_manifest",
+        "q_doc_length_bands",
+        "q_heaps_law",
+        "q_length_histogram",
+        "q_mixture_sample",
+        "q_mixture_weights",
+        "q_quality_buckets",
+        "q_shingle_profile",
+        "q_source_divergence",
+        "q_source_overlap",
+        "q_stopword_profile",
+        "q_tfidf_topterms",
+        "q_vocab_coverage",
+        "q_vocab_topk",
+    }
+)
+
+
 def test_dedup_similarity_families_have_sf1_baselines():
-    """The 100 TB-critical operators (dedup/similarity families) carry an
-    sf1.0 baseline row (r8 verdict ask #5) so their regression bar exists
-    at the largest local scale.  Forcing function for NEW family queries:
+    """The 100 TB-critical operators — the dedup/similarity families (r8
+    verdict ask #5) and, since round 9, the whole text/quality/curation
+    tier — carry an sf1.0 baseline row so their regression bar exists at
+    the largest local scale.  Forcing function for NEW family queries:
     registering one obliges an sf1 leg (scripts/time_queries.py on
     .scale/sf1) merged via scripts/gen_baseline.py."""
     import re
@@ -53,16 +92,23 @@ def test_dedup_similarity_families_have_sf1_baselines():
         r"dedup|minhash|simhash|jaccard|embed|knn|semantic|decontam|novelty"
         r"|dup_group|fingerprint|sparse_cosine|pq_|editdist|paragraph"
     )
+
+    def in_family(name: str) -> bool:
+        if fam_pat.search(name) or name in _TEXT_FAMILY_EXTRA:
+            return True
+        mod = registry.QUERIES[name].__module__.rsplit(".", 1)[-1]
+        return mod in _TEXT_FAMILY_MODULES
+
     ledger = json.loads(
         (REPO / "bench_snapshots" / "BASELINES.json").read_text()
     )
     missing = sorted(
         n
         for n in registry.QUERIES
-        if fam_pat.search(n) and "sf1" not in ledger.get(n, {})
+        if in_family(n) and "sf1" not in ledger.get(n, {})
     )
     assert not missing, (
-        f"dedup/similarity queries with no sf1.0 baseline row: {missing} — "
+        f"100 TB-tier queries with no sf1.0 baseline row: {missing} — "
         "run scripts/time_queries.py on .scale/sf1 and merge with "
         "scripts/gen_baseline.py"
     )
