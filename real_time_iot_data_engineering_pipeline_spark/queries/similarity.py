@@ -2036,3 +2036,194 @@ def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("std_norm"), 4).alias("std_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding-space dedup: delta vectors vs the standing SRP store
+# ---------------------------------------------------------------------------
+
+# Today's batch: vec_id % EMB_DELTA_MOD == 0 (mirrors text.INCR_DELTA_MOD).
+EMB_DELTA_MOD = 4
+
+# Planted near-twins chosen so every verdict branch fires on the fixture:
+#   A: every 25th vector re-appears at vec_id+10001 (dim-1 perturbation) —
+#      the +1 offset flips the delta parity, so an original in today's
+#      batch meets an ARCHIVED twin ('dup_of_store').
+#   B: every 40th vector re-appears at vec_id+20000 (dim-2 perturbation) —
+#      offset divisible by 4, so original and twin share delta parity and
+#      v % 40 == 0 batches produce pure within-batch pairs
+#      ('dup_in_batch', e.g. v=40 when v % 25 != 0).
+_INC_CORPUS_DUCK = f"""
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10001 AS vec_id,
+           list_transform(generate_series(1, {DIM}),
+                          i -> CASE WHEN i = 1 THEN embedding[i] + 0.05::FLOAT
+                                    ELSE embedding[i] END) AS embedding
+    FROM embeddings WHERE vec_id % 25 = 0
+    UNION ALL
+    SELECT vec_id + 20000 AS vec_id,
+           list_transform(generate_series(1, {DIM}),
+                          i -> CASE WHEN i = 2 THEN embedding[i] + 0.05::FLOAT
+                                    ELSE embedding[i] END) AS embedding
+    FROM embeddings WHERE vec_id % 40 = 0
+"""
+
+
+def _inc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _perturb(dim: int) -> str:
+        return (
+            f"transform(sequence(1, {DIM}), "
+            f"i -> CASE WHEN i = {dim} THEN element_at(embedding, i) "
+            "+ cast(0.05 AS float) ELSE element_at(embedding, i) END)"
+        )
+
+    a = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10001).alias("vec_id"),
+        F.expr(_perturb(1)).alias("embedding"),
+    )
+    b = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.expr(_perturb(2)).alias("embedding"),
+    )
+    return emb.unionByName(a).unionByName(b)
+
+
+@register(
+    "q_embed_dedup_incremental",
+    oracle=f"""
+    WITH corpus AS ({_INC_CORPUS_DUCK}),
+    c0 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS emb_d,
+               {_NORM_DUCK} AS nrm
+        FROM corpus
+    ),
+    cs AS (
+        SELECT vec_id, emb_d, nrm, {_SIG_DUCK_ND} AS sig FROM c0
+    ),
+    cb AS (
+        SELECT vec_id, emb_d, nrm, b.band,
+               substr(sig, b.band * {_BAND_BITS_ND} + 1, {_BAND_BITS_ND}) AS band_key
+        FROM cs, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT d.vec_id, o.vec_id AS other_id,
+               d.emb_d AS emb_a, d.nrm AS norm_a,
+               o.emb_d AS emb_b, o.nrm AS norm_b
+        FROM cb d JOIN cb o
+          ON d.band = o.band AND d.band_key = o.band_key
+         AND d.vec_id <> o.vec_id
+        WHERE d.vec_id % {EMB_DELTA_MOD} = 0
+    ),
+    scored AS (
+        SELECT vec_id, other_id,
+               list_sum(list_transform(generate_series(1, {DIM}),
+                        i -> emb_a[i] * emb_b[i])) / (norm_a * norm_b) AS cos_sim
+        FROM cand
+    ),
+    matches AS (
+        SELECT * FROM scored WHERE cos_sim >= {NEAR_DUP_COS}
+    ),
+    verdicts AS (
+        SELECT vec_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               max(CASE WHEN other_id % {EMB_DELTA_MOD} != 0 THEN 1 ELSE 0 END)
+                   AS any_store,
+               first(other_id ORDER BY {fround_sql("cos_sim", 6)} DESC, other_id)
+                   AS best_match_id,
+               max({fround_sql("cos_sim")}) AS best_cos
+        FROM matches GROUP BY vec_id
+    )
+    SELECT c.vec_id, coalesce(v.n_matches, 0) AS n_matches,
+           v.best_match_id, v.best_cos,
+           CASE WHEN v.any_store = 1 THEN 'dup_of_store'
+                WHEN v.n_matches > 0 THEN 'dup_in_batch'
+                ELSE 'unique' END AS dup_kind
+    FROM (SELECT vec_id FROM corpus WHERE vec_id % {EMB_DELTA_MOD} = 0) c
+    LEFT JOIN verdicts v USING (vec_id)
+    """,
+)
+def q_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING-space dedup — the semantic cell of the
+    incremental-dedup matrix (exact hashes: q_dedup_exact_incremental;
+    MinHash shingles: q_dedup_incremental; near-dup groups:
+    q_cc_incremental): only TODAY's vectors (vec_id % {EMB_DELTA_MOD} == 0)
+    probe the standing SRP band store, and each resolves to
+    'dup_of_store' (a cosine>={NEAR_DUP_COS} twin is already archived),
+    'dup_in_batch' (its only twins arrived today), or 'unique', with the
+    best-matching twin reported (ties broken by id).
+
+    Scale: the store side is (band_key, vec_id, quantizable vector) —
+    bucketed by band_key at write so the daily probe is a co-partitioned
+    equi-join; only the delta explodes into band rows, so probe cost is
+    |delta| x {N_BANDS} rows against bounded buckets (12-bit keys keep
+    random collisions at ~4/4096 per the q_embed_near_dup sizing), never
+    a store self-join.  Exact cosine runs on candidates only; verdicts
+    are per-delta partial aggregates."""
+    c = _inc_corpus(spark, sf_dir).select(
+        "vec_id",
+        F.expr(_EMB_D_SPARK).alias("emb_d"),
+        F.expr(_NORM_SPARK).alias("nrm"),
+    )
+    sigged = c.withColumn("sig", F.expr(_SIG_SPARK_ND))
+    band = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
+    banded = sigged.select("vec_id", "emb_d", "nrm", "sig", band).withColumn(
+        "band_key",
+        F.expr(f"substr(sig, band * {_BAND_BITS_ND} + 1, {_BAND_BITS_ND})"),
+    )
+    delta = banded.filter(F.col("vec_id") % EMB_DELTA_MOD == 0).select(
+        "vec_id",
+        F.col("emb_d").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
+        "band",
+        "band_key",
+    )
+    store = banded.select(
+        F.col("vec_id").alias("other_id"),
+        F.col("emb_d").alias("emb_b"),
+        F.col("nrm").alias("norm_b"),
+        "band",
+        "band_key",
+    )
+    cand = (
+        delta.join(store, ["band", "band_key"])
+        .filter(F.col("vec_id") != F.col("other_id"))
+        .dropDuplicates(["vec_id", "other_id"])
+    )
+    dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), "
+        "cast(0 AS double), (acc, x) -> acc + x)"
+    )
+    matches = cand.select(
+        "vec_id",
+        "other_id",
+        (dot / (F.col("norm_a") * F.col("norm_b"))).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= NEAR_DUP_COS)
+    best = F.struct(
+        fround(F.col("cos_sim"), 6).alias("r"),
+        (-F.col("other_id")).alias("neg_id"),
+    )
+    verdicts = matches.groupBy("vec_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.max(
+            (F.col("other_id") % EMB_DELTA_MOD != 0).cast("int")
+        ).alias("any_store"),
+        (-F.max(best).getField("neg_id")).alias("best_match_id"),
+        fround(F.max(fround(F.col("cos_sim"), 4)), 4).alias("best_cos"),
+    )
+    all_delta = _inc_corpus(spark, sf_dir).filter(
+        F.col("vec_id") % EMB_DELTA_MOD == 0
+    ).select("vec_id")
+    return all_delta.join(verdicts, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+        "best_match_id",
+        "best_cos",
+        F.when(F.col("any_store") == 1, "dup_of_store")
+        .when(F.col("n_matches") > 0, "dup_in_batch")
+        .otherwise("unique")
+        .alias("dup_kind"),
+    )

@@ -1025,6 +1025,148 @@ q_doc_dup_groups_cc.static_schema = (
 
 
 # ---------------------------------------------------------------------------
+# Incremental connected components: delta docs vs the standing group store
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cc_incremental",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+    ),
+    nodes AS (
+        SELECT doc_id FROM ({_NEAR_CORPUS_SQL})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(r) AS dup_group FROM reach GROUP BY node
+    ),
+    stats AS (
+        SELECT dup_group,
+               max(CASE WHEN doc_id % {INCR_DELTA_MOD} != 0 THEN 1 ELSE 0 END)
+                   AS has_store,
+               count(*) AS sz
+        FROM comp GROUP BY dup_group
+    )
+    SELECT c.doc_id, c.dup_group,
+           CASE WHEN s.has_store = 1 THEN 'merged_store'
+                WHEN s.sz > 1 THEN 'new_new'
+                ELSE 'singleton' END AS dup_kind
+    FROM comp c JOIN stats s USING (dup_group)
+    WHERE c.doc_id % {INCR_DELTA_MOD} = 0
+    """,
+)
+def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-duplicate group maintenance — the missing daily
+    operation between q_dedup_incremental (delta pair PROBE) and
+    q_doc_dup_groups_cc (full-corpus GROUP recompute): merge today's
+    documents (doc_id % {INCR_DELTA_MOD} == 0) into the standing component
+    store WITHOUT re-running the fixpoint over the corpus.  The standing
+    components are CONTRACTED to their label nodes (each label is the min
+    doc_id of its standing membership), delta edges are rewritten onto
+    {{delta docs}} ∪ {{touched labels}}, and the star fixpoint runs on that
+    contracted graph only — its size is proportional to |delta| plus the
+    components the delta touches, never to the corpus.  Because every
+    standing label is already its component's minimum and contraction
+    preserves connectivity, min-id labels on the contracted graph EQUAL
+    the labels a full recompute over the union graph would assign — which
+    is exactly what the oracle checks: DuckDB runs the full recursive
+    transitive closure over the union pair graph (no contraction), so
+    agreement proves the incremental algorithm equivalent to the
+    recompute, not merely self-consistent.
+
+    Each delta doc resolves to 'merged_store' (its merged component
+    absorbs >=1 standing component), 'new_new' (a component formed
+    entirely within today's batch), or 'singleton' (no near-dup pairs).
+
+    Scale: the standing labels here derive in-query from the static
+    fixture (old-old pairs), standing for the label store a production
+    pipeline reads back (bucketed by doc_id, 16 B/doc); the incremental
+    cost — everything after the store — is one hash join of delta edges
+    against the store plus a fixpoint over the contracted graph,
+    O(log^2 |touched|) rounds of |delta-edge|-sized shuffles.  Text never
+    moves; only (doc_id, label) longs ride every exchange."""
+    from ..functions.components import connected_components
+
+    # Both fixpoints (store build + contracted merge) consume the pair
+    # graph; persist it once or each CC round's lineage re-runs the whole
+    # MinHash/LSH pipeline (measured: 10.0 s -> ~6 s at sf0.1).
+    pairs = (
+        _minhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    corpus_ids = _near_corpus(spark, sf_dir).select("doc_id")
+    is_delta_a = F.col("doc_a") % INCR_DELTA_MOD == 0
+    is_delta_b = F.col("doc_b") % INCR_DELTA_MOD == 0
+
+    # --- standing store (amortized; production reads this back) ---------
+    old_old = pairs.filter(~is_delta_a & ~is_delta_b)
+    standing = connected_components(
+        corpus_ids.filter(F.col("doc_id") % INCR_DELTA_MOD != 0),
+        old_old.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        id_col="doc_id",
+    ).select(F.col("doc_id").alias("node"), F.col("component").alias("lbl"))
+
+    # --- incremental merge (the operation under test) --------------------
+    touch = pairs.filter(is_delta_a | is_delta_b)
+    la = standing.select(F.col("node").alias("doc_a"), F.col("lbl").alias("lbl_a"))
+    lb = standing.select(F.col("node").alias("doc_b"), F.col("lbl").alias("lbl_b"))
+    contracted = (
+        touch.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("lbl_a", "doc_a").alias("src"),
+            F.coalesce("lbl_b", "doc_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    delta_nodes = corpus_ids.filter(F.col("doc_id") % INCR_DELTA_MOD == 0)
+    nodes2 = (
+        delta_nodes.select(F.col("doc_id").alias("id"))
+        .unionByName(contracted.select(F.col("src").alias("id")))
+        .unionByName(contracted.select(F.col("dst").alias("id")))
+        .distinct()
+        .select(F.col("id").alias("doc_id"))
+    )
+    merged = connected_components(
+        nodes2, contracted, id_col="doc_id"
+    ).select(F.col("doc_id").alias("node"), F.col("component").alias("grp"))
+
+    comp_stats = merged.groupBy("grp").agg(
+        F.max((F.col("node") % INCR_DELTA_MOD != 0).cast("int")).alias("has_store"),
+        F.count("*").alias("sz"),
+    )
+    return (
+        merged.filter(F.col("node") % INCR_DELTA_MOD == 0)
+        .join(comp_stats, "grp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("grp").alias("dup_group"),
+            F.when(F.col("has_store") == 1, "merged_store")
+            .when(F.col("sz") > 1, "new_new")
+            .otherwise("singleton")
+            .alias("dup_kind"),
+        )
+    )
+
+
+# Eager fixpoint (two connected_components calls) — see q_doc_dup_groups_cc.
+q_cc_incremental.static_schema = "doc_id bigint, dup_group bigint, dup_kind string"
+
+
+# ---------------------------------------------------------------------------
 # MinHash/LSH evaluation harness: recall on planted pairs, precision vs
 # exact Jaccard, estimator error
 # ---------------------------------------------------------------------------

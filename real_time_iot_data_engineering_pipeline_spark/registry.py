@@ -79,6 +79,8 @@ _DRIVER_PRIORITY = (
     # -- new in round 9 (never certified):
     "q_jaccard_setjoin",
     "q_group_split",
+    "q_cc_incremental",
+    "q_embed_dedup_incremental",
     # -- last driver-certified round 2:
     "q_dedup_window",
     "q_doc_dedup_exact",
@@ -127,8 +129,6 @@ _DRIVER_PRIORITY = (
     "q_sample_stratified",
     "q_semantic_dedup",
     "q_sequence_pack",
-    "q_session_agg",
-    "q_ship_priority",
 )
 
 # Rotation OVERFLOW queue: stale-certified queries that did not fit in this
@@ -138,7 +138,9 @@ _DRIVER_PRIORITY = (
 # "scheduled for re-cert" when enforcing the ≤6-round freshness bar.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     # -- last driver-certified round 3 (displaced from the window by the
-    # two round-9 additions, which pre-empt re-certs):
+    # four round-9 additions, which pre-empt re-certs):
+    "q_session_agg",
+    "q_ship_priority",
     "q_sliding_agg",
     "q_tfidf_topterms",
     # -- last driver-certified round 3 (remaining 3 of 46):

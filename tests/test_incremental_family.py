@@ -1,0 +1,122 @@
+"""Semantic goldens for the round-9 incremental-family completions:
+q_cc_incremental (incremental dup-group maintenance) and
+q_embed_dedup_incremental (embedding-space delta-vs-store dedup).
+
+The core equivalence (incremental == full recompute) is already the
+ORACLE for q_cc_incremental — DuckDB runs the full transitive closure
+over the union graph while Spark runs the contracted merge — so these
+tests pin the semantic claims the oracle's row-hash can't express
+directly: cross-query consistency, verdict-branch coverage, and the
+planted-pair contracts.
+"""
+
+from __future__ import annotations
+
+from real_time_iot_data_engineering_pipeline_spark import registry
+from real_time_iot_data_engineering_pipeline_spark.queries.text import (
+    INCR_DELTA_MOD,
+)
+from real_time_iot_data_engineering_pipeline_spark.queries.similarity import (
+    EMB_DELTA_MOD,
+    NEAR_DUP_COS,
+)
+
+registry.load_all()
+
+
+def test_cc_incremental_matches_full_cc(spark, sf_dir):
+    """The operator's whole point: for every delta doc, the incremental
+    merge assigns the SAME group id a full-corpus CC recompute assigns."""
+    inc = {
+        r.doc_id: r.dup_group
+        for r in registry.QUERIES["q_cc_incremental"](spark, sf_dir).collect()
+    }
+    full = {
+        r.doc_id: r.dup_group
+        for r in registry.QUERIES["q_doc_dup_groups_cc"](spark, sf_dir).collect()
+        if r.doc_id % INCR_DELTA_MOD == 0
+    }
+    assert inc == full
+
+
+def test_cc_incremental_all_kinds_fire(spark, sf_dir):
+    kinds = {
+        r.dup_kind
+        for r in registry.QUERIES["q_cc_incremental"](spark, sf_dir).collect()
+    }
+    assert kinds == {"merged_store", "new_new", "singleton"}
+
+
+def test_cc_incremental_kind_semantics(spark, sf_dir):
+    """merged_store groups carry an old-doc group id or absorb old members;
+    new_new groups must be labelled by a delta doc (all members are delta);
+    singletons label themselves."""
+    rows = registry.QUERIES["q_cc_incremental"](spark, sf_dir).collect()
+    for r in rows:
+        if r.dup_kind == "singleton":
+            assert r.dup_group == r.doc_id
+        elif r.dup_kind == "new_new":
+            assert r.dup_group % INCR_DELTA_MOD == 0
+    by_group: dict[int, set[str]] = {}
+    for r in rows:
+        by_group.setdefault(r.dup_group, set()).add(r.dup_kind)
+    mixed = {g: k for g, k in by_group.items() if len(k) > 1}
+    assert not mixed, f"one component, two kinds: {mixed}"
+
+
+def test_embed_dedup_incremental_all_kinds_fire(spark, sf_dir):
+    kinds = {
+        r.dup_kind
+        for r in registry.QUERIES["q_embed_dedup_incremental"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert kinds == {"dup_of_store", "dup_in_batch", "unique"}
+
+
+def test_embed_dedup_incremental_verdict_consistency(spark, sf_dir):
+    """Row-local invariants: unique rows carry no match columns; dup rows
+    carry a best match above the cosine bar whose delta-parity is
+    consistent with the verdict."""
+    rows = registry.QUERIES["q_embed_dedup_incremental"](spark, sf_dir).collect()
+    for r in rows:
+        if r.dup_kind == "unique":
+            assert r.n_matches == 0 and r.best_match_id is None
+        else:
+            assert r.n_matches > 0
+            assert r.best_cos >= round(NEAR_DUP_COS, 4) - 1e-4
+            if r.dup_kind == "dup_in_batch":
+                # every match arrived today; the best one must have too
+                assert r.best_match_id % EMB_DELTA_MOD == 0
+
+
+def test_embed_dedup_incremental_planted_contracts(spark, sf_dir):
+    """The A-plant (vec+10001, parity-flipping) guarantees dup_of_store
+    rows for delta originals divisible by 25; the B-plant (vec+20000,
+    parity-preserving) gives pure dup_in_batch pairs at v % 40 == 0 when
+    no A-twin exists."""
+    rows = {
+        r.vec_id: r
+        for r in registry.QUERIES["q_embed_dedup_incremental"](
+            spark, sf_dir
+        ).collect()
+    }
+    plants_a = [
+        v
+        for v in rows
+        if v < 10000 and v % 25 == 0 and v % EMB_DELTA_MOD == 0
+    ]
+    assert plants_a, "fixture has no delta A-plant originals"
+    for v in plants_a:
+        assert rows[v].dup_kind == "dup_of_store", v
+    pure_batch = [
+        v
+        for v in rows
+        if v < 10000
+        and v % 40 == 0
+        and v % 25 != 0
+        and v % EMB_DELTA_MOD == 0
+    ]
+    assert pure_batch, "fixture has no pure within-batch plant"
+    for v in pure_batch:
+        assert rows[v].dup_kind == "dup_in_batch", v
