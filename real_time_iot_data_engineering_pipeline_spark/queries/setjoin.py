@@ -37,9 +37,10 @@ list the tail of the Zipf curve); verification touches candidate pairs
 only, moving one <=n*8-byte hash array per side — the same order as the
 MinHash family's 256-byte signatures.  Candidate volume scales with the
 square of the prefix fraction (1-TAU), which is why the operator runs at
-the dedup-grade TAU=0.8 rather than a permissive 0.6: at 0.6 the fixture
-generates ~4x the candidates for the same confirmed pairs (measured at
-sf1: 2.2M vs 0.55M candidates for 8.2k vs 8.2k-ish hits).
+the dedup-grade TAU=0.8 rather than a permissive 0.6: measured on the
+sf1 fixture, TAU=0.6 with posting-list verification generated 2.2M
+candidate pairs and a 34 s wall; TAU=0.8 with array verification runs
+the same fixture in 9.9 s.
 
 Losslessness on the fixture is asserted by tests/test_setjoin.py, which
 compares against an unfiltered brute-force twin (same protocol as
