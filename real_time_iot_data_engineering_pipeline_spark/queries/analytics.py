@@ -68,6 +68,62 @@ def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rolling_median",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT user_id, day, d_avg,
+           (floor((median(d_avg) OVER (
+               PARTITION BY user_id
+               ORDER BY datediff('day', TIMESTAMP '1970-01-01 00:00:00', day)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) * 1e4 * (1 + 1e-12) + 0.5) / 1e4) AS rolling_7d_median
+    FROM daily
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN per sensor — the robust-smoothing companion of
+    q_rolling_7d: one bad day (a stuck sensor, a unit spike) drags a
+    rolling mean for a full week but moves the median not at all, so
+    anomaly gates built on the median baseline don't blind themselves
+    right after the event they should flag.  Same RANGE frame over
+    integer epoch-days as the mean (calendar-bounded lookback across
+    series gaps); exact continuous median (both engines interpolate the
+    even-count midpoint) over the shared 4-dp daily grain.
+
+    Spark disallows median/percentile over a framed window
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame's values are
+    gathered with collect_list and the exact interpolated median is read
+    off the sorted array — safe here precisely because the frame is
+    calendar-bounded to <=7 values (this is NOT the pattern for
+    unbounded frames, where a hub's list would blow up an executor).
+
+    Scale: the frame holds at most 7 daily values regardless of SF —
+    the exact per-frame median is O(1) work on a grain that aggregates
+    upstream of the window, and the window partitions by the
+    high-cardinality sensor key (one hash shuffle, no global sort)."""
+    daily = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("d_avg").over(w))
+    med = F.expr(
+        "(element_at(_arr, cast((size(_arr) + 1) div 2 AS int)) "
+        "+ element_at(_arr, cast(size(_arr) div 2 + 1 AS int))) "
+        "/ cast(2 AS double)"
+    )
+    return (
+        daily.select("user_id", "day", "d_avg", arr.alias("_arr"))
+        .select(
+            "user_id",
+            "day",
+            "d_avg",
+            fround(med, 4).alias("rolling_7d_median"),
+        )
+    )
+
+
+@register(
     "q_dod_change",
     oracle=f"""
     WITH daily AS ({_DAILY_SQL})

@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = (
     "q_group_split",
     "q_cc_incremental",
     "q_embed_dedup_incremental",
+    "q_rolling_median",
     # -- last driver-certified round 2:
     "q_dedup_window",
     "q_doc_dedup_exact",
@@ -128,7 +129,6 @@ _DRIVER_PRIORITY = (
     "q_rollup_hypertable",
     "q_sample_stratified",
     "q_semantic_dedup",
-    "q_sequence_pack",
 )
 
 # Rotation OVERFLOW queue: stale-certified queries that did not fit in this
@@ -138,7 +138,8 @@ _DRIVER_PRIORITY = (
 # "scheduled for re-cert" when enforcing the ≤6-round freshness bar.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     # -- last driver-certified round 3 (displaced from the window by the
-    # four round-9 additions, which pre-empt re-certs):
+    # five round-9 additions, which pre-empt re-certs):
+    "q_sequence_pack",
     "q_session_agg",
     "q_ship_priority",
     "q_sliding_agg",
