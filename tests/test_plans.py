@@ -1206,3 +1206,45 @@ class TestRound7Plans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "band_key" in plan
         assert "% 4" in plan  # delta filter survives into the physical plan
+
+
+class TestRound9Tier:
+    def test_group_split_is_one_agg_plus_hash_join(self, spark, sf_dir):
+        """Group split must stay a content-hash partial agg + hash-keyed
+        join-back with the split as a pure projection: no window, no
+        cartesian, no nested-loop anywhere."""
+        plan = plan_of(spark, sf_dir, "q_group_split")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" not in plan
+        assert "content_hash" in plan
+
+    def test_embed_dedup_incremental_probes_banded_store(self, spark, sf_dir):
+        """The delta side probes the SRP band store as an equi-join on
+        (band, band_key) with the delta restriction pushed to the probe
+        side — never a store self-join or an all-pairs shape."""
+        plan = plan_of(spark, sf_dir, "q_embed_dedup_incremental")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "band_key" in plan
+        assert "% 4" in plan  # delta filter survives into the physical plan
+
+    def test_rolling_median_window_partitions_by_user(self, spark, sf_dir):
+        """The bounded-frame median must window per sensor key — an
+        unpartitioned (SinglePartition) window would serialize the whole
+        daily grain through one task at 100 TB."""
+        plan = plan_of(spark, sf_dir, "q_rolling_median")
+        assert "user_id" in plan
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_setjoin_candidates_join_on_prefix_tokens(self, spark, sf_dir):
+        """Candidate generation must be an equi-join on the hashed prefix
+        token (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin on token
+        equality) with the doc_id inequality and length filter as join
+        residuals — the all-pairs product the prefix filter exists to
+        avoid must not appear."""
+        plan = plan_of(spark, sf_dir, "q_jaccard_setjoin")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "token" in plan
