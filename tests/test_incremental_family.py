@@ -120,3 +120,79 @@ def test_embed_dedup_incremental_planted_contracts(spark, sf_dir):
     assert pure_batch, "fixture has no pure within-batch plant"
     for v in pure_batch:
         assert rows[v].dup_kind == "dup_in_batch", v
+
+
+# ---------------------------------------------------------------------------
+# Property test: the contraction ARGUMENT itself (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _cc_min_labels(nodes: set[int], edges: set[tuple[int, int]]) -> dict:
+    """Min-id connected components by union-find (path compression)."""
+    parent = {n: n for n in nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # settle to component minima
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(3, 14),  # node count
+    st.data(),
+)
+def test_contraction_merge_equals_full_recompute(n_nodes, data):
+    """q_cc_incremental's core claim, checked over random graphs and
+    random delta memberships: contracting standing (old-only) components
+    to their min-id labels, rewriting delta-touching edges onto
+    {delta nodes} ∪ {touched labels}, and running CC on that contracted
+    graph yields, for every delta node, the SAME min-id label as a full
+    CC over the union graph."""
+    nodes = set(range(n_nodes))
+    all_pairs = [(a, b) for a in nodes for b in nodes if a < b]
+    edges = set(
+        data.draw(
+            st.lists(st.sampled_from(all_pairs), max_size=2 * n_nodes)
+        )
+    )
+    delta = set(data.draw(st.lists(st.sampled_from(sorted(nodes)), min_size=1)))
+    old = nodes - delta
+
+    # standing store: CC over old-only edges
+    standing = _cc_min_labels(
+        old, {(a, b) for a, b in edges if a in old and b in old}
+    )
+    # contracted merge
+    touch = {(a, b) for a, b in edges if a in delta or b in delta}
+    contracted = set()
+    cnodes = set(delta)
+    for a, b in touch:
+        ca = a if a in delta else standing[a]
+        cb = b if b in delta else standing[b]
+        cnodes.update((ca, cb))
+        if ca != cb:
+            contracted.add((min(ca, cb), max(ca, cb)))
+    merged = _cc_min_labels(cnodes, contracted)
+
+    full = _cc_min_labels(nodes, edges)
+    for d in delta:
+        assert merged[d] == full[d], (
+            f"delta node {d}: contracted label {merged[d]} != full {full[d]} "
+            f"(edges={sorted(edges)}, delta={sorted(delta)})"
+        )

@@ -127,3 +127,58 @@ def test_group_split_proportions(spark, sf_dir):
     n = len(groups)
     frac_train = sum(1 for s in groups.values() if s == "train") / n
     assert 0.70 <= frac_train <= 0.90, frac_train
+
+
+# ---------------------------------------------------------------------------
+# Property test: the prefix-filter THEOREM itself (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+from itertools import combinations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _prefix_candidates(sets: dict[int, frozenset], tau_num: int) -> set:
+    """Pure-Python twin of the operator's candidate stage: global
+    df-ascending order, per-set prefix p = n - ceil(tau*n) + 1 (same
+    exact-integer ceil), symmetric length filter."""
+    df = Counter(t for s in sets.values() for t in s)
+    key = lambda t: (df[t], t)  # noqa: E731 — the query's (df, token) order
+    pref = {}
+    for i, s in sets.items():
+        n = len(s)
+        p = n - ((tau_num * n + 9) // 10) + 1
+        pref[i] = set(sorted(s, key=key)[:p])
+    out = set()
+    for a, b in combinations(sorted(sets), 2):
+        na, nb = len(sets[a]), len(sets[b])
+        if 10 * min(na, nb) >= tau_num * max(na, nb) and pref[a] & pref[b]:
+            out.add((a, b))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.frozensets(st.integers(0, 25), min_size=1, max_size=15),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_prefix_filter_theorem_never_loses_a_similar_pair(set_list):
+    """For EVERY pair with Jaccard >= tau (exact integers), the prefix
+    candidate stage must retain it — the guarantee the operator's whole
+    design rests on, checked over random small universes where sets
+    collide, nest, and tie in every way the fixture can't arrange."""
+    sets = dict(enumerate(set_list))
+    cands = _prefix_candidates(sets, TAU_NUM)
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if 10 * inter >= TAU_NUM * union:  # J >= tau
+            assert (a, b) in cands, (
+                f"prefix filter lost a similar pair: {sets[a]} vs {sets[b]} "
+                f"(J = {inter}/{union})"
+            )
