@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fround, fround_sql
+from ..functions.tokenize import WS as _WS
 from ..registry import register
 from ..sources import load_table
 from .text import (
@@ -98,7 +99,7 @@ def _decon_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corpus AS ({_DECON_CORPUS_DUCK}),
     toks AS (
-        SELECT doc_id, bucket, string_split_regex(trim(text), '\\s+') AS toks
+        SELECT doc_id, bucket, string_split_regex(trim(text), '{_WS}') AS toks
         FROM corpus
     ),
     offs AS (
@@ -142,7 +143,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrades gracefully to a hash-hash equi-join on the gram hash."""
     corpus = _decon_corpus(spark, sf_dir)
     toks = corpus.select(
-        "doc_id", "bucket", F.split(F.trim("text"), r"\s+").alias("toks")
+        "doc_id", "bucket", F.split(F.trim("text"), _WS).alias("toks")
     ).filter(F.size("toks") >= NGRAM)
     offs = toks.select(
         "doc_id",
@@ -187,7 +188,7 @@ TOP_BIGRAM_MAX = 0.125
     oracle=f"""
     WITH t AS (
         SELECT doc_id, length(text) AS nc,
-               string_split_regex(trim(text), '\\s+') AS toks
+               string_split_regex(trim(text), '{_WS}') AS toks
         FROM documents
     ),
     d AS (
@@ -240,7 +241,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id",
         F.length("text").alias("nc"),
-        F.split(F.trim("text"), r"\s+").alias("toks"),
+        F.split(F.trim("text"), _WS).alias("toks"),
     )
     d = t.select(
         "doc_id",
@@ -468,7 +469,7 @@ _LINE_WORDS = 10
     "q_paragraph_dedup",
     oracle=rf"""
     WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
         FROM documents
         WHERE text IS NOT NULL
     ),
@@ -508,7 +509,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size(w) >= 1 for any non-NULL text (split('') -> ['']), so the
     # sequence upper bound is always >= 0 — it can never step downward.
     lines = (
-        docs.select("doc_id", F.expr(r"split(trim(text), '\\s+')").alias("w"))
+        docs.select("doc_id", F.expr(f"split(trim(text), '{_WS}')").alias("w"))
         .select(
             "doc_id",
             F.explode(
@@ -560,21 +561,21 @@ _SURV_CORPUS_DUCK = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 300000,
-           array_to_string(string_split_regex(trim(text), '\\s+')[1:{_SURV_TRUNC}], ' ')
+           array_to_string(string_split_regex(trim(text), '{_WS}')[1:{_SURV_TRUNC}], ' ')
     FROM documents
     WHERE doc_id % 6 = 0
-      AND len(string_split_regex(trim(text), '\\s+')) >= {_SURV_MIN_WORDS}
+      AND len(string_split_regex(trim(text), '{_WS}')) >= {_SURV_MIN_WORDS}
     UNION ALL
     SELECT doc_id + 400000, text || '{_SURV_TAIL}'
     FROM documents
     WHERE doc_id % 6 = 0
-      AND len(string_split_regex(trim(text), '\\s+')) >= {_SURV_MIN_WORDS}
+      AND len(string_split_regex(trim(text), '{_WS}')) >= {_SURV_MIN_WORDS}
 """
 
 
 def _survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.trim("text"), r"\s+")
+    words = F.split(F.trim("text"), _WS)
     eligible = (F.col("doc_id") % 6 == 0) & (F.size(words) >= _SURV_MIN_WORDS)
     trunc = docs.filter(eligible).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
@@ -594,11 +595,11 @@ def _survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     members AS (
         SELECT doc_id,
                md5(array_to_string(
-                   string_split_regex(trim(lower(text)), '\\s+')[1:{_SURV_PREFIX}],
+                   string_split_regex(trim(lower(text)), '{_WS}')[1:{_SURV_PREFIX}],
                    ' ')) AS cluster_key,
                len(text) AS n_chars,
-               len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
-               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               len(string_split_regex(trim(lower(text)), '{_WS}')) AS n_words,
+               len(list_filter(string_split_regex(trim(lower(text)), '{_WS}'),
                                w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS n_stop
         FROM corpus WHERE text IS NOT NULL
     ),
@@ -633,7 +634,7 @@ def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax is ONE partial-aggregated groupBy via max(struct(q, -id))
     — the scored-vs-groups self-join the SQL form implies never runs."""
     corpus = _survivor_corpus(spark, sf_dir).filter(F.col("text").isNotNull())
-    words = F.split(F.trim(F.lower("text")), r"\s+")
+    words = F.split(F.trim(F.lower("text")), _WS)
     members = corpus.select(
         "doc_id",
         F.md5(F.concat_ws(" ", F.slice(words, 1, _SURV_PREFIX))).alias(
@@ -679,7 +680,7 @@ DUP_SPAN_MAX = 0.5
     "q_repeated_substrings",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS toks
         FROM documents
     ),
     offs AS (
@@ -747,7 +748,7 @@ def q_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         load_table(spark, sf_dir, "documents")
         .select(
-            "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+            "doc_id", F.split(F.trim("text"), _WS).alias("toks")
         )
     )
     base = toks.select(
@@ -826,7 +827,7 @@ _SC_ES = _marker_score_duck("es")
     feat AS (
         SELECT doc_id, text,
                length(text) AS n_chars,
-               string_split_regex(trim(lower(text)), '\\s+') AS _words
+               string_split_regex(trim(lower(text)), '{_WS}') AS _words
         FROM corpus
     ),
     scored AS (
@@ -841,7 +842,7 @@ _SC_ES = _marker_score_duck("es")
                    AS quality,
                1.0 - CAST(len(list_distinct(_words)) AS DOUBLE) / len(_words)
                    AS dup_token_frac,
-               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+               md5(lower(regexp_replace(trim(text), '{_WS}', ' ', 'g'))) AS h
         FROM feat
     ),
     keeper AS (SELECT h, min(doc_id) AS keeper_id FROM scored GROUP BY h),
@@ -921,7 +922,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.alias("quality"),
         dupfrac.alias("dup_token_frac"),
         F.md5(
-            F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+            F.lower(F.regexp_replace(F.trim("text"), _WS, " "))
         ).alias("h"),
     )
     keeper = scored.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
@@ -1102,7 +1103,7 @@ def gram_array_expr(tok_col: str) -> str:
     oracle=f"""
     WITH corpus AS ({_DECON_CORPUS_DUCK}),
     toks AS (
-        SELECT doc_id, bucket, string_split_regex(trim(text), '\\s+') AS toks
+        SELECT doc_id, bucket, string_split_regex(trim(text), '{_WS}') AS toks
         FROM corpus WHERE bucket >= 90
     ),
     offs AS (
@@ -1129,7 +1130,7 @@ def q_eval_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships to every executor."""
     corpus = _decon_corpus(spark, sf_dir).filter(F.col("bucket") >= 90)
     toks = corpus.select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+        "doc_id", F.split(F.trim("text"), _WS).alias("toks")
     ).filter(F.size("toks") >= NGRAM)
     offs = toks.select(
         "toks",

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fround, fround_sql
+from ..functions.tokenize import WS as _WS, WS_CHARS as _WS_CHARS
 from ..registry import register
 from ..sources import load_table
 from .prep import SPLIT_TRAIN_PCT
@@ -419,7 +420,7 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Tokenizer fertility per source
 # ---------------------------------------------------------------------------
 
-_BPE_ISH = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+_BPE_ISH = f"[A-Za-z0-9]+|[^A-Za-z0-9{_WS_CHARS}]"
 
 
 @register(
@@ -427,10 +428,10 @@ _BPE_ISH = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
     oracle=rf"""
     WITH t AS (
         SELECT source,
-               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               CAST(len(string_split_regex(trim(text), '{_WS}')) AS BIGINT)
                    AS ws,
                CAST(len(regexp_extract_all(text,
-                   '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe
+                   '{_BPE_ISH}')) AS BIGINT) AS bpe
         FROM documents
         WHERE text IS NOT NULL
     )
@@ -463,7 +464,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = docs.select(
         "source",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws"),
+        F.size(F.split(F.trim("text"), _WS)).cast("long").alias("ws"),
         F.regexp_count("text", F.lit(_BPE_ISH)).cast("long").alias("bpe"),
     )
     return (

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fround, fround_sql
+from ..functions.tokenize import WS as _WS, NOT_WS as _NOT_WS
 from ..registry import ORACLES, register
 from ..sources import load_table
 from . import text as _text_mod
@@ -27,7 +28,7 @@ from . import text as _text_mod
 # Patterns valid in BOTH regex dialects (Java for Spark, RE2 for DuckDB):
 # no backrefs, no lookaround.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_RE = r"https?://[^\s]+"
+URL_RE = f"https?://{_NOT_WS}"
 PHONE_RE = r"\b\d{3}-\d{4}\b"
 
 # Every 5th doc gets one email + one URL + one phone appended.
@@ -305,7 +306,7 @@ PACK_SHARD_DOCS = 1000  # docs per packing shard (bounds the window state)
     WITH toks AS (
         SELECT doc_id,
                CAST(doc_id // {PACK_SHARD_DOCS} AS BIGINT) AS shard,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+               len(string_split_regex(trim(text), '{_WS}')) AS n_tokens
         FROM documents
     ),
     packed AS (
@@ -340,7 +341,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         (F.col("doc_id") / PACK_SHARD_DOCS).cast("bigint").alias("shard"),
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.size(F.split(F.trim("text"), _WS)).cast("long").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")
@@ -737,7 +738,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS ({_text_mod._EXACT_CORPUS_SQL}),
     hashed AS (
         SELECT doc_id,
-               sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               sha256(lower(regexp_replace(trim(text), '{_WS}', ' ', 'g')))
                    AS content_hash
         FROM corpus
     ),
@@ -777,7 +778,7 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection in whole-stage codegen.  Near-dup variants swap the group
     key for the CC component id from q_doc_dup_groups_cc — same plan."""
     corpus = _text_mod._exact_corpus(spark, sf_dir)
-    normalized = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim("text"), _WS, " "))
     hashed = corpus.select(
         "doc_id", F.sha2(normalized, 256).alias("content_hash")
     )

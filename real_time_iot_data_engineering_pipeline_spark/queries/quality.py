@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fround, fround_sql
+from ..functions.tokenize import WS as _WS
 from ..registry import register
 from ..sources import load_table
 
@@ -87,8 +88,8 @@ def _planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("text", F.expr(_PLANT_SPARK))
 
 
-_WS_SPARK = r"split(trim(text), '\\s+')"
-_WS_DUCK = r"string_split_regex(trim(text), '\s+')"
+_WS_SPARK = f"split(trim(text), '{_WS}')"
+_WS_DUCK = f"string_split_regex(trim(text), '{_WS}')"
 
 # ---------------------------------------------------------------------------
 # Gopher quality rules

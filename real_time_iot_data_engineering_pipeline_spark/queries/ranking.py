@@ -48,10 +48,11 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 # Explicit whitespace class instead of \s: Java regex \s includes \x0B but
 # RE2's (DuckDB) does not, so the two engines would tokenize a document
-# containing a vertical tab differently.  Spelling the class out makes the
-# definitions identical by construction in Spark, DuckDB, and the Python
-# golden recompute (tests/test_ranking.py).
-WS_CLASS = r"[ \t\n\r\f\x0B]+"
+# containing a vertical tab differently.  Round 9 promoted this fix to the
+# shared functions/tokenize.py constant (literal control characters) and
+# migrated every tokenization site in the repo onto it; the alias below
+# keeps this module's historical name.
+from ..functions.tokenize import WS as WS_CLASS
 
 _TOKS_DUCK = f"""
     SELECT doc_id,

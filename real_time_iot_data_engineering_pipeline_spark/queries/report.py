@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fround, fround_sql
+from ..functions.tokenize import WS as _WS
 from ..registry import ORACLES, register
 from ..sources import load_table
 from .text import _QUALITY_EXPR_DUCK, _WORDS_SPARK, quality_score_col
@@ -23,7 +24,7 @@ TFIDF_K = 3
     "q_vocab_topk",
     oracle=f"""
     WITH tok AS (
-        SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+        SELECT lower(unnest(string_split_regex(trim(text), '{_WS}'))) AS token
         FROM documents
     )
     SELECT token, CAST(count(*) AS BIGINT) AS n
@@ -47,7 +48,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort, no single-partition exchange."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        F.explode(F.split(F.trim("text"), r"\s+")).alias("raw")
+        F.explode(F.split(F.trim("text"), _WS)).alias("raw")
     ).select(F.lower("raw").alias("token"))
     return (
         tok.groupBy("token")
@@ -63,7 +64,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT source,
                CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               CAST(sum(len(string_split_regex(trim(text), '{_WS}'))) AS BIGINT)
                    AS n_tokens,
                {fround_sql("avg(n_chars)")} AS avg_chars
         FROM documents
@@ -87,7 +88,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("long").alias("n_tokens"),
+        F.sum(F.size(F.split(F.trim("text"), _WS))).cast("long").alias("n_tokens"),
         fround(F.avg("n_chars"), 4).alias("avg_chars"),
     )
     total = s.agg(F.sum("n_docs").alias("total_docs"))
@@ -107,7 +108,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS (
         SELECT doc_id,
-               lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+               lower(unnest(string_split_regex(trim(text), '{_WS}'))) AS token
         FROM documents
     ),
     tf AS (
@@ -158,7 +159,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select(
-            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("raw")
+            "doc_id", F.explode(F.split(F.trim("text"), _WS)).alias("raw")
         )
         .select("doc_id", F.lower("raw").alias("token"))
         .groupBy("doc_id", "token")
@@ -191,7 +192,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
         SELECT source,
-               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               CAST(sum(len(string_split_regex(trim(text), '{_WS}'))) AS BIGINT)
                    AS n_tokens,
                CAST(CAST(substr(source, 4) AS INT) + 1 AS DOUBLE) AS w
         FROM documents
@@ -236,7 +237,7 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(
-        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("long").alias("n_tokens"),
+        F.sum(F.size(F.split(F.trim("text"), _WS))).cast("long").alias("n_tokens"),
         F.first(
             (F.substring("source", 4, 10).cast("int") + F.lit(1)).cast("double")
         ).alias("w"),
@@ -279,7 +280,7 @@ _N_BUCKETS = 10
     oracle=rf"""
     WITH feat AS (
         SELECT doc_id, lang, n_chars,
-               string_split_regex(trim(lower(text)), '\s+') AS _words
+               string_split_regex(trim(lower(text)), '{_WS}') AS _words
         FROM documents
     ),
     scored AS (
@@ -357,7 +358,7 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH feat AS (
         SELECT doc_id,
-               len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+               len(string_split_regex(trim(lower(text)), '{_WS}')) AS n_tokens
         FROM documents
         WHERE text IS NOT NULL
     ),
@@ -524,7 +525,7 @@ BPE_K = 50
     "q_bpe_pairs",
     oracle=f"""
     WITH words AS (
-        SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS w
+        SELECT lower(unnest(string_split_regex(trim(text), '{_WS}'))) AS w
         FROM documents
     ),
     pairs AS (
@@ -557,7 +558,7 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition regardless of corpus size — and the global top-{BPE_K}
     compiles to TakeOrderedAndProject, never a full sort."""
     words = load_table(spark, sf_dir, "documents").select(
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        F.explode(F.split(F.trim(F.lower("text")), _WS)).alias("w")
     )
     pairs = words.filter(F.length("w") >= 2).select(
         F.explode(
@@ -593,7 +594,7 @@ N_HEAPS_DECILES = 10
         FROM bounds, unnest(generate_series(1, {N_HEAPS_DECILES})) t(i)
     ),
     toks AS (
-        SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+')))
+        SELECT doc_id, lower(unnest(string_split_regex(trim(text), '{_WS}')))
                    AS token
         FROM documents
     ),
@@ -658,7 +659,7 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        F.explode(F.split(F.trim(F.lower("text")), _WS)).alias("token"),
     )
     firsts = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
     vocab = (
@@ -684,7 +685,7 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_source_divergence",
     oracle=f"""
     WITH toks AS (
-        SELECT source, lower(unnest(string_split_regex(trim(text), '\\s+')))
+        SELECT source, lower(unnest(string_split_regex(trim(text), '{_WS}')))
                    AS token
         FROM documents
     ),
@@ -736,7 +737,7 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical order on both engines; fround guards the final sum."""
     toks = load_table(spark, sf_dir, "documents").select(
         "source",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        F.explode(F.split(F.trim(F.lower("text")), _WS)).alias("token"),
     )
     st = toks.groupBy("source", "token").agg(
         F.count("*").cast("double").alias("c")
@@ -789,7 +790,7 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH vocab AS (
         SELECT DISTINCT source,
-               lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+               lower(unnest(string_split_regex(trim(text), '{_WS}'))) AS token
         FROM documents
     ),
     sizes AS (
@@ -833,7 +834,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.explode(
-                F.split(F.trim(F.lower("text")), r"\s+")
+                F.split(F.trim(F.lower("text")), _WS)
             ).alias("token"),
         )
         .distinct()
@@ -1055,7 +1056,7 @@ _DRAW_SPARK = (
     WITH mix AS ({_MIX_ORACLE}),
     drawn AS (
         SELECT d.source,
-               len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens,
+               len(string_split_regex(trim(d.text), '{_WS}')) AS n_tokens,
                CASE WHEN {_DRAW_DUCK}
                      < CAST(floor(mix.sample_rate * 10000 + 0.5) AS BIGINT)
                     THEN 1 ELSE 0 END AS kept
@@ -1091,7 +1092,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = q_mixture_weights(spark, sf_dir).select("source", "sample_rate")
     docs = load_table(spark, sf_dir, "documents").select(
         "source",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.trim("text"), _WS)).alias("n_tokens"),
         F.expr(_DRAW_SPARK).alias("draw"),
     )
     drawn = docs.join(F.broadcast(mix), "source").withColumn(
@@ -1128,7 +1129,7 @@ COVERAGE_KS = (100, 500, 2000)
     "q_vocab_coverage",
     oracle=f"""
     WITH tok AS (
-        SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+        SELECT lower(unnest(string_split_regex(trim(text), '{_WS}'))) AS token
         FROM documents
     ),
     freq AS (
@@ -1166,7 +1167,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     full vocabulary."""
     docs = load_table(spark, sf_dir, "documents")
     freq = (
-        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("raw"))
+        docs.select(F.explode(F.split(F.trim("text"), _WS)).alias("raw"))
         .select(F.lower("raw").alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("n"))

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fround, fround_sql
+from ..functions.tokenize import WS as _WS, WS_CHARS as _WS_CHARS
 from ..registry import register
 from ..sources import load_table
 
@@ -58,22 +59,22 @@ def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Near-dup corpus: every 10th doc re-appears with its last two words dropped
 # (high-but-not-1.0 Jaccard on 3-word shingles).
-_NEAR_CORPUS_SQL = r"""
+_NEAR_CORPUS_SQL = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 200000 AS doc_id,
            array_to_string(
-               (string_split_regex(trim(text), '\s+'))
-                   [1:len(string_split_regex(trim(text), '\s+')) - 2],
+               (string_split_regex(trim(text), '{_WS}'))
+                   [1:len(string_split_regex(trim(text), '{_WS}')) - 2],
                ' ') AS text
     FROM documents
-    WHERE doc_id % 10 = 0 AND len(string_split_regex(trim(text), '\s+')) > 4
+    WHERE doc_id % 10 = 0 AND len(string_split_regex(trim(text), '{_WS}')) > 4
 """
 
 
 def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.trim("text"), r"\s+")
+    words = F.split(F.trim("text"), _WS)
     trunc = F.concat_ws(" ", F.slice(words, 1, F.size(words) - 2))
     dups = docs.filter((F.col("doc_id") % 10 == 0) & (F.size(words) > 4)).select(
         (F.col("doc_id") + 200000).alias("doc_id"), trunc.alias("text")
@@ -90,8 +91,8 @@ _SHINGLES_DUCK = (
     "ELSE list_transform(generate_series(1, len(_words) - 2), "
     "i -> array_to_string(_words[i:i+2], ' ')) END"
 )
-_WORDS_SPARK = r"split(trim(lower(text)), '\\s+')"
-_WORDS_DUCK = r"string_split_regex(trim(lower(text)), '\s+')"
+_WORDS_SPARK = f"split(trim(lower(text)), '{_WS}')"
+_WORDS_DUCK = f"string_split_regex(trim(lower(text)), '{_WS}')"
 
 
 # ---------------------------------------------------------------------------
@@ -105,7 +106,7 @@ _WORDS_DUCK = r"string_split_regex(trim(lower(text)), '\s+')"
     WITH corpus AS ({_EXACT_CORPUS_SQL}),
     hashed AS (
         SELECT doc_id,
-               sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+               sha256(lower(regexp_replace(trim(text), '{_WS}', ' ', 'g'))) AS content_hash
         FROM corpus
     )
     SELECT content_hash, min(doc_id) AS keeper_doc_id,
@@ -121,7 +122,7 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed shuffle with map-side partial aggregation; no text ever
     shuffles (only the 64-char hash + id)."""
     corpus = _exact_corpus(spark, sf_dir)
-    normalized = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim("text"), _WS, " "))
     return (
         corpus.select("doc_id", F.sha2(normalized, 256).alias("content_hash"))
         .groupBy("content_hash")
@@ -398,7 +399,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS ({_EXACT_CORPUS_SQL}),
     hashed AS (
         SELECT doc_id,
-               sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+               sha256(lower(regexp_replace(trim(text), '{_WS}', ' ', 'g'))) AS content_hash
         FROM corpus
     ),
     keepers AS (
@@ -427,7 +428,7 @@ def q_dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, and never shuffled (only 64-char hashes move).  min-keeper
     semantics make replays idempotent, mirroring the keyed upsert sink."""
     corpus = _exact_corpus(spark, sf_dir)
-    normalized = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim("text"), _WS, " "))
     hashed = corpus.select(
         "doc_id", F.sha2(normalized, 256).alias("content_hash")
     )
@@ -616,7 +617,7 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_AVG_WORDS_DUCK = r"avg(len(string_split_regex(trim(lower(text)), '\s+')))"
+_AVG_WORDS_DUCK = f"avg(len(string_split_regex(trim(lower(text)), '{_WS}')))"
 
 
 @register(
@@ -627,7 +628,7 @@ _AVG_WORDS_DUCK = r"avg(len(string_split_regex(trim(lower(text)), '\s+')))"
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            {fround_sql("avg(n_chars)")} AS avg_chars,
            {fround_sql(_AVG_WORDS_DUCK)} AS avg_words,
-           CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_words
+           CAST(sum(len(string_split_regex(trim(lower(text)), '{_WS}'))) AS BIGINT) AS total_words
     FROM documents GROUP BY lang
     """,
 )
@@ -649,10 +650,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_token_count",
-    oracle=r"""
+    oracle=rf"""
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+           len(string_split_regex(trim(text), '{_WS}')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9{_WS_CHARS}]')) AS bpe_ish_tokens,
            n_chars
     FROM documents
     """,
@@ -664,8 +665,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws_tokens"),
-        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+        F.size(F.split(F.trim("text"), _WS)).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(f"[A-Za-z0-9]+|[^A-Za-z0-9{_WS_CHARS}]"))
         .cast("long")
         .alias("bpe_ish_tokens"),
         "n_chars",
@@ -778,8 +779,8 @@ def quality_score_col():
     oracle=rf"""
     WITH feat AS (
         SELECT doc_id, n_chars,
-               len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
-               len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               len(string_split_regex(trim(lower(text)), '{_WS}')) AS n_words,
+               len(list_filter(string_split_regex(trim(lower(text)), '{_WS}'),
                                w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS n_stop
         FROM documents
     )
@@ -1175,11 +1176,11 @@ q_cc_incremental.static_schema = "doc_id bigint, dup_group bigint, dup_kind stri
 # Jaccard clears the same 0.5 bar the estimator gates on.
 _EVAL_TRUE_J = "0.5"
 
-_PLANTED_DUCK = r"""
+_PLANTED_DUCK = f"""
     SELECT doc_id AS doc_a, doc_id + 200000 AS doc_b
     FROM documents
     WHERE doc_id % 10 = 0
-      AND len(string_split_regex(trim(text), '\s+')) > 4
+      AND len(string_split_regex(trim(text), '{_WS}')) > 4
 """
 
 
@@ -1275,7 +1276,7 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row via partial aggregation."""
     detected = _minhash_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim("text"), r"\s+")
+    words = F.split(F.trim("text"), _WS)
     planted = docs.filter(
         (F.col("doc_id") % 10 == 0) & (F.size(words) > 4)
     ).select(
@@ -1608,7 +1609,7 @@ def readability_cols() -> dict[str, "F.Column"]:
     """The Flesch feature columns over a `text` column — shared verbatim by
     the batch query (q_readability) and the streaming ingest annotation
     (streaming/doc_pipeline.py) so the two paths can never disagree."""
-    n_words = F.expr(r"size(split(trim(text), '\\s+'))")
+    n_words = F.expr(f"size(split(trim(text), '{_WS}'))")
     n_sentences = F.greatest(
         F.lit(1), F.size(F.expr(f"regexp_extract_all(text, '{_SENT_RE}', 0)"))
     )
@@ -1616,7 +1617,7 @@ def readability_cols() -> dict[str, "F.Column"]:
         F.expr(f"regexp_extract_all(lower(text), '{_VOWEL_RE}', 0)")
     ) + F.size(
         F.expr(
-            r"filter(split(trim(lower(text)), '\\s+'),"
+            f"filter(split(trim(lower(text)), '{_WS}'),"
             f" w -> NOT (w rlike '{_VOWEL_RE}'))"
         )
     )
@@ -1639,12 +1640,12 @@ def readability_cols() -> dict[str, "F.Column"]:
     oracle=rf"""
     WITH feats AS (
         SELECT doc_id, lang,
-               len(string_split_regex(trim(text), '\s+')) AS n_words,
+               len(string_split_regex(trim(text), '{_WS}')) AS n_words,
                greatest(1, len(regexp_extract_all(text, '{_SENT_RE}')))
                    AS n_sentences,
                len(regexp_extract_all(lower(text), '{_VOWEL_RE}'))
                + len(list_filter(
-                     string_split_regex(trim(lower(text)), '\s+'),
+                     string_split_regex(trim(lower(text)), '{_WS}'),
                      w -> NOT regexp_matches(w, '{_VOWEL_RE}')))
                    AS n_syllables
         FROM documents
@@ -1946,8 +1947,8 @@ ED_CONFIRM_SIM = 0.6
 # distance to its base is therefore the original 4th token vs 'qqq',
 # different per doc: the refinement verdict is non-trivial and
 # oracle-checked, not vacuously green (queries/quality.py plant pattern).
-_ED_WS_SPARK = r"split(trim(text), '\\s+')"
-_ED_WS_DUCK = r"string_split_regex(trim(text), '\s+')"
+_ED_WS_SPARK = f"split(trim(text), '{_WS}')"
+_ED_WS_DUCK = f"string_split_regex(trim(text), '{_WS}')"
 
 
 @register(

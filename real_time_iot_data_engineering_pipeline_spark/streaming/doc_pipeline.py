@@ -28,6 +28,8 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.tokenize import WS as _WS
 from pyspark.sql import types as T
 
 DOC_WIRE_SCHEMA = T.StructType(
@@ -123,13 +125,13 @@ def ingest_doc_stream(
         .filter(F.col("fetched_at").isNotNull())
         .filter(F.col("text").isNotNull())
     )
-    normalized = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim("text"), _WS, " "))
     deduped = (
         parsed.withColumn("content_hash", F.sha2(normalized, 256))
         .withWatermark("fetched_at", DOC_WATERMARK_DELAY)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
-    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    n_words = F.size(F.split(F.trim("text"), _WS))
     df = deduped.withColumn("n_words", n_words)
     rejects: list[tuple] = [(F.col("n_words") < MIN_WORDS, "short_text")]
     if policy is not None:
@@ -175,7 +177,7 @@ def ingest_doc_stream(
         # tokens hoisted ONCE (linear work per doc); the gram recipe is the
         # shared helper q_eval_grams also builds its export from
         df = (
-            df.withColumn("_gram_toks", F.split(F.trim("text"), r"\s+"))
+            df.withColumn("_gram_toks", F.split(F.trim("text"), _WS))
             .crossJoin(F.broadcast(eval_row))
             .withColumn(
                 "contaminated",

@@ -50,6 +50,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.tokenize import WS as _WS
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -63,7 +65,7 @@ TTL_MS = 30 * 60 * 1000  # evict buckets idle for 30 min past the watermark
 
 def minhash_signature(text: str) -> list[int] | None:
     """The batch signature family in pure Python (queries/text.py:140-195):
-    3-word shingles over split(trim(lower(text)), \\s+), one md5 per
+    3-word shingles over split(trim(lower(text)), the shared WS class), one md5 per
     shingle, h1/h2 = the 15-hex-char halves, slot i = min (h1 + i*h2) % P.
     Returns None for documents with fewer than 3 words (the batch plan
     produces no shingle rows for them either).
@@ -72,7 +74,7 @@ def minhash_signature(text: str) -> list[int] | None:
     expression below (_SIG_SQL); this Python form exists so the golden
     tests can pin all three members of the family (batch plan, stream
     plan, readable spec) against each other."""
-    words = re.split(r"\s+", text.strip().lower()) if text and text.strip() else []
+    words = re.split(_WS, text.strip().lower()) if text and text.strip() else []
     if len(words) < 3:
         return None
     sig = [_P] * _K

@@ -1,0 +1,128 @@
+"""Hostile-documents PARITY: the text-tier companion of
+tests/test_adversarial_parity.py — registered queries and their DuckDB
+oracles must agree on documents the driver's ASCII word salad never
+contains: vertical tabs INSIDE token streams (the Java-\\s vs RE2-\\s
+divergence that motivated functions/tokenize.py), tabs/newlines as
+separators, empty and whitespace-only texts, single-word docs, CJK text
+with no spaces, emoji, accented latin, and pathological repetition.
+
+KNOWN ENGINE DIVERGENCE (excluded here, by contract): full Unicode
+case-mapping of dotted capital I (U+0130, as in Turkish "İstanbul")
+differs between Spark's UTF8String.toLowerCase and DuckDB's utf8proc —
+Spark produces "i" + COMBINING DOT ABOVE, DuckDB a bare "i".  The
+engine's behavior (Spark's) is the product contract; the DuckDB oracle
+is only byte-comparable on text whose lowercase mapping both libraries
+agree on, which excludes U+0130/U+0131.  Everything else below must
+match to the hash.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from real_time_iot_data_engineering_pipeline_spark import registry
+from .oracle_utils import compare
+
+registry.load_all()
+
+_TEXTS = {
+    1001: "plain ascii words here repeated words here",
+    1002: "tab\tseparated\twords and\nnewline lines",
+    1003: "vertical\x0btab inside token stream maybe",
+    1004: "non breaking space stays one token",
+    1005: "mixed CASE Words LOWERing test Title",
+    1006: "",  # empty text
+    1007: "   ",  # whitespace-only
+    1008: "one",
+    1009: "日本語のテキストは空白なし one two three",
+    1011: "emoji 🙂 in the middle of words",
+    1012: "accented café naïve façade über señor",
+    1013: "x " * 200,  # long pathological repetition
+    1015: "zero​width space inside token",  # U+200B is NOT whitespace
+}
+
+# Text-tier queries that read only `documents`; each must agree with its
+# own oracle on the hostile rows.
+_PARITY_QUERIES = (
+    "q_token_count",
+    "q_text_stats",
+    "q_doc_dedup_exact",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_doc_ngram_jaccard",
+    "q_jaccard_setjoin",
+    "q_quality_score",
+    "q_bm25_rank",
+    "q_doc_simhash",
+    "q_group_split",
+    "q_length_histogram",
+    "q_unigram_ppl",
+    "q_vocab_topk",
+    "q_tokenizer_fertility",
+    "q_pii_redact",
+    "q_gopher_rules",
+    "q_c4_filters",
+    "q_boilerplate",
+    "q_curation_pipeline",
+    "q_repetition_filter",
+    "q_heaps_law",
+    "q_stopword_profile",
+)
+
+
+@pytest.fixture(scope="module")
+def hostile_docs_sf(tmp_path_factory) -> str:
+    path = tmp_path_factory.mktemp("hostile_docs")
+    ids = sorted(_TEXTS)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array([_TEXTS[i] for i in ids], type=pa.string()),
+                "lang": pa.array(["xx"] * len(ids), type=pa.string()),
+                "source": pa.array(["hostile"] * len(ids), type=pa.string()),
+                "n_chars": pa.array(
+                    [len(_TEXTS[i]) for i in ids], type=pa.int64()
+                ),
+            }
+        ),
+        f"{path}/documents.parquet",
+    )
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def hostile_docs_duck(hostile_docs_sf):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{hostile_docs_sf}/documents.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _PARITY_QUERIES)
+def test_hostile_docs_parity(spark, hostile_docs_sf, hostile_docs_duck, name):
+    sdf = registry.QUERIES[name](spark, hostile_docs_sf).toPandas()
+    ddf = hostile_docs_duck.execute(registry.ORACLES[name]).fetchdf()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_vertical_tab_tokenizes_as_whitespace(spark, hostile_docs_sf):
+    """The regression the shared WS class exists for: doc 1003's \\x0B must
+    SPLIT the token stream (Java-\\s semantics) in the registered engine
+    output — 6 whitespace tokens, not 5."""
+    rows = {
+        r.doc_id: r
+        for r in registry.QUERIES["q_token_count"](
+            spark, hostile_docs_sf
+        ).collect()
+    }
+    assert rows[1003].ws_tokens == 6
+    # empty / whitespace-only / single-word degenerates survive the tier
+    assert rows[1008].ws_tokens == 1
