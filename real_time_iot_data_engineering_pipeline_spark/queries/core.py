@@ -41,8 +41,15 @@ def q_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_json_decode",
     oracle="""
+    -- total function of arbitrary props, matching Spark's from_json("k INT"):
+    -- k_value is non-NULL only for VALID json whose $.k is an INTEGRAL json
+    -- NUMBER within int32 range (quoted "5", 1.5, overflow, malformed and
+    -- missing all decode to NULL, never an error)
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                 AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k_value
     FROM events
     """,
 )
@@ -293,8 +300,11 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_roundtrip",
     oracle="""
     SELECT event_id,
-           to_json(struct_pack(event_id := event_id, user_id := user_id,
-                               event_type := event_type)) AS payload
+           -- json_merge_patch('{}', x) drops NULL-valued keys, matching
+           -- Spark's to_json(struct(...)) null-field omission
+           json_merge_patch('{}', to_json(struct_pack(
+               event_id := event_id, user_id := user_id,
+               event_type := event_type)))::VARCHAR AS payload
     FROM events
     """,
 )

@@ -75,7 +75,7 @@ _ORACLE_RULES_SQL = f"""
      CASE WHEN event_type IS NULL
             OR lower(trim(event_type)) IN ('null','none','n/a','')
           THEN 'missing:event_type' END,
-     CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NULL
+     CASE WHEN TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props) THEN json_extract_string(props, '$.k') END AS DOUBLE) IS NULL
           THEN 'bad_type:props.k' END,
      CASE WHEN event_type IS NOT NULL
             AND NOT regexp_matches(trim(event_type), '{EVENT_TYPE_PATTERN}')
@@ -192,9 +192,9 @@ def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_filter_typecheck",
     oracle="""
     SELECT event_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num
+           TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props) THEN json_extract_string(props, '$.k') END AS DOUBLE) AS k_num
     FROM events
-    WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+    WHERE TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props) THEN json_extract_string(props, '$.k') END AS DOUBLE) IS NOT NULL
     """,
 )
 def q_filter_typecheck(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,8 +272,12 @@ def q_filter_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, props
     FROM events
+    -- matches Spark's from_json("k INT"): $.k must be an INTEGRAL json
+    -- NUMBER within int32 range (quoted digits / floats / overflow are
+    -- corrupt, exactly like JacksonParser's strict INT decode)
     WHERE props IS NOT NULL AND json_valid(props)
-      AND json_extract(props, '$.k') IS NOT NULL
+      AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+      AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
     """,
 )
 def q_filter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:

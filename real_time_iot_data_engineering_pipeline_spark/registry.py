@@ -82,6 +82,18 @@ _DRIVER_PRIORITY = (
     "q_cc_incremental",
     "q_embed_dedup_incremental",
     "q_rolling_median",
+    # -- oracle text changed in round 9 (json totality guards; fixture
+    # results bit-identical, but the certifying row predates the current
+    # oracle, so re-front — listed in tests' _RECERTIFY, exempt from the
+    # oldest-first invariant):
+    "q_json_decode",
+    "q_json_roundtrip",
+    "q_filter_typecheck",
+    "q_filter_schema",
+    "q_validate_reasons",
+    "q_route_valid",
+    "q_route_dlq",
+    "q_quality_alerts",
     # -- last driver-certified round 2:
     "q_dedup_window",
     "q_doc_dedup_exact",
@@ -121,14 +133,6 @@ _DRIVER_PRIORITY = (
     "q_quality_score",
     "q_quantile_summary",
     "q_range_join",
-    "q_reading_gaps",
-    "q_region_revenue",
-    "q_repetition_filter",
-    "q_retention",
-    "q_returned_revenue",
-    "q_rollup_hypertable",
-    "q_sample_stratified",
-    "q_semantic_dedup",
 )
 
 # Rotation OVERFLOW queue: stale-certified queries that did not fit in this
@@ -138,7 +142,16 @@ _DRIVER_PRIORITY = (
 # "scheduled for re-cert" when enforcing the ≤6-round freshness bar.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     # -- last driver-certified round 3 (displaced from the window by the
-    # five round-9 additions, which pre-empt re-certs):
+    # five round-9 additions and the eight oracle-totality re-fronts,
+    # which pre-empt re-certs):
+    "q_reading_gaps",
+    "q_region_revenue",
+    "q_repetition_filter",
+    "q_retention",
+    "q_returned_revenue",
+    "q_rollup_hypertable",
+    "q_sample_stratified",
+    "q_semantic_dedup",
     "q_sequence_pack",
     "q_session_agg",
     "q_ship_priority",
