@@ -107,10 +107,18 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-6, 0)
     )
     arr = F.array_sort(F.collect_list("d_avg").over(w))
-    med = F.expr(
-        "(element_at(_arr, cast((size(_arr) + 1) div 2 AS int)) "
-        "+ element_at(_arr, cast(size(_arr) div 2 + 1 AS int))) "
-        "/ cast(2 AS double)"
+    # collect_list drops NULLs, so a dead-sensor stretch (every d_avg in the
+    # 7-day frame NULL — events.value is nullable by design, see the
+    # missing:value validation tier) leaves an EMPTY frame array and
+    # (size+1) div 2 = 0 would make element_at throw INVALID_INDEX_OF_ZERO.
+    # DuckDB's framed median returns NULL for that row; guard to match.
+    med = F.when(
+        F.size("_arr") > 0,
+        F.expr(
+            "(element_at(_arr, cast((size(_arr) + 1) div 2 AS int)) "
+            "+ element_at(_arr, cast(size(_arr) div 2 + 1 AS int))) "
+            "/ cast(2 AS double)"
+        ),
     )
     return (
         daily.select("user_id", "day", "d_avg", arr.alias("_arr"))

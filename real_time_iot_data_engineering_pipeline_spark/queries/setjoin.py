@@ -49,7 +49,6 @@ q_name_linkage's blocking proof).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -147,6 +146,12 @@ def q_jaccard_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs to one hashed-shingle array per doc and intersects in codegen;
     text never shuffles anywhere (tokens are 60-bit md5-prefix ints from
     the first projection on)."""
+    # Materialize the token table once with an EAGER localCheckpoint (it is
+    # read three times: df counts, per-doc sets, prefix ranking).  Unlike a
+    # bare .persist() — which outlives the query and accumulates cached
+    # blocks across a 290-query bench session (ADVICE r9) — checkpoint
+    # blocks are released by the ContextCleaner as soon as the returned
+    # plan is garbage-collected.  Same pattern as functions/components.py.
     toks = (
         _shingle_rows(_near_corpus(spark, sf_dir))
         .select(
@@ -156,7 +161,7 @@ def q_jaccard_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token"),
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     df = toks.groupBy("token").agg(F.count("*").alias("df"))
     sets = toks.groupBy("doc_id").agg(

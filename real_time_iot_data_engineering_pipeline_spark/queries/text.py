@@ -1101,12 +1101,16 @@ def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.components import connected_components
 
     # Both fixpoints (store build + contracted merge) consume the pair
-    # graph; persist it once or each CC round's lineage re-runs the whole
-    # MinHash/LSH pipeline (measured: 10.0 s -> ~6 s at sf0.1).
+    # graph; materialize it once or each CC round's lineage re-runs the
+    # whole MinHash/LSH pipeline (measured: 10.0 s -> ~6 s at sf0.1).
+    # EAGER localCheckpoint, not .persist(): checkpoint blocks are
+    # ContextCleaner-released when the plan is GC'd, while a persist here
+    # leaked its cache for the whole session (ADVICE r9) — same pattern
+    # as the fixpoint internals in functions/components.py.
     pairs = (
         _minhash_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     corpus_ids = _near_corpus(spark, sf_dir).select("doc_id")
     is_delta_a = F.col("doc_a") % INCR_DELTA_MOD == 0

@@ -72,14 +72,16 @@ def test_planted_near_dups_surface(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from pyspark.sql import functions as F
 
-    words = F.size(F.split(F.trim("text"), r"\s+"))
+    from real_time_iot_data_engineering_pipeline_spark.functions.tokenize import WS
+
+    words = F.size(F.split(F.trim("text"), WS))
     originals = [
         r.doc_id
         for r in docs.filter((F.col("doc_id") % 10 == 0) & (words >= 12))
         .select("doc_id")
         .collect()
     ]
-    assert originals, "fixture has no >=7-word planted originals"
+    assert originals, "fixture has no >=12-word planted originals"
     missing = [d for d in originals if (d, d + 200000) not in pairs]
     assert not missing, f"planted near-dups missed: {missing[:10]}"
 

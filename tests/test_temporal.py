@@ -508,3 +508,88 @@ class TestRunsTest:
             assert r["expected_runs"] == pytest.approx(mu, abs=1e-3)
             assert r["z_stat"] == pytest.approx(z, abs=1e-3)
             assert r["random_ok"] == (abs(round(z, 6)) <= 1.96)
+
+
+class TestRollingMedianDeadSensor:
+    """A dead-sensor stretch — days whose every reading has value NULL —
+    must yield NULL rolling medians, not INVALID_INDEX_OF_ZERO: collect_list
+    drops NULLs, so the 7-day frame array can be EMPTY and the unguarded
+    (size+1) div 2 index is 0 (the crash ADVICE r9 reproduced).  Parity is
+    asserted against the registered DuckDB oracle, whose framed median
+    returns NULL for the same rows."""
+
+    _ROWS = [
+        # (event_id, ts, user_id, event_type, value)
+        # user 1: alive day 1, DEAD days 2-3 (frames still hold day-1 d_avg),
+        # then a 10-day gap so day 14's frame is ENTIRELY the dead day 13.
+        (1, "2024-05-01 10:00:00", 1, "click", 10.0),
+        (2, "2024-05-02 10:00:00", 1, "click", None),
+        (3, "2024-05-03 10:00:00", 1, "click", None),
+        (4, "2024-05-13 10:00:00", 1, "click", None),  # isolated dead day
+        # user 2: NEVER emits a value — every frame in the series is empty.
+        (5, "2024-05-01 09:00:00", 2, "tap", None),
+        (6, "2024-05-02 09:00:00", 2, "tap", None),
+        (7, "2024-05-04 09:00:00", 2, "tap", None),
+        # user 3: dead day BETWEEN live days (frame spans the gap).
+        (8, "2024-05-01 08:00:00", 3, "tap", 4.0),
+        (9, "2024-05-02 08:00:00", 3, "tap", None),
+        (10, "2024-05-03 08:00:00", 3, "tap", 8.0),
+    ]
+
+    @pytest.fixture(scope="class")
+    def dead_sf(self, tmp_path_factory) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = tmp_path_factory.mktemp("dead_sensor")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in self._ROWS], type=pa.int64()),
+                    "ts": pa.array(
+                        [dt.datetime.fromisoformat(r[1]) for r in self._ROWS],
+                        type=pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([r[2] for r in self._ROWS], type=pa.int64()),
+                    "event_type": pa.array([r[3] for r in self._ROWS], type=pa.string()),
+                    "value": pa.array([r[4] for r in self._ROWS], type=pa.float64()),
+                    "props": pa.array(['{"k":1}'] * len(self._ROWS), type=pa.string()),
+                }
+            ),
+            f"{path}/events.parquet",
+        )
+        return str(path)
+
+    @pytest.mark.parametrize("name", ["q_rolling_median", "q_rolling_7d"])
+    def test_dead_sensor_parity(self, spark, dead_sf, name):
+        import duckdb
+
+        from .oracle_utils import compare
+
+        con = duckdb.connect()
+        try:
+            con.execute(
+                f"CREATE VIEW events AS SELECT * FROM '{dead_sf}/events.parquet'"
+            )
+            sdf = registry.QUERIES[name](spark, dead_sf).toPandas()
+            ddf = con.execute(registry.ORACLES[name]).fetchdf()
+        finally:
+            con.close()
+        problems = compare(sdf, ddf)
+        assert not problems, f"{name}: " + " | ".join(problems)
+
+    def test_dead_frames_are_null_not_crash(self, spark, dead_sf):
+        rows = registry.QUERIES["q_rolling_median"](spark, dead_sf).collect()
+        by_key = {(r.user_id, str(r.day)[:10]): r.rolling_7d_median for r in rows}
+        # user 2's every frame and user 1's isolated dead day: NULL median.
+        assert by_key[(2, "2024-05-01")] is None
+        assert by_key[(2, "2024-05-02")] is None
+        assert by_key[(2, "2024-05-04")] is None
+        assert by_key[(1, "2024-05-13")] is None
+        # user 1 days 2-3 still see day 1's live d_avg through the frame.
+        assert by_key[(1, "2024-05-02")] == 10.0
+        assert by_key[(1, "2024-05-03")] == 10.0
+        # user 3's dead middle day medians the two live neighbours' window
+        # state: frame on day 2 holds only day 1 (4.0).
+        assert by_key[(3, "2024-05-02")] == 4.0
+        assert by_key[(3, "2024-05-03")] == 6.0
