@@ -25,7 +25,7 @@ and floats quantized with fround on both sides.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fround, fround_sql
@@ -1137,3 +1137,50 @@ def q_eval_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.size("toks") - (NGRAM - 1))).alias("i"),
     )
     return offs.select(gram_md5_col().alias("h")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Source frequency capping (domain capping)
+# ---------------------------------------------------------------------------
+
+# Max documents retained per source.  Web-scale corpora are dominated by a
+# few hyper-productive domains; capping per-registered-domain document
+# counts is a standard crawl-curation stage (C4 keeps <=1 page per URL,
+# RefinedWeb/FineWeb cap per-domain contributions).  The fixture carries 25
+# docs per source at every SF, so K=10 exercises a real 60% drop.
+SOURCE_CAP_K = 10
+
+
+@register(
+    "q_source_cap",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, cap_rank FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS cap_rank
+        FROM documents
+    ) WHERE cap_rank <= {SOURCE_CAP_K}
+    """,
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping: keep at most {SOURCE_CAP_K} documents
+    per source, preferring the longest (n_chars DESC — the cheap quality
+    proxy; doc_id tiebreak keeps both engines deterministic on equal
+    lengths).  The survivor set is what the mixer downstream
+    (q_mixture_weights / q_sample_stratified) should see when one crawl
+    domain would otherwise swamp its mixture slot.
+
+    Scale posture — identical to q_topk_per_group: `row_number() <= K`
+    becomes WindowGroupLimit(Partial) BEFORE the exchange (pinned in
+    tests/test_plans.py), so each map partition ships at most K rows per
+    source and the post-shuffle sort sees #map-partitions x #sources x K
+    candidates; with ~10^6 registered domains at 100 TB the key is
+    high-cardinality and skew-free by construction.  Text never moves —
+    only (doc_id, source, n_chars)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return docs.withColumn("cap_rank", F.row_number().over(w)).filter(
+        F.col("cap_rank") <= SOURCE_CAP_K
+    )

@@ -12,6 +12,8 @@ corpus in SQL, making redaction recall itself part of the checked contract.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -797,4 +799,141 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hashed.join(groups, "content_hash").select(
         "doc_id", "group_id", "group_size", split.alias("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shuffle-sharding
+# ---------------------------------------------------------------------------
+
+# Number of output shards.  Production sets this to the target file count
+# (e.g. corpus_bytes / 1 GiB); 16 keeps every shard populated at fixture SFs.
+N_SHARDS = 16
+
+
+@register(
+    "q_shard_assign",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+               len(string_split_regex(trim(text), '{_WS}')) AS ws_tokens,
+               n_chars
+        FROM documents
+    )
+    SELECT CAST(h % {N_SHARDS} AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           arg_min(doc_id, h) AS first_doc,
+           arg_max(doc_id, h) AS last_doc
+    FROM hashed
+    GROUP BY 1
+    """,
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard manifest: every document is assigned to
+    one of {N_SHARDS} shards by a portable 60-bit md5 hash of its id, and
+    within a shard the epoch read order is ascending hash — the standard
+    'global shuffle once, stream shards sequentially' layout a training
+    run needs to be reproducible across reruns, engines and cluster sizes
+    (Spark's own hash() is murmur3, which nothing else can reproduce —
+    same idiom as q_train_test_split).  Emits one manifest row per shard:
+    sizes for balance auditing plus the first/last doc under the in-shard
+    hash order as determinism witnesses.
+
+    Scale posture: pure projection + one hash partial-agg on a perfectly
+    uniform 16-ary key — at 100 TB this is the cheapest possible full-
+    corpus pass (map-side combine reduces each partition to {N_SHARDS}
+    rows before the exchange); the actual shard WRITE is
+    `df.repartition(N_SHARDS, hash_col).sortWithinPartitions(hash)` on
+    the same expressions, landing pre-shuffled training files.  min_by/
+    max_by keep the witness O(1) per shard; the md5 hash is unique per
+    doc (60 bits over corpus-scale ids), so the order key is total."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)"
+    )
+    hashed = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.size(F.split(F.trim("text"), _WS)).cast("long").alias("ws_tokens"),
+        "n_chars",
+    )
+    return (
+        hashed.groupBy((F.col("h") % N_SHARDS).cast("int").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min_by("doc_id", "h").alias("first_doc"),
+            F.max_by("doc_id", "h").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode canonicalization (NFC)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE nfc_normalize(text) IS DISTINCT FROM text END AS nfc_changed,
+           length(nfc_normalize(text)) AS n_chars_nfc,
+           md5(nfc_normalize(regexp_replace(trim(text), '{_WS}', ' ', 'g')))
+               AS canon_hash
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization audit — the ingest stage that makes
+    every later equality-based operator honest: an NFD 'e + COMBINING
+    ACUTE' and a precomposed U+00E9 are different byte strings that hash
+    apart, split apart and dedup apart until normalization folds them.
+    Emits per doc: whether NFC changed the text, the post-NFC codepoint
+    length, and the md5 of the canonical form (NFC over whitespace-
+    collapsed trimmed text) — the key exact-dedup should run on.
+
+    Spark has no built-in Unicode normalizer, so NFC runs as an
+    Arrow-batched scalar pandas_udf (unicodedata.normalize per Arrow
+    batch) — the engine's one non-multimodal Python stage, and the
+    documented escape hatch shape (SURVEY §2.9): batch-vectorized
+    transfer, never row-at-a-time pickling.  Both engines implement
+    UAX#15, whose normalization-stability guarantee makes the outputs
+    bit-identical across their Unicode versions for assigned codepoints;
+    parity on composed/decomposed/Hangul/compatibility rows is pinned in
+    tests/test_hostile_docs.py.
+
+    Scale posture: embarrassingly parallel projection — no shuffle, no
+    state; the Python stage costs one Arrow round-trip over (doc_id,
+    text) and at 100 TB runs as wide as the scan.  Production would swap
+    the udf body for a JVM ICU call via a registered expression; the
+    plan shape (scan -> ArrowEvalPython -> project) is what's being
+    certified here."""
+    # pandas is imported at module scope so the stringified type hints
+    # (`from __future__ import annotations`) resolve for pandas_udf's
+    # signature inference.
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nfc_text = _nfc(F.col("text"))
+    canon = _nfc(F.regexp_replace(F.trim("text"), _WS, " "))
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(), ~nfc_text.eqNullSafe(F.col("text"))
+        ).alias("nfc_changed"),
+        F.length(nfc_text).alias("n_chars_nfc"),
+        F.md5(canon).alias("canon_hash"),
     )

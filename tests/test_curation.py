@@ -247,3 +247,56 @@ class TestSourceQualityReport:
                 assert r["top_drop_reason"] == best
             else:
                 assert r["top_drop_reason"] is None
+
+
+def test_source_cap_semantics_recompute(spark, sf_dir):
+    """q_source_cap vs a pure-pandas recompute: at most K survivors per
+    source, and they are exactly the K longest (n_chars DESC, doc_id
+    tiebreak) — i.e. capping keeps the best quality-proxy docs, not an
+    arbitrary subset."""
+    from real_time_iot_data_engineering_pipeline_spark.queries.curation import (
+        SOURCE_CAP_K,
+    )
+
+    got = (
+        registry.QUERIES["q_source_cap"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["source", "cap_rank"])
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "source", "n_chars"]
+    ]
+    for source, grp in docs.groupby("source"):
+        want = grp.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(SOURCE_CAP_K)["doc_id"].tolist()
+        have = got[got["source"] == source]["doc_id"].tolist()
+        assert have == want, source
+        assert len(have) <= SOURCE_CAP_K
+
+
+def test_shard_assign_covers_corpus_and_balances(spark, sf_dir):
+    """The shard manifest must partition the corpus exactly (doc counts sum
+    to the table size), stay inside [0, N_SHARDS), and be hash-balanced:
+    no shard holds more than 3x the mean (md5 uniformity at fixture sizes).
+    Witnesses must be real doc ids from the shard's own membership."""
+    from real_time_iot_data_engineering_pipeline_spark.queries.prep import (
+        N_SHARDS,
+    )
+
+    got = registry.QUERIES["q_shard_assign"](spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert got["n_docs"].sum() == len(docs)
+    assert set(got["shard"]) <= set(range(N_SHARDS))
+    mean = len(docs) / N_SHARDS
+    assert got["n_docs"].max() <= 3 * mean
+    # recompute shard + order witnesses for one shard in pure python
+    h = docs["doc_id"].map(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+    )
+    docs = docs.assign(_h=h, _shard=(h % N_SHARDS).astype(int))
+    for row in got.itertuples():
+        grp = docs[docs["_shard"] == row.shard].sort_values("_h")
+        assert row.first_doc == grp.iloc[0]["doc_id"]
+        assert row.last_doc == grp.iloc[-1]["doc_id"]
+        assert row.n_docs == len(grp)

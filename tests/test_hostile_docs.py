@@ -42,6 +42,13 @@ _TEXTS = {
     1012: "accented café naïve façade über señor",
     1013: "x " * 200,  # long pathological repetition
     1015: "zero​width space inside token",  # U+200B is NOT whitespace
+    # Unicode-normalization rows (round 10, for q_text_normalize): NFD
+    # decomposed accents, decomposed Hangul jamo, and the U+212B angstrom
+    # singleton — each changes under NFC; 1012 above is precomposed NFC
+    # and must read unchanged.
+    1016: "caf\u0065\u0301 nfd decomposed accent words here",
+    1017: "\u1100\u1161\u11a8 hangul jamo decomposed syllable one",
+    1018: "angstrom \u212b sign plus ring \u0041\u030a letter",
 }
 
 # Text-tier queries that read only `documents`; each must agree with its
@@ -70,6 +77,9 @@ _PARITY_QUERIES = (
     "q_repetition_filter",
     "q_heaps_law",
     "q_stopword_profile",
+    "q_text_normalize",
+    "q_source_cap",
+    "q_shard_assign",
 )
 
 
@@ -126,3 +136,34 @@ def test_vertical_tab_tokenizes_as_whitespace(spark, hostile_docs_sf):
     assert rows[1003].ws_tokens == 6
     # empty / whitespace-only / single-word degenerates survive the tier
     assert rows[1008].ws_tokens == 1
+
+
+def test_nfc_normalization_semantics(spark, hostile_docs_sf):
+    """Beyond parity, the NFC answers themselves: decomposed rows change
+    (and shrink to the composed codepoint count), precomposed and ASCII
+    rows do not, and an NFD/NFC pair of the same word canonicalizes to
+    the SAME hash — the property exact-dedup downstream relies on."""
+    rows = {
+        r.doc_id: r
+        for r in registry.QUERIES["q_text_normalize"](
+            spark, hostile_docs_sf
+        ).collect()
+    }
+    assert rows[1016].nfc_changed is True
+    assert rows[1017].nfc_changed is True
+    assert rows[1018].nfc_changed is True
+    assert rows[1001].nfc_changed is False  # ascii
+    assert rows[1012].nfc_changed is False  # precomposed NFC already
+    # "cafe\u0301" (5 cp) composes to "caf\u00e9" (4 cp): one cp shorter.
+    assert rows[1016].n_chars_nfc == len(_TEXTS[1016]) - 1
+    # decomposed Hangul syllable (3 jamo) composes to 1 syllable.
+    assert rows[1017].n_chars_nfc == len(_TEXTS[1017]) - 2
+    import hashlib
+    import unicodedata
+
+    want = hashlib.md5(
+        unicodedata.normalize(
+            "NFC", "caf\u0065\u0301 nfd decomposed accent words here"
+        ).encode()
+    ).hexdigest()
+    assert rows[1016].canon_hash == want

@@ -1248,3 +1248,32 @@ class TestRound9Tier:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "token" in plan
+
+
+class TestRound10Plans:
+    def test_source_cap_limits_before_exchange(self, spark, sf_dir):
+        """Domain capping is a rank-limited window: Catalyst must compile
+        `row_number() <= K` into a Partial-mode WindowGroupLimit ahead of
+        the exchange (each map partition ships at most K rows per source
+        — the 100 TB shape, same pin as q_topk_per_group)."""
+        plan = plan_of(spark, sf_dir, "q_source_cap")
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+
+    def test_shard_assign_is_one_partial_agg_no_join(self, spark, sf_dir):
+        """The shard manifest is a projection + ONE hash partial-agg on a
+        uniform 16-ary key: exactly one exchange (for the final agg), no
+        join, no window — the cheapest possible full-corpus pass."""
+        plan = plan_of(spark, sf_dir, "q_shard_assign")
+        assert plan.count("Exchange") == 1, plan
+        for bad in ("Join", "Window", "CartesianProduct"):
+            assert bad not in plan, bad
+        assert "partial_count" in plan or "HashAggregate" in plan
+
+    def test_text_normalize_is_arrow_python_no_shuffle(self, spark, sf_dir):
+        """NFC runs as the Arrow-batched Python stage (ArrowEvalPython),
+        never row-at-a-time (BatchEvalPython), and the op is shuffle-free
+        — it must run as wide as the scan."""
+        plan = plan_of(spark, sf_dir, "q_text_normalize")
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
