@@ -66,84 +66,24 @@ _QUERY_MODULES = (
 # order; every query that falls outside the window as a result already
 # holds a green driver row (CORRECTNESS_r01 and/or _r02).
 _DRIVER_PRIORITY = (
-    # round-9 rotation: CERTIFICATION-FRESHNESS pass.  CORRECTNESS_r08
-    # converted all 50 round-8 slots to green rows, leaving the registry
-    # fully certified but with a staleness tail: 7 queries last checked in
-    # round 2 and 46 in round 3.  Per the round-8 verdict (ask #1) the
-    # window is now filled OLDEST-CERT-FIRST — all 7 r2-certified queries,
-    # then the alphabetically-first 43 of the 46 r3-certified ones (the
-    # remaining 3 overflow to _NEXT_ROUND_PRIORITY).  The oldest-first
-    # invariant and the ≤6-round cadence bar are both enforced by
-    # tests/test_oracle_parity.py.  New/changed queries always pre-empt
-    # re-certs: list them FIRST here (they count as cert round 0).
-    # -- new in round 9 (never certified):
-    "q_jaccard_setjoin",
-    "q_group_split",
-    "q_cc_incremental",
-    "q_embed_dedup_incremental",
+    # round-10 rotation: CERTIFICATION-FRESHNESS pass, continuing the
+    # oldest-cert-first policy adopted in round 9.  CORRECTNESS_r09
+    # converted all 50 round-9 slots to green rows; the staleness tail is
+    # now 16 queries last certified in round 3 (age 7 at the round-10
+    # build — past the 6-round cadence bar, so they MUST rotate in) and
+    # 49 certified in round 4.  Window = 3 new + 1 re-front + all 16 r3 +
+    # the alphabetically-first 30 of the 49 r4; the remaining 19 r4 queries
+    # overflow to _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).
+    # -- new in round 10 (never certified):
+    "q_source_cap",
+    "q_shard_assign",
+    "q_text_normalize",
+    # -- code changed in round 10 (empty-frame guard for dead-sensor
+    # days, ADVICE r9; fixture results bit-identical but the r9 green
+    # row predates the guard, so re-front — listed in tests' _RECERTIFY,
+    # exempt from the oldest-first invariant):
     "q_rolling_median",
-    # -- oracle text changed in round 9 (json totality guards; fixture
-    # results bit-identical, but the certifying row predates the current
-    # oracle, so re-front — listed in tests' _RECERTIFY, exempt from the
-    # oldest-first invariant):
-    "q_json_decode",
-    "q_json_roundtrip",
-    "q_filter_typecheck",
-    "q_filter_schema",
-    "q_validate_reasons",
-    "q_route_valid",
-    "q_route_dlq",
-    "q_quality_alerts",
-    # -- last driver-certified round 2:
-    "q_dedup_window",
-    "q_doc_dedup_exact",
-    "q_doc_simhash",
-    "q_incremental_scan",
-    "q_sync_watermark",
-    "q_text_stats",
-    "q_upsert_last_write_wins",
-    # -- last driver-certified round 3 (first 43 of 46):
-    "q_asof_join",
-    "q_click_attribution",
-    "q_corpus_stats",
-    "q_decontaminate",
-    "q_distinct_users",
-    "q_doc_chunk",
-    "q_doc_dup_groups",
-    "q_doc_fingerprint",
-    "q_embed_centroids",
-    "q_embed_ivf",
-    "q_embed_knn",
-    "q_embed_knn_lsh",
-    "q_embed_near_dup",
-    "q_funnel",
-    "q_heavy_hitters",
-    "q_lang_id",
-    "q_mart_daily_sql",
-    "q_mart_hourly_sql",
-    "q_mart_location_sql",
-    "q_mixture_weights",
-    "q_multimodal_features",
-    "q_multimodal_framesample",
-    "q_multimodal_resize",
-    "q_pii_redact",
-    "q_pivot_daily",
-    "q_pricing_summary",
-    "q_priority_fill",
-    "q_quality_score",
-    "q_quantile_summary",
-    "q_range_join",
-)
-
-# Rotation OVERFLOW queue: stale-certified queries that did not fit in this
-# round's 50-slot window.  They order immediately after the window
-# (positions 51+) and are the mandatory front of next round's rotation —
-# the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
-# "scheduled for re-cert" when enforcing the ≤6-round freshness bar.
-_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # -- last driver-certified round 3 (displaced from the window by the
-    # five round-9 additions and the eight oracle-totality re-fronts,
-    # which pre-empt re-certs):
+    # -- last driver-certified round 3 (all 16):
     "q_reading_gaps",
     "q_region_revenue",
     "q_repetition_filter",
@@ -157,10 +97,68 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_ship_priority",
     "q_sliding_agg",
     "q_tfidf_topterms",
-    # -- last driver-certified round 3 (remaining 3 of 46):
     "q_token_count",
     "q_train_test_split",
     "q_vocab_topk",
+    # -- last driver-certified round 4 (first 30 of 49):
+    "q_audience_setops",
+    "q_behavior_signatures",
+    "q_bigram_topk",
+    "q_bm25_rank",
+    "q_cube_summary",
+    "q_custdist",
+    "q_dedup_survivor",
+    "q_disjunctive_revenue",
+    "q_doc_dedup_minhash",
+    "q_doc_dup_groups_cc",
+    "q_doc_ngram_jaccard",
+    "q_dormant_rich",
+    "q_embed_quantize",
+    "q_event_pairs",
+    "q_excess_suppliers",
+    "q_first_touch",
+    "q_forecast_revenue",
+    "q_gap_fill",
+    "q_grouping_sets",
+    "q_hard_negatives",
+    "q_important_parts",
+    "q_keyword_extract",
+    "q_large_orders",
+    "q_length_histogram",
+    "q_mad_outliers",
+    "q_min_cost_supplier",
+    "q_missing_days",
+    "q_mkt_share",
+    "q_nation_volume",
+    "q_paragraph_dedup",
+)
+
+# Rotation OVERFLOW queue: stale-certified queries that did not fit in this
+# round's 50-slot window.  They order immediately after the window
+# (positions 51+) and are the mandatory front of next round's rotation —
+# the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
+# "scheduled for re-cert" when enforcing the <=6-round freshness bar.
+_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
+    # -- last driver-certified round 4 (remaining 19 of 49):
+    "q_part_supplier_count",
+    "q_pmi_collocations",
+    "q_product_profit",
+    "q_profile_events",
+    "q_promo_share",
+    "q_quality_buckets",
+    "q_scd2_intervals",
+    "q_semantic_decontaminate",
+    "q_serve_analytics",
+    "q_serve_health",
+    "q_serve_latest",
+    "q_sessionize",
+    "q_small_qty_revenue",
+    "q_sparse_cosine_topk",
+    "q_token_entropy",
+    "q_top_supplier",
+    "q_unigram_ppl",
+    "q_waiting_suppliers",
+    "q_winsorize",
 )
 
 

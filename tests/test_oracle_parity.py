@@ -68,18 +68,12 @@ def test_driver_priority_queries_inside_50_window():
 
 # Re-fronted because their code or oracle changed after the certifying
 # round (the old green row no longer certifies the current behaviour).
-# These are exempt from the oldest-first invariant.  Round 9: the eight
-# queries whose oracles gained json-totality guards (fixture results
-# bit-identical, but the certifying rows predate the current oracle text).
+# These are exempt from the oldest-first invariant.  Round 10: the rolling
+# median gained the empty-frame guard for dead-sensor (all-NULL) days
+# (ADVICE r9; fixture results bit-identical, but the r9 green row predates
+# the guard).
 _RECERTIFY: set[str] = {
-    "q_json_decode",
-    "q_json_roundtrip",
-    "q_filter_typecheck",
-    "q_filter_schema",
-    "q_validate_reasons",
-    "q_route_valid",
-    "q_route_dlq",
-    "q_quality_alerts",
+    "q_rolling_median",
 }
 
 # Certification-freshness horizon (rounds).  A query whose latest green
