@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import re
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -136,6 +137,25 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(summary, f, separators=(",", ":"))
         f.write("\n")
+    # Per-ROUND snapshot (round-9 verdict ask #1): BENCH_DETAIL.json is
+    # overwritten every run, which destroyed the r08 per-query numbers when
+    # r09 ran.  Snapshot each driver-sf run under bench_snapshots/ keyed by
+    # the round being built (latest committed BENCH_r*.json + 1), so
+    # round-over-round per-query diffs stay reproducible from git alone.
+    if sf == 0.1:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in os.listdir(repo)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", p))
+        ]
+        building = (max(rounds) if rounds else 0) + 1
+        snap = os.path.join(
+            repo, "bench_snapshots", f"BENCH_DETAIL_r{building:02d}.json"
+        )
+        with open(snap, "w") as f:
+            json.dump(summary, f, separators=(",", ":"))
+            f.write("\n")
     compact = dict(summary)
     compact["queries"] = {n: timings[n] for n in names[: len(HEADLINE)]}
     compact["detail"] = "BENCH_DETAIL.json"
