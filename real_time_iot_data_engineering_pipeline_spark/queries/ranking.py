@@ -524,3 +524,187 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM (the KenLM smoothing CCNet actually ships)
+# ---------------------------------------------------------------------------
+
+# Absolute discount, Kneser & Ney 1995's fixed-D variant (Chen & Goodman
+# 1998 eq. 4.26 with one discount).  0.75 is the literature default and is
+# exactly representable in binary, so both engines subtract the identical
+# double.
+KN_D = "0.75"
+
+# Shared token/bigram derivation (identical to q_bigram_ppl's corpus).
+_KN_BI_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '{WS_CLASS}') AS toks
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM toks WHERE len(toks) >= 2
+        )
+    )
+"""
+
+_KN_MODEL_SQL = f"""
+    bic AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bi GROUP BY w1, w2
+    ),
+    ctx AS (
+        SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1,
+               CAST(count(*) AS DOUBLE) AS n1p_right
+        FROM bic GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, CAST(count(*) AS DOUBLE) AS n1p_left
+        FROM bic GROUP BY w2
+    ),
+    types AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bic),
+    model AS (
+        SELECT bic.w1, bic.w2, bic.c12,
+               (bic.c12 - {KN_D}) / ctx.c1
+                 + ({KN_D} * ctx.n1p_right / ctx.c1)
+                   * (cont.n1p_left / types.n_types) AS p_kn
+        FROM bic
+        JOIN ctx ON ctx.w1 = bic.w1
+        JOIN cont ON cont.w2 = bic.w2
+        CROSS JOIN types
+    )
+"""
+
+
+def _kn_model(spark: SparkSession, sf_dir: str):
+    """(bigram instances, KN model) DataFrames — the shared derivation for
+    the model-table query and the per-document scorer."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.lower("text")), WS_CLASS).alias("toks")
+    )
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    bic = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    ctx = bic.groupBy("w1").agg(
+        F.sum("c12").cast("double").alias("c1"),
+        F.count("*").cast("double").alias("n1p_right"),
+    )
+    cont = bic.groupBy("w2").agg(F.count("*").cast("double").alias("n1p_left"))
+    types = bic.agg(F.count("*").cast("double").alias("n_types"))
+    d = F.expr(f"CAST({KN_D} AS DOUBLE)")
+    p_kn = (F.col("c12") - d) / F.col("c1") + (
+        d * F.col("n1p_right") / F.col("c1")
+    ) * (F.col("n1p_left") / F.col("n_types"))
+    model = (
+        bic.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("w1", "w2", "c12", p_kn.alias("p_kn"))
+    )
+    return bi, model
+
+
+@register(
+    "q_kn_bigram_lm",
+    oracle=f"""
+    {_KN_BI_SQL},
+    {_KN_MODEL_SQL}
+    SELECT w1, w2, c12, {fround_sql("p_kn")} AS p_kn
+    FROM model
+    """,
+)
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram model table: for every observed bigram,
+    p_kn(w2|w1) = (c12 - D)/c1 + D * N1+(w1,.)/c1 * N1+(.,w2)/N1+(.,.)
+    with fixed discount D = {KN_D} — the smoothing KenLM implements and
+    CCNet's quality stage scores with.  The continuation factor is what
+    distinguishes it from q_bigram_ppl's count interpolation: a word that
+    appears often but only ever after ONE context ("francisco") gets a
+    LOW continuation probability even though its raw unigram count is
+    high, so spliced/boilerplate text can't buy probability mass with
+    frequent-but-frozen collocations.
+
+    Seen bigrams have c12 >= 1 > D, so the discounted term is positive
+    and no max(,0) guard is needed; all inputs to the formula are exact
+    integer counts cast to double, making the expression IEEE-identical
+    across engines before the single 4 dp rounding.
+
+    Scale: three partial-aggregating counts over the bigram-type table
+    (vocabulary^2-bounded, tiny next to the corpus) + two hash joins on
+    word keys + one 1-row broadcast; token text rides only the first
+    explode's shuffle as fixed-width dictionary-encoded strings."""
+    _, model = _kn_model(spark, sf_dir)
+    return model.select("w1", "w2", "c12", fround(F.col("p_kn"), 4).alias("p_kn"))
+
+
+# Keep threshold for the KN scorer, calibrated to the fixture's NLL
+# distribution (same protocol as NLL2_KEEP above) so both verdicts occur.
+KN_NLL_KEEP = "3.39"
+
+
+@register(
+    "q_kn_doc_ppl",
+    oracle=f"""
+    {_KN_BI_SQL},
+    {_KN_MODEL_SQL},
+    perdoc AS (
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) + 1 AS n_tokens,
+               avg(0.0 - ln(m.p_kn)) AS nll
+        FROM bi b
+        JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           {fround_sql("nll")} AS avg_nll_kn,
+           {fround_sql("nll", 6)} <= {KN_NLL_KEEP} AS keep
+    FROM perdoc
+    """,
+)
+def q_kn_doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the Kneser-Ney bigram model — the
+    engine's CCNet-faithful quality filter (CCNet scores Common Crawl
+    with a KenLM model and keeps the low-perplexity head; q_ccnet_buckets
+    reuses this family's NLL for the head/middle/tail split).  Documents
+    score the mean negative log-likelihood of their bigrams under
+    q_kn_bigram_lm's model (trained on the corpus itself, so every scored
+    bigram is in the model and no backoff-to-unseen path is needed);
+    keep <= {KN_NLL_KEEP} nats.
+
+    Scale: identical plan to q_bigram_ppl — vocabulary-sized model joins
+    (AQE broadcasts them when measured small) + one per-doc reduce; the
+    KN smoothing adds only two more vocabulary-sized partial aggregates
+    upstream."""
+    bi, model = _kn_model(spark, sf_dir)
+    perdoc = (
+        bi.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            (F.count("*") + 1).cast("long").alias("n_tokens"),
+            F.avg(F.lit(0.0) - F.log("p_kn")).alias("nll"),
+        )
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_tokens",
+        fround(F.col("nll"), 4).alias("avg_nll_kn"),
+        (
+            fround(F.col("nll"), 6) <= F.expr(f"CAST({KN_NLL_KEEP} AS DOUBLE)")
+        ).alias("keep"),
+    )

@@ -71,13 +71,16 @@ _DRIVER_PRIORITY = (
     # converted all 50 round-9 slots to green rows; the staleness tail is
     # now 16 queries last certified in round 3 (age 7 at the round-10
     # build — past the 6-round cadence bar, so they MUST rotate in) and
-    # 49 certified in round 4.  Window = 3 new + 1 re-front + all 16 r3 +
-    # the alphabetically-first 30 of the 49 r4; the remaining 19 r4 queries
+    # 49 certified in round 4.  Window = 5 new + 1 re-front + all 16 r3 +
+    # the alphabetically-first 28 of the 49 r4; the remaining 21 r4
+    # queries
     # overflow to _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).
     # -- new in round 10 (never certified):
     "q_source_cap",
     "q_shard_assign",
     "q_text_normalize",
+    "q_kn_bigram_lm",
+    "q_kn_doc_ppl",
     # -- code changed in round 10 (empty-frame guard for dead-sensor
     # days, ADVICE r9; fixture results bit-identical but the r9 green
     # row predates the guard, so re-front — listed in tests' _RECERTIFY,
@@ -100,7 +103,7 @@ _DRIVER_PRIORITY = (
     "q_token_count",
     "q_train_test_split",
     "q_vocab_topk",
-    # -- last driver-certified round 4 (first 30 of 49):
+    # -- last driver-certified round 4 (first 28 of 49):
     "q_audience_setops",
     "q_behavior_signatures",
     "q_bigram_topk",
@@ -129,8 +132,6 @@ _DRIVER_PRIORITY = (
     "q_min_cost_supplier",
     "q_missing_days",
     "q_mkt_share",
-    "q_nation_volume",
-    "q_paragraph_dedup",
 )
 
 # Rotation OVERFLOW queue: stale-certified queries that did not fit in this
@@ -139,7 +140,9 @@ _DRIVER_PRIORITY = (
 # the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
 # "scheduled for re-cert" when enforcing the <=6-round freshness bar.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # -- last driver-certified round 4 (remaining 19 of 49):
+    # -- last driver-certified round 4 (remaining 21 of 49):
+    "q_nation_volume",
+    "q_paragraph_dedup",
     "q_part_supplier_count",
     "q_pmi_collocations",
     "q_product_profit",

@@ -80,6 +80,8 @@ _PARITY_QUERIES = (
     "q_text_normalize",
     "q_source_cap",
     "q_shard_assign",
+    "q_kn_bigram_lm",
+    "q_kn_doc_ppl",
 )
 
 

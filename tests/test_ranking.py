@@ -163,3 +163,146 @@ class TestPackEfficiency:
             # packing never wastes more than one open sequence per shard
             assert r.total_tokens > (r.n_seqs - 1) * PACK_TOKENS
             assert 0 < r.utilization <= 1.5
+
+
+class TestKneserNey:
+    @staticmethod
+    def _kn_tables(docs):
+        from collections import Counter, defaultdict
+
+        bic = Counter()
+        for toks in docs.values():
+            for a, b in zip(toks, toks[1:]):
+                bic[(a, b)] += 1
+        c1 = Counter()
+        n1p_right = Counter()
+        n1p_left = Counter()
+        for (a, b), c in bic.items():
+            c1[a] += c
+            n1p_right[a] += 1
+            n1p_left[b] += 1
+        n_types = float(len(bic))
+        D = 0.75
+        p = {
+            (a, b): (c - D) / c1[a]
+            + (D * n1p_right[a] / c1[a]) * (n1p_left[b] / n_types)
+            for (a, b), c in bic.items()
+        }
+        return bic, p
+
+    def test_kn_model_matches_python_recompute(self, spark, sf_dir):
+        """Every emitted p_kn equals the textbook fixed-discount KN formula
+        recomputed in pure python, and the model is a proper conditional
+        distribution: for each context w1, the observed-bigram rows sum to
+        1 minus exactly the backoff mass lambda(w1) * P_cont(unseen-after-
+        w1) reserved for continuations never seen after w1 — i.e. adding
+        that mass back recovers 1 to float precision."""
+        docs = _tokenized_corpus(sf_dir)
+        bic, want = self._kn_tables(docs)
+        rows = registry.QUERIES["q_kn_bigram_lm"](spark, sf_dir).collect()
+        assert len(rows) == len(bic)
+        from collections import Counter, defaultdict
+
+        c1 = Counter()
+        n1p_right = Counter()
+        n1p_left = Counter()
+        seen_after = defaultdict(set)
+        for (a, b), c in bic.items():
+            c1[a] += c
+            n1p_right[a] += 1
+            n1p_left[b] += 1
+            seen_after[a].add(b)
+        n_types = float(len(bic))
+        by_ctx: dict[str, float] = {}
+        for r in rows:
+            assert r["c12"] == bic[(r["w1"], r["w2"])]
+            assert r["p_kn"] == pytest.approx(want[(r["w1"], r["w2"])], abs=6e-5)
+            by_ctx[r["w1"]] = by_ctx.get(r["w1"], 0.0) + want[(r["w1"], r["w2"])]
+        for w1, s in by_ctx.items():
+            lam = 0.75 * n1p_right[w1] / c1[w1]
+            p_cont_unseen = sum(
+                n1p_left[b] for b in n1p_left if b not in seen_after[w1]
+            ) / n_types
+            assert s + lam * p_cont_unseen == pytest.approx(1.0, abs=1e-9), w1
+
+    def test_kn_doc_ppl_matches_python_recompute(self, spark, sf_dir):
+        docs = _tokenized_corpus(sf_dir)
+        _, p = self._kn_tables(docs)
+        rows = registry.QUERIES["q_kn_doc_ppl"](spark, sf_dir).collect()
+        scored = [d for d, toks in docs.items() if len(toks) >= 2]
+        assert len(rows) == len(scored)
+        keeps = {r["keep"] for r in rows}
+        assert keeps == {True, False}, "threshold must split the corpus"
+        for r in rows[:100]:
+            toks = docs[r["doc_id"]]
+            assert r["n_tokens"] == len(toks)
+            nll = sum(
+                -math.log(p[(a, b)]) for a, b in zip(toks, toks[1:])
+            ) / (len(toks) - 1)
+            assert r["avg_nll_kn"] == pytest.approx(nll, abs=2e-4)
+
+    def test_kn_continuation_beats_raw_frequency(self, spark, tmp_path):
+        """The KN property worth having, driven on a planted corpus (the
+        driver fixture's synthetic vocabulary has frequency and context
+        diversity perfectly correlated, so the contrast must be planted):
+        'francisco' occurs MORE often than 'cat' but only ever after
+        'san', so in a NOVEL context ('the') the smoothed backoff mass
+        must prefer the context-diverse word — the thing q_bigram_ppl's
+        raw-count interpolation gets backwards."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_mod
+
+        texts = ["san francisco " * 6 + "the cat sat", "a cat ran", "my cat"]
+        pq_mod.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                    "lang": pa.array(["en"] * len(texts), type=pa.string()),
+                    "source": pa.array(["s"] * len(texts), type=pa.string()),
+                    "n_chars": pa.array(
+                        [len(t) for t in texts], type=pa.int64()
+                    ),
+                }
+            ),
+            f"{tmp_path}/documents.parquet",
+        )
+        rows = {
+            (r["w1"], r["w2"]): r
+            for r in registry.QUERIES["q_kn_bigram_lm"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        # francisco: 6 occurrences, 1 left context; cat: 3 occurrences,
+        # 3 left contexts.  The continuation share inside any row's
+        # backoff term is n1p_left/n_types; compare the two words' model
+        # rows after stripping the discounted-count term.
+        fr = rows[("san", "francisco")]
+        cat = rows[("a", "cat")]
+        assert fr["c12"] == 6 and cat["c12"] == 1
+        # reconstruct each row's backoff component: p_kn - (c12-D)/c1
+        from collections import Counter
+
+        bic = Counter()
+        for t in texts:
+            toks = t.strip().lower().split()
+            for a, b in zip(toks, toks[1:]):
+                bic[(a, b)] += 1
+        c1 = Counter()
+        for (a, b), c in bic.items():
+            c1[a] += c
+        back_fr = fr["p_kn"] - (6 - 0.75) / c1["san"]
+        back_cat = cat["p_kn"] - (1 - 0.75) / c1["a"]
+        # per unit of lambda, cat's continuation share (3 contexts) must
+        # exceed francisco's (1 context): normalize out lambda = D*N1+/c1.
+        n1p_right = Counter()
+        for (a, b), _ in bic.items():
+            n1p_right[a] += 1
+        lam_fr = 0.75 * n1p_right["san"] / c1["san"]
+        lam_cat = 0.75 * n1p_right["a"] / c1["a"]
+        assert back_cat / lam_cat > back_fr / lam_fr
+        # and despite francisco's 2x raw frequency, its continuation share
+        # is the smaller one: P_cont(francisco) < P_cont(cat).
+        assert (back_fr / lam_fr) * 3 == pytest.approx(
+            back_cat / lam_cat, rel=0.02
+        )
