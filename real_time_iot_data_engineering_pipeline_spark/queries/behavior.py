@@ -1153,6 +1153,7 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rev AS (
         SELECT o_custkey, sum(o_totalprice) AS revenue
         FROM orders GROUP BY o_custkey
+        HAVING sum(o_totalprice) IS NOT NULL
     ),
     ranked AS (
         SELECT revenue,
@@ -1196,10 +1197,16 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both engines.  Below the adaptive scale switch
     (is_large_input) the plain window is cheaper and taken instead; the
     bucketed path stays test-forced via SPARK_GRAFT_SCALE_SWITCH_BYTES=0."""
+    # Customers whose every o_totalprice is NULL aggregate to NULL revenue
+    # and carry no concentration information; they are excluded by contract
+    # (the engines would otherwise rank the NULL on opposite ends — Spark
+    # sorts NULLS FIRST ascending, DuckDB NULLS LAST — and the top-decile
+    # share would go NULL.  Found by the hostile-relational suite.)
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("revenue"))
+        .filter(F.col("revenue").isNotNull())
     )
     ranked = bucketed_row_number(
         rev,

@@ -242,18 +242,21 @@ def q_late_shipment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "INTERVAL 90 DAY"
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # CASE-exact counting (F.when ... otherwise 0), NOT sum(bool.cast):
+    # a NULL ship/order date makes `late` three-valued NULL, which the
+    # cast-and-sum idiom SKIPS (an all-NULL group sums to NULL and the
+    # pandas bridge floats the int column) while the oracle's CASE maps
+    # it to 0.  when/otherwise routes NULL conditions to the ELSE branch,
+    # matching SQL CASE in both engines (hostile-relational suite trap).
+    one_if = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
     return (
         j.groupBy("l_returnflag")
         .agg(
-            F.sum((late & high).cast("long")).cast("long").alias(
-                "late_high_count"
-            ),
-            F.sum((late & ~high).cast("long")).cast("long").alias(
-                "late_low_count"
-            ),
+            one_if(late & high).cast("long").alias("late_high_count"),
+            one_if(late & ~high).cast("long").alias("late_low_count"),
             F.count("*").cast("long").alias("line_count"),
             fround(
-                F.sum(late.cast("long")) / F.count("*").cast("double"), 6
+                one_if(late) / F.count("*").cast("double"), 6
             ).alias("late_frac"),
         )
         .orderBy("l_returnflag")

@@ -71,8 +71,8 @@ _DRIVER_PRIORITY = (
     # converted all 50 round-9 slots to green rows; the staleness tail is
     # now 16 queries last certified in round 3 (age 7 at the round-10
     # build — past the 6-round cadence bar, so they MUST rotate in) and
-    # 49 certified in round 4.  Window = 5 new + 1 re-front + all 16 r3 +
-    # the alphabetically-first 28 of the 49 r4; the remaining 21 r4
+    # 49 certified in round 4.  Window = 5 new + 3 re-fronts + all 16 r3 +
+    # the alphabetically-first 26 of the 49 r4; the remaining 23 r4
     # queries
     # overflow to _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).
     # -- new in round 10 (never certified):
@@ -81,11 +81,16 @@ _DRIVER_PRIORITY = (
     "q_text_normalize",
     "q_kn_bigram_lm",
     "q_kn_doc_ppl",
-    # -- code changed in round 10 (empty-frame guard for dead-sensor
-    # days, ADVICE r9; fixture results bit-identical but the r9 green
-    # row predates the guard, so re-front — listed in tests' _RECERTIFY,
-    # exempt from the oldest-first invariant):
+    # -- code changed in round 10 (fixture results bit-identical in all
+    # three, but the certifying rows predate the changes, so re-front —
+    # listed in tests' _RECERTIFY, exempt from the oldest-first
+    # invariant): the rolling median's empty-frame guard (ADVICE r9), and
+    # two NULL-semantics fixes found by the new hostile-relational suite
+    # (CASE-exact late counting; NULL-revenue exclusion from the Gini
+    # ranking).
     "q_rolling_median",
+    "q_late_shipment_mix",
+    "q_revenue_gini",
     # -- last driver-certified round 3 (all 16):
     "q_reading_gaps",
     "q_region_revenue",
@@ -103,7 +108,7 @@ _DRIVER_PRIORITY = (
     "q_token_count",
     "q_train_test_split",
     "q_vocab_topk",
-    # -- last driver-certified round 4 (first 28 of 49):
+    # -- last driver-certified round 4 (first 26 of 49):
     "q_audience_setops",
     "q_behavior_signatures",
     "q_bigram_topk",
@@ -130,8 +135,6 @@ _DRIVER_PRIORITY = (
     "q_length_histogram",
     "q_mad_outliers",
     "q_min_cost_supplier",
-    "q_missing_days",
-    "q_mkt_share",
 )
 
 # Rotation OVERFLOW queue: stale-certified queries that did not fit in this
@@ -140,7 +143,9 @@ _DRIVER_PRIORITY = (
 # the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
 # "scheduled for re-cert" when enforcing the <=6-round freshness bar.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # -- last driver-certified round 4 (remaining 21 of 49):
+    # -- last driver-certified round 4 (remaining 23 of 49):
+    "q_missing_days",
+    "q_mkt_share",
     "q_nation_volume",
     "q_paragraph_dedup",
     "q_part_supplier_count",

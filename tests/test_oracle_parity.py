@@ -70,10 +70,14 @@ def test_driver_priority_queries_inside_50_window():
 # round (the old green row no longer certifies the current behaviour).
 # These are exempt from the oldest-first invariant.  Round 10: the rolling
 # median gained the empty-frame guard for dead-sensor (all-NULL) days
-# (ADVICE r9; fixture results bit-identical, but the r9 green row predates
-# the guard).
+# (ADVICE r9), and the hostile-relational suite forced two NULL-semantics
+# fixes — CASE-exact late counting in q_late_shipment_mix and NULL-revenue
+# exclusion in q_revenue_gini.  All three are fixture-bit-identical, but
+# their certifying rows predate the current code/oracle text.
 _RECERTIFY: set[str] = {
     "q_rolling_median",
+    "q_late_shipment_mix",
+    "q_revenue_gini",
 }
 
 # Certification-freshness horizon (rounds).  A query whose latest green
