@@ -581,6 +581,15 @@ _KN_MODEL_SQL = f"""
 """
 
 
+def kn_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNROUNDED (w1, w2, c12, p_kn) Kneser-Ney model — what a consumer
+    that does further arithmetic (the streaming perplexity gate, a sampler)
+    must read: q_kn_bigram_lm's registered output rounds p_kn to 4 dp for
+    oracle hashing, and -ln() of a 4 dp probability is off by up to 100%
+    relative for rare bigrams (p ~ 1e-4)."""
+    return _kn_model(spark, sf_dir)[1]
+
+
 def _kn_model(spark: SparkSession, sf_dir: str):
     """(bigram instances, KN model) DataFrames — the shared derivation for
     the model-table query and the per-document scorer."""

@@ -43,6 +43,10 @@ DOC_WIRE_SCHEMA = T.StructType(
 
 DOC_WATERMARK_DELAY = "1 minute"
 MIN_WORDS = 5  # quality gate: fewer words -> rejected
+# LM-gate floor probability for bigrams absent from the broadcast KN model:
+# -ln(1e-9) ~ 20.7 nats per unseen adjacency, far over any keep threshold —
+# out-of-model adjacencies are gibberish evidence by design.
+KN_P_FLOOR = "1e-9"
 # Curation-gate thresholds: the repetition bound is the SAME constant as the
 # batch q_repetition_filter (queries/curation.py DUP_TOKEN_MAX); the quality
 # floor gates on the shared quality_score_col() formula (queries/text.py).
@@ -82,6 +86,7 @@ def ingest_doc_stream(
     policy: DataFrame | None = None,
     with_curation_gates: bool = False,
     eval_grams: DataFrame | None = None,
+    kn_model: DataFrame | None = None,
 ) -> DataFrame:
     """Parse + watermark + content-hash dedup + quality flag, optionally
     followed by stream-static source-policy enrichment and the batch
@@ -116,10 +121,31 @@ def ingest_doc_stream(
     no extra state, re-planned per micro-batch like the policy join so
     an eval-set refresh needs no restart.
 
+    `kn_model` (a STATIC (w1, w2, p_kn) DataFrame — batch
+    queries/ranking.py::kn_model_table, the UNROUNDED probabilities; the
+    registered q_kn_bigram_lm output rounds to 4 dp for oracle hashing,
+    which would distort -ln() of rare bigrams) arms the CCNet-style
+    LM-perplexity gate:
+    the model is collapsed to ONE broadcast map row (vocabulary^2-
+    bounded; production swaps in a KenLM scorer UDF or a map-side join
+    once the model outgrows a broadcast) and each document's mean
+    bigram negative log-likelihood is computed as a pure aggregate
+    expression over its token array — codegen only, no explode, no
+    state.  Unseen bigrams score the {KN_P_FLOOR} floor (a stream doc
+    was not in the training corpus, so out-of-model adjacencies are
+    evidence of gibberish, the thing the gate exists to reject);
+    documents over batch KN_NLL_KEEP nats reject as 'high_perplexity'.
+    Tokenization (lower + shared WS class), the formula and the keep
+    threshold are the batch operator's verbatim; scores agree with
+    q_kn_doc_ppl up to summation-order ULPs (the stream folds a doc's
+    bigrams sequentially, the batch merges shuffled partial sums —
+    cross-path consistency is golden-tested at that grain in
+    tests/test_doc_pipeline.py).
+
     Rejected rows carry a typed `reject_reason` ('short_text' |
-    'blocked_source' | 'repetitive' | 'low_quality' | 'contaminated',
-    first matching rule wins) for the DLQ; `accepted` is exactly
-    reject_reason IS NULL."""
+    'blocked_source' | 'repetitive' | 'low_quality' | 'contaminated' |
+    'high_perplexity', first matching rule wins) for the DLQ; `accepted`
+    is exactly reject_reason IS NULL."""
     parsed = (
         raw.withColumn("fetched_at", F.to_timestamp("fetched_at"))
         .filter(F.col("fetched_at").isNotNull())
@@ -189,6 +215,51 @@ def ingest_doc_stream(
             .drop("_eval_grams", "_gram_toks")
         )
         rejects.append((F.col("contaminated"), "contaminated"))
+    if kn_model is not None:
+        from ..functions.rounding import fround
+        from ..queries.ranking import KN_NLL_KEEP
+
+        # One broadcast map row: "w1 w2" -> p_kn.  Tokens cannot contain a
+        # space (they are WS-split), so the space-joined key is
+        # collision-free.
+        model_row = kn_model.agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.concat_ws(" ", "w1", "w2").alias("k"),
+                        F.col("p_kn").alias("v"),
+                    )
+                )
+            ).alias("_kn_map")
+        )
+        # Mean bigram NLL as one aggregate() expression over the lowered
+        # token array — the batch q_kn_doc_ppl computation without the
+        # explode (codegen-only, per-row, stateless).
+        nll = F.expr(
+            "aggregate(sequence(1, size(_kn_toks) - 1), CAST(0 AS DOUBLE),"
+            " (acc, i) -> acc - ln(coalesce("
+            f"   _kn_map[concat(_kn_toks[i - 1], ' ', _kn_toks[i])],"
+            f"   CAST({KN_P_FLOOR} AS DOUBLE)))"
+            ") / CAST(size(_kn_toks) - 1 AS DOUBLE)"
+        )
+        df = (
+            df.withColumn("_kn_toks", F.split(F.trim(F.lower("text")), _WS))
+            .crossJoin(F.broadcast(model_row))
+            .withColumn(
+                "avg_nll_kn",
+                F.when(F.size("_kn_toks") >= 2, fround(nll, 4)),
+            )
+            .withColumn(
+                "_kn_keep",
+                F.when(
+                    F.size("_kn_toks") >= 2,
+                    fround(nll, 6)
+                    <= F.expr(f"CAST({KN_NLL_KEEP} AS DOUBLE)"),
+                ).otherwise(F.lit(True)),
+            )
+            .drop("_kn_map", "_kn_toks")
+        )
+        rejects.append((~F.col("_kn_keep"), "high_perplexity"))
     reason = F.when(rejects[0][0], F.lit(rejects[0][1]))
     for cond, label in rejects[1:]:
         reason = reason.when(cond, F.lit(label))
@@ -249,6 +320,7 @@ def run_doc_ingest(
     policy: DataFrame | None = None,
     with_curation_gates: bool = False,
     eval_grams: DataFrame | None = None,
+    kn_model: DataFrame | None = None,
     with_near_dup: bool = False,
 ) -> DocIngestSink:
     """Drain source_dir through dedup -> gate [-> policy join]
@@ -269,6 +341,7 @@ def run_doc_ingest(
         policy,
         with_curation_gates=with_curation_gates,
         eval_grams=eval_grams,
+        kn_model=kn_model,
     )
     q = (
         stream.writeStream.outputMode("update")

@@ -792,3 +792,76 @@ def distinct_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-source frequency cap (admission control)
+# ---------------------------------------------------------------------------
+
+CAP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fetched_at", T.TimestampType()),
+        T.StructField("cap_seq", T.LongType()),
+        T.StructField("admitted", T.BooleanType()),
+    ]
+)
+
+CAP_STATE_SCHEMA = "n_seen bigint"
+
+
+def _cap(k: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        (n_seen,) = state.get if state.exists else (0,)
+        rows = pd.concat(list(pdfs)).sort_values(["fetched_at", "doc_id"])
+        seqs = list(range(n_seen + 1, n_seen + 1 + len(rows)))
+        state.update((n_seen + len(rows),))
+        yield pd.DataFrame(
+            {
+                "source": [source] * len(rows),
+                "doc_id": rows["doc_id"].astype("int64").values,
+                "fetched_at": rows["fetched_at"].values,
+                "cap_seq": pd.Series(seqs, dtype="int64").values,
+                "admitted": [s <= k for s in seqs],
+            }
+        )
+
+    return fn
+
+
+def source_cap_stream(docs: DataFrame, k: int) -> DataFrame:
+    """Streaming ADMISSION-control twin of batch q_source_cap: admit the
+    first `k` documents per source, remembering the per-source count
+    across micro-batches.  The semantic difference from the batch
+    operator is deliberate and documented: batch capping sees the whole
+    corpus and keeps the K BEST (longest) documents; an unbounded ingest
+    cannot rank the future, so the streaming contract is first-K
+    admission with a deterministic in-batch order ((fetched_at, doc_id)),
+    the shape crawl frontiers actually enforce.  Batch re-capping on the
+    landed corpus (q_source_cap) remains the quality-ranked authority.
+
+    Scale: state is ONE bigint per source (bounded by |sources|, the
+    dimension table's cardinality); each micro-batch shuffles by source
+    once.  No timeout: a cap counter must not silently reset while the
+    stream runs — production bounds state by keying on
+    (source, capping-window) instead, e.g. date_trunc('day', fetched_at),
+    which makes eviction a watermark concern again.
+
+    Input must carry doc_id, source, fetched_at (timestamp)."""
+    return (
+        docs.select("doc_id", "source", "fetched_at")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _cap(k),
+            outputStructType=CAP_OUTPUT_SCHEMA,
+            stateStructType=CAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

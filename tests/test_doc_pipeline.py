@@ -8,6 +8,8 @@ import json
 import os
 import time
 
+import pytest
+
 from real_time_iot_data_engineering_pipeline_spark.streaming.doc_pipeline import (
     run_doc_ingest,
 )
@@ -296,3 +298,132 @@ def test_doc_ingest_near_dup_branch(spark, tmp_path):
     # the ingest path itself is unaffected: all three docs are distinct
     # content hashes, so all three land in docs/
     assert sink.read_docs().count() == 3
+
+
+def test_doc_ingest_kn_perplexity_gate(spark, tmp_path):
+    """The LM gate end-to-end: a fluent doc (bigrams drawn from the model
+    corpus) passes; a shuffled-gibberish doc whose adjacencies are unseen
+    scores the 1e-9 floor (~20.7 nats/bigram) and rejects as
+    high_perplexity; the short-text pre-gate still wins on tiny docs."""
+    from real_time_iot_data_engineering_pipeline_spark.streaming.doc_pipeline import (
+        run_doc_ingest,
+    )
+
+    # Tiny training corpus -> KN model: "the cat sat on the mat" idiom,
+    # repeated so in-model bigrams are well supported.
+    train = tmp_path / "train"
+    train.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    corpus = ["the cat sat on the mat again and again"] * 5 + [
+        "the dog sat on the rug again and again"
+    ] * 5
+    pq_mod.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(corpus)), type=pa.int64()),
+                "text": pa.array(corpus, type=pa.string()),
+                "lang": pa.array(["en"] * len(corpus), type=pa.string()),
+                "source": pa.array(["s"] * len(corpus), type=pa.string()),
+                "n_chars": pa.array([len(t) for t in corpus], type=pa.int64()),
+            }
+        ),
+        f"{train}/documents.parquet",
+    )
+    from real_time_iot_data_engineering_pipeline_spark import registry
+
+    registry.load_all()
+    from real_time_iot_data_engineering_pipeline_spark.queries.ranking import (
+        kn_model_table,
+    )
+
+    model = kn_model_table(spark, str(train))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(
+        str(src),
+        "f1.json",
+        [
+            dict(doc_id=1, text="the cat sat on the mat again and again",
+                 source="s", fetched_at="2024-01-19 10:00:00"),
+            dict(doc_id=2, text="mat the on sat again cat the and rug",
+                 source="s", fetched_at="2024-01-19 10:00:05"),
+            dict(doc_id=3, text="one two", source="s",
+                 fetched_at="2024-01-19 10:00:10"),
+        ],
+        seq=1,
+    )
+    sink = run_doc_ingest(spark, str(src), str(tmp_path / "out"), kn_model=model)
+    docs = {r.doc_id for r in sink.read_docs().collect()}
+    rejects = {r.doc_id: r.reject_reason for r in sink.read_rejects().collect()}
+    assert docs == {1}
+    assert rejects[2] == "high_perplexity"
+    assert rejects[3] == "short_text"  # pre-gate wins before the LM
+
+
+def test_stream_kn_gate_agrees_with_batch_scorer(spark, tmp_path, sf_dir):
+    """Cross-path consistency: streaming the fixture corpus through the
+    KN gate armed with the batch model (kn_model_table — the UNROUNDED
+    probabilities; the registered q_kn_bigram_lm output is 4 dp-rounded
+    for oracle hashing, which is display precision, not scoring
+    precision) must (a) reproduce every
+    in-model document's batch avg_nll_kn to within one 4 dp ulp (the
+    stream folds a doc's bigrams sequentially; the batch merges shuffled
+    partial sums — same formula, summation-order ULPs), and (b) agree on
+    every keep verdict that is not within noise of the threshold itself
+    (modulo the short-text pre-gate, which fires first by design)."""
+    import json as _json
+
+    import pyarrow.parquet as pq_mod
+
+    from real_time_iot_data_engineering_pipeline_spark import registry
+    from real_time_iot_data_engineering_pipeline_spark.streaming.doc_pipeline import (
+        MIN_WORDS,
+        run_doc_ingest,
+    )
+
+    registry.load_all()
+    docs = pq_mod.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "f1.json", "w") as f:
+        for _, r in docs.iterrows():
+            f.write(
+                _json.dumps(
+                    dict(doc_id=int(r.doc_id), text=r.text, source="wiki",
+                         fetched_at="2024-01-19 10:00:00")
+                )
+                + "\n"
+            )
+    from real_time_iot_data_engineering_pipeline_spark.queries.ranking import (
+        kn_model_table,
+    )
+
+    model = kn_model_table(spark, sf_dir)
+    batch = {
+        r.doc_id: r
+        for r in registry.QUERIES["q_kn_doc_ppl"](spark, sf_dir).collect()
+    }
+    sink = run_doc_ingest(spark, str(src), str(tmp_path / "out"), kn_model=model)
+    streamed = {r.doc_id: r for r in sink.read_docs().collect()}
+    rejected = {r.doc_id: r for r in sink.read_rejects().collect()}
+    for doc_id, b in batch.items():
+        toks = docs.loc[docs.doc_id == doc_id, "text"].iloc[0].strip().split()
+        if len(toks) < MIN_WORDS:
+            continue  # short-text pre-gate owns these
+        got = streamed.get(doc_id) or rejected.get(doc_id)
+        assert got is not None, doc_id
+        assert got.avg_nll_kn == pytest.approx(b.avg_nll_kn, abs=2e-4), doc_id
+        from real_time_iot_data_engineering_pipeline_spark.queries.ranking import (
+            KN_NLL_KEEP,
+        )
+
+        if abs(b.avg_nll_kn - float(KN_NLL_KEEP)) < 1e-3:
+            continue  # threshold-adjacent: either verdict is within ULP noise
+        if b.keep:
+            assert doc_id in streamed, doc_id
+        else:
+            assert doc_id in rejected, doc_id
+            assert rejected[doc_id].reject_reason == "high_perplexity"

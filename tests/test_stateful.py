@@ -621,3 +621,72 @@ def test_batch0_state_survives_an_idle_batch(spark, tmp_path):
     assert rows[1] == (None, False)
     # before the fix this read (None, False): u1's batch-0 state was gone
     assert rows[3] == (25.0, True)
+
+
+def test_source_cap_stream_counts_across_batches(spark, tmp_path):
+    """The admission counter must persist across micro-batches per source:
+    with K=3, a source delivering 2 docs in batch 0 and 3 in batch 1
+    admits exactly one of the later three; an under-cap source admits
+    everything; in-batch admission order is (fetched_at, doc_id)."""
+    import json as _json
+    import os as _os
+
+    from real_time_iot_data_engineering_pipeline_spark.streaming.doc_pipeline import (
+        read_doc_file_stream,
+    )
+    from real_time_iot_data_engineering_pipeline_spark.streaming.stateful import (
+        source_cap_stream,
+    )
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def doc(i, t, source):
+        return dict(doc_id=i, text=f"doc {i} body words here", source=source,
+                    fetched_at=t)
+
+    def write(name, rows, seq):
+        p = _os.path.join(str(src), name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (1_700_000_000 + seq * 60,) * 2)
+
+    write("f1.json", [
+        doc(1, "2024-01-19 10:00:00", "crawl"),
+        doc(2, "2024-01-19 10:00:01", "crawl"),
+        doc(3, "2024-01-19 10:00:02", "wiki"),
+    ], seq=0)
+    write("f2.json", [
+        # deliberately out of doc_id order: in-batch seq follows fetched_at
+        doc(6, "2024-01-19 10:01:00", "crawl"),
+        doc(4, "2024-01-19 10:01:01", "crawl"),
+        doc(5, "2024-01-19 10:01:02", "crawl"),
+        doc(7, "2024-01-19 10:01:03", "wiki"),
+    ], seq=1)
+
+    raw = read_doc_file_stream(spark, str(src)).withColumn(
+        "fetched_at", F.to_timestamp("fetched_at")
+    )
+    out = source_cap_stream(raw, k=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cap_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.doc_id: (r.cap_seq, r.admitted)
+        for r in spark.sql("SELECT * FROM cap_out").collect()
+    }
+    assert rows[1] == (1, True)
+    assert rows[2] == (2, True)
+    assert rows[6] == (3, True)   # earliest fetched_at in batch 1 takes slot 3
+    assert rows[4] == (4, False)  # over the cap despite smaller doc_id
+    assert rows[5] == (5, False)
+    assert rows[3] == (1, True)   # wiki: own counter
+    assert rows[7] == (2, True)
