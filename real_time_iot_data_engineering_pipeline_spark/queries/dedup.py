@@ -54,6 +54,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 time_bucket(INTERVAL '5 seconds', CAST(ts AS TIMESTAMP))
                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         FROM events
+        -- NULL event times generate no window in Spark (TimeWindow emits
+        -- nothing), so the oracle must not invent a NULL bucket group
+        -- (hostile-gate totality; such rows are DLQ'd upstream anyway)
+        WHERE ts IS NOT NULL
     ) WHERE rn = 1
     """,
 )
@@ -86,6 +90,8 @@ def q_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
                    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         FROM events
+        -- same TimeWindow totality guard as q_dedup_window above
+        WHERE ts IS NOT NULL
     ) WHERE rn = 1
     """,
 )

@@ -86,6 +86,54 @@ _PARITY_QUERIES = (
     "q_time_features",
     "q_sessionize",
     "q_rollup_hypertable",
+    # round-10 widening: every further events-only query that is a total
+    # function of arbitrary rows joins the hostile table.
+    "q_active_users",
+    "q_audience_setops",
+    "q_behavior_signatures",
+    "q_bottomk_sample",
+    "q_case_status",
+    "q_cast",
+    "q_city_avg_compare",
+    "q_click_attribution",
+    "q_conversion_latency",
+    "q_dedup_exact",
+    "q_distinct_users",
+    "q_event_pairs",
+    "q_ewma_daily",
+    "q_first_touch",
+    "q_funnel",
+    "q_gap_fill",
+    "q_hash_partition",
+    "q_hour_profile",
+    "q_incremental_scan",
+    "q_k_anonymity",
+    "q_lag_features",
+    "q_location_agg",
+    "q_mad_outliers",
+    "q_markov_transitions",
+    "q_missing_days",
+    "q_null_policy",
+    "q_pivot_daily",
+    "q_profile_events",
+    "q_project_rename",
+    "q_rank_per_group",
+    "q_rate_limit",
+    "q_retention",
+    "q_session_agg",
+    "q_sliding_agg",
+    "q_sort_limit",
+    "q_source_scan",
+    "q_sudden_change",
+    "q_sync_watermark",
+    "q_to_timestamp",
+    "q_topk_per_group",
+    "q_ttl_dedup",
+    "q_upsert_last_write_wins",
+    "q_value_deciles",
+    "q_welford_stats",
+    "q_winsorize",
+    "q_zscore_flag",
 )
 
 

@@ -81,6 +81,41 @@ _PARITY_QUERIES = (
     "q_outlier_flag",
     "q_json_decode",
     "q_json_roundtrip",
+    # round-10 widening: the events-only analytic/behavior tier must also
+    # agree with its oracles under NaN / +-Inf / near-overflow values and
+    # NULL keys (the aggregation tier normally sits BEHIND the quarantine
+    # gate, but parity on raw hostile rows proves the oracles model the
+    # engine's numerics, not a better-behaved cousin).
+    "q_active_users",
+    "q_audience_setops",
+    "q_behavior_signatures",
+    "q_bottomk_sample",
+    "q_case_status",
+    "q_click_attribution",
+    "q_conversion_latency",
+    "q_dedup_exact",
+    "q_dedup_window",
+    "q_distinct_users",
+    "q_event_pairs",
+    "q_first_touch",
+    "q_funnel",
+    "q_hash_partition",
+    "q_incremental_scan",
+    "q_markov_transitions",
+    "q_missing_days",
+    "q_project_rename",
+    "q_rank_per_group",
+    "q_rate_limit",
+    "q_retention",
+    "q_sessionize",
+    "q_sort_limit",
+    "q_source_scan",
+    "q_sync_watermark",
+    "q_time_features",
+    "q_to_timestamp",
+    "q_topk_per_group",
+    "q_ttl_dedup",
+    "q_upsert_last_write_wins",
 )
 
 

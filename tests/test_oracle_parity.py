@@ -74,10 +74,16 @@ def test_driver_priority_queries_inside_50_window():
 # fixes — CASE-exact late counting in q_late_shipment_mix and NULL-revenue
 # exclusion in q_revenue_gini.  All three are fixture-bit-identical, but
 # their certifying rows predate the current code/oracle text.
+# ...plus three from the hostile-gate widening: TimeWindow NULL-ts
+# totality guards in q_dedup_window / q_upsert_last_write_wins's oracles,
+# and the NULL-key crash fix in q_ttl_dedup's Arrow fold.
 _RECERTIFY: set[str] = {
     "q_rolling_median",
     "q_late_shipment_mix",
     "q_revenue_gini",
+    "q_dedup_window",
+    "q_upsert_last_write_wins",
+    "q_ttl_dedup",
 }
 
 # Certification-freshness horizon (rounds).  A query whose latest green
