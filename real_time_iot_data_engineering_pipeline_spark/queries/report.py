@@ -194,7 +194,12 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                CAST(sum(len(string_split_regex(trim(text), '{_WS}'))) AS BIGINT)
                    AS n_tokens,
-               CAST(CAST(substr(source, 4) AS INT) + 1 AS DOUBLE) AS w
+               -- TRY_CAST + default weight 1: the srcN-derived target
+               -- weight is fixture plumbing, and a source name that does
+               -- not parse (hostile-docs 'hostile') must not ERROR the
+               -- oracle where Spark's try_cast yields NULL
+               CAST(COALESCE(TRY_CAST(substr(source, 4) AS INT) + 1, 1)
+                    AS DOUBLE) AS w
         FROM documents
         GROUP BY source
     ),
@@ -239,7 +244,13 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.trim("text"), _WS))).cast("long").alias("n_tokens"),
         F.first(
-            (F.substring("source", 4, 10).cast("int") + F.lit(1)).cast("double")
+            # try_cast keeps the weight derivation total under ANSI mode
+            # and on non-srcN source names (default weight 1) — matching
+            # the oracle's TRY_CAST (hostile-docs suite)
+            F.coalesce(
+                F.substring("source", 4, 10).try_cast("int") + F.lit(1),
+                F.lit(1),
+            ).cast("double")
         ).alias("w"),
     )
     t = s.agg(

@@ -71,8 +71,8 @@ _DRIVER_PRIORITY = (
     # converted all 50 round-9 slots to green rows; the staleness tail is
     # now 16 queries last certified in round 3 (age 7 at the round-10
     # build — past the 6-round cadence bar, so they MUST rotate in) and
-    # 49 certified in round 4.  Window = 5 new + 6 re-fronts + all 16 r3 +
-    # the alphabetically-first 23 of the 49 r4; the remaining 26 r4
+    # 49 certified in round 4.  Window = 5 new + 8 re-fronts + all 16 r3 +
+    # the alphabetically-first 21 of the 49 r4; the remaining 28 r4
     # overflow to _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).
     # -- new in round 10 (never certified):
     "q_source_cap",
@@ -95,6 +95,10 @@ _DRIVER_PRIORITY = (
     "q_dedup_window",
     "q_upsert_last_write_wins",
     "q_ttl_dedup",
+    # (hostile-docs widening: TRY_CAST totality in the shared mixture
+    # weight derivation — q_mixture_sample composes the same expression)
+    "q_mixture_weights",
+    "q_mixture_sample",
     # -- last driver-certified round 3 (all 16):
     "q_reading_gaps",
     "q_region_revenue",
@@ -112,7 +116,7 @@ _DRIVER_PRIORITY = (
     "q_token_count",
     "q_train_test_split",
     "q_vocab_topk",
-    # -- last driver-certified round 4 (first 23 of 49):
+    # -- last driver-certified round 4 (first 21 of 49):
     "q_audience_setops",
     "q_behavior_signatures",
     "q_bigram_topk",
@@ -134,8 +138,6 @@ _DRIVER_PRIORITY = (
     "q_grouping_sets",
     "q_hard_negatives",
     "q_important_parts",
-    "q_keyword_extract",
-    "q_large_orders",
 )
 
 # Rotation OVERFLOW queue: stale-certified queries that did not fit in this
@@ -144,7 +146,9 @@ _DRIVER_PRIORITY = (
 # the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
 # "scheduled for re-cert" when enforcing the <=6-round freshness bar.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # -- last driver-certified round 4 (remaining 26 of 49):
+    # -- last driver-certified round 4 (remaining 28 of 49):
+    "q_keyword_extract",
+    "q_large_orders",
     "q_length_histogram",
     "q_mad_outliers",
     "q_min_cost_supplier",

@@ -82,6 +82,41 @@ _PARITY_QUERIES = (
     "q_shard_assign",
     "q_kn_bigram_lm",
     "q_kn_doc_ppl",
+    # round-10 widening: every further documents-only query that is a
+    # total function of arbitrary text joins the hostile table.
+    "q_batch_novelty",
+    "q_bigram_ppl",
+    "q_bpe_pairs",
+    "q_ccnet_buckets",
+    "q_corpus_stats",
+    "q_dataset_manifest",
+    "q_doc_chunk",
+    "q_doc_length_bands",
+    "q_editdist_refine",
+    "q_keyword_extract",
+    "q_lang_confusion",
+    "q_minhash_eval",
+    "q_mixture_sample",
+    "q_mixture_weights",
+    "q_ngram_novelty",
+    "q_paragraph_dedup",
+    "q_pmi_collocations",
+    "q_quality_buckets",
+    "q_readability",
+    "q_repeated_substrings",
+    "q_sample_stratified",
+    "q_sequence_pack",
+    "q_shingle_profile",
+    "q_source_divergence",
+    "q_source_fingerprint",
+    "q_source_overlap",
+    "q_source_quality_report",
+    "q_tfidf_topterms",
+    "q_token_budget_pack",
+    "q_token_budget_plan",
+    "q_train_test_split",
+    "q_url_dedup",
+    "q_vocab_coverage",
 )
 
 

@@ -84,6 +84,10 @@ _RECERTIFY: set[str] = {
     "q_dedup_window",
     "q_upsert_last_write_wins",
     "q_ttl_dedup",
+    # ...and the shared mixture-weight TRY_CAST totality fix (hostile-docs
+    # widening) — q_mixture_sample composes q_mixture_weights.
+    "q_mixture_weights",
+    "q_mixture_sample",
 }
 
 # Certification-freshness horizon (rounds).  A query whose latest green
