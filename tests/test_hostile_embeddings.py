@@ -39,7 +39,46 @@ _PARITY_QUERIES = (
     "q_semantic_dedup",
     "q_knn_classify",
     "q_pq_codes",
+    # round-10 widening: the remaining embeddings-only queries join the
+    # hostile table (zero vector, exact duplicates, tiny/huge norms).
+    "q_cluster_purity",
+    "q_embed_binary_eval",
+    "q_embed_centroid_drift",
+    "q_embed_truncation_eval",
+    "q_label_balance",
+    "q_power_iteration",
+    "q_silhouette",
 )
+
+# Excluded with the mechanism documented (same contract as the
+# test_hostile_gate.py exclusions): fround is defined on SMALL-RANGE
+# finite doubles — Spark's floor(double) returns LONG, so the 9 dp
+# pre-argmin distance quantization saturates at sqd > ~9.2e9 and flips
+# the nearest-centroid choice, while DuckDB's floor stays DOUBLE.  At
+# those magnitudes a 1e-9 grain exceeds double precision anyway (the
+# quantization is vacuous), and the embeddings contract is feature-scale
+# vectors; the float32-max hostile row is out of it.
+_EXCLUDED_NON_FINITE = {
+    "q_kmeans_step": "fround(sqd, 9) long-saturates past 9.2e9; argmin flips",
+}
+
+
+def test_excluded_queries_fail_for_the_documented_reason(
+    spark, hostile_emb_sf, hostile_emb_duck
+):
+    """Honesty guard: an excluded query that starts passing must be
+    consciously moved back into _PARITY_QUERIES."""
+    stale = []
+    for name in _EXCLUDED_NON_FINITE:
+        try:
+            sdf = registry.QUERIES[name](spark, hostile_emb_sf).toPandas()
+            ddf = hostile_emb_duck.execute(registry.ORACLES[name]).fetchdf()
+            problems = compare(sdf, ddf)
+        except Exception:
+            problems = ["raised"]
+        if not problems:
+            stale.append(name)
+    assert not stale, f"excluded queries now PASS hostile parity: {stale}"
 
 
 @pytest.fixture(scope="module")
