@@ -2227,3 +2227,143 @@ def q_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unique")
         .alias("dup_kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance kNN (ADC search over the codes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pq_adc_knn",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id AS seed_id,
+               list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings WHERE vec_id < {PQ_CODES}
+    ),
+    scored AS (
+        SELECT v.vec_id, s.seed_id,
+               {", ".join(f"{_pq_dist_duck(b)} AS d{b}" for b in range(PQ_BLOCKS))}
+        FROM v, s
+    ),
+    codes AS (
+        SELECT vec_id,
+               {", ".join(
+                   f"CAST(min(struct_pack(d := d{b}, s := seed_id)).s AS INT)"
+                   f" AS code{b}"
+                   for b in range(PQ_BLOCKS)
+               )}
+        FROM scored GROUP BY vec_id
+    ),
+    lut AS (
+        -- per-query, per-codebook-entry block distances: the ADC lookup
+        -- tables (queries stay FULL precision; v restricted to the batch)
+        SELECT v.vec_id AS query_id, s.seed_id,
+               {", ".join(f"{_pq_dist_duck(b)} AS d{b}" for b in range(PQ_BLOCKS))}
+        FROM v, s WHERE v.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT l0.query_id, c.vec_id AS neighbor_id,
+               l0.d0 + l1.d1 + l2.d2 + l3.d3 AS adc_dist
+        FROM codes c
+        JOIN lut l0 ON l0.seed_id = c.code0
+        JOIN lut l1 ON l1.query_id = l0.query_id AND l1.seed_id = c.code1
+        JOIN lut l2 ON l2.query_id = l0.query_id AND l2.seed_id = c.code2
+        JOIN lut l3 ON l3.query_id = l0.query_id AND l3.seed_id = c.code3
+        WHERE c.vec_id <> l0.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id,
+           {fround_sql("adc_dist")} AS adc_dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {K}
+    """,
+)
+def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance kNN over the PQ codes (Jegou et al. 2011 §IV):
+    the query stays FULL precision and precomputes one lookup table per
+    sub-block (distance from its block to each of the {PQ_CODES} codebook
+    entries); every corpus vector's approximate distance is then
+    {PQ_BLOCKS} table lookups summed — no float arithmetic against the
+    corpus at all.  This is the search path PQ exists for: at 100 TB the
+    corpus is 2 bytes/vector of codes, the per-query LUTs are
+    {PQ_BLOCKS}x{PQ_CODES} doubles riding a broadcast, and scan+lookup
+    replaces the {DIM}-dim dot product of the exact path (q_embed_knn),
+    with q_ann_recall's harness shape available to measure what the
+    compression costs.
+
+    Engine shape: the code table reuses q_pq_codes' derivation
+    (broadcast codebook, min-over-struct argmin per block); the LUTs
+    collapse to ONE broadcast row per query holding {PQ_BLOCKS}
+    seed->distance maps, so scoring is a map lookup expression inside
+    codegen over the codes scan — corpus never shuffles; the final
+    top-{K} is the rank-limited window (WindowGroupLimit Partial).  Both
+    engines sum the four block terms in the same written order from
+    identical doubles, so the ranking needs no rounding guard."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.expr(_EMB_D_SPARK).alias("emb"))
+    s = emb.filter(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").alias("seed_id"), F.expr(_EMB_D_SPARK).alias("s_emb")
+    )
+    scored = v.crossJoin(F.broadcast(s)).select(
+        "vec_id",
+        "seed_id",
+        *[F.expr(_pq_dist_spark(b)).alias(f"d{b}") for b in range(PQ_BLOCKS)],
+    )
+    codes = scored.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"d{b}").alias("d"), F.col("seed_id").alias("s"))
+            )["s"]
+            .cast("int")
+            .alias(f"code{b}")
+            for b in range(PQ_BLOCKS)
+        ]
+    )
+    # One broadcast row per query: PQ_BLOCKS maps of seed -> block distance.
+    lut = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .groupBy(F.col("vec_id").alias("query_id"))
+        .agg(
+            *[
+                F.map_from_entries(
+                    F.collect_list(F.struct("seed_id", F.col(f"d{b}")))
+                ).alias(f"m{b}")
+                for b in range(PQ_BLOCKS)
+            ]
+        )
+    )
+    adc = (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.col("m0")[F.col("code0")]
+                + F.col("m1")[F.col("code1")]
+                + F.col("m2")[F.col("code2")]
+                + F.col("m3")[F.col("code3")]
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(F.col("adc_dist"), 4).alias("adc_dist"),
+            "rank",
+        )
+    )

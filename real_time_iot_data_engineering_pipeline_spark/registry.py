@@ -71,8 +71,8 @@ _DRIVER_PRIORITY = (
     # converted all 50 round-9 slots to green rows; the staleness tail is
     # now 16 queries last certified in round 3 (age 7 at the round-10
     # build — past the 6-round cadence bar, so they MUST rotate in) and
-    # 49 certified in round 4.  Window = 5 new + 8 re-fronts + all 16 r3 +
-    # the alphabetically-first 21 of the 49 r4; the remaining 28 r4
+    # 49 certified in round 4.  Window = 6 new + 8 re-fronts + all 16 r3 +
+    # the alphabetically-first 20 of the 49 r4; the remaining 29 r4
     # overflow to _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).
     # -- new in round 10 (never certified):
     "q_source_cap",
@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = (
     "q_text_normalize",
     "q_kn_bigram_lm",
     "q_kn_doc_ppl",
+    "q_pq_adc_knn",
     # -- code changed in round 10 (fixture results bit-identical in all
     # three, but the certifying rows predate the changes, so re-front —
     # listed in tests' _RECERTIFY, exempt from the oldest-first
@@ -116,7 +117,7 @@ _DRIVER_PRIORITY = (
     "q_token_count",
     "q_train_test_split",
     "q_vocab_topk",
-    # -- last driver-certified round 4 (first 21 of 49):
+    # -- last driver-certified round 4 (first 20 of 49):
     "q_audience_setops",
     "q_behavior_signatures",
     "q_bigram_topk",
@@ -137,7 +138,6 @@ _DRIVER_PRIORITY = (
     "q_gap_fill",
     "q_grouping_sets",
     "q_hard_negatives",
-    "q_important_parts",
 )
 
 # Rotation OVERFLOW queue: stale-certified queries that did not fit in this
@@ -146,7 +146,8 @@ _DRIVER_PRIORITY = (
 # the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
 # "scheduled for re-cert" when enforcing the <=6-round freshness bar.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # -- last driver-certified round 4 (remaining 28 of 49):
+    # -- last driver-certified round 4 (remaining 29 of 49):
+    "q_important_parts",
     "q_keyword_extract",
     "q_large_orders",
     "q_length_histogram",

@@ -39,6 +39,7 @@ _PARITY_QUERIES = (
     "q_semantic_dedup",
     "q_knn_classify",
     "q_pq_codes",
+    "q_pq_adc_knn",
     # round-10 widening: the remaining embeddings-only queries join the
     # hostile table (zero vector, exact duplicates, tiny/huge norms).
     "q_cluster_purity",

@@ -1277,3 +1277,14 @@ class TestRound10Plans:
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan
+
+    def test_pq_adc_scores_via_broadcast_maps_no_corpus_shuffle(self, spark, sf_dir):
+        """ADC search must be a map-lookup expression over the codes scan:
+        the per-query LUTs ride a broadcast (BroadcastNestedLoopJoin of a
+        10-row side is the fan-out, never a shuffled join of the corpus),
+        and the top-k is the rank-limited window (WindowGroupLimit
+        Partial)."""
+        plan = plan_of(spark, sf_dir, "q_pq_adc_knn")
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan

@@ -435,3 +435,69 @@ class TestAnisotropy:
         norms = np.linalg.norm(M, axis=1)
         assert row.mean_norm == pytest.approx(float(norms.mean()), abs=1e-3)
         assert row.std_norm == pytest.approx(float(norms.std(ddof=1)), abs=1e-3)
+
+
+class TestPqAdc:
+    def test_adc_matches_numpy_recompute(self, spark, sf_dir):
+        """Every ADC distance and the resulting top-k must equal a numpy
+        recomputation of the Jegou pipeline: encode the corpus against the
+        seed codebook per sub-block, build per-query LUTs, score by table
+        lookup, rank ascending with neighbor-id ties."""
+        import numpy as np
+        import pyarrow.parquet as pq_mod
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.similarity import (
+            K,
+            N_QUERIES,
+            PQ_BLOCKS,
+            PQ_CODES,
+            PQ_SUB,
+        )
+
+        tbl = pq_mod.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        ids = tbl["vec_id"].to_numpy()
+        X = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+        seeds = X[ids < PQ_CODES]
+        blocks = [slice(b * PQ_SUB, (b + 1) * PQ_SUB) for b in range(PQ_BLOCKS)]
+        codes = np.stack(
+            [
+                np.argmin(
+                    ((X[:, None, s] - seeds[None, :, s]) ** 2).sum(-1), axis=1
+                )
+                for s in blocks
+            ],
+            axis=1,
+        )
+        want = {}
+        for q in range(N_QUERIES):
+            luts = [
+                ((X[q, s] - seeds[:, s]) ** 2).sum(-1) for s in blocks
+            ]
+            adc = sum(luts[b][codes[:, b]] for b in range(PQ_BLOCKS))
+            cand = [(adc[i], int(ids[i])) for i in range(len(ids)) if ids[i] != q]
+            cand.sort()
+            want[q] = cand[:K]
+        rows = registry.QUERIES["q_pq_adc_knn"](spark, sf_dir).collect()
+        assert len(rows) == N_QUERIES * K
+        for r in rows:
+            d, nid = want[r.query_id][r.rank - 1]
+            assert nid == r.neighbor_id, (r.query_id, r.rank)
+            assert abs(d - r.adc_dist) < 1e-3, (r.query_id, r.rank)
+
+    def test_adc_recall_against_exact_knn_is_nontrivial(self, spark, sf_dir):
+        """The compressed search must stay a SEARCH: ADC top-K overlaps the
+        exact cosine top-K for a meaningful fraction of queries (16-entry
+        codebooks on 64 dims are coarse; the floor asserts signal, not
+        excellence — q_ann_recall is the precise harness)."""
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in registry.QUERIES["q_embed_knn"](spark, sf_dir).collect()
+        }
+        adc = {
+            (r.query_id, r.neighbor_id)
+            for r in registry.QUERIES["q_pq_adc_knn"](spark, sf_dir).collect()
+        }
+        recall = len(exact & adc) / len(exact)
+        assert recall > 0.05, f"ADC recall {recall:.3f} indistinguishable from noise"
