@@ -66,87 +66,22 @@ _QUERY_MODULES = (
 # order; every query that falls outside the window as a result already
 # holds a green driver row (CORRECTNESS_r01 and/or _r02).
 _DRIVER_PRIORITY = (
-    # round-10 rotation: CERTIFICATION-FRESHNESS pass, continuing the
-    # oldest-cert-first policy adopted in round 9.  CORRECTNESS_r09
-    # converted all 50 round-9 slots to green rows; the staleness tail is
-    # now 16 queries last certified in round 3 (age 7 at the round-10
-    # build — past the 6-round cadence bar, so they MUST rotate in) and
-    # 49 certified in round 4.  Window = 6 new + 8 re-fronts + all 16 r3 +
-    # the alphabetically-first 20 of the 49 r4; the remaining 29 r4
+    # round-11 rotation: CERTIFICATION-FRESHNESS pass, continuing the
+    # oldest-cert-first policy.  CORRECTNESS_r10 converted all 50 round-10
+    # slots to green rows; the staleness tail is now 29 queries last
+    # certified in round 4 (age 7 at the round-11 build — past the 6-round
+    # cadence bar, so they MUST rotate in: the whole r10 overflow queue)
+    # and 46 certified in round 5.  Window = 1 new + 1 re-front + all 29
+    # r4 + the alphabetically-first 19 of the 46 r5; the remaining 27 r5
     # overflow to _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).
-    # -- new in round 10 (never certified):
-    "q_source_cap",
-    "q_shard_assign",
-    "q_text_normalize",
-    "q_kn_bigram_lm",
+    # -- new in round 11 (never certified):
+    "q_ivf_adc_knn",
+    # -- code changed in round 11 (listed in tests' _RECERTIFY, exempt
+    # from the oldest-first invariant): the Kneser-Ney perplexity gate's
+    # keep threshold is now derived in-query from the corpus NLL quantile
+    # instead of the fixture-pinned 3.39 (VERDICT r10 #6).
     "q_kn_doc_ppl",
-    "q_pq_adc_knn",
-    # -- code changed in round 10 (fixture results bit-identical in all
-    # three, but the certifying rows predate the changes, so re-front —
-    # listed in tests' _RECERTIFY, exempt from the oldest-first
-    # invariant): the rolling median's empty-frame guard (ADVICE r9), and
-    # two NULL-semantics fixes found by the new hostile-relational suite
-    # (CASE-exact late counting; NULL-revenue exclusion from the Gini
-    # ranking).
-    "q_rolling_median",
-    "q_late_shipment_mix",
-    "q_revenue_gini",
-    # (hostile-gate widening: TimeWindow NULL-ts totality in two oracles,
-    # NULL-key crash fix in the TTL fold)
-    "q_dedup_window",
-    "q_upsert_last_write_wins",
-    "q_ttl_dedup",
-    # (hostile-docs widening: TRY_CAST totality in the shared mixture
-    # weight derivation — q_mixture_sample composes the same expression)
-    "q_mixture_weights",
-    "q_mixture_sample",
-    # -- last driver-certified round 3 (all 16):
-    "q_reading_gaps",
-    "q_region_revenue",
-    "q_repetition_filter",
-    "q_retention",
-    "q_returned_revenue",
-    "q_rollup_hypertable",
-    "q_sample_stratified",
-    "q_semantic_dedup",
-    "q_sequence_pack",
-    "q_session_agg",
-    "q_ship_priority",
-    "q_sliding_agg",
-    "q_tfidf_topterms",
-    "q_token_count",
-    "q_train_test_split",
-    "q_vocab_topk",
-    # -- last driver-certified round 4 (first 20 of 49):
-    "q_audience_setops",
-    "q_behavior_signatures",
-    "q_bigram_topk",
-    "q_bm25_rank",
-    "q_cube_summary",
-    "q_custdist",
-    "q_dedup_survivor",
-    "q_disjunctive_revenue",
-    "q_doc_dedup_minhash",
-    "q_doc_dup_groups_cc",
-    "q_doc_ngram_jaccard",
-    "q_dormant_rich",
-    "q_embed_quantize",
-    "q_event_pairs",
-    "q_excess_suppliers",
-    "q_first_touch",
-    "q_forecast_revenue",
-    "q_gap_fill",
-    "q_grouping_sets",
-    "q_hard_negatives",
-)
-
-# Rotation OVERFLOW queue: stale-certified queries that did not fit in this
-# round's 50-slot window.  They order immediately after the window
-# (positions 51+) and are the mandatory front of next round's rotation —
-# the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
-# "scheduled for re-cert" when enforcing the <=6-round freshness bar.
-_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # -- last driver-certified round 4 (remaining 29 of 49):
+    # -- last driver-certified round 4 (all 29 — the r10 overflow queue):
     "q_important_parts",
     "q_keyword_extract",
     "q_large_orders",
@@ -176,6 +111,62 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_unigram_ppl",
     "q_waiting_suppliers",
     "q_winsorize",
+    # -- last driver-certified round 5 (first 19 of 46):
+    "q_ann_recall",
+    "q_autocorr",
+    "q_benford",
+    "q_bigram_ppl",
+    "q_bollinger",
+    "q_bpe_pairs",
+    "q_burstiness",
+    "q_chi_square",
+    "q_conversion_latency",
+    "q_corr_matrix",
+    "q_curation_pipeline",
+    "q_cusum",
+    "q_cycle_time",
+    "q_durbin_watson",
+    "q_embed_binary_eval",
+    "q_embed_truncation_eval",
+    "q_ewma_daily",
+    "q_gap_interp",
+    "q_heaps_law",
+)
+
+# Rotation OVERFLOW queue: stale-certified queries that did not fit in this
+# round's 50-slot window.  They order immediately after the window
+# (positions 51+) and are the mandatory front of next round's rotation —
+# the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
+# "scheduled for re-cert" when enforcing the <=6-round freshness bar.
+_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
+    # -- last driver-certified round 5 (remaining 27 of 46):
+    "q_hour_profile",
+    "q_kaplan_meier",
+    "q_ks_test",
+    "q_mann_whitney",
+    "q_market_basket",
+    "q_markov_transitions",
+    "q_minhash_eval",
+    "q_name_linkage",
+    "q_ngram_novelty",
+    "q_open_orders",
+    "q_pagerank",
+    "q_pq_codes",
+    "q_psi",
+    "q_repeated_substrings",
+    "q_rfm_segments",
+    "q_rolling_corr",
+    "q_runs_test",
+    "q_seasonal_decompose",
+    "q_simhash_eval",
+    "q_skipgram_pairs",
+    "q_source_divergence",
+    "q_source_overlap",
+    "q_source_quality_report",
+    "q_theil_sen",
+    "q_trend_slope",
+    "q_welch_ttest",
+    "q_zipf_fit",
 )
 
 

@@ -68,26 +68,12 @@ def test_driver_priority_queries_inside_50_window():
 
 # Re-fronted because their code or oracle changed after the certifying
 # round (the old green row no longer certifies the current behaviour).
-# These are exempt from the oldest-first invariant.  Round 10: the rolling
-# median gained the empty-frame guard for dead-sensor (all-NULL) days
-# (ADVICE r9), and the hostile-relational suite forced two NULL-semantics
-# fixes — CASE-exact late counting in q_late_shipment_mix and NULL-revenue
-# exclusion in q_revenue_gini.  All three are fixture-bit-identical, but
-# their certifying rows predate the current code/oracle text.
-# ...plus three from the hostile-gate widening: TimeWindow NULL-ts
-# totality guards in q_dedup_window / q_upsert_last_write_wins's oracles,
-# and the NULL-key crash fix in q_ttl_dedup's Arrow fold.
+# These are exempt from the oldest-first invariant.  Round 11: the
+# Kneser-Ney perplexity gate derives its keep threshold from the corpus
+# NLL quantile instead of the fixture-pinned constant (VERDICT r10 #6),
+# so its r10 row no longer certifies the current query/oracle text.
 _RECERTIFY: set[str] = {
-    "q_rolling_median",
-    "q_late_shipment_mix",
-    "q_revenue_gini",
-    "q_dedup_window",
-    "q_upsert_last_write_wins",
-    "q_ttl_dedup",
-    # ...and the shared mixture-weight TRY_CAST totality fix (hostile-docs
-    # widening) — q_mixture_sample composes q_mixture_weights.
-    "q_mixture_weights",
-    "q_mixture_sample",
+    "q_kn_doc_ppl",
 }
 
 # Certification-freshness horizon (rounds).  A query whose latest green

@@ -1288,3 +1288,15 @@ class TestRound10Plans:
         assert "WindowGroupLimit" in plan and "Partial" in plan
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
+
+    def test_ivf_adc_candidates_equi_join_no_corpus_shuffle(self, spark, sf_dir):
+        """IVFADC's candidate generation must be a hash EQUI-join of the
+        codes scan against the broadcast (query, cell) probe table — the
+        shape a label-partitioned codes table partition-prunes at scale —
+        never a cartesian/sort-merge of the corpus; LUT scoring rides
+        broadcasts and the top-k is the rank-limited window."""
+        plan = plan_of(spark, sf_dir, "q_ivf_adc_knn")
+        assert "BroadcastHashJoin" in plan
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
