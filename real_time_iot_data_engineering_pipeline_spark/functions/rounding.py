@@ -33,3 +33,30 @@ def fround(c: Column, n: int = 4) -> Column:
 def fround_sql(expr: str, n: int = 4) -> str:
     s = f"1e{n}"
     return f"(floor(({expr}) * {s} * (1 + 1e-12) + 0.5) / {s})"
+
+
+# Quantization is meaningful only while the quantum exceeds the double's
+# ULP: past |x| ~ 1e(15-n) a 10^-n grain is below x * 2^-52 and the rounding
+# is vacuous — and Spark's floor(double)->LONG implementation saturates at
+# 9.2e18 (zeroing NaN) while DuckDB's floor stays DOUBLE, so applying fround
+# there DIVERGES the engines instead of aligning them.  The guarded variants
+# quantize inside the meaningful range and pass the raw double through
+# outside it (NaN/±Inf included: the NaN comparison is false in Spark and
+# NaN sorts above every limit in DuckDB, so both take the pass-through arm).
+# Use them when an operator's input domain is not bounded to feature-scale
+# values (see q_kmeans_step; tests/test_hostile_embeddings.py).
+
+
+def _guard_lim(n: int) -> float:
+    return float(10 ** (15 - n))
+
+
+def fround_guarded(c: Column, n: int = 4) -> Column:
+    return F.when(F.abs(c) < F.lit(_guard_lim(n)), fround(c, n)).otherwise(c)
+
+
+def fround_guarded_sql(expr: str, n: int = 4) -> str:
+    return (
+        f"(CASE WHEN abs({expr}) < 1e{15 - n} THEN {fround_sql(expr, n)} "
+        f"ELSE ({expr}) END)"
+    )

@@ -133,8 +133,12 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dod_change",
-    oracle=f"""
-    WITH daily AS ({_DAILY_SQL})
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               (floor((avg(value)) * 1e4 * (1 + 1e-12) + 0.5) / 1e4) AS d_avg
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    )
     SELECT user_id, day, d_avg,
            (floor(((d_avg - lag(d_avg) OVER w) / nullif(lag(d_avg) OVER w, 0)) * 1e4 * (1 + 1e-12) + 0.5) / 1e4)
              AS dod_pct_change
@@ -143,8 +147,19 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-over-day % change per sensor (Learning Guide.txt:1045 §4)."""
-    daily = _daily(spark, sf_dir)
+    """Day-over-day % change per sensor (Learning Guide.txt:1045 §4).
+
+    NULL-timestamp rows are excluded from the day sequence: "change since
+    an unknown day" is undefined, and the engines order the NULL day on
+    opposite ends of the lag window (Spark NULLS FIRST ascending, DuckDB
+    NULLS LAST), so totality here demands the guard on BOTH sides — the
+    same r10 precedent as q_dedup_window's TimeWindow NULL-ts fix
+    (tests/test_hostile_gate.py clamped-fixture parity).  The oracle
+    guards ts IS NOT NULL INSIDE the aggregate CTE rather than filtering
+    the date_trunc alias afterwards: DuckDB 1.0's optimizer silently
+    drops a post-aggregate `day IS NOT NULL` over a date_trunc GROUP BY
+    key (the row survives even though `day IS NULL` selects true)."""
+    daily = _daily(spark, sf_dir).filter(F.col("day").isNotNull())
     w = Window.partitionBy("user_id").orderBy("day")
     prev = F.lag("d_avg", 1).over(w)
     return daily.select(

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import fround, fround_sql
+from ..functions.rounding import (
+    fround,
+    fround_guarded,
+    fround_guarded_sql,
+    fround_sql,
+)
 from ..registry import register
 from ..sources import load_table
 
@@ -201,7 +206,7 @@ KMEANS_K = 8  # seeds = the vectors with vec_id < KMEANS_K
     ),
     dists AS (
         SELECT v.vec_id, c.cid,
-               {fround_sql(
+               {fround_guarded_sql(
                    "list_sum(list_transform(generate_series(1, " + str(DIM)
                    + "), i -> (v.emb[i] - c.cent[i]) * (v.emb[i] - c.cent[i])))",
                    9,
@@ -217,8 +222,8 @@ KMEANS_K = 8  # seeds = the vectors with vec_id < KMEANS_K
     )
     SELECT cid AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_assigned,
-           {fround_sql("avg(sqd)")} AS avg_sqdist,
-           {fround_sql("sum(sqd)", 2)} AS inertia
+           {fround_guarded_sql("avg(sqd)")} AS avg_sqdist,
+           {fround_guarded_sql("sum(sqd)", 2)} AS inertia
     FROM assigned WHERE rn = 1
     GROUP BY cid
     ORDER BY cid
@@ -236,8 +241,12 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the K seed vectors ride a broadcast; assignment is a map-side
     argmin over K per row (no shuffle, no pairwise corpus join), and the
     per-cluster stats partial-aggregate down to K rows.  Distances are
-    quantized (fround 9) BEFORE the argmin on both engines so the
-    nearest-seed choice can't flip on summation regrouping."""
+    quantized (fround_guarded 9) BEFORE the argmin on both engines so the
+    nearest-seed choice can't flip on summation regrouping; past the
+    guard's range the quantum is below the double's ULP (vacuous) and the
+    raw — order-identically folded, hence bit-identical — distance passes
+    through instead of hitting Spark's floor->LONG saturation
+    (tests/test_hostile_embeddings.py runs this on float32-max rows)."""
     vecs = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("emb")
     )
@@ -245,7 +254,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.filter(F.col("vec_id") < KMEANS_K)
         .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cent"))
     )
-    sqd = fround(
+    sqd = fround_guarded(
         F.expr(
             "aggregate(zip_with(emb, cent, (x, y) -> (x - y) * (x - y)), "
             "0d, (acc, d) -> acc + d)"
@@ -263,8 +272,8 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(
             F.count("*").cast("long").alias("n_assigned"),
-            fround(F.avg("sqd")).alias("avg_sqdist"),
-            fround(F.sum("sqd"), 2).alias("inertia"),
+            fround_guarded(F.avg("sqd")).alias("avg_sqdist"),
+            fround_guarded(F.sum("sqd"), 2).alias("inertia"),
         )
         .orderBy("cluster_id")
     )

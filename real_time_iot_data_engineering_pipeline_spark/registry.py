@@ -79,8 +79,14 @@ _DRIVER_PRIORITY = (
     # -- code changed in round 11 (listed in tests' _RECERTIFY, exempt
     # from the oldest-first invariant): the Kneser-Ney perplexity gate's
     # keep threshold is now derived in-query from the corpus NLL quantile
-    # instead of the fixture-pinned 3.39 (VERDICT r10 #6).
+    # instead of the fixture-pinned 3.39 (VERDICT r10 #6); q_kmeans_step's
+    # quantization became fround_guarded and q_dod_change gained the
+    # NULL-day totality guard (VERDICT r10 #4, hostile-quarantine
+    # conversions — fixture results bit-identical, but the certifying
+    # rows predate the new code/oracle text).
     "q_kn_doc_ppl",
+    "q_kmeans_step",
+    "q_dod_change",
     # -- last driver-certified round 4 (all 29 — the r10 overflow queue):
     "q_important_parts",
     "q_keyword_extract",
@@ -129,8 +135,6 @@ _DRIVER_PRIORITY = (
     "q_embed_binary_eval",
     "q_embed_truncation_eval",
     "q_ewma_daily",
-    "q_gap_interp",
-    "q_heaps_law",
 )
 
 # Rotation OVERFLOW queue: stale-certified queries that did not fit in this
@@ -139,7 +143,11 @@ _DRIVER_PRIORITY = (
 # the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
 # "scheduled for re-cert" when enforcing the <=6-round freshness bar.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # -- last driver-certified round 5 (remaining 27 of 46):
+    # -- last driver-certified round 5 (remaining 29 of 46; q_gap_interp
+    # and q_heaps_law dropped out of the window when the two round-11
+    # hostile-conversion re-fronts took their slots):
+    "q_gap_interp",
+    "q_heaps_law",
     "q_hour_profile",
     "q_kaplan_meier",
     "q_ks_test",

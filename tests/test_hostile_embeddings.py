@@ -49,19 +49,19 @@ _PARITY_QUERIES = (
     "q_label_balance",
     "q_power_iteration",
     "q_silhouette",
+    # round-11: q_kmeans_step graduated from _EXCLUDED_NON_FINITE — its
+    # distance quantization is now fround_guarded (quantize inside the
+    # meaningful small range, pass the order-identically-folded raw
+    # double through where the 10^-n grain is sub-ULP), so the float32-
+    # max row no longer trips Spark's floor->LONG saturation.
+    "q_kmeans_step",
+    "q_ivf_adc_knn",
 )
 
 # Excluded with the mechanism documented (same contract as the
-# test_hostile_gate.py exclusions): fround is defined on SMALL-RANGE
-# finite doubles — Spark's floor(double) returns LONG, so the 9 dp
-# pre-argmin distance quantization saturates at sqd > ~9.2e9 and flips
-# the nearest-centroid choice, while DuckDB's floor stays DOUBLE.  At
-# those magnitudes a 1e-9 grain exceeds double precision anyway (the
-# quantization is vacuous), and the embeddings contract is feature-scale
-# vectors; the float32-max hostile row is out of it.
-_EXCLUDED_NON_FINITE = {
-    "q_kmeans_step": "fround(sqd, 9) long-saturates past 9.2e9; argmin flips",
-}
+# test_hostile_gate.py exclusions).  Round 11: empty — q_kmeans_step,
+# the last exclusion, graduated via functions/rounding.fround_guarded.
+_EXCLUDED_NON_FINITE: dict[str, str] = {}
 
 
 def test_excluded_queries_fail_for_the_documented_reason(

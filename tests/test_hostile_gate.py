@@ -116,6 +116,78 @@ _PARITY_QUERIES = (
     "q_topk_per_group",
     "q_ttl_dedup",
     "q_upsert_last_write_wins",
+    # round-11 widening: every remaining events-only query that is a
+    # total function of arbitrary rows INCLUDING non-finite values joins
+    # the raw table (the serving/sketch/statistical families were in
+    # neither hostile events suite until now).
+    "q_autocorr",
+    "q_burstiness",
+    "q_chi_square",
+    "q_cms_heavy_hitters",
+    "q_cross_corr",
+    "q_ctr_wilson",
+    "q_decayed_counts",
+    "q_heavy_hitters",
+    "q_hll_distinct",
+    "q_kaplan_meier",
+    "q_kmv_setops",
+    "q_ks_test",
+    "q_misra_gries",
+    "q_pruning_audit",
+    "q_quality_alerts",
+    "q_reading_gaps",
+    "q_runs_test",
+    "q_scd2_intervals",
+    "q_seasonal_decompose",
+    "q_serve_analytics",
+    "q_serve_analytics_hourly",
+    "q_serve_health",
+    "q_serve_latest",
+    "q_serve_request_audit",
+    "q_serve_sensor_detail",
+    "q_serve_sensors_page",
+    "q_skew_report",
+    "q_snapshot_diff",
+    "q_trend_slope",
+    "q_volume_anomaly",
+    "q_cdc_apply",
+)
+
+# The NaN/±Inf/±1e308 rows sit OUTSIDE two documented numeric contracts:
+# fround is defined on small-range finite doubles (Spark floor(double)->
+# LONG saturates at 9.2e18 and zeroes NaN while DuckDB floor stays
+# DOUBLE), and DuckDB's single-pass variance accumulator hard-errors at
+# ±1e308 deviations where Spark's central-moment fold returns NaN/Inf.
+# In the product topology these queries consume gate-passed rows only
+# (test_gate_quarantines_every_hostile_row pins that every non-finite row
+# is DLQ-routed first), so instead of excluding them the suite runs them
+# on the CLAMPED twin of the fixture — identical hostile topology (NULL
+# ts/user/type/value/props, malformed JSON, every payload edge) with the
+# non-finite magnitudes clamped to extreme-but-in-contract finite values.
+# A staleness guard below re-runs each on the RAW table so one that
+# starts passing there must be consciously promoted to _PARITY_QUERIES.
+_CLAMPED_VALUES = {2: 9.0e8, 3: 8.5e8, 4: -8.5e8, 10: 9.2e8, 11: -9.2e8}
+_CLAMPED_PARITY_QUERIES = (
+    "q_cube_summary",
+    "q_cusum",
+    "q_cusum_alarm",
+    "q_dod_change",
+    "q_gap_interp",
+    "q_grouping_sets",
+    "q_ivm_merge",
+    "q_join_salted",
+    "q_mann_whitney",
+    "q_mart_daily_sql",
+    "q_mart_hourly_sql",
+    "q_mart_location_sql",
+    "q_psi",
+    "q_quantile_summary",
+    "q_rolling_7d",
+    "q_rolling_corr",
+    "q_rolling_median",
+    "q_salted_agg",
+    "q_validate_iot",
+    "q_welch_ttest",
 )
 
 
@@ -157,6 +229,67 @@ def test_hostile_gate_parity(spark, hostile_gate_sf, hostile_gate_duck, name):
     ddf = hostile_gate_duck.execute(registry.ORACLES[name]).fetchdf()
     problems = compare(sdf, ddf)
     assert not problems, f"{name}: " + " | ".join(problems)
+
+
+@pytest.fixture(scope="module")
+def clamped_gate_sf(tmp_path_factory) -> str:
+    path = tmp_path_factory.mktemp("hostile_gate_clamped")
+    rows = [
+        (r[0], r[1], r[2], r[3], _CLAMPED_VALUES.get(r[0], r[4]), r[5])
+        for r in _ROWS
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+                "value": pa.array([r[4] for r in rows], type=pa.float64()),
+                "props": pa.array([r[5] for r in rows], type=pa.string()),
+            }
+        ),
+        f"{path}/events.parquet",
+    )
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def clamped_gate_duck(clamped_gate_sf):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{clamped_gate_sf}/events.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _CLAMPED_PARITY_QUERIES)
+def test_clamped_gate_parity(spark, clamped_gate_sf, clamped_gate_duck, name):
+    sdf = registry.QUERIES[name](spark, clamped_gate_sf).toPandas()
+    ddf = clamped_gate_duck.execute(registry.ORACLES[name]).fetchdf()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_clamped_queries_still_diverge_on_raw_rows(
+    spark, hostile_gate_sf, hostile_gate_duck
+):
+    """Honesty guard (same contract as test_hostile_embeddings): a query
+    on the clamped list that starts agreeing with its oracle on the RAW
+    non-finite rows must be consciously promoted to _PARITY_QUERIES."""
+    stale = []
+    for name in _CLAMPED_PARITY_QUERIES:
+        try:
+            sdf = registry.QUERIES[name](spark, hostile_gate_sf).toPandas()
+            ddf = hostile_gate_duck.execute(registry.ORACLES[name]).fetchdf()
+            problems = compare(sdf, ddf)
+        except Exception:
+            problems = ["raised"]
+        if not problems:
+            stale.append(name)
+    assert not stale, f"clamped-list queries now PASS raw hostile parity: {stale}"
 
 
 def test_gate_quarantines_every_hostile_row(spark, hostile_gate_sf):

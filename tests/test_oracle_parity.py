@@ -70,10 +70,15 @@ def test_driver_priority_queries_inside_50_window():
 # round (the old green row no longer certifies the current behaviour).
 # These are exempt from the oldest-first invariant.  Round 11: the
 # Kneser-Ney perplexity gate derives its keep threshold from the corpus
-# NLL quantile instead of the fixture-pinned constant (VERDICT r10 #6),
-# so its r10 row no longer certifies the current query/oracle text.
+# NLL quantile instead of the fixture-pinned constant (VERDICT r10 #6);
+# q_kmeans_step's distance quantization became fround_guarded and
+# q_dod_change gained the NULL-day totality guard (the hostile-
+# quarantine conversions of VERDICT r10 #4) — all three are fixture-
+# bit-identical, but their certifying rows predate the current text.
 _RECERTIFY: set[str] = {
     "q_kn_doc_ppl",
+    "q_kmeans_step",
+    "q_dod_change",
 }
 
 # Certification-freshness horizon (rounds).  A query whose latest green
