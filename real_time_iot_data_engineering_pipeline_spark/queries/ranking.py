@@ -662,16 +662,17 @@ def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.select("w1", "w2", "c12", fround(F.col("p_kn"), 4).alias("p_kn"))
 
 
-# Keep threshold for the KN scorer, calibrated to the fixture's NLL
-# distribution (same protocol as NLL2_KEEP above) so both verdicts occur.
-KN_NLL_KEEP = "3.39"
+# Keep FRACTION for the KN scorer: the gate keeps the lowest-NLL
+# KN_KEEP_FRAC of the corpus (CCNet keeps head+middle = 2/3 of each
+# language's perplexity ranking, Wenzek et al. 2020 §3.3).  The nats
+# threshold is DERIVED from the corpus NLL distribution in-query — the
+# k-th smallest 6 dp-quantized score, k = ceil(n * frac) — so the gate is
+# scale-portable instead of pinned to a fixture-calibrated constant
+# (VERDICT r10 #6).  Spelled as one literal expression evaluated
+# identically by both engines.
+KN_KEEP_FRAC = "2.0 / 3.0"
 
-
-@register(
-    "q_kn_doc_ppl",
-    oracle=f"""
-    {_KN_BI_SQL},
-    {_KN_MODEL_SQL},
+_KN_PERDOC_SQL = f"""
     perdoc AS (
         SELECT b.doc_id,
                CAST(count(*) AS BIGINT) + 1 AS n_tokens,
@@ -679,11 +680,83 @@ KN_NLL_KEEP = "3.39"
         FROM bi b
         JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
         GROUP BY b.doc_id
+    ),
+    p2 AS (
+        SELECT doc_id, n_tokens, nll, {fround_sql("nll", 6)} AS nll_q
+        FROM perdoc
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM p2),
+    ranked AS (
+        SELECT nll_q, row_number() OVER (ORDER BY nll_q, doc_id) AS rk
+        FROM p2
+    ),
+    thr AS (
+        SELECT r.nll_q AS thr
+        FROM ranked r, nn
+        WHERE r.rk = CAST(ceil(nn.n * ({KN_KEEP_FRAC})) AS BIGINT)
     )
+"""
+
+
+def _kn_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, nll, nll_q) under the KN model — shared by the
+    registered scorer and kn_keep_threshold."""
+    bi, model = _kn_model(spark, sf_dir)
+    perdoc = (
+        bi.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            (F.count("*") + 1).cast("long").alias("n_tokens"),
+            F.avg(F.lit(0.0) - F.log("p_kn")).alias("nll"),
+        )
+    )
+    return perdoc.withColumn("nll_q", fround(F.col("nll"), 6))
+
+
+def _kn_threshold_df(spark: SparkSession, sf_dir: str, perdoc: DataFrame) -> DataFrame:
+    """One-row (thr) DataFrame: the k-th smallest quantized corpus NLL,
+    k = ceil(n * KN_KEEP_FRAC) — the derived keep threshold.  The global
+    rank routes through the adaptive bucketed decomposition above the
+    scale switch (functions/prefix.py), so no single task ever sorts the
+    whole corpus; below it the plain window wins."""
+    from ..functions.prefix import bucketed_row_number
+    from ..sources.tables import is_large_input
+
+    ranked = bucketed_row_number(
+        perdoc.select("nll_q", "doc_id"),
+        "nll_q",
+        ["doc_id"],
+        bucketed=is_large_input(sf_dir, "documents"),
+    )
+    n = perdoc.agg(F.count("*").cast("double").alias("_n"))
+    return (
+        ranked.join(F.broadcast(n))
+        .filter(
+            F.col("rk")
+            == F.ceil(F.col("_n") * F.expr(KN_KEEP_FRAC)).cast("long")
+        )
+        .select(F.col("nll_q").alias("thr"))
+    )
+
+
+def kn_keep_threshold(spark: SparkSession, sf_dir: str) -> float:
+    """The derived keep threshold as a scalar — what a serving/streaming
+    gate broadcasts (the stream can't rank the corpus per row; CCNet
+    likewise trains its cutoffs offline and ships them to the filter)."""
+    perdoc = _kn_perdoc(spark, sf_dir)
+    return float(_kn_threshold_df(spark, sf_dir, perdoc).first()["thr"])
+
+
+@register(
+    "q_kn_doc_ppl",
+    oracle=f"""
+    {_KN_BI_SQL},
+    {_KN_MODEL_SQL},
+    {_KN_PERDOC_SQL}
     SELECT doc_id, n_tokens,
            {fround_sql("nll")} AS avg_nll_kn,
-           {fround_sql("nll", 6)} <= {KN_NLL_KEEP} AS keep
-    FROM perdoc
+           p2.nll_q <= thr.thr AS keep
+    FROM p2, thr
     """,
 )
 def q_kn_doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,26 +767,20 @@ def q_kn_doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     score the mean negative log-likelihood of their bigrams under
     q_kn_bigram_lm's model (trained on the corpus itself, so every scored
     bigram is in the model and no backoff-to-unseen path is needed);
-    keep <= {KN_NLL_KEEP} nats.
+    keep = the lowest-NLL {KN_KEEP_FRAC} of the corpus, via the DERIVED
+    threshold (k-th smallest 6 dp-quantized score, ties inclusive) rather
+    than a fixture-pinned constant.
 
-    Scale: identical plan to q_bigram_ppl — vocabulary-sized model joins
-    (AQE broadcasts them when measured small) + one per-doc reduce; the
-    KN smoothing adds only two more vocabulary-sized partial aggregates
-    upstream."""
-    bi, model = _kn_model(spark, sf_dir)
-    perdoc = (
-        bi.join(model, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            (F.count("*") + 1).cast("long").alias("n_tokens"),
-            F.avg(F.lit(0.0) - F.log("p_kn")).alias("nll"),
-        )
-    )
-    return perdoc.select(
+    Scale: the scoring is q_bigram_ppl's plan — vocabulary-sized model
+    joins (AQE broadcasts them when measured small) + one per-doc reduce;
+    the threshold adds one adaptive global rank (bucketed above the scale
+    switch), a 1-row aggregate, and a 1-row broadcast back over the
+    per-doc table."""
+    perdoc = _kn_perdoc(spark, sf_dir)
+    thr = _kn_threshold_df(spark, sf_dir, perdoc)
+    return perdoc.crossJoin(F.broadcast(thr)).select(
         "doc_id",
         "n_tokens",
         fround(F.col("nll"), 4).alias("avg_nll_kn"),
-        (
-            fround(F.col("nll"), 6) <= F.expr(f"CAST({KN_NLL_KEEP} AS DOUBLE)")
-        ).alias("keep"),
+        (F.col("nll_q") <= F.col("thr")).alias("keep"),
     )

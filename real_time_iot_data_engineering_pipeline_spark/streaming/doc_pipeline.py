@@ -87,6 +87,7 @@ def ingest_doc_stream(
     with_curation_gates: bool = False,
     eval_grams: DataFrame | None = None,
     kn_model: DataFrame | None = None,
+    kn_keep: float | None = None,
 ) -> DataFrame:
     """Parse + watermark + content-hash dedup + quality flag, optionally
     followed by stream-static source-policy enrichment and the batch
@@ -134,7 +135,10 @@ def ingest_doc_stream(
     state.  Unseen bigrams score the {KN_P_FLOOR} floor (a stream doc
     was not in the training corpus, so out-of-model adjacencies are
     evidence of gibberish, the thing the gate exists to reject);
-    documents over batch KN_NLL_KEEP nats reject as 'high_perplexity'.
+    documents over `kn_keep` nats reject as 'high_perplexity' —
+    `kn_keep` is the batch-derived corpus-quantile threshold
+    (queries/ranking.py::kn_keep_threshold), trained offline and shipped
+    to the gate exactly as CCNet ships its per-language cutoffs.
     Tokenization (lower + shared WS class), the formula and the keep
     threshold are the batch operator's verbatim; scores agree with
     q_kn_doc_ppl up to summation-order ULPs (the stream folds a doc's
@@ -216,8 +220,13 @@ def ingest_doc_stream(
         )
         rejects.append((F.col("contaminated"), "contaminated"))
     if kn_model is not None:
+        if kn_keep is None:
+            raise ValueError(
+                "kn_model requires kn_keep: the batch-derived corpus-"
+                "quantile threshold (queries/ranking.kn_keep_threshold) "
+                "— the stream cannot rank the corpus per row"
+            )
         from ..functions.rounding import fround
-        from ..queries.ranking import KN_NLL_KEEP
 
         # One broadcast map row: "w1 w2" -> p_kn.  Tokens cannot contain a
         # space (they are WS-split), so the space-joined key is
@@ -253,8 +262,7 @@ def ingest_doc_stream(
                 "_kn_keep",
                 F.when(
                     F.size("_kn_toks") >= 2,
-                    fround(nll, 6)
-                    <= F.expr(f"CAST({KN_NLL_KEEP} AS DOUBLE)"),
+                    fround(nll, 6) <= F.lit(float(kn_keep)),
                 ).otherwise(F.lit(True)),
             )
             .drop("_kn_map", "_kn_toks")
@@ -321,6 +329,7 @@ def run_doc_ingest(
     with_curation_gates: bool = False,
     eval_grams: DataFrame | None = None,
     kn_model: DataFrame | None = None,
+    kn_keep: float | None = None,
     with_near_dup: bool = False,
 ) -> DocIngestSink:
     """Drain source_dir through dedup -> gate [-> policy join]
@@ -342,6 +351,7 @@ def run_doc_ingest(
         with_curation_gates=with_curation_gates,
         eval_grams=eval_grams,
         kn_model=kn_model,
+        kn_keep=kn_keep,
     )
     q = (
         stream.writeStream.outputMode("update")

@@ -355,7 +355,17 @@ def test_doc_ingest_kn_perplexity_gate(spark, tmp_path):
         ],
         seq=1,
     )
-    sink = run_doc_ingest(spark, str(src), str(tmp_path / "out"), kn_model=model)
+    from real_time_iot_data_engineering_pipeline_spark.queries.ranking import (
+        kn_keep_threshold,
+    )
+
+    sink = run_doc_ingest(
+        spark,
+        str(src),
+        str(tmp_path / "out"),
+        kn_model=model,
+        kn_keep=kn_keep_threshold(spark, str(train)),
+    )
     docs = {r.doc_id for r in sink.read_docs().collect()}
     rejects = {r.doc_id: r.reject_reason for r in sink.read_rejects().collect()}
     assert docs == {1}
@@ -401,12 +411,19 @@ def test_stream_kn_gate_agrees_with_batch_scorer(spark, tmp_path, sf_dir):
         kn_model_table,
     )
 
+    from real_time_iot_data_engineering_pipeline_spark.queries.ranking import (
+        kn_keep_threshold,
+    )
+
     model = kn_model_table(spark, sf_dir)
+    keep_thr = kn_keep_threshold(spark, sf_dir)
     batch = {
         r.doc_id: r
         for r in registry.QUERIES["q_kn_doc_ppl"](spark, sf_dir).collect()
     }
-    sink = run_doc_ingest(spark, str(src), str(tmp_path / "out"), kn_model=model)
+    sink = run_doc_ingest(
+        spark, str(src), str(tmp_path / "out"), kn_model=model, kn_keep=keep_thr
+    )
     streamed = {r.doc_id: r for r in sink.read_docs().collect()}
     rejected = {r.doc_id: r for r in sink.read_rejects().collect()}
     for doc_id, b in batch.items():
@@ -416,11 +433,7 @@ def test_stream_kn_gate_agrees_with_batch_scorer(spark, tmp_path, sf_dir):
         got = streamed.get(doc_id) or rejected.get(doc_id)
         assert got is not None, doc_id
         assert got.avg_nll_kn == pytest.approx(b.avg_nll_kn, abs=2e-4), doc_id
-        from real_time_iot_data_engineering_pipeline_spark.queries.ranking import (
-            KN_NLL_KEEP,
-        )
-
-        if abs(b.avg_nll_kn - float(KN_NLL_KEEP)) < 1e-3:
+        if abs(b.avg_nll_kn - keep_thr) < 1e-3:
             continue  # threshold-adjacent: either verdict is within ULP noise
         if b.keep:
             assert doc_id in streamed, doc_id
