@@ -1300,3 +1300,23 @@ class TestRound10Plans:
         assert "WindowGroupLimit" in plan and "Partial" in plan
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
+
+
+def test_no_cartesian_or_unbroadcast_nlj_anywhere(spark, sf_dir):
+    """Registry-wide invariant sweep (VERDICT r10 #7): no registered
+    query's optimized physical plan may contain a CartesianProduct or a
+    non-broadcast nested-loop join — the two shapes that turn a working
+    sf0.01 query into an unrunnable 100 TB one.  Named pins above cover
+    the queries whose plans were hand-audited; this sweep makes the
+    invariant hold BY DEFAULT for every future operator.  Explain-only:
+    plans are compiled, not executed (fixpoint queries run their bounded
+    construction jobs, as everywhere else in the suite)."""
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+        for line in plan.splitlines():
+            if "NestedLoopJoin" in line and "BroadcastNestedLoopJoin" not in line:
+                offenders.append(f"{name}: {line.strip()[:120]}")
+    assert not offenders, offenders
