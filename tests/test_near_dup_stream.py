@@ -219,3 +219,41 @@ def test_timed_out_bucket_is_evicted():
     assert list(fold(("0:k",), iter([]), state)) == []
     assert state.removed
     assert state.updated is None  # never re-armed
+
+
+def test_bucket_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume golden (VERDICT r10 #5): the band-bucket store
+    must survive a full query shutdown.  Run 1 drains the ORIGINAL doc
+    and terminates; run 2 — a NEW query on the SAME checkpoint — sees
+    only the near-duplicate and can emit the (1, 2) pair ONLY if doc 1's
+    stored signature was recovered from the state store."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+
+    def run(qname):
+        docs = (
+            spark.readStream.schema("doc_id long, ts string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .select("doc_id", "text", F.to_timestamp("ts").alias("ts"))
+        )
+        q = (
+            near_dup_stream(docs)
+            .writeStream.format("parquet")
+            .queryName(qname)
+            .outputMode("append")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(str(out)).collect()
+
+    _write(src, "f1.json", [_doc(1, "2024-01-15 10:00:00", _BASE)], 0)
+    assert run("ndr_a") == []  # lone doc: nothing to pair with
+
+    _write(src, "f2.json", [_doc(2, "2024-01-15 10:00:20", _NEAR)], 1)
+    pairs = {(r.doc_a, r.doc_b) for r in run("ndr_b")}
+    assert pairs == {(1, 2)}, pairs
