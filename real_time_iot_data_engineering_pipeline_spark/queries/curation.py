@@ -1184,3 +1184,208 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("cap_rank", F.row_number().over(w)).filter(
         F.col("cap_rank") <= SOURCE_CAP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+# Hashed n-gram feature space (paper §3: unigrams + bigrams hashed into a
+# fixed bucket table).  512 buckets keeps the bucket-statistics relation
+# broadcast-sized at ANY corpus scale — the whole point of DSIR's hashing
+# trick is that the model is O(buckets), not O(vocab).
+DSIR_BUCKETS = 512
+# Keep fraction: the selection budget as a fraction of the raw corpus
+# (paper selects a target-sized subset; 1/4 exercises both verdicts on the
+# fixtures).  The log-weight threshold is DERIVED in-query from the corpus
+# weight distribution — k-th largest quantized weight, k = ceil(n * frac) —
+# same derived-threshold protocol as ranking.q_kn_doc_ppl.
+DSIR_KEEP_FRAC = "1.0 / 4.0"
+# Target distribution: English documents (lang = 'en') stand in for the
+# paper's high-quality target corpus (Wikipedia/books); raw = all documents.
+_DSIR_TARGET_SQL = "lang = 'en'"
+
+# Feature stream: unigram tokens plus space-joined adjacent bigrams, hashed
+# with the md5 prefix recipe shared by the minhash family (text.py) —
+# conv(md5[1:15]) in Spark and '0x'||md5[1:15] in DuckDB read the same 60
+# bits, so bucket ids are engine-identical.  Tokens cannot contain
+# whitespace (they are WS-split runs), so the space join is collision-free
+# between unigram and bigram feature strings of different arity.
+_DSIR_FEATS_DUCK = f"""
+    SELECT doc_id, ({_DSIR_TARGET_SQL}) AS is_target,
+           unnest(list_concat(
+               toks,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE CAST([] AS VARCHAR[]) END)) AS f
+    FROM (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '{_WS}') AS toks
+        FROM documents
+    )
+"""
+
+_DSIR_BUCKET_DUCK = (
+    f"('0x' || substr(md5(f), 1, 15))::BIGINT % {DSIR_BUCKETS}"
+)
+
+
+@register(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH feats AS ({_DSIR_FEATS_DUCK}),
+    dfeat AS (
+        SELECT doc_id, is_target, {_DSIR_BUCKET_DUCK} AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM feats GROUP BY doc_id, is_target, bucket
+    ),
+    bstats AS (
+        SELECT bucket,
+               CAST(sum(n) AS DOUBLE) AS r_b,
+               CAST(sum(CASE WHEN is_target THEN n ELSE 0 END) AS DOUBLE)
+                   AS t_b
+        FROM dfeat GROUP BY bucket
+    ),
+    tots AS (
+        SELECT CAST(sum(r_b) AS DOUBLE) AS r_tot,
+               CAST(sum(t_b) AS DOUBLE) AS t_tot
+        FROM bstats
+    ),
+    lr AS (
+        SELECT bucket,
+               ln((t_b + 1.0) / (t_tot + {DSIR_BUCKETS}.0))
+                   - ln((r_b + 1.0) / (r_tot + {DSIR_BUCKETS}.0)) AS lr_b
+        FROM bstats, tots
+    ),
+    perdoc AS (
+        SELECT d.doc_id,
+               CAST(sum(d.n) AS BIGINT) AS n_feats,
+               sum(CAST(d.n AS DOUBLE) * lr.lr_b) AS logw
+        FROM dfeat d JOIN lr USING (bucket)
+        GROUP BY d.doc_id
+    ),
+    p2 AS (
+        SELECT doc_id, n_feats, logw, {fround_sql("logw", 6)} AS logw_q
+        FROM perdoc
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM p2),
+    ranked AS (
+        SELECT logw_q, row_number() OVER (ORDER BY logw_q DESC, doc_id) AS rk
+        FROM p2
+    ),
+    thr AS (
+        SELECT r.logw_q AS thr
+        FROM ranked r, nn
+        WHERE r.rk = CAST(ceil(nn.n * ({DSIR_KEEP_FRAC})) AS BIGINT)
+    )
+    SELECT doc_id, n_feats,
+           {fround_sql("logw")} AS dsir_logw,
+           p2.logw_q >= thr.thr AS keep
+    FROM p2, thr
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): estimate target (en
+    documents) and raw (all documents) bag-of-hashed-ngram distributions
+    over {DSIR_BUCKETS} buckets with add-1 smoothing, score every document
+    with the importance log-weight
+
+        log w(d) = sum_f  n_f(d) * (ln p_target(b(f)) - ln p_raw(b(f)))
+
+    over its unigram+bigram features, and keep the top ceil(n * frac),
+    frac = {DSIR_KEEP_FRAC}, via the derived threshold (k-th largest 6 dp
+    quantized weight, ties inclusive) — the deterministic top-k limit of
+    the paper's Gumbel resampling.
+
+    Scale: the feature explode partial-aggregates to (doc_id, bucket)
+    counts before its only data-scale shuffle; bucket statistics reduce to
+    a {DSIR_BUCKETS}-row table (broadcast back over the per-doc counts —
+    the DSIR model is O(buckets) by construction, never vocabulary-sized);
+    the keep threshold adds one adaptive global rank (bucketed above the
+    scale switch, functions/prefix.py) over the per-doc table, one 1-row
+    aggregate, and a 1-row broadcast.  Text never rides a shuffle."""
+    from ..functions.prefix import bucketed_row_number
+    from ..sources.tables import is_large_input
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(_DSIR_TARGET_SQL).alias("is_target"),
+            F.split(F.trim(F.lower("text")), _WS).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(
+                F.expr(
+                    "concat(toks, CASE WHEN size(toks) >= 2"
+                    " THEN transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(toks[i - 1], ' ', toks[i]))"
+                    " ELSE cast(array() AS array<string>) END)"
+                )
+            ).alias("f"),
+        )
+    )
+    dfeat = (
+        feats.withColumn(
+            "bucket",
+            F.expr(
+                f"cast(conv(substr(md5(f), 1, 15), 16, 10) AS bigint)"
+                f" % {DSIR_BUCKETS}"
+            ),
+        )
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    bstats = dfeat.groupBy("bucket").agg(
+        F.sum("n").cast("double").alias("r_b"),
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("t_b"),
+    )
+    tots = bstats.agg(
+        F.sum("r_b").cast("double").alias("r_tot"),
+        F.sum("t_b").cast("double").alias("t_tot"),
+    )
+    nb = F.lit(float(DSIR_BUCKETS))
+    lr = bstats.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        (
+            F.log((F.col("t_b") + F.lit(1.0)) / (F.col("t_tot") + nb))
+            - F.log((F.col("r_b") + F.lit(1.0)) / (F.col("r_tot") + nb))
+        ).alias("lr_b"),
+    )
+    perdoc = (
+        dfeat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_feats"),
+            F.sum(F.col("n").cast("double") * F.col("lr_b")).alias("logw"),
+        )
+        .withColumn("logw_q", fround(F.col("logw"), 6))
+    )
+    ranked = bucketed_row_number(
+        perdoc.select("logw_q", "doc_id"),
+        "logw_q",
+        ["doc_id"],
+        descending=True,
+        bucketed=is_large_input(sf_dir, "documents"),
+    )
+    n = perdoc.agg(F.count("*").cast("double").alias("_n"))
+    thr = (
+        ranked.join(F.broadcast(n))
+        .filter(
+            F.col("rk")
+            == F.ceil(F.col("_n") * F.expr(DSIR_KEEP_FRAC)).cast("long")
+        )
+        .select(F.col("logw_q").alias("thr"))
+    )
+    return perdoc.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_feats",
+        fround(F.col("logw"), 4).alias("dsir_logw"),
+        (F.col("logw_q") >= F.col("thr")).alias("keep"),
+    )

@@ -784,3 +784,199 @@ def q_kn_doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("nll"), 4).alias("avg_nll_kn"),
         (F.col("nll_q") <= F.col("thr")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of the BM25 relevance ranking and the LM quality
+# ranking (Cormack, Clarke & Buettcher, SIGIR 2009)
+# ---------------------------------------------------------------------------
+
+# The standard RRF smoothing constant (k = 60 in the paper's experiments)
+# and the fused result size.  Spelled as literals shared by both engines.
+RRF_C = "60.0"
+RRF_TOPK = 25
+
+_RRF_SCORED_SQL = f"""
+    toks AS ({_TOKS_DUCK}),
+    tf0 AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks GROUP BY doc_id, token
+    ),
+    vocab AS (
+        SELECT token, CAST(sum(tf) AS DOUBLE) AS c FROM tf0 GROUP BY token
+    ),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+    lm AS (
+        SELECT doc_id,
+               sum(tf0.tf * (0.0 - ln(v.c / s.t))) / sum(tf0.tf) AS nll
+        FROM tf0 JOIN vocab v USING (token), total s
+        GROUP BY doc_id
+    ),
+    lmrank AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY {fround_sql("nll", 6)}, doc_id
+               ) AS lm_rank
+        FROM lm
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+    ),
+    ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    adl AS (SELECT avg(dl) AS avgdl FROM dl),
+    btf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks WHERE token IN ({_TERMS_SQL})
+        GROUP BY doc_id, token
+    ),
+    bdf AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM btf GROUP BY token),
+    bscored AS (
+        SELECT btf.doc_id,
+               sum(
+                   ln((n.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+                   * (btf.tf * {K1P1})
+                   / (btf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / a.avgdl))
+               ) AS score
+        FROM btf
+        JOIN bdf USING (token)
+        JOIN dl USING (doc_id), ndocs n, adl a
+        GROUP BY btf.doc_id
+    ),
+    bmrank AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY {fround_sql("score", 6)} DESC, doc_id
+               ) AS bm25_rank
+        FROM bscored
+    ),
+    fused AS (
+        SELECT l.doc_id,
+               l.lm_rank,
+               coalesce(b.bm25_rank, 0) AS bm25_rank,
+               1.0 / ({RRF_C} + l.lm_rank)
+                   + coalesce(1.0 / ({RRF_C} + b.bm25_rank), 0.0) AS rrf
+        FROM lmrank l LEFT JOIN bmrank b USING (doc_id)
+    )
+"""
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH {_RRF_SCORED_SQL}
+    SELECT doc_id, CAST(lm_rank AS BIGINT) AS lm_rank,
+           CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           {fround_sql("rrf", 6)} AS rrf
+    FROM fused
+    ORDER BY {fround_sql("rrf", 6)} DESC, doc_id
+    LIMIT {RRF_TOPK}
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval systems over the corpus —
+    BM25 relevance to {BM25_TERMS} (q_bm25_rank's scorer) and the unigram
+    LM quality ranking (q_unigram_ppl's nll, ascending) — via the SIGIR'09
+    formula rrf(d) = sum_s 1/({RRF_C} + rank_s(d)), the standard way a RAG
+    stack merges lexical and model-based rankings without score
+    calibration.  Documents missing from a system contribute nothing for
+    it (bm25_rank reported as 0); top {RRF_TOPK} by fused score.
+
+    Cross-engine determinism is structural: ranks are exact integers
+    (quantized-score ordering with doc_id tiebreak), each reciprocal is
+    one exact-rounded division, and the two-term sum has a fixed spelling,
+    so both engines see identical doubles before the final rounding.
+
+    Scale: both rankings route through the adaptive bucketed global rank
+    (functions/prefix.py) above the scale switch — no single-task corpus
+    sort; the BM25 side prunes to query-term postings before its
+    aggregate; the fusion join is doc_id-keyed; the final top-k is
+    TakeOrderedAndProject."""
+    from ..functions.prefix import bucketed_row_number
+    from ..sources.tables import is_large_input
+
+    big = is_large_input(sf_dir, "documents")
+    toks = _toks(spark, sf_dir)
+    tf0 = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    vocab = tf0.groupBy("token").agg(F.sum("tf").cast("double").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("t"))
+    nll_t = F.lit(0.0) - F.log(F.col("c") / F.col("t"))
+    lm = (
+        tf0.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("tf") * nll_t) / F.sum("tf")).alias("nll"))
+        .withColumn("nll_q", fround(F.col("nll"), 6))
+    )
+    lmrank = bucketed_row_number(
+        lm.select("nll_q", "doc_id"),
+        "nll_q",
+        ["doc_id"],
+        rank_col="lm_rank",
+        bucketed=big,
+    ).select("doc_id", "lm_rank")
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    ndocs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").cast("double").alias("n_docs"))
+    )
+    adl = dl.agg(F.avg("dl").alias("avgdl"))
+    btf = (
+        toks.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    bdf = btf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    k1, k1p1, b = (F.expr(f"CAST({s} AS DOUBLE)") for s in (K1, K1P1, B))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * k1p1)
+        / (
+            F.col("tf")
+            + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    bscored = (
+        btf.join(bdf, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ndocs))
+        .crossJoin(F.broadcast(adl))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+        .withColumn("score_q", fround(F.col("score"), 6))
+    )
+    bmrank = bucketed_row_number(
+        bscored.select("score_q", "doc_id"),
+        "score_q",
+        ["doc_id"],
+        descending=True,
+        rank_col="bm25_rank",
+        bucketed=big,
+    ).select("doc_id", "bm25_rank")
+    c = F.expr(f"CAST({RRF_C} AS DOUBLE)")
+    fused = lmrank.join(bmrank, "doc_id", "left").select(
+        "doc_id",
+        F.col("lm_rank").cast("long").alias("lm_rank"),
+        F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("long").alias("bm25_rank"),
+        (
+            F.lit(1.0) / (c + F.col("lm_rank"))
+            + F.coalesce(
+                F.lit(1.0) / (c + F.col("bm25_rank")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "lm_rank",
+            "bm25_rank",
+            fround(F.col("rrf"), 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+    )

@@ -71,11 +71,13 @@ _DRIVER_PRIORITY = (
     # slots to green rows; the staleness tail is now 29 queries last
     # certified in round 4 (age 7 at the round-11 build — past the 6-round
     # cadence bar, so they MUST rotate in: the whole r10 overflow queue)
-    # and 46 certified in round 5.  Window = 1 new + 1 re-front + all 29
-    # r4 + the alphabetically-first 19 of the 46 r5; the remaining 27 r5
+    # and 46 certified in round 5.  Window = 3 new + 3 re-fronts + all 29
+    # r4 + the alphabetically-first 15 of the 46 r5; the remaining 31 r5
     # overflow to _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).
     # -- new in round 11 (never certified):
     "q_ivf_adc_knn",
+    "q_dsir_weights",
+    "q_rrf_fusion",
     # -- code changed in round 11 (listed in tests' _RECERTIFY, exempt
     # from the oldest-first invariant): the Kneser-Ney perplexity gate's
     # keep threshold is now derived in-query from the corpus NLL quantile
@@ -133,8 +135,6 @@ _DRIVER_PRIORITY = (
     "q_cycle_time",
     "q_durbin_watson",
     "q_embed_binary_eval",
-    "q_embed_truncation_eval",
-    "q_ewma_daily",
 )
 
 # Rotation OVERFLOW queue: stale-certified queries that did not fit in this
@@ -143,9 +143,13 @@ _DRIVER_PRIORITY = (
 # the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
 # "scheduled for re-cert" when enforcing the <=6-round freshness bar.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # -- last driver-certified round 5 (remaining 29 of 46; q_gap_interp
+    # -- last driver-certified round 5 (remaining 31 of 46; q_gap_interp
     # and q_heaps_law dropped out of the window when the two round-11
-    # hostile-conversion re-fronts took their slots):
+    # hostile-conversion re-fronts took their slots, q_embed_truncation_eval
+    # and q_ewma_daily when the two new round-11 operators
+    # q_dsir_weights / q_rrf_fusion joined the front):
+    "q_embed_truncation_eval",
+    "q_ewma_daily",
     "q_gap_interp",
     "q_heaps_law",
     "q_hour_profile",

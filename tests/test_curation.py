@@ -300,3 +300,84 @@ def test_shard_assign_covers_corpus_and_balances(spark, sf_dir):
         assert row.first_doc == grp.iloc[0]["doc_id"]
         assert row.last_doc == grp.iloc[-1]["doc_id"]
         assert row.n_docs == len(grp)
+
+
+class TestDsirWeights:
+    """Third implementation of the DSIR importance weights in pure Python
+    (hashlib.md5 + Counter) — guards the shared hashed-ngram/smoothing
+    formula against a both-engines-wrong bug, and pins the semantic point
+    of the operator: English documents (the target distribution) must
+    score higher than non-English ones."""
+
+    @staticmethod
+    def _feat_bucket(f: str) -> int:
+        return int(hashlib.md5(f.encode("utf-8")).hexdigest()[:15], 16) % 512
+
+    def _python_dsir(self, sf_dir: str):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from real_time_iot_data_engineering_pipeline_spark.functions.tokenize import WS
+
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+        ws = re.compile(WS)
+        perdoc: dict[int, Counter] = {}
+        lang: dict[int, str] = {}
+        for r in tbl.itertuples():
+            toks = ws.split(r.text.strip().lower())
+            feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            perdoc[int(r.doc_id)] = Counter(self._feat_bucket(f) for f in feats)
+            lang[int(r.doc_id)] = r.lang
+        r_b: Counter = Counter()
+        t_b: Counter = Counter()
+        for d, cnt in perdoc.items():
+            r_b.update(cnt)
+            if lang[d] == "en":
+                t_b.update(cnt)
+        r_tot, t_tot = float(sum(r_b.values())), float(sum(t_b.values()))
+        lr = {
+            bkt: math.log((t_b.get(bkt, 0) + 1.0) / (t_tot + 512.0))
+            - math.log((rc + 1.0) / (r_tot + 512.0))
+            for bkt, rc in r_b.items()
+        }
+        logw = {
+            d: sum(float(n) * lr[bkt] for bkt, n in cnt.items())
+            for d, cnt in perdoc.items()
+        }
+        return logw, lang
+
+    def test_dsir_matches_python_recompute(self, spark, sf_dir):
+        import math
+
+        logw, _ = self._python_dsir(sf_dir)
+
+        def q6(x: float) -> float:
+            return math.floor(x * 1e6 * (1.0 + 1e-12) + 0.5) / 1e6
+
+        def q4(x: float) -> float:
+            return math.floor(x * 1e4 * (1.0 + 1e-12) + 0.5) / 1e4
+
+        k = math.ceil(len(logw) * (1.0 / 4.0))
+        thr = sorted((q6(w) for w in logw.values()), reverse=True)[k - 1]
+        rows = registry.QUERIES["q_dsir_weights"](spark, sf_dir).collect()
+        assert len(rows) == len(logw)
+        for r in rows:
+            assert r["dsir_logw"] == q4(logw[r["doc_id"]]), r["doc_id"]
+            assert r["keep"] == (q6(logw[r["doc_id"]]) >= thr), r["doc_id"]
+        # the keep budget: >= k docs survive (ties at the threshold stay in)
+        assert sum(r["keep"] for r in rows) >= k
+
+    def test_dsir_targets_score_higher(self, spark, sf_dir):
+        logw, lang = self._python_dsir(sf_dir)
+        rows = registry.QUERIES["q_dsir_weights"](spark, sf_dir).collect()
+        en = [r["dsir_logw"] for r in rows if lang[r["doc_id"]] == "en"]
+        other = [r["dsir_logw"] for r in rows if lang[r["doc_id"]] != "en"]
+        assert en and other
+        # separation of means: the importance weight must rank the target
+        # language clearly above the rest, and the majority of kept docs
+        # must be target-language.
+        assert sum(en) / len(en) > sum(other) / len(other) + 1.0
+        kept_en = sum(1 for r in rows if r["keep"] and lang[r["doc_id"]] == "en")
+        kept = sum(1 for r in rows if r["keep"])
+        assert kept_en / kept > 0.8

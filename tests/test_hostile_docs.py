@@ -117,6 +117,11 @@ _PARITY_QUERIES = (
     "q_train_test_split",
     "q_url_dedup",
     "q_vocab_coverage",
+    # round-11 additions (documents-only, total on arbitrary text; the
+    # all-'xx' lang column also exercises q_dsir_weights' zero-target
+    # smoothing arm: t_b = 0 everywhere, p_target uniform 1/B).
+    "q_dsir_weights",
+    "q_rrf_fusion",
 )
 
 

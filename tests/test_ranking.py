@@ -306,3 +306,86 @@ class TestKneserNey:
         assert (back_fr / lam_fr) * 3 == pytest.approx(
             back_cat / lam_cat, rel=0.02
         )
+
+
+def _fround(x: float, n: int = 4) -> float:
+    s = 10.0**n
+    return math.floor(x * s * (1.0 + 1e-12) + 0.5) / s
+
+
+class TestRRFFusion:
+    """Third implementation of the reciprocal-rank fusion: recompute both
+    rankings and the fused top-k in pure Python and require exact
+    agreement — rank integers and the 6 dp score must match bit-for-bit
+    (the formula is exact-rounded division plus a fixed-order two-term
+    sum, so no tolerance is needed)."""
+
+    def _python_rrf(self, sf_dir: str):
+        from real_time_iot_data_engineering_pipeline_spark.queries.ranking import (
+            RRF_TOPK,
+        )
+
+        docs = _tokenized_corpus(sf_dir)
+        # unigram-LM nll ranking (ascending)
+        vocab = Counter(t for toks in docs.values() for t in toks)
+        total = float(sum(vocab.values()))
+        nll_q = {}
+        for d, toks in docs.items():
+            tf = Counter(toks)
+            num = sum(float(c) * -math.log(vocab[t] / total) for t, c in tf.items())
+            nll_q[d] = _fround(num / float(len(toks)), 6)
+        lm_rank = {
+            d: i + 1
+            for i, d in enumerate(sorted(nll_q, key=lambda d: (nll_q[d], d)))
+        }
+        # BM25 ranking (descending) over matched docs
+        n_docs = float(len(docs))
+        dl = {d: float(len(t)) for d, t in docs.items()}
+        avgdl = sum(dl.values()) / n_docs
+        tf = {
+            d: {t: float(c) for t, c in Counter(toks).items() if t in BM25_TERMS}
+            for d, toks in docs.items()
+        }
+        tf = {d: m for d, m in tf.items() if m}
+        df = Counter(t for perdoc in tf.values() for t in perdoc)
+        k1, b = 1.2, 0.75
+        score_q = {}
+        for d, m in tf.items():
+            s = sum(
+                math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                * (c * 2.2)
+                / (c + k1 * (1.0 - b + b * dl[d] / avgdl))
+                for t, c in m.items()
+            )
+            score_q[d] = _fround(s, 6)
+        bm_rank = {
+            d: i + 1
+            for i, d in enumerate(
+                sorted(score_q, key=lambda d: (-score_q[d], d))
+            )
+        }
+        fused = {
+            d: 1.0 / (60.0 + lm_rank[d])
+            + (1.0 / (60.0 + bm_rank[d]) if d in bm_rank else 0.0)
+            for d in lm_rank
+        }
+        top = sorted(fused, key=lambda d: (-_fround(fused[d], 6), d))[:RRF_TOPK]
+        return [
+            (d, lm_rank[d], bm_rank.get(d, 0), _fround(fused[d], 6))
+            for d in top
+        ]
+
+    def test_rrf_matches_python_recompute(self, spark, sf_dir):
+        expect = self._python_rrf(sf_dir)
+        got = [
+            (r["doc_id"], r["lm_rank"], r["bm25_rank"], r["rrf"])
+            for r in registry.QUERIES["q_rrf_fusion"](spark, sf_dir).collect()
+        ]
+        assert got == expect
+
+    def test_rrf_score_consistent_with_emitted_ranks(self, spark, sf_dir):
+        for r in registry.QUERIES["q_rrf_fusion"](spark, sf_dir).collect():
+            recomputed = 1.0 / (60.0 + r["lm_rank"]) + (
+                1.0 / (60.0 + r["bm25_rank"]) if r["bm25_rank"] else 0.0
+            )
+            assert r["rrf"] == _fround(recomputed, 6)
