@@ -1230,6 +1230,133 @@ _DSIR_BUCKET_DUCK = (
     f"('0x' || substr(md5(f), 1, 15))::BIGINT % {DSIR_BUCKETS}"
 )
 
+# The same feature hash as a Spark SQL expression over a feature string
+# column/lambda variable `f` — shared by the batch explode path and the
+# streaming gate's per-row aggregate (streaming/doc_pipeline.py).
+DSIR_BUCKET_SPARK = (
+    f"cast(conv(substr(md5(f), 1, 15), 16, 10) AS bigint) % {DSIR_BUCKETS}"
+)
+
+# Unigram+bigram feature ARRAY over a pre-split token-array column — the
+# no-explode form the streaming gate folds per row (same guard against
+# Spark's descending sequence(1, 0) as the batch side).
+def dsir_feat_array_expr(tok_col: str) -> str:
+    return (
+        f"concat({tok_col}, CASE WHEN size({tok_col}) >= 2"
+        f" THEN transform(sequence(1, size({tok_col}) - 1),"
+        f" i -> concat({tok_col}[i - 1], ' ', {tok_col}[i]))"
+        " ELSE cast(array() AS array<string>) END)"
+    )
+
+
+def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, is_target, f) feature rows."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(_DSIR_TARGET_SQL).alias("is_target"),
+            F.split(F.trim(F.lower("text")), _WS).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(F.expr(dsir_feat_array_expr("toks"))).alias("f"),
+        )
+    )
+
+
+def _dsir_bstats(spark: SparkSession, sf_dir: str):
+    """((doc_id, bucket, n) counts, (bucket, r_b, t_b) stats, 1-row tots)."""
+    dfeat = (
+        _dsir_feats(spark, sf_dir)
+        .withColumn("bucket", F.expr(DSIR_BUCKET_SPARK))
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    bstats = dfeat.groupBy("bucket").agg(
+        F.sum("n").cast("double").alias("r_b"),
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("t_b"),
+    )
+    tots = bstats.agg(
+        F.sum("r_b").cast("double").alias("r_tot"),
+        F.sum("t_b").cast("double").alias("t_tot"),
+    )
+    return dfeat, bstats, tots
+
+
+def dsir_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, lr_b) log-ratio table with UNROUNDED doubles — what a
+    serving/streaming gate broadcasts (the registered query's outputs are
+    4 dp display precision; consumers doing further arithmetic read
+    this).  {DSIR_BUCKETS} rows at any corpus scale."""
+    _, bstats, tots = _dsir_bstats(spark, sf_dir)
+    nb = F.lit(float(DSIR_BUCKETS))
+    return bstats.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        (
+            F.log((F.col("t_b") + F.lit(1.0)) / (F.col("t_tot") + nb))
+            - F.log((F.col("r_b") + F.lit(1.0)) / (F.col("r_tot") + nb))
+        ).alias("lr_b"),
+    )
+
+
+def dsir_unseen_lr(spark: SparkSession, sf_dir: str) -> float:
+    """The log-ratio of a bucket the training corpus never populated —
+    ln((r_tot + B)/(t_tot + B)) under add-1 smoothing.  A stream document
+    can hash features into such buckets; the gate scores them with this
+    constant instead of silently skipping them."""
+    import math
+
+    _, _, tots = _dsir_bstats(spark, sf_dir)
+    row = tots.first()
+    b = float(DSIR_BUCKETS)
+    return math.log((row["r_tot"] + b) / (row["t_tot"] + b))
+
+
+def _dsir_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, logw, logw_q) — shared by the registered query
+    and dsir_keep_threshold."""
+    dfeat, _, _ = _dsir_bstats(spark, sf_dir)
+    lr = dsir_model_table(spark, sf_dir)
+    return (
+        dfeat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_feats"),
+            F.sum(F.col("n").cast("double") * F.col("lr_b")).alias("logw"),
+        )
+        .withColumn("logw_q", fround(F.col("logw"), 6))
+    )
+
+
+def dsir_keep_threshold(spark: SparkSession, sf_dir: str) -> float:
+    """The derived keep threshold as a scalar (k-th largest 6 dp-quantized
+    corpus log-weight, k = ceil(n * {DSIR_KEEP_FRAC})) — trained offline
+    and shipped to the streaming gate, exactly like the KN cutoff."""
+    from ..functions.prefix import bucketed_row_number
+    from ..sources.tables import is_large_input
+
+    perdoc = _dsir_perdoc(spark, sf_dir)
+    ranked = bucketed_row_number(
+        perdoc.select("logw_q", "doc_id"),
+        "logw_q",
+        ["doc_id"],
+        descending=True,
+        bucketed=is_large_input(sf_dir, "documents"),
+    )
+    n = perdoc.agg(F.count("*").cast("double").alias("_n"))
+    return float(
+        ranked.join(F.broadcast(n))
+        .filter(
+            F.col("rk")
+            == F.ceil(F.col("_n") * F.expr(DSIR_KEEP_FRAC)).cast("long")
+        )
+        .first()["logw_q"]
+    )
+
 
 @register(
     "q_dsir_weights",
@@ -1309,64 +1436,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.prefix import bucketed_row_number
     from ..sources.tables import is_large_input
 
-    feats = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.expr(_DSIR_TARGET_SQL).alias("is_target"),
-            F.split(F.trim(F.lower("text")), _WS).alias("toks"),
-        )
-        .select(
-            "doc_id",
-            "is_target",
-            F.explode(
-                F.expr(
-                    "concat(toks, CASE WHEN size(toks) >= 2"
-                    " THEN transform(sequence(1, size(toks) - 1),"
-                    " i -> concat(toks[i - 1], ' ', toks[i]))"
-                    " ELSE cast(array() AS array<string>) END)"
-                )
-            ).alias("f"),
-        )
-    )
-    dfeat = (
-        feats.withColumn(
-            "bucket",
-            F.expr(
-                f"cast(conv(substr(md5(f), 1, 15), 16, 10) AS bigint)"
-                f" % {DSIR_BUCKETS}"
-            ),
-        )
-        .groupBy("doc_id", "is_target", "bucket")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    bstats = dfeat.groupBy("bucket").agg(
-        F.sum("n").cast("double").alias("r_b"),
-        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(F.lit(0)))
-        .cast("double")
-        .alias("t_b"),
-    )
-    tots = bstats.agg(
-        F.sum("r_b").cast("double").alias("r_tot"),
-        F.sum("t_b").cast("double").alias("t_tot"),
-    )
-    nb = F.lit(float(DSIR_BUCKETS))
-    lr = bstats.crossJoin(F.broadcast(tots)).select(
-        "bucket",
-        (
-            F.log((F.col("t_b") + F.lit(1.0)) / (F.col("t_tot") + nb))
-            - F.log((F.col("r_b") + F.lit(1.0)) / (F.col("r_tot") + nb))
-        ).alias("lr_b"),
-    )
-    perdoc = (
-        dfeat.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n").cast("long").alias("n_feats"),
-            F.sum(F.col("n").cast("double") * F.col("lr_b")).alias("logw"),
-        )
-        .withColumn("logw_q", fround(F.col("logw"), 6))
-    )
+    perdoc = _dsir_perdoc(spark, sf_dir)
     ranked = bucketed_row_number(
         perdoc.select("logw_q", "doc_id"),
         "logw_q",

@@ -88,6 +88,9 @@ def ingest_doc_stream(
     eval_grams: DataFrame | None = None,
     kn_model: DataFrame | None = None,
     kn_keep: float | None = None,
+    dsir_model: DataFrame | None = None,
+    dsir_unseen: float | None = None,
+    dsir_min_logw: float | None = None,
 ) -> DataFrame:
     """Parse + watermark + content-hash dedup + quality flag, optionally
     followed by stream-static source-policy enrichment and the batch
@@ -146,10 +149,26 @@ def ingest_doc_stream(
     cross-path consistency is golden-tested at that grain in
     tests/test_doc_pipeline.py).
 
+    `dsir_model` (a STATIC (bucket, lr_b) DataFrame — batch
+    queries/curation.py::dsir_model_table, the UNROUNDED log-ratios)
+    arms the DSIR target-likeness gate (Xie et al. 2023): the
+    {DSIR_BUCKETS}-bucket hashed-ngram model collapses to ONE broadcast
+    map row (O(buckets) by construction — the hashing trick exists so
+    the selection model NEVER outgrows a broadcast), and each document's
+    importance log-weight folds over its unigram+bigram feature array as
+    a pure aggregate expression — codegen only, no explode, no state.
+    Features hashing into buckets the training corpus never populated
+    score `dsir_unseen` (the add-1-smoothed unseen-bucket log-ratio,
+    batch curation.dsir_unseen_lr).  Documents under `dsir_min_logw`
+    (the batch-derived corpus-quantile threshold,
+    curation.dsir_keep_threshold) reject as 'off_target'.  The formula,
+    hash recipe, and tokenization are the batch q_dsir_weights verbatim;
+    cross-path agreement is golden-tested at the 4 dp grain.
+
     Rejected rows carry a typed `reject_reason` ('short_text' |
     'blocked_source' | 'repetitive' | 'low_quality' | 'contaminated' |
-    'high_perplexity', first matching rule wins) for the DLQ; `accepted`
-    is exactly reject_reason IS NULL."""
+    'high_perplexity' | 'off_target', first matching rule wins) for the
+    DLQ; `accepted` is exactly reject_reason IS NULL."""
     parsed = (
         raw.withColumn("fetched_at", F.to_timestamp("fetched_at"))
         .filter(F.col("fetched_at").isNotNull())
@@ -268,6 +287,39 @@ def ingest_doc_stream(
             .drop("_kn_map", "_kn_toks")
         )
         rejects.append((~F.col("_kn_keep"), "high_perplexity"))
+    if dsir_model is not None:
+        if dsir_unseen is None or dsir_min_logw is None:
+            raise ValueError(
+                "dsir_model requires dsir_unseen (curation.dsir_unseen_lr)"
+                " and dsir_min_logw (curation.dsir_keep_threshold) — both"
+                " derived batch-side; the stream cannot rank the corpus"
+                " per row"
+            )
+        from ..functions.rounding import fround
+        from ..queries.curation import DSIR_BUCKET_SPARK, dsir_feat_array_expr
+
+        model_row = dsir_model.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "lr_b"))
+            ).alias("_dsir_map")
+        )
+        logw = F.expr(
+            f"aggregate({dsir_feat_array_expr('_dsir_toks')},"
+            " CAST(0 AS DOUBLE),"
+            f" (acc, f) -> acc + coalesce(_dsir_map[{DSIR_BUCKET_SPARK}],"
+            f" CAST({dsir_unseen!r} AS DOUBLE)))"
+        )
+        df = (
+            df.withColumn("_dsir_toks", F.split(F.trim(F.lower("text")), _WS))
+            .crossJoin(F.broadcast(model_row))
+            .withColumn("dsir_logw", fround(logw, 4))
+            .withColumn(
+                "_dsir_keep",
+                fround(logw, 6) >= F.lit(float(dsir_min_logw)),
+            )
+            .drop("_dsir_map", "_dsir_toks")
+        )
+        rejects.append((~F.col("_dsir_keep"), "off_target"))
     reason = F.when(rejects[0][0], F.lit(rejects[0][1]))
     for cond, label in rejects[1:]:
         reason = reason.when(cond, F.lit(label))
@@ -330,6 +382,9 @@ def run_doc_ingest(
     eval_grams: DataFrame | None = None,
     kn_model: DataFrame | None = None,
     kn_keep: float | None = None,
+    dsir_model: DataFrame | None = None,
+    dsir_unseen: float | None = None,
+    dsir_min_logw: float | None = None,
     with_near_dup: bool = False,
 ) -> DocIngestSink:
     """Drain source_dir through dedup -> gate [-> policy join]
@@ -352,6 +407,9 @@ def run_doc_ingest(
         eval_grams=eval_grams,
         kn_model=kn_model,
         kn_keep=kn_keep,
+        dsir_model=dsir_model,
+        dsir_unseen=dsir_unseen,
+        dsir_min_logw=dsir_min_logw,
     )
     q = (
         stream.writeStream.outputMode("update")

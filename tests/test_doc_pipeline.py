@@ -440,3 +440,132 @@ def test_stream_kn_gate_agrees_with_batch_scorer(spark, tmp_path, sf_dir):
         else:
             assert doc_id in rejected, doc_id
             assert rejected[doc_id].reject_reason == "high_perplexity"
+
+
+def test_doc_ingest_dsir_gate(spark, tmp_path):
+    """The DSIR target-likeness gate end-to-end: train the hashed-ngram
+    model on a half-English/half-German planted corpus (target = en), then
+    stream one doc of each topic — the en-topic doc passes, the de-topic
+    doc rejects as off_target (its buckets carry raw mass but zero target
+    mass -> negative log-ratios), and the short-text pre-gate still wins
+    on tiny docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from real_time_iot_data_engineering_pipeline_spark import registry
+    from real_time_iot_data_engineering_pipeline_spark.queries.curation import (
+        dsir_keep_threshold,
+        dsir_model_table,
+        dsir_unseen_lr,
+    )
+
+    registry.load_all()
+    train = tmp_path / "train"
+    train.mkdir()
+    en = "the cat sat on the mat and purred softly all day"
+    de = "der hund lief durch den park und bellte dabei laut"
+    corpus = [en] * 5 + [de] * 5
+    langs = ["en"] * 5 + ["de"] * 5
+    pq_mod.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(corpus)), type=pa.int64()),
+                "text": pa.array(corpus, type=pa.string()),
+                "lang": pa.array(langs, type=pa.string()),
+                "source": pa.array(["s"] * len(corpus), type=pa.string()),
+                "n_chars": pa.array([len(t) for t in corpus], type=pa.int64()),
+            }
+        ),
+        f"{train}/documents.parquet",
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(
+        str(src),
+        "f1.json",
+        [
+            doc(1, en, "2024-01-19 10:00:00"),
+            doc(2, de, "2024-01-19 10:00:05"),
+            doc(3, "one two", "2024-01-19 10:00:10"),
+        ],
+        seq=1,
+    )
+    sink = run_doc_ingest(
+        spark,
+        str(src),
+        str(tmp_path / "out"),
+        dsir_model=dsir_model_table(spark, str(train)),
+        dsir_unseen=dsir_unseen_lr(spark, str(train)),
+        dsir_min_logw=dsir_keep_threshold(spark, str(train)),
+    )
+    docs = {r.doc_id for r in sink.read_docs().collect()}
+    rejects = {r.doc_id: r.reject_reason for r in sink.read_rejects().collect()}
+    assert docs == {1}
+    assert rejects[2] == "off_target"
+    assert rejects[3] == "short_text"  # pre-gate wins before the DSIR fold
+
+
+def test_stream_dsir_gate_agrees_with_batch_scorer(spark, tmp_path, sf_dir):
+    """Cross-path consistency: streaming the fixture corpus through the
+    DSIR gate armed with the batch model (dsir_model_table — UNROUNDED
+    log-ratios) must reproduce every document's batch dsir_logw to within
+    one 4 dp ulp (the stream folds the feature array sequentially; the
+    batch sums per-(doc, bucket) n*lr partials — same formula,
+    summation-order ULPs) and agree on every keep verdict not within
+    noise of the threshold (modulo the short-text pre-gate)."""
+    import json as _json
+
+    import pyarrow.parquet as pq_mod
+
+    from real_time_iot_data_engineering_pipeline_spark import registry
+    from real_time_iot_data_engineering_pipeline_spark.queries.curation import (
+        dsir_keep_threshold,
+        dsir_model_table,
+        dsir_unseen_lr,
+    )
+    from real_time_iot_data_engineering_pipeline_spark.streaming.doc_pipeline import (
+        MIN_WORDS,
+    )
+
+    registry.load_all()
+    docs = pq_mod.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "f1.json", "w") as f:
+        for _, r in docs.iterrows():
+            f.write(
+                _json.dumps(
+                    dict(doc_id=int(r.doc_id), text=r.text, source="wiki",
+                         fetched_at="2024-01-19 10:00:00")
+                )
+                + "\n"
+            )
+    keep_thr = dsir_keep_threshold(spark, sf_dir)
+    batch = {
+        r.doc_id: r
+        for r in registry.QUERIES["q_dsir_weights"](spark, sf_dir).collect()
+    }
+    sink = run_doc_ingest(
+        spark,
+        str(src),
+        str(tmp_path / "out"),
+        dsir_model=dsir_model_table(spark, sf_dir),
+        dsir_unseen=dsir_unseen_lr(spark, sf_dir),
+        dsir_min_logw=keep_thr,
+    )
+    streamed = {r.doc_id: r for r in sink.read_docs().collect()}
+    rejected = {r.doc_id: r for r in sink.read_rejects().collect()}
+    for doc_id, b in batch.items():
+        toks = docs.loc[docs.doc_id == doc_id, "text"].iloc[0].strip().split()
+        if len(toks) < MIN_WORDS:
+            continue  # short-text pre-gate owns these
+        got = streamed.get(doc_id) or rejected.get(doc_id)
+        assert got is not None, doc_id
+        assert got.dsir_logw == pytest.approx(b.dsir_logw, abs=2e-4), doc_id
+        if abs(b.dsir_logw - keep_thr) < 1e-3:
+            continue  # threshold-adjacent: either verdict is ULP noise
+        if b.keep:
+            assert doc_id in streamed, doc_id
+        else:
+            assert doc_id in rejected, doc_id
+            assert rejected[doc_id].reject_reason == "off_target"
