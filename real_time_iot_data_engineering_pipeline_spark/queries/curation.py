@@ -1267,7 +1267,15 @@ def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_bstats(spark: SparkSession, sf_dir: str):
-    """((doc_id, bucket, n) counts, (bucket, r_b, t_b) stats, 1-row tots)."""
+    """((doc_id, bucket, n) counts, (bucket, r_b, t_b) stats, 1-row tots).
+
+    NOT materialized: an eager-localCheckpoint variant (bstats + perdoc
+    barriers, 2 corpus passes instead of the 9 redundant FileScans this
+    lazy plan compiles to) measured CONSISTENTLY SLOWER — 37-38 s vs
+    25-34 s at sf1, 3 interleaved A/B pairs — because the barriers
+    serialize three jobs that the single lazy job overlaps; the
+    redundancy is a pipelined constant factor, not a scaling term
+    (SCALE.md round-11 probes)."""
     dfeat = (
         _dsir_feats(spark, sf_dir)
         .withColumn("bucket", F.expr(DSIR_BUCKET_SPARK))
