@@ -1301,6 +1301,27 @@ class TestRound10Plans:
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
 
+    def test_dsir_model_join_is_broadcast(self, spark, sf_dir):
+        """DSIR's log-ratio model is O(512 buckets) by construction — its
+        join back over the per-doc bucket counts must be a broadcast hash
+        join (the corpus side never shuffles for the model), with no
+        sort-merge anywhere: the only data-scale exchange is the
+        (doc_id, bucket) partial-aggregate."""
+        plan = plan_of(spark, sf_dir, "q_dsir_weights")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_rrf_fusion_topk_terminates_and_no_corpus_sort_merge(
+        self, spark, sf_dir
+    ):
+        """RRF's final top-k must terminate via TakeOrderedAndProject (no
+        full-result sort), and the BM25/LM derivations stay on broadcast
+        joins at fixture scale — no cartesian ever."""
+        plan = plan_of(spark, sf_dir, "q_rrf_fusion")
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
 
 def test_no_cartesian_or_unbroadcast_nlj_anywhere(spark, sf_dir):
     """Registry-wide invariant sweep (VERDICT r10 #7): no registered
