@@ -2572,3 +2572,235 @@ def q_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC with RESIDUAL encoding — the faithful Jegou et al. 2011 §V form
+# (FAISS by_residual=true; q_ivf_adc_knn is the by_residual=false mode)
+# ---------------------------------------------------------------------------
+
+_RES_DUCK = (
+    f"list_transform(generate_series(1, {DIM}), i -> _e[i] - _c[i])"
+)
+
+
+@register(
+    "q_ivfadc_residual_knn",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, u.i AS dim, {fround_sql("avg(emb[u.i])", 6)} AS c
+        FROM v, (SELECT unnest(generate_series(1, {DIM})) AS i) u
+        GROUP BY label, u.i
+    ),
+    centlist AS (
+        SELECT label, list(c ORDER BY dim) AS cvec FROM cent GROUP BY label
+    ),
+    vres AS (
+        SELECT vec_id, label,
+               {_RES_DUCK.replace("_e", "v.emb").replace("_c", "cl.cvec")} AS emb
+        FROM v JOIN centlist cl USING (label)
+    ),
+    s AS (
+        SELECT vec_id AS seed_id, emb FROM vres WHERE vec_id < {PQ_CODES}
+    ),
+    scored AS (
+        SELECT v.vec_id, v.label, s.seed_id,
+               {", ".join(f"{_pq_dist_duck(b)} AS d{b}" for b in range(PQ_BLOCKS))}
+        FROM vres v, s
+    ),
+    codes AS (
+        SELECT vec_id, label,
+               {", ".join(
+                   f"CAST(min(struct_pack(d := d{b}, s := seed_id)).s AS INT)"
+                   f" AS code{b}"
+                   for b in range(PQ_BLOCKS)
+               )}
+        FROM scored GROUP BY vec_id, label
+    ),
+    q AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id < {N_QUERIES}
+    ),
+    qcell AS (
+        SELECT q.query_id, cl.label, {_CENT_DIST_DUCK} AS cdist
+        FROM q, centlist cl
+    ),
+    probed AS (
+        SELECT query_id, label FROM (
+            SELECT query_id, label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cdist, label) AS r
+            FROM qcell
+        ) WHERE r <= {NPROBE}
+    ),
+    qres AS (
+        SELECT p.query_id, p.label,
+               {_RES_DUCK.replace("_e", "q.q_emb").replace("_c", "cl.cvec")} AS emb
+        FROM probed p
+        JOIN q USING (query_id)
+        JOIN centlist cl ON cl.label = p.label
+    ),
+    lut AS (
+        SELECT v.query_id, v.label, s.seed_id,
+               {", ".join(f"{_pq_dist_duck(b)} AS d{b}" for b in range(PQ_BLOCKS))}
+        FROM qres v, s
+    ),
+    adc AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               l0.d0 + l1.d1 + l2.d2 + l3.d3 AS adc_dist
+        FROM probed p
+        JOIN codes c ON c.label = p.label
+        JOIN lut l0 ON l0.query_id = p.query_id AND l0.label = p.label
+                   AND l0.seed_id = c.code0
+        JOIN lut l1 ON l1.query_id = p.query_id AND l1.label = p.label
+                   AND l1.seed_id = c.code1
+        JOIN lut l2 ON l2.query_id = p.query_id AND l2.label = p.label
+                   AND l2.seed_id = c.code2
+        JOIN lut l3 ON l3.query_id = p.query_id AND l3.label = p.label
+                   AND l3.seed_id = c.code3
+        WHERE c.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id,
+           {fround_sql("adc_dist")} AS adc_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {K}
+    """,
+)
+def q_ivfadc_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the form Jegou et al. 2011 §V
+    actually specifies (FAISS `by_residual=true`): every vector is PQ-
+    encoded as its residual x - c(cell(x)) against its coarse centroid,
+    and a query routed to a probed cell scores candidates against a
+    lookup table built from ITS residual in THAT cell, q - c(cell).
+    Residuals concentrate around the origin, so the same {PQ_CODES}-entry
+    codebook spends its resolution on a tighter distribution — measured
+    on the fixture corpus the residual codebook's total block
+    quantization error is lower than the raw-space codebook's
+    (tests/test_similarity.py pins the comparison), which is the entire
+    reason the paper encodes residuals.  q_ivf_adc_knn keeps the
+    `by_residual=false` mode (shared codes with the flat ADC searcher);
+    this operator completes the pair.
+
+    Engine shape: identical scale posture to q_ivf_adc_knn — centroids
+    are a (label, dim) partial agg collapsing to nlist broadcast rows;
+    the residual subtraction is one broadcast-joined zip_with over the
+    corpus scan (no shuffle); cell routing is the 10-query x nlist
+    broadcast; the LUT is now one broadcast row PER (query, probed cell)
+    — nprobe x |batch| rows of {PQ_BLOCKS}x{PQ_CODES} doubles, still
+    broadcast-sized by construction; candidate generation is the same
+    label equi-join (partition-prunable at scale); top-{K} is the
+    rank-limited window.  The corpus never shuffles.
+
+    Determinism: centroids are 6 dp-quantized (bit-identical across
+    engines), residuals subtract identical doubles, block distances and
+    the 4-term LUT sum fold in fixed written order — no rounding guard
+    needed before the display rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", F.expr(_EMB_D_SPARK).alias("emb"))
+    cent = (
+        v.select("label", F.posexplode("emb").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(fround(F.avg("val"), 6).alias("c"))
+    )
+    centlist = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda st: st["c"]
+        ).alias("cvec")
+    )
+    vres = v.join(F.broadcast(centlist), "label").select(
+        "vec_id",
+        "label",
+        F.expr("zip_with(emb, cvec, (x, y) -> x - y)").alias("emb"),
+    )
+    sres = vres.filter(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").alias("seed_id"), F.col("emb").alias("s_emb")
+    )
+    scored = vres.crossJoin(F.broadcast(sres)).select(
+        "vec_id",
+        "label",
+        "seed_id",
+        *[F.expr(_pq_dist_spark(b)).alias(f"d{b}") for b in range(PQ_BLOCKS)],
+    )
+    codes = scored.groupBy("vec_id", "label").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"d{b}").alias("d"), F.col("seed_id").alias("s"))
+            )["s"]
+            .cast("int")
+            .alias(f"code{b}")
+            for b in range(PQ_BLOCKS)
+        ]
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    qcell = q.crossJoin(F.broadcast(centlist)).select(
+        "query_id", "label", F.expr(_CENT_DIST_SPARK).alias("cdist")
+    )
+    wc = Window.partitionBy("query_id").orderBy("cdist", "label")
+    probed = (
+        qcell.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= NPROBE)
+        .select("query_id", "label")
+    )
+    qres = (
+        probed.join(q, "query_id")
+        .join(F.broadcast(centlist), "label")
+        .select(
+            "query_id",
+            "label",
+            F.expr("zip_with(q_emb, cvec, (x, y) -> x - y)").alias("emb"),
+        )
+    )
+    lut = (
+        qres.crossJoin(F.broadcast(sres))
+        .select(
+            "query_id",
+            "label",
+            "seed_id",
+            *[F.expr(_pq_dist_spark(b)).alias(f"d{b}") for b in range(PQ_BLOCKS)],
+        )
+        .groupBy("query_id", "label")
+        .agg(
+            *[
+                F.map_from_entries(
+                    F.collect_list(F.struct("seed_id", F.col(f"d{b}")))
+                ).alias(f"m{b}")
+                for b in range(PQ_BLOCKS)
+            ]
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.col("m0")[F.col("code0")]
+                + F.col("m1")[F.col("code1")]
+                + F.col("m2")[F.col("code2")]
+                + F.col("m3")[F.col("code3")]
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(F.col("adc_dist"), 4).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -74,10 +74,14 @@ _DRIVER_PRIORITY = (
     # and 46 certified in round 5.  Window = 3 new + 3 re-fronts + all 29
     # r4 + the alphabetically-first 15 of the 46 r5; the remaining 31 r5
     # overflow to _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).
+    # (Amended in-round: a 4th new operator, q_ivfadc_residual_knn,
+    # took the window slot of q_embed_binary_eval, which moved to the
+    # overflow front — window = 4 new + 3 re-fronts + 29 r4 + 14 r5.)
     # -- new in round 11 (never certified):
     "q_ivf_adc_knn",
     "q_dsir_weights",
     "q_rrf_fusion",
+    "q_ivfadc_residual_knn",
     # -- code changed in round 11 (listed in tests' _RECERTIFY, exempt
     # from the oldest-first invariant): the Kneser-Ney perplexity gate's
     # keep threshold is now derived in-query from the corpus NLL quantile
@@ -134,7 +138,6 @@ _DRIVER_PRIORITY = (
     "q_cusum",
     "q_cycle_time",
     "q_durbin_watson",
-    "q_embed_binary_eval",
 )
 
 # Rotation OVERFLOW queue: stale-certified queries that did not fit in this
@@ -147,7 +150,9 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     # and q_heaps_law dropped out of the window when the two round-11
     # hostile-conversion re-fronts took their slots, q_embed_truncation_eval
     # and q_ewma_daily when the two new round-11 operators
-    # q_dsir_weights / q_rrf_fusion joined the front):
+    # q_dsir_weights / q_rrf_fusion joined the front, q_embed_binary_eval
+    # when q_ivfadc_residual_knn did):
+    "q_embed_binary_eval",
     "q_embed_truncation_eval",
     "q_ewma_daily",
     "q_gap_interp",

@@ -56,6 +56,7 @@ _PARITY_QUERIES = (
     # max row no longer trips Spark's floor->LONG saturation.
     "q_kmeans_step",
     "q_ivf_adc_knn",
+    "q_ivfadc_residual_knn",
 )
 
 # Excluded with the mechanism documented (same contract as the

@@ -1301,6 +1301,18 @@ class TestRound10Plans:
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
 
+    def test_residual_ivfadc_same_shape_as_ivfadc(self, spark, sf_dir):
+        """The residual variant must keep q_ivf_adc_knn's plan posture:
+        candidate generation a broadcast hash EQUI-join on the cell label
+        (partition-prunable at scale), top-k the rank-limited window,
+        no cartesian/sort-merge of the corpus; the residual subtraction
+        rides the broadcast centroid join inside the corpus scan."""
+        plan = plan_of(spark, sf_dir, "q_ivfadc_residual_knn")
+        assert "BroadcastHashJoin" in plan
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
     def test_dsir_model_join_is_broadcast(self, spark, sf_dir):
         """DSIR's log-ratio model is O(512 buckets) by construction — its
         join back over the per-doc bucket counts must be a broadcast hash

@@ -604,3 +604,136 @@ class TestIvfAdc:
         exact = _pairs(registry.QUERIES["q_embed_knn"](spark, sf_dir))
         ivf = _pairs(registry.QUERIES["q_ivf_adc_knn"](spark, sf_dir))
         assert len(exact & ivf) > 0, "IVFADC found nothing the exact search did"
+
+
+class TestIVFADCResidual:
+    """Goldens for q_ivfadc_residual_knn (Jegou §V with by_residual=true):
+    a full numpy recompute of the residual encode/route/score path, the
+    probed-cell membership invariant, and the pin for the operator's
+    reason to exist — the residual codebook quantizes the corpus with
+    LOWER total block error than the raw-space codebook."""
+
+    def _residual_parts(self, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq_mod
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.similarity import (
+            PQ_BLOCKS,
+            PQ_CODES,
+            PQ_SUB,
+        )
+
+        tbl = pq_mod.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        ids = tbl["vec_id"].to_numpy()
+        X = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+        labels = tbl["label"].to_numpy()
+        order = np.argsort(ids)
+        ids, X, labels = ids[order], X[order], labels[order]
+        cells = np.unique(labels)
+        cent = {
+            c: np.floor(X[labels == c].mean(axis=0) * 1e6 * (1 + 1e-12) + 0.5)
+            / 1e6
+            for c in cells
+        }
+        R = X - np.stack([cent[c] for c in labels])
+        blocks = [slice(b * PQ_SUB, (b + 1) * PQ_SUB) for b in range(PQ_BLOCKS)]
+        return ids, X, R, labels, cells, cent, blocks, PQ_CODES, PQ_BLOCKS
+
+    def _golden(self, sf_dir):
+        import numpy as np
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.similarity import (
+            K,
+            N_QUERIES,
+            NPROBE,
+        )
+
+        (ids, X, R, labels, cells, cent, blocks, PQ_CODES, PQ_BLOCKS) = (
+            self._residual_parts(sf_dir)
+        )
+        seeds = R[ids < PQ_CODES]
+        codes = np.stack(
+            [
+                np.argmin(
+                    ((R[:, None, s] - seeds[None, :, s]) ** 2).sum(-1), axis=1
+                )
+                for s in blocks
+            ],
+            axis=1,
+        )
+        want, probes = {}, {}
+        for q in range(N_QUERIES):
+            cd = sorted(
+                (float(((X[q] - cent[c]) ** 2).sum()), int(c)) for c in cells
+            )
+            probed = {c for _, c in cd[:NPROBE]}
+            probes[q] = probed
+            cand = []
+            for c in probed:
+                qr = X[q] - cent[c]
+                luts = [((qr[s] - seeds[:, s]) ** 2).sum(-1) for s in blocks]
+                for i in range(len(ids)):
+                    if ids[i] == q or int(labels[i]) != c:
+                        continue
+                    cand.append(
+                        (
+                            float(
+                                sum(
+                                    luts[b][codes[i, b]]
+                                    for b in range(PQ_BLOCKS)
+                                )
+                            ),
+                            int(ids[i]),
+                        )
+                    )
+            cand.sort()
+            want[q] = cand[:K]
+        return want, probes
+
+    def test_residual_ivfadc_matches_numpy_recompute(self, spark, sf_dir):
+        from real_time_iot_data_engineering_pipeline_spark.queries.similarity import (
+            K,
+            N_QUERIES,
+        )
+
+        want, _ = self._golden(sf_dir)
+        rows = registry.QUERIES["q_ivfadc_residual_knn"](spark, sf_dir).collect()
+        assert len(rows) == N_QUERIES * K
+        for r in rows:
+            d, nid = want[r.query_id][r.rank - 1]
+            assert nid == r.neighbor_id, (r.query_id, r.rank)
+            assert abs(d - r.adc_dist) < 1e-3, (r.query_id, r.rank)
+
+    def test_residual_results_lie_in_probed_cells_only(self, spark, sf_dir):
+        import pyarrow.parquet as pq_mod
+
+        _, probes = self._golden(sf_dir)
+        tbl = pq_mod.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        lab = dict(zip(tbl["vec_id"], tbl["label"]))
+        for r in registry.QUERIES["q_ivfadc_residual_knn"](
+            spark, sf_dir
+        ).collect():
+            assert int(lab[r.neighbor_id]) in probes[r.query_id], (
+                r.query_id,
+                r.neighbor_id,
+            )
+
+    def test_residual_codebook_quantizes_tighter_than_raw(self, sf_dir):
+        """The point of by_residual=true: residuals concentrate around the
+        origin, so the same seed-derived codebook covers them with lower
+        total block quantization error than the raw vectors — if this
+        flips, residual encoding is buying nothing and the operator's
+        premise is broken."""
+        (ids, X, R, _, _, _, blocks, PQ_CODES, _) = self._residual_parts(
+            sf_dir
+        )
+
+        def qerr(M):
+            seeds = M[ids < PQ_CODES]
+            tot = 0.0
+            for s in blocks:
+                d = ((M[:, None, s] - seeds[None, :, s]) ** 2).sum(-1)
+                tot += d.min(axis=1).sum()
+            return tot
+
+        assert qerr(R) < qerr(X)
