@@ -66,92 +66,27 @@ _QUERY_MODULES = (
 # order; every query that falls outside the window as a result already
 # holds a green driver row (CORRECTNESS_r01 and/or _r02).
 _DRIVER_PRIORITY = (
-    # round-11 rotation: CERTIFICATION-FRESHNESS pass, continuing the
-    # oldest-cert-first policy.  CORRECTNESS_r10 converted all 50 round-10
-    # slots to green rows; the staleness tail is now 29 queries last
-    # certified in round 4 (age 7 at the round-11 build — past the 6-round
-    # cadence bar, so they MUST rotate in: the whole r10 overflow queue)
-    # and 46 certified in round 5.  Window = 3 new + 3 re-fronts + all 29
-    # r4 + the alphabetically-first 15 of the 46 r5; the remaining 31 r5
-    # overflow to _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).
-    # (Amended in-round: a 4th new operator, q_ivfadc_residual_knn,
-    # took the window slot of q_embed_binary_eval, which moved to the
-    # overflow front — window = 4 new + 3 re-fronts + 29 r4 + 14 r5.)
-    # -- new in round 11 (never certified):
-    "q_ivf_adc_knn",
-    "q_dsir_weights",
-    "q_rrf_fusion",
-    "q_ivfadc_residual_knn",
-    # -- code changed in round 11 (listed in tests' _RECERTIFY, exempt
-    # from the oldest-first invariant): the Kneser-Ney perplexity gate's
-    # keep threshold is now derived in-query from the corpus NLL quantile
-    # instead of the fixture-pinned 3.39 (VERDICT r10 #6); q_kmeans_step's
-    # quantization became fround_guarded and q_dod_change gained the
-    # NULL-day totality guard (VERDICT r10 #4, hostile-quarantine
-    # conversions — fixture results bit-identical, but the certifying
-    # rows predate the new code/oracle text).
+    # round-12 rotation: CERTIFICATION-FRESHNESS pass, continuing the
+    # oldest-cert-first policy.  CORRECTNESS_r11 converted all 50 round-11
+    # slots to green rows; the staleness tail is now 32 queries last
+    # certified in round 5 (age 7 at the round-12 build — past the 6-round
+    # cadence bar, so they MUST rotate in: the whole r11 overflow queue)
+    # and 49 certified in round 6.  Window = 4 code-change re-fronts +
+    # all 32 r5 + the alphabetically-first 14 of the 49 r6; the remaining
+    # 35 r6 overflow to _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).
+    # -- code changed in round 12 (listed in tests' _RECERTIFY, exempt
+    # from the oldest-first invariant): q_kn_doc_ppl fuses the NLL-quantile
+    # keep-threshold pass into the per-doc aggregation (VERDICT r11 #3b);
+    # q_sparse_cosine_topk gains the real per-term posting cap with
+    # candidate-then-verify rescoring (VERDICT r11 #4); q_cc_incremental's
+    # standing store becomes a materialized-parquet setup step so the
+    # benched operator is the actual delta merge (VERDICT r11 #5);
+    # q_dsir_weights' logw rounding becomes fround_guarded (ADVICE r11).
     "q_kn_doc_ppl",
-    "q_kmeans_step",
-    "q_dod_change",
-    # -- last driver-certified round 4 (all 29 — the r10 overflow queue):
-    "q_important_parts",
-    "q_keyword_extract",
-    "q_large_orders",
-    "q_length_histogram",
-    "q_mad_outliers",
-    "q_min_cost_supplier",
-    "q_missing_days",
-    "q_mkt_share",
-    "q_nation_volume",
-    "q_paragraph_dedup",
-    "q_part_supplier_count",
-    "q_pmi_collocations",
-    "q_product_profit",
-    "q_profile_events",
-    "q_promo_share",
-    "q_quality_buckets",
-    "q_scd2_intervals",
-    "q_semantic_decontaminate",
-    "q_serve_analytics",
-    "q_serve_health",
-    "q_serve_latest",
-    "q_sessionize",
-    "q_small_qty_revenue",
     "q_sparse_cosine_topk",
-    "q_token_entropy",
-    "q_top_supplier",
-    "q_unigram_ppl",
-    "q_waiting_suppliers",
-    "q_winsorize",
-    # -- last driver-certified round 5 (first 19 of 46):
-    "q_ann_recall",
-    "q_autocorr",
-    "q_benford",
-    "q_bigram_ppl",
-    "q_bollinger",
-    "q_bpe_pairs",
-    "q_burstiness",
-    "q_chi_square",
-    "q_conversion_latency",
-    "q_corr_matrix",
-    "q_curation_pipeline",
-    "q_cusum",
-    "q_cycle_time",
-    "q_durbin_watson",
-)
-
-# Rotation OVERFLOW queue: stale-certified queries that did not fit in this
-# round's 50-slot window.  They order immediately after the window
-# (positions 51+) and are the mandatory front of next round's rotation —
-# the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
-# "scheduled for re-cert" when enforcing the <=6-round freshness bar.
-_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # -- last driver-certified round 5 (remaining 31 of 46; q_gap_interp
-    # and q_heaps_law dropped out of the window when the two round-11
-    # hostile-conversion re-fronts took their slots, q_embed_truncation_eval
-    # and q_ewma_daily when the two new round-11 operators
-    # q_dsir_weights / q_rrf_fusion joined the front, q_embed_binary_eval
-    # when q_ivfadc_residual_knn did):
+    "q_cc_incremental",
+    "q_dsir_weights",
+    # -- last driver-certified round 5 (all 32 — the r11 overflow queue):
     "q_embed_binary_eval",
     "q_embed_truncation_eval",
     "q_ewma_daily",
@@ -184,6 +119,67 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_trend_slope",
     "q_welch_ttest",
     "q_zipf_fit",
+    # -- last driver-certified round 6 (first 14 of 49):
+    "q_active_users",
+    "q_also_bought",
+    "q_bloom_membership",
+    "q_bottomk_sample",
+    "q_cluster_keywords",
+    "q_cluster_purity",
+    "q_ctr_wilson",
+    "q_cusum_alarm",
+    "q_dataset_manifest",
+    "q_dedup_cost_curve",
+    "q_degree_distribution",
+    "q_doc_containment",
+    "q_doc_length_bands",
+    "q_dup_group_stats",
+)
+
+# Rotation OVERFLOW queue: stale-certified queries that did not fit in this
+# round's 50-slot window.  They order immediately after the window
+# (positions 51+) and are the mandatory front of next round's rotation —
+# the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
+# "scheduled for re-cert" when enforcing the <=6-round freshness bar.
+_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
+    # -- last driver-certified round 6 (remaining 35 of 49; the
+    # alphabetically-first 14 took the window slots left after the four
+    # round-12 code-change re-fronts and the mandatory 32 r5 rotations):
+    "q_embed_anisotropy",
+    "q_embed_centroid_drift",
+    "q_embed_outliers",
+    "q_eval_grams",
+    "q_hill_tail",
+    "q_hll_distinct",
+    "q_integrity_audit",
+    "q_join_cardinality",
+    "q_label_balance",
+    "q_lang_confusion",
+    "q_link_prediction",
+    "q_market_concentration",
+    "q_minhash_band_tuning",
+    "q_misra_gries",
+    "q_mix_shift",
+    "q_order_reorder_rate",
+    "q_pack_efficiency",
+    "q_partition_plan",
+    "q_price_elasticity",
+    "q_price_index",
+    "q_quantile_bins",
+    "q_readability",
+    "q_repeat_interval",
+    "q_revenue_motifs",
+    "q_shingle_profile",
+    "q_simhash_pairs",
+    "q_skew_report",
+    "q_source_fingerprint",
+    "q_stopword_profile",
+    "q_supplier_herfindahl",
+    "q_token_budget_plan",
+    "q_tokenizer_fertility",
+    "q_vocab_coverage",
+    "q_weekday_anova",
+    "q_welford_stats",
 )
 
 

@@ -68,17 +68,19 @@ def test_driver_priority_queries_inside_50_window():
 
 # Re-fronted because their code or oracle changed after the certifying
 # round (the old green row no longer certifies the current behaviour).
-# These are exempt from the oldest-first invariant.  Round 11: the
-# Kneser-Ney perplexity gate derives its keep threshold from the corpus
-# NLL quantile instead of the fixture-pinned constant (VERDICT r10 #6);
-# q_kmeans_step's distance quantization became fround_guarded and
-# q_dod_change gained the NULL-day totality guard (the hostile-
-# quarantine conversions of VERDICT r10 #4) — all three are fixture-
-# bit-identical, but their certifying rows predate the current text.
+# These are exempt from the oldest-first invariant.  Round 12:
+# q_kn_doc_ppl fuses the NLL-quantile keep-threshold pass into the
+# per-doc aggregation (VERDICT r11 #3b); q_sparse_cosine_topk implements
+# the per-term posting cap with candidate-then-verify rescoring the
+# docstring promised (VERDICT r11 #4); q_cc_incremental's standing store
+# becomes a materialized-parquet setup step so the benched operator is
+# the actual delta merge (VERDICT r11 #5); q_dsir_weights' logw rounding
+# became fround_guarded (ADVICE r11).
 _RECERTIFY: set[str] = {
     "q_kn_doc_ppl",
-    "q_kmeans_step",
-    "q_dod_change",
+    "q_sparse_cosine_topk",
+    "q_cc_incremental",
+    "q_dsir_weights",
 }
 
 # Certification-freshness horizon (rounds).  A query whose latest green
