@@ -1897,9 +1897,16 @@ def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs by construction offset, background by a fixed stride — each
     shuffling only 4 ints per doc; the five summary scalars ride
     single-row subquery aggregates."""
+    # The signature table feeds FOUR join legs (planted a/b, background
+    # a/b); without materialization each leg's lineage can re-run the full
+    # token-explode + 64-bit majority vote whenever ReusedExchange misses
+    # (measured: monotonic 1.51 -> 2.03 -> 3.28 s drift across r9-r11 with
+    # unchanged code).  EAGER localCheckpoint, not .persist(): checkpoint
+    # blocks are ContextCleaner-released when the plan is GC'd — the same
+    # pattern (and rationale) as `pairs` in q_cc_incremental above.
     sigs = _sim_band_sigs(
         _near_corpus(spark, sf_dir).withColumn("_words", F.expr(_WORDS_SPARK))
-    )
+    ).localCheckpoint(eager=True)
     a, b = sigs.alias("a"), sigs.alias("b")
     ham = sum(
         F.expr(f"bit_count(a.b{k} ^ b.b{k})") for k in range(SIMHASH_BANDS)
