@@ -190,6 +190,176 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Absolute per-term posting cap for the sparse-cosine inverted index
+# (the "production guard" the q_sparse_cosine_topk docstring names): a
+# term whose KEPT-index posting list exceeds this length contributes
+# candidacy only through its top-cap highest-weight postings, and its
+# score contribution is then recomputed EXACTLY for surviving candidate
+# pairs from the uncapped postings (candidate-then-verify, the
+# q_embed_knn_lsh two-phase shape).  2048 never binds on the fixtures
+# (max kept-index posting length 338 at sf0.1), keeping the DuckDB
+# oracle exact, while bounding any one term's candidate fan-out to
+# cap^2/2 pairs at any corpus size.
+SPARSE_POSTING_CAP = 2048
+
+
+def _sparse_capped_index(unit: DataFrame, cap: int):
+    """(cand_index, hot_unit): the candidate-generation index with hot
+    (> cap postings) terms truncated to their top-cap weights, plus the
+    UNCAPPED hot postings for exact rescoring.  The hot-token table is
+    bounded by n_postings/cap, so it is joined plainly and AQE broadcasts
+    it when measured small — no forced broadcast."""
+    plen = unit.groupBy("token").agg(F.count("*").alias("_plen"))
+    hot_toks = plen.filter(F.col("_plen") > cap).select("token")
+    cold = unit.join(hot_toks, "token", "left_anti").withColumn(
+        "_hot", F.lit(False)
+    )
+    hot_unit = unit.join(hot_toks, "token", "left_semi")
+    prn = F.row_number().over(
+        Window.partitionBy("token").orderBy(F.col("nw").desc(), "doc_id")
+    )
+    capped_hot = (
+        hot_unit.withColumn("_prn", prn)
+        .filter(F.col("_prn") <= cap)
+        .drop("_prn")
+        .withColumn("_hot", F.lit(True))
+    )
+    return cold.unionByName(capped_hot), hot_unit
+
+
+def _sparse_exact_pairs(unit: DataFrame, topk: int) -> DataFrame:
+    """Single-pass exact scoring (the pre-cap plan): inverted-index
+    self-join on token, per-pair sum — used whenever no posting list
+    exceeds the cap."""
+    a = unit.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("token").alias("_tok"),
+        F.col("nw").alias("_nwa"),
+    )
+    b = unit.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("token").alias("_tok2"),
+        F.col("nw").alias("_nwb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("_tok") == F.col("_tok2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            fround(F.sum(F.col("_nwa") * F.col("_nwb")), 4).alias("cosine"),
+            F.count("*").cast("long").alias("shared_terms"),
+        )
+    )
+    return pairs.orderBy(F.col("cosine").desc(), "doc_a", "doc_b").limit(topk)
+
+
+def sparse_cosine_pairs(unit: DataFrame, cap: int, topk: int) -> DataFrame:
+    """Top-k sparse-cosine pairs over a unit-normalized inverted index
+    (doc_id, token, nw) with the per-term posting cap applied.
+
+    The input index is eagerly localCheckpoint-ed (it fans into the
+    posting-length census plus both phases, and it is the SMALL artifact
+    here — <= top-m rows per doc — so materializing it is linear and
+    partition-parallel; blocks are ContextCleaner-released with the
+    plan).  The cap decision is then a 1-row driver scalar — does ANY
+    posting list exceed cap? — the same runtime-replanning move AQE
+    makes from shuffle statistics:
+
+    - No (every fixture corpus): the plan IS the uncapped single-pass
+      exact join — zero two-phase overhead.
+    - Yes (degenerate vocabulary at scale): phase 1 joins the capped
+      index on token — COLD terms (postings <= cap) score exactly, HOT
+      terms grant candidacy through their top-cap postings only — and
+      phase 2 rescores every candidate pair against the UNCAPPED hot
+      postings (a pair surfaced by a cold term can share a hot term
+      from which both docs were truncated, so membership in the capped
+      hot join cannot gate the verify phase; the inner join against
+      hot_unit is itself the filter).  Every reported cosine is exact
+      over all shared kept terms — capping can only DROP pairs whose
+      every shared term is hot and which fell outside every such term's
+      top-cap postings, the degenerate mass the guard exists to bound
+      (<= cap^2/2 candidate pairs per hot term).  The candidate-pair
+      table is checkpointed in this branch (it feeds both the final
+      score join and the rescore probe), bounded by cold fan-out plus
+      the capped hot fan-out."""
+    unit = unit.localCheckpoint(eager=True)
+    cand_index, hot_unit = _sparse_capped_index(unit, cap)
+    if not hot_unit.take(1):
+        return _sparse_exact_pairs(unit, topk)
+    a = cand_index.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("token").alias("_tok"),
+        F.col("nw").alias("_nwa"),
+        "_hot",
+    )
+    b = cand_index.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("token").alias("_tok2"),
+        F.col("nw").alias("_nwb"),
+    )
+    pairs0 = (
+        a.join(
+            b,
+            (F.col("_tok") == F.col("_tok2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(~F.col("_hot"), F.col("_nwa") * F.col("_nwb"))
+                ),
+                F.lit(0.0),
+            ).alias("_cold_cos"),
+            F.sum(F.when(~F.col("_hot"), 1).otherwise(0))
+            .cast("long")
+            .alias("_cold_shared"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ha = hot_unit.select(
+        F.col("doc_id").alias("doc_a"),
+        "token",
+        F.col("nw").alias("_hwa"),
+    )
+    hb = hot_unit.select(
+        F.col("doc_id").alias("doc_b"),
+        "token",
+        F.col("nw").alias("_hwb"),
+    )
+    # Rescore EVERY candidate pair against the uncapped hot postings: a
+    # pair surfaced by a cold term can share a hot term from which both
+    # docs were truncated, so membership in the capped hot join cannot
+    # gate the verify phase — the inner join against hot_unit is itself
+    # the filter (pairs with no hot terms fall out, zero rows when no
+    # term is hot).
+    hot_scores = (
+        pairs0.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("_hwa") * F.col("_hwb")).alias("_hot_cos"),
+            F.count("*").cast("long").alias("_hot_shared"),
+        )
+    )
+    scored = pairs0.join(hot_scores, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        fround(
+            F.col("_cold_cos") + F.coalesce(F.col("_hot_cos"), F.lit(0.0)), 4
+        ).alias("cosine"),
+        (
+            F.col("_cold_shared")
+            + F.coalesce(F.col("_hot_shared"), F.lit(0).cast("long"))
+        ).alias("shared_terms"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), "doc_a", "doc_b").limit(topk)
+
+
 @register(
     "q_sparse_cosine_topk",
     oracle=f"""
@@ -252,11 +422,26 @@ def q_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose unigram vocabulary is only ~31 words, so unigram posting lists
     cover ~40% of the corpus each (27.9M candidate pairs at sf0.1) while
     bigram lists are 12x smaller (2.4M) — n-gram terms are the standard
-    discrimination fix when the unigram vocabulary is degenerate.  For
-    corpora where even n-gram lists skew, the production guard is an
-    absolute per-term posting cap with candidate-then-verify rescoring
-    (same two-phase shape as q_embed_knn_lsh).  Final all-pair cosines
-    are 4 dp-rounded before the global top-50."""
+    discrimination fix when the unigram vocabulary is degenerate; and
+    (3) the absolute per-term posting cap (SPARSE_POSTING_CAP = 2048)
+    with candidate-then-verify rescoring (sparse_cosine_pairs above,
+    the q_embed_knn_lsh two-phase shape) bounds any single skewed term
+    (a boilerplate header bigram on a 100 TB corpus) to cap^2/2
+    candidate pairs, with survivors rescored exactly from the uncapped
+    postings.  The cap never binds on the fixtures (max kept-index
+    posting 338 at sf0.1), so the DuckDB oracle stays exact; the
+    binding path is pinned by the skewed-vocabulary test
+    (tests/test_sparse_cap.py).  Final all-pair cosines are 4 dp-rounded
+    before the global top-50."""
+    return sparse_cosine_pairs(_sparse_unit(spark, sf_dir), SPARSE_POSTING_CAP, 50)
+
+
+def _sparse_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unit-normalized top-8 TF-IDF bigram index (doc_id, token, nw)
+    feeding sparse_cosine_pairs — exposed un-checkpointed so the plan
+    pin (tests/test_plans.py) can assert the per-doc top-8 compiles to
+    WindowGroupLimit, which the checkpoint boundary hides from the final
+    query plan."""
     tf = (
         _bigrams(spark, sf_dir)
         .select(
@@ -290,32 +475,9 @@ def q_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = top.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
-    unit = top.join(norms, "doc_id").select(
+    return top.join(norms, "doc_id").select(
         "doc_id", "token", (F.col("w") / F.col("nrm")).alias("nw")
     )
-    a = unit.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("token").alias("_tok"),
-        F.col("nw").alias("_nwa"),
-    )
-    b = unit.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("token").alias("_tok2"),
-        F.col("nw").alias("_nwb"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("_tok") == F.col("_tok2"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            fround(F.sum(F.col("_nwa") * F.col("_nwb")), 4).alias("cosine"),
-            F.count("*").cast("long").alias("shared_terms"),
-        )
-    )
-    return pairs.orderBy(F.col("cosine").desc(), "doc_a", "doc_b").limit(50)
 
 
 # Keyword pattern: explicit character classes only (identical semantics in

@@ -672,9 +672,22 @@ class TestCorpusAndRobustStatsPlans:
     def test_sparse_cosine_prunes_with_window_group_limit(self, spark, sf_dir):
         """The per-doc top-8 TF-IDF cut must compile to WindowGroupLimit
         (partial per-partition top-k before the full window sort), and the
-        posting-list self-join must stay an equi-join on token."""
+        posting-list self-join must stay an equi-join on token.  The top-8
+        cut lives in the index-build stage, which the posting-cap
+        checkpoint boundary (queries/corpus.py::sparse_cosine_pairs) hides
+        from the final query plan — pin it on the un-checkpointed index."""
+        from real_time_iot_data_engineering_pipeline_spark.queries.corpus import (
+            _sparse_unit,
+        )
+
+        unit_plan = (
+            _sparse_unit(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in unit_plan
         plan = plan_of(spark, sf_dir, "q_sparse_cosine_topk")
-        assert "WindowGroupLimit" in plan
         assert "CartesianProduct" not in plan
 
     def test_scd2_rides_one_shuffle(self, spark, sf_dir):
