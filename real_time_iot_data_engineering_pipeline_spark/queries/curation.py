@@ -28,7 +28,12 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import fround, fround_sql
+from ..functions.rounding import (
+    fround,
+    fround_guarded,
+    fround_guarded_sql,
+    fround_sql,
+)
 from ..functions.tokenize import WS as _WS
 from ..registry import register
 from ..sources import load_table
@@ -1266,22 +1271,25 @@ def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsir_bstats(spark: SparkSession, sf_dir: str):
+def _dsir_bstats(spark: SparkSession, sf_dir: str, dfeat: DataFrame | None = None):
     """((doc_id, bucket, n) counts, (bucket, r_b, t_b) stats, 1-row tots).
 
-    NOT materialized: an eager-localCheckpoint variant (bstats + perdoc
-    barriers, 2 corpus passes instead of the 9 redundant FileScans this
-    lazy plan compiles to) measured CONSISTENTLY SLOWER — 37-38 s vs
-    25-34 s at sf1, 3 interleaved A/B pairs — because the barriers
-    serialize three jobs that the single lazy job overlaps; the
-    redundancy is a pipelined constant factor, not a scaling term
-    (SCALE.md round-11 probes)."""
-    dfeat = (
-        _dsir_feats(spark, sf_dir)
-        .withColumn("bucket", F.expr(DSIR_BUCKET_SPARK))
-        .groupBy("doc_id", "is_target", "bucket")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
+    NOT materialized for the single registered query: an
+    eager-localCheckpoint variant (bstats + perdoc barriers, 2 corpus
+    passes instead of the 9 redundant FileScans this lazy plan compiles
+    to) measured CONSISTENTLY SLOWER — 37-38 s vs 25-34 s at sf1, 3
+    interleaved A/B pairs — because the barriers serialize three jobs
+    that the single lazy job overlaps; the redundancy is a pipelined
+    constant factor, not a scaling term (SCALE.md round-11 probes).
+    train_dsir is the exception: THREE separate driver actions share one
+    checkpointed dfeat there, passed in via the `dfeat` override."""
+    if dfeat is None:
+        dfeat = (
+            _dsir_feats(spark, sf_dir)
+            .withColumn("bucket", F.expr(DSIR_BUCKET_SPARK))
+            .groupBy("doc_id", "is_target", "bucket")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
     bstats = dfeat.groupBy("bucket").agg(
         F.sum("n").cast("double").alias("r_b"),
         F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(F.lit(0)))
@@ -1295,12 +1303,14 @@ def _dsir_bstats(spark: SparkSession, sf_dir: str):
     return dfeat, bstats, tots
 
 
-def dsir_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_model_table(
+    spark: SparkSession, sf_dir: str, dfeat: DataFrame | None = None
+) -> DataFrame:
     """(bucket, lr_b) log-ratio table with UNROUNDED doubles — what a
     serving/streaming gate broadcasts (the registered query's outputs are
     4 dp display precision; consumers doing further arithmetic read
     this).  {DSIR_BUCKETS} rows at any corpus scale."""
-    _, bstats, tots = _dsir_bstats(spark, sf_dir)
+    _, bstats, tots = _dsir_bstats(spark, sf_dir, dfeat)
     nb = F.lit(float(DSIR_BUCKETS))
     return bstats.crossJoin(F.broadcast(tots)).select(
         "bucket",
@@ -1311,24 +1321,33 @@ def dsir_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dsir_unseen_lr(spark: SparkSession, sf_dir: str) -> float:
+def dsir_unseen_lr(
+    spark: SparkSession, sf_dir: str, dfeat: DataFrame | None = None
+) -> float:
     """The log-ratio of a bucket the training corpus never populated —
     ln((r_tot + B)/(t_tot + B)) under add-1 smoothing.  A stream document
     can hash features into such buckets; the gate scores them with this
     constant instead of silently skipping them."""
     import math
 
-    _, _, tots = _dsir_bstats(spark, sf_dir)
+    _, _, tots = _dsir_bstats(spark, sf_dir, dfeat)
     row = tots.first()
     b = float(DSIR_BUCKETS)
     return math.log((row["r_tot"] + b) / (row["t_tot"] + b))
 
 
-def _dsir_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_perdoc(
+    spark: SparkSession, sf_dir: str, dfeat: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, n_feats, logw, logw_q) — shared by the registered query
-    and dsir_keep_threshold."""
-    dfeat, _, _ = _dsir_bstats(spark, sf_dir)
-    lr = dsir_model_table(spark, sf_dir)
+    and dsir_keep_threshold.  logw is a length-proportional sum (each
+    feature contributes one bounded log-ratio, but feature count is
+    unbounded), so its quantization is GUARDED: past |logw| ~ 1e9 the
+    6 dp grain is sub-ULP and Spark's floor->LONG would saturate where
+    DuckDB stays DOUBLE, diverging the engines (ADVICE r11; same class
+    as q_kmeans_step's distances)."""
+    dfeat, _, _ = _dsir_bstats(spark, sf_dir, dfeat)
+    lr = dsir_model_table(spark, sf_dir, dfeat)
     return (
         dfeat.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
@@ -1336,18 +1355,20 @@ def _dsir_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("n_feats"),
             F.sum(F.col("n").cast("double") * F.col("lr_b")).alias("logw"),
         )
-        .withColumn("logw_q", fround(F.col("logw"), 6))
+        .withColumn("logw_q", fround_guarded(F.col("logw"), 6))
     )
 
 
-def dsir_keep_threshold(spark: SparkSession, sf_dir: str) -> float:
+def dsir_keep_threshold(
+    spark: SparkSession, sf_dir: str, dfeat: DataFrame | None = None
+) -> float:
     """The derived keep threshold as a scalar (k-th largest 6 dp-quantized
     corpus log-weight, k = ceil(n * {DSIR_KEEP_FRAC})) — trained offline
     and shipped to the streaming gate, exactly like the KN cutoff."""
     from ..functions.prefix import bucketed_row_number
     from ..sources.tables import is_large_input
 
-    perdoc = _dsir_perdoc(spark, sf_dir)
+    perdoc = _dsir_perdoc(spark, sf_dir, dfeat)
     ranked = bucketed_row_number(
         perdoc.select("logw_q", "doc_id"),
         "logw_q",
@@ -1363,6 +1384,30 @@ def dsir_keep_threshold(spark: SparkSession, sf_dir: str) -> float:
             == F.ceil(F.col("_n") * F.expr(DSIR_KEEP_FRAC)).cast("long")
         )
         .first()["logw_q"]
+    )
+
+
+def train_dsir(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, float, float]:
+    """One-pass gate-arming bundle: (model_df, unseen_lr, keep_threshold).
+
+    Arming the streaming DSIR gate needs all three artifacts, and calling
+    dsir_model_table / dsir_unseen_lr / dsir_keep_threshold separately
+    rebuilds the whole feature/bucket pipeline per call — three redundant
+    corpus passes on top of the documented intra-plan FileScan redundancy
+    (ADVICE r11).  Here the (doc_id, is_target, bucket, n) count table is
+    built ONCE, eagerly localCheckpoint-ed (the three driver actions
+    cannot share a lazy plan the way the single registered query's
+    subtrees do — see the _dsir_bstats materialization note), and every
+    derived artifact reads it back.  Values are bit-identical to the
+    separate calls; tests/test_doc_pipeline.py pins that."""
+    dfeat, _, _ = _dsir_bstats(spark, sf_dir)
+    dfeat = dfeat.localCheckpoint(eager=True)
+    return (
+        dsir_model_table(spark, sf_dir, dfeat),
+        dsir_unseen_lr(spark, sf_dir, dfeat),
+        dsir_keep_threshold(spark, sf_dir, dfeat),
     )
 
 
@@ -1401,7 +1446,8 @@ def dsir_keep_threshold(spark: SparkSession, sf_dir: str) -> float:
         GROUP BY d.doc_id
     ),
     p2 AS (
-        SELECT doc_id, n_feats, logw, {fround_sql("logw", 6)} AS logw_q
+        SELECT doc_id, n_feats, logw,
+               {fround_guarded_sql("logw", 6)} AS logw_q
         FROM perdoc
     ),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM p2),
@@ -1415,7 +1461,7 @@ def dsir_keep_threshold(spark: SparkSession, sf_dir: str) -> float:
         WHERE r.rk = CAST(ceil(nn.n * ({DSIR_KEEP_FRAC})) AS BIGINT)
     )
     SELECT doc_id, n_feats,
-           {fround_sql("logw")} AS dsir_logw,
+           {fround_guarded_sql("logw")} AS dsir_logw,
            p2.logw_q >= thr.thr AS keep
     FROM p2, thr
     """,
@@ -1464,6 +1510,6 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perdoc.crossJoin(F.broadcast(thr)).select(
         "doc_id",
         "n_feats",
-        fround(F.col("logw"), 4).alias("dsir_logw"),
+        fround_guarded(F.col("logw"), 4).alias("dsir_logw"),
         (F.col("logw_q") >= F.col("thr")).alias("keep"),
     )

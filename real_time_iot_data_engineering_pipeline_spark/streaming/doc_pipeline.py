@@ -163,7 +163,14 @@ def ingest_doc_stream(
     (the batch-derived corpus-quantile threshold,
     curation.dsir_keep_threshold) reject as 'off_target'.  The formula,
     hash recipe, and tokenization are the batch q_dsir_weights verbatim;
-    cross-path agreement is golden-tested at the 4 dp grain.
+    cross-path agreement is golden-tested at the 4 dp grain.  As with
+    the KN gate, the keep VERDICT is threshold-adjacent-nondeterministic
+    across paths: the stream folds a document's features sequentially
+    while the batch merges shuffled partial sums, so a document whose
+    quantized logw sits within summation-order ULPs of `dsir_min_logw`
+    can route differently batch-vs-stream (the cross-path test carves
+    out |logw - thr| < 1e-3); gate consumers must not assume exact
+    batch/stream agreement at the threshold boundary.
 
     Rejected rows carry a typed `reject_reason` ('short_text' |
     'blocked_source' | 'repetitive' | 'low_quality' | 'contaminated' |
@@ -295,7 +302,7 @@ def ingest_doc_stream(
                 " derived batch-side; the stream cannot rank the corpus"
                 " per row"
             )
-        from ..functions.rounding import fround
+        from ..functions.rounding import fround_guarded
         from ..queries.curation import DSIR_BUCKET_SPARK, dsir_feat_array_expr
 
         model_row = dsir_model.agg(
@@ -312,10 +319,10 @@ def ingest_doc_stream(
         df = (
             df.withColumn("_dsir_toks", F.split(F.trim(F.lower("text")), _WS))
             .crossJoin(F.broadcast(model_row))
-            .withColumn("dsir_logw", fround(logw, 4))
+            .withColumn("dsir_logw", fround_guarded(logw, 4))
             .withColumn(
                 "_dsir_keep",
-                fround(logw, 6) >= F.lit(float(dsir_min_logw)),
+                fround_guarded(logw, 6) >= F.lit(float(dsir_min_logw)),
             )
             .drop("_dsir_map", "_dsir_toks")
         )

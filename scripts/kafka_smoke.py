@@ -10,8 +10,12 @@ Round-trips the option wiring end-to-end:
      keyed by user_id — producer.py:196-217,227-243 semantics);
   2. readStream them back with kafka_source_options
      (startingOffsets=earliest so the smoke sees its own writes;
-     maxOffsetsPerTrigger/failOnDataLoss as the reference sets them —
-     streaming_job.py:205-230);
+     failOnDataLoss as the reference sets it, and maxOffsetsPerTrigger
+     as the CORRECTED spelling of the reference's intent — the
+     reference writes the broker-prefixed `kafka.maxOffsetsPerTrigger`
+     (streaming_job.py:205-230), which the Spark Kafka source silently
+     drops; kafka_source_options uses the unprefixed reader option that
+     actually rate-limits the trigger);
   3. run the real parse stage (streaming/pipeline.py::parse_event_stream)
      over the decoded values and assert every produced row arrives.
 

@@ -457,6 +457,7 @@ def test_doc_ingest_dsir_gate(spark, tmp_path):
         dsir_keep_threshold,
         dsir_model_table,
         dsir_unseen_lr,
+        train_dsir,
     )
 
     registry.load_all()
@@ -490,13 +491,24 @@ def test_doc_ingest_dsir_gate(spark, tmp_path):
         ],
         seq=1,
     )
+    # Arm via the one-pass bundle, and pin it bit-identical to the three
+    # separate calls it replaces (train_dsir shares one checkpointed
+    # feature-count table; the values must not drift).
+    model, unseen, thr = train_dsir(spark, str(train))
+    sep_model = {
+        r["bucket"]: r["lr_b"]
+        for r in dsir_model_table(spark, str(train)).collect()
+    }
+    assert {r["bucket"]: r["lr_b"] for r in model.collect()} == sep_model
+    assert unseen == dsir_unseen_lr(spark, str(train))
+    assert thr == dsir_keep_threshold(spark, str(train))
     sink = run_doc_ingest(
         spark,
         str(src),
         str(tmp_path / "out"),
-        dsir_model=dsir_model_table(spark, str(train)),
-        dsir_unseen=dsir_unseen_lr(spark, str(train)),
-        dsir_min_logw=dsir_keep_threshold(spark, str(train)),
+        dsir_model=model,
+        dsir_unseen=unseen,
+        dsir_min_logw=thr,
     )
     docs = {r.doc_id for r in sink.read_docs().collect()}
     rejects = {r.doc_id: r.reject_reason for r in sink.read_rejects().collect()}
