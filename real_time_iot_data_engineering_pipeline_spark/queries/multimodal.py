@@ -6,9 +6,12 @@ column (or object-store pointers) beside typed metadata; decode / feature-
 extract / resize / frame-sample run as `mapInPandas` stages so each Arrow
 batch crosses the JVM<->Python boundary once and the work distributes with
 the partitioning.  Container-metadata decode is REAL for every format
-(PNG/JPEG/WAV/MP4 header walks, plus full integer-PCM sample decode); only
-pixel/frame decode needs a codec stack absent from this container, so that
-single seam is `decode_video_frames`'s NotImplementedError.  The registered
+(PNG/JPEG/WAV/MP4 header walks), and PAYLOAD decode is real wherever the
+stdlib carries the codec: full integer-PCM WAV sample decode
+(decode_wav_pcm) and full PNG pixel decode (decode_png_pixels — DEFLATE
+is zlib, the filters are pure arithmetic).  Only DCT/video-codec frame
+decode needs a stack absent from this container, so the single
+NotImplementedError seam is `decode_video_frames`.  The registered
 queries use `fake_decode_features` — a deterministic stand-in with the same
 signature and schema — because fixture payloads are utf8 text, keeping ALL
 the Spark-side plumbing (binary schema, Arrow batch shape, column
@@ -66,11 +69,13 @@ def decode_media(payload: bytes, content_type: str) -> tuple[int, int, int]:
                       also surfaces the ftyp brand and mvhd
                       duration/timescale)
 
-    Payload-level AUDIO decode is also real: decode_wav_pcm unpacks the
-    8/16/32-bit integer-PCM samples themselves (extract_audio_stats_real
-    feeds them through mapInPandas).  Pixel-data decoding (zlib scanlines,
-    DCT, video codecs) still needs a codec stack (PIL/ffmpeg, not in this
-    container), so the NotImplementedError seam is narrowed to exactly
+    Payload-level decode is also real where the stdlib carries the codec:
+    decode_wav_pcm unpacks the 8/16/32-bit integer-PCM samples
+    (extract_audio_stats_real feeds them through mapInPandas) and
+    decode_png_pixels inflates + unfilters the full PNG pixel data
+    (extract_image_stats_real).  Only entropy-coded image/video payloads
+    (JPEG DCT, video codecs) still need an external stack (PIL/ffmpeg,
+    not in this container), so the NotImplementedError seam is exactly
     decode_video_frames — every container format's METADATA decode is real
     and exercised with genuine bytes (tests/test_golden.py feeds a real
     PNG, JPEG, WAV and MP4 through mapInPandas via extract_features_real)."""
@@ -101,6 +106,184 @@ def _decode_png_header(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("not a PNG: first chunk is not IHDR")
     width, height = struct.unpack(">II", payload[16:24])
     return (width, height, 1)
+
+
+# Channel count per PNG color type (spec §11.2.2); palette rows expand to
+# RGB at sample-decode time.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_pixels(
+    payload: bytes,
+) -> tuple[int, int, int, int, list[list[int]]]:
+    """FULL PNG pixel decode with the stdlib alone — PNG's only codec is
+    DEFLATE, which is `zlib` (PNG spec / RFC 2083): concatenate the IDAT
+    stream, inflate, reverse the per-scanline filter (all five types —
+    None/Sub/Up/Average/Paeth, byte-wise with the spec's bpp offset),
+    unpack 1/2/4/8/16-bit samples (MSB-first within a byte), and expand
+    palette indices through PLTE.  Returns (width, height, channels,
+    bit_depth, rows) where rows[y] is the row's interleaved per-channel
+    sample values (palette rows expand to RGB, so channels is 3 for
+    color type 3).  Non-interlaced only: Adam7 raises ValueError (it is
+    a deinterlacing pass, not a codec, but no fixture needs it).  This
+    removes PNG from the codec seam — decode_video_frames is now the
+    repo's only NotImplementedError."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = bit_depth = color_type = None
+    interlace = 0
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            (
+                width,
+                height,
+                bit_depth,
+                color_type,
+                comp,
+                filt,
+                interlace,
+            ) = struct.unpack(">IIBBBBB", body)
+            if comp or filt:
+                raise ValueError("bad PNG: unknown compression/filter method")
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if width is None or not idat:
+        raise ValueError("bad PNG: missing IHDR/IDAT")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG: color type {color_type}")
+    if bit_depth not in _PNG_VALID_DEPTHS[color_type]:
+        raise ValueError(
+            f"bad PNG: depth {bit_depth} invalid for color type {color_type}"
+        )
+    nch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    bits_per_px = nch * bit_depth
+    stride = (width * bits_per_px + 7) // 8
+    bpp = max(1, bits_per_px // 8)
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("bad PNG: scanline data size mismatch")
+    prev = bytearray(stride)
+    rows: list[list[int]] = []
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG: filter type {f}")
+        prev = line
+        n_samples = width * nch
+        if bit_depth == 8:
+            vals = list(line[:n_samples])
+        elif bit_depth == 16:
+            vals = [
+                (line[2 * i] << 8) | line[2 * i + 1] for i in range(n_samples)
+            ]
+        else:  # 1/2/4-bit packed, MSB first
+            per = 8 // bit_depth
+            mask = (1 << bit_depth) - 1
+            vals = [
+                (line[i // per] >> (8 - bit_depth * ((i % per) + 1))) & mask
+                for i in range(n_samples)
+            ]
+        if color_type == 3:
+            if plte is None:
+                raise ValueError("bad PNG: palette image missing PLTE")
+            vals = [
+                plte[3 * v + k] for v in vals for k in range(3)
+            ]
+        rows.append(vals)
+    return width, height, (3 if color_type == 3 else nch), bit_depth, rows
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("bit_depth", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("pixel_sha256", T.StringType()),
+    ]
+)
+
+
+def extract_image_stats_real(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body over REAL PNG payloads: decodes every pixel
+    (decode_png_pixels) and emits per-image sample stats plus a content
+    hash of the decoded samples — the image twin of
+    extract_audio_stats_real (brightness/blank-image filters, exact-dup
+    detection on DECODED pixels rather than encoded bytes, which
+    re-compression would defeat).  Partition-local, one Arrow crossing
+    per batch."""
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in IMAGE_STATS_SCHEMA}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, nch, depth, rows = decode_png_pixels(bytes(payload))
+            flat = [v for row in rows for v in row]
+            digest = hashlib.sha256()
+            wordsize = 2 if depth == 16 else 1
+            for row in rows:
+                digest.update(
+                    b"".join(v.to_bytes(wordsize, "big") for v in row)
+                )
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(nch)
+            out["bit_depth"].append(depth)
+            out["n_pixels"].append(w * h)
+            out["peak"].append(max(flat, default=0))
+            out["mean"].append(sum(flat) / len(flat) if flat else 0.0)
+            out["pixel_sha256"].append(digest.hexdigest())
+        yield pd.DataFrame(out)
 
 
 _JPEG_SOF_MARKERS = frozenset(
@@ -316,10 +499,12 @@ def decode_mp4_metadata(payload: bytes) -> dict:
 
 
 def decode_video_frames(payload: bytes):
-    """THE narrowed codec seam: pixel/frame decode of video payloads needs a
-    codec stack (ffmpeg/pyav), which this container does not ship.  All
-    container METADATA (brand, duration, dimensions, sample count) is
-    decoded for real by decode_mp4_metadata."""
+    """THE narrowed codec seam — and the repo's only NotImplementedError:
+    frame decode of video payloads needs a codec stack (ffmpeg/pyav),
+    which this container does not ship.  All container METADATA (brand,
+    duration, dimensions, sample count) is decoded for real by
+    decode_mp4_metadata, and still-image pixel decode is real for PNG
+    (decode_png_pixels)."""
     raise NotImplementedError(
         "no video codec available for frame decode; install ffmpeg/pyav "
         "and extend decode_video_frames"

@@ -777,3 +777,229 @@ class TestReadability:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPngPixelDecode:
+    """decode_png_pixels against an INDEPENDENT encoder written here: the
+    test applies the spec's filter transforms FORWARD (encoder direction)
+    and the engine must invert them exactly — covering all five filter
+    types, packed sub-byte depths, 16-bit samples, and palette expansion.
+    This is the golden for VERDICT r11 #6: PNG pixel decode needs only
+    stdlib zlib, so the codec seam narrows to decode_video_frames."""
+
+    @staticmethod
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        import struct
+        import zlib
+
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    @classmethod
+    def _encode_png(
+        cls,
+        rows,
+        width,
+        color_type,
+        bit_depth,
+        filters,
+        plte=None,
+    ) -> bytes:
+        """Spec-forward PNG encoder: pack each row's samples at bit_depth,
+        apply the REQUESTED filter type per row (PNG spec §9: the filter
+        transforms bytes, offset bpp), deflate, wrap in chunks."""
+        import struct
+        import zlib
+
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        bits_per_px = nch * bit_depth
+        stride = (width * bits_per_px + 7) // 8
+        bpp = max(1, bits_per_px // 8)
+
+        def pack_row(vals):
+            if bit_depth == 8:
+                return bytearray(vals)
+            if bit_depth == 16:
+                out = bytearray()
+                for v in vals:
+                    out += struct.pack(">H", v)
+                return out
+            per = 8 // bit_depth
+            out = bytearray(stride)
+            for i, v in enumerate(vals):
+                out[i // per] |= v << (8 - bit_depth * ((i % per) + 1))
+            return out
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        raw = b""
+        prev = bytearray(stride)
+        for y, vals in enumerate(rows):
+            cur = pack_row(vals)
+            assert len(cur) == stride
+            f = filters[y]
+            filt = bytearray(stride)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = prev[i]
+                elif f == 3:
+                    pred = (a + prev[i]) >> 1
+                else:
+                    pred = paeth(a, prev[i], c)
+                filt[i] = (cur[i] - pred) & 0xFF
+            raw += bytes([f]) + bytes(filt)
+            prev = cur
+        ihdr = struct.pack(
+            ">IIBBBBB", width, len(rows), bit_depth, color_type, 0, 0, 0
+        )
+        out = b"\x89PNG\r\n\x1a\n" + cls._chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += cls._chunk(b"PLTE", bytes(plte))
+        out += cls._chunk(b"IDAT", zlib.compress(raw))
+        return out + cls._chunk(b"IEND", b"")
+
+    def test_all_five_filters_invert_exactly(self):
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            decode_png_pixels,
+        )
+
+        w, h, nch = 11, 5, 3
+        rows = [
+            [(x * 7 + y * 13 + (x * y) % 31) % 256 for x in range(w * nch)]
+            for y in range(h)
+        ]
+        png = self._encode_png(rows, w, 2, 8, filters=[0, 1, 2, 3, 4])
+        dw, dh, dch, depth, decoded = decode_png_pixels(png)
+        assert (dw, dh, dch, depth) == (w, h, 3, 8)
+        assert decoded == rows
+
+    def test_sixteen_bit_grayscale(self):
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            decode_png_pixels,
+        )
+
+        w, h = 6, 4
+        rows = [
+            [(x * 9973 + y * 257) % 65536 for x in range(w)] for y in range(h)
+        ]
+        png = self._encode_png(rows, w, 0, 16, filters=[0, 2, 4, 1])
+        dw, dh, dch, depth, decoded = decode_png_pixels(png)
+        assert (dw, dh, dch, depth) == (w, h, 1, 16)
+        assert decoded == rows
+
+    def test_palette_and_packed_bits(self):
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            decode_png_pixels,
+        )
+
+        # 4-bit palette: indices expand through PLTE to RGB
+        plte = bytes(range(16 * 3))
+        w, h = 7, 3
+        idx_rows = [[(x + y) % 16 for x in range(w)] for y in range(h)]
+        png = self._encode_png(idx_rows, w, 3, 4, filters=[0, 0, 1], plte=plte)
+        dw, dh, dch, depth, decoded = decode_png_pixels(png)
+        assert (dw, dh, dch, depth) == (w, h, 3, 4)
+        expect = [
+            [plte[3 * v + k] for v in row for k in range(3)]
+            for row in idx_rows
+        ]
+        assert decoded == expect
+        # 1-bit grayscale with a non-byte-aligned width
+        bit_rows = [[(x ^ y) & 1 for x in range(13)] for y in range(2)]
+        png1 = self._encode_png(bit_rows, 13, 0, 1, filters=[0, 2])
+        _, _, dch1, depth1, decoded1 = decode_png_pixels(png1)
+        assert (dch1, depth1) == (1, 1)
+        assert decoded1 == bit_rows
+
+    def test_interlaced_and_corrupt_rejected(self):
+        import struct
+        import zlib as _zlib
+
+        import pytest as _pytest
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            decode_png_pixels,
+        )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7 flag
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + self._chunk(b"IHDR", ihdr)
+            + self._chunk(b"IDAT", _zlib.compress(b"\x00" * 12))
+            + self._chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError, match="interlaced"):
+            decode_png_pixels(png)
+        with _pytest.raises(ValueError):
+            decode_png_pixels(b"not a png")
+        # scanline size mismatch (IDAT one byte short)
+        ihdr2 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        short = (
+            b"\x89PNG\r\n\x1a\n"
+            + self._chunk(b"IHDR", ihdr2)
+            + self._chunk(b"IDAT", _zlib.compress(b"\x00" * 5))
+            + self._chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError, match="scanline"):
+            decode_png_pixels(short)
+
+    def test_pixel_stats_through_mapinpandas(self, spark):
+        """The real-PNG fixture (TestRealMediaDecode._png: every pixel
+        (0x10, 0x20, 0x30), filter 0, RGB-8) through the Arrow stage with
+        EXACT pixel-level expectations — mean/peak computed independently
+        here, and the sample hash recomputed from first principles."""
+        import hashlib as _hashlib
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.multimodal import (
+            IMAGE_STATS_SCHEMA,
+            extract_image_stats_real,
+        )
+
+        w, h = 17, 9
+        png = TestRealMediaDecode._png(w, h)
+        varied_rows = [
+            [(x * 31 + y * 7) % 256 for x in range(5 * 3)] for y in range(4)
+        ]
+        varied = self._encode_png(varied_rows, 5, 2, 8, filters=[0, 1, 3, 4])
+        df = spark.createDataFrame(
+            [(1, bytearray(png)), (2, bytearray(varied))],
+            "doc_id long, payload binary",
+        )
+        rows = {
+            r.doc_id: r
+            for r in df.mapInPandas(
+                extract_image_stats_real, IMAGE_STATS_SCHEMA
+            ).collect()
+        }
+        r1 = rows[1]
+        assert (r1.width, r1.height, r1.channels, r1.bit_depth) == (w, h, 3, 8)
+        assert r1.n_pixels == w * h
+        assert r1.peak == 0x30
+        assert r1.mean == (0x10 + 0x20 + 0x30) / 3
+        assert (
+            r1.pixel_sha256
+            == _hashlib.sha256(b"\x10\x20\x30" * (w * h)).hexdigest()
+        )
+        r2 = rows[2]
+        flat = [v for row in varied_rows for v in row]
+        assert r2.peak == max(flat)
+        assert r2.mean == sum(flat) / len(flat)
+        assert (
+            r2.pixel_sha256
+            == _hashlib.sha256(
+                b"".join(bytes(row) for row in varied_rows)
+            ).hexdigest()
+        )
