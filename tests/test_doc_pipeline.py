@@ -581,3 +581,90 @@ def test_stream_dsir_gate_agrees_with_batch_scorer(spark, tmp_path, sf_dir):
         else:
             assert doc_id in rejected, doc_id
             assert rejected[doc_id].reject_reason == "off_target"
+
+
+def test_doc_ingest_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume golden (VERDICT r11 #7): the doc-ingest topology
+    with BOTH quality gates armed must recover from a full query
+    shutdown.  Run 1 drains the original doc and terminates; run 2 — a
+    NEW AvailableNow query on the SAME checkpoint — sees a same-content
+    replay (must stay silently dropped: only the RECOVERED
+    dropDuplicatesWithinWatermark hash store knows it), an off-target
+    doc (the re-armed DSIR gate must still reject), a shuffled-gibberish
+    doc (the re-armed KN gate), and a fresh on-target doc (accepted).
+
+    The two target sentences are STRUCTURALLY SYMMETRIC (same length,
+    disjoint vocab, same repetition count in the training corpus), so
+    their KN NLLs and DSIR log-weights are identical by construction and
+    both sit inside the derived keep thresholds regardless of tie
+    order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from real_time_iot_data_engineering_pipeline_spark import registry
+    from real_time_iot_data_engineering_pipeline_spark.queries.curation import (
+        train_dsir,
+    )
+    from real_time_iot_data_engineering_pipeline_spark.queries.ranking import (
+        kn_keep_threshold,
+        kn_model_table,
+    )
+
+    registry.load_all()
+    en_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    en_b = "lam mu nu xi omicron pi rho sigma tau upsilon"
+    de = "der hund lief durch den park und bellte dabei laut"
+    corpus = [en_a] * 2 + [en_b] * 2 + [de] * 6
+    langs = ["en"] * 4 + ["de"] * 6
+    train = tmp_path / "train"
+    train.mkdir()
+    pq_mod.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(corpus)), type=pa.int64()),
+                "text": pa.array(corpus, type=pa.string()),
+                "lang": pa.array(langs, type=pa.string()),
+                "source": pa.array(["s"] * len(corpus), type=pa.string()),
+                "n_chars": pa.array([len(t) for t in corpus], type=pa.int64()),
+            }
+        ),
+        f"{train}/documents.parquet",
+    )
+    model, unseen, dsir_thr = train_dsir(spark, str(train))
+    gates = dict(
+        kn_model=kn_model_table(spark, str(train)),
+        kn_keep=kn_keep_threshold(spark, str(train)),
+        dsir_model=model,
+        dsir_unseen=unseen,
+        dsir_min_logw=dsir_thr,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+
+    # --- run 1: original doc, then the query terminates (AvailableNow) --
+    _write(str(src), "f1.json", [doc(1, en_a, "2024-01-19 10:00:00")], seq=0)
+    sink = run_doc_ingest(spark, str(src), out, **gates)
+    assert {r.doc_id for r in sink.read_docs().collect()} == {1}
+
+    # --- run 2: NEW query, SAME checkpoint -----------------------------
+    gibberish = "kappa alpha iota gamma eta beta theta delta zeta epsilon"
+    _write(
+        str(src),
+        "f2.json",
+        [
+            doc(11, en_a, "2024-01-19 10:00:10"),  # content replay of 1
+            doc(12, de, "2024-01-19 10:00:15"),  # off-target
+            doc(13, gibberish, "2024-01-19 10:00:20"),  # unseen adjacencies
+            doc(14, en_b, "2024-01-19 10:00:25"),  # fresh on-target
+        ],
+        seq=1,
+    )
+    sink = run_doc_ingest(spark, str(src), out, **gates)
+    docs = {r.doc_id for r in sink.read_docs().collect()}
+    rejects = {r.doc_id: r.reject_reason for r in sink.read_rejects().collect()}
+    assert docs == {1, 14}, docs
+    assert 11 not in docs and 11 not in rejects  # recovered dedup state
+    assert rejects[12] == "off_target"  # DSIR gate re-armed after restart
+    assert rejects[13] == "high_perplexity"  # KN gate re-armed
