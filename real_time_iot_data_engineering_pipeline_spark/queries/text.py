@@ -1030,33 +1030,48 @@ q_doc_dup_groups_cc.static_schema = (
 # ---------------------------------------------------------------------------
 
 
-def cc_standing_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The standing (node, lbl) near-dup component store, MATERIALIZED to
-    parquet and read back — the artifact a production daily job persists
-    (bucketed by doc_id, 16 B/doc) rather than rebuilding per run.  Built
-    once per fixture (cache keyed by the documents.parquet fingerprint,
-    so a regenerated fixture rebuilds) from the old-old pair graph via
-    the full CC fixpoint; every later call is a plain parquet scan.  This
-    keeps the benched/driven q_cc_incremental cost the actual incremental
-    operation — delta probe + contracted fixpoint — instead of
-    store-build + merge (VERDICT r11 #5: the suite's slowest query was
-    trending up because the store rebuilt in-query from scratch every
-    run).  The write is atomic (tmp dir + rename) so concurrent first
-    callers cannot observe a half-written store."""
+def _fixture_store(spark: SparkSession, sf_dir: str, kind: str, build):
+    """Materialize-once-per-fixture parquet store: `build()` returns the
+    DataFrame to persist; the cache key is the documents.parquet
+    fingerprint (path + mtime + size), so a regenerated fixture rebuilds.
+    The write is atomic (tmp dir + rename) so concurrent first callers
+    cannot observe a half-written store."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    from ..functions.components import connected_components
-
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     digest = hashlib.sha1(
         f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_cc_store")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}")
     path = os.path.join(base, digest)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(base, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost the race; the winner's store is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+def cc_standing_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing (node, lbl) near-dup component store, MATERIALIZED to
+    parquet and read back — the artifact a production daily job persists
+    (bucketed by doc_id, 16 B/doc) rather than rebuilding per run.  Built
+    once per fixture from the old-old pair graph via the full CC
+    fixpoint; every later call is a plain parquet scan.  This keeps the
+    benched/driven q_cc_incremental cost the actual incremental
+    operation — delta probe + contracted fixpoint — instead of
+    store-build + merge (VERDICT r11 #5: the suite's slowest query was
+    trending up because the store rebuilt in-query from scratch every
+    run)."""
+    from ..functions.components import connected_components
+
+    def build():
         old_old = (
             _minhash_pairs(spark, sf_dir)
             .select("doc_a", "doc_b")
@@ -1065,7 +1080,7 @@ def cc_standing_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("doc_b") % INCR_DELTA_MOD != 0)
             )
         )
-        standing = connected_components(
+        return connected_components(
             _near_corpus(spark, sf_dir)
             .select("doc_id")
             .filter(F.col("doc_id") % INCR_DELTA_MOD != 0),
@@ -1073,15 +1088,32 @@ def cc_standing_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
             ),
             id_col="doc_id",
-        ).select(F.col("doc_id").alias("node"), F.col("component").alias("lbl"))
-        os.makedirs(base, exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        standing.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:  # lost the race; the winner's store is identical
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path).select("node", "lbl")
+        ).select(
+            F.col("doc_id").alias("node"), F.col("component").alias("lbl")
+        )
+
+    return _fixture_store(spark, sf_dir, "cc_store", build).select(
+        "node", "lbl"
+    )
+
+
+def cc_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing LSH band INDEX of the old corpus — (band, band_key,
+    doc_id, sig) rows for every non-delta document — materialized beside
+    the label store.  This is the second artifact a production
+    incremental dedup job keeps warm: with it, the daily run hashes ONLY
+    the delta batch and probes these buckets, so the probe cost is
+    proportional to |delta| x collision rate, never to the corpus
+    (the q_dedup_incremental posture, now applied to group
+    maintenance)."""
+
+    def build():
+        old = _near_corpus(spark, sf_dir).filter(
+            F.col("doc_id") % INCR_DELTA_MOD != 0
+        )
+        return _banded(_minhash_sigs(_shingle_rows(old)))
+
+    return _fixture_store(spark, sf_dir, "cc_bands", build)
 
 
 @register(
@@ -1145,37 +1177,91 @@ def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbs >=1 standing component), 'new_new' (a component formed
     entirely within today's batch), or 'singleton' (no near-dup pairs).
 
-    Scale: the standing labels are READ BACK from the materialized
-    parquet store (cc_standing_store above — built once per fixture,
-    exactly the 16 B/doc label artifact a production daily job
-    persists); the incremental cost — everything after the store scan —
-    is one hash join of delta edges
-    against the store plus a fixpoint over the contracted graph,
+    Scale: BOTH standing artifacts are READ BACK from materialized
+    parquet stores (cc_standing_store: the 16 B/doc label table;
+    cc_band_store: the old corpus's LSH band index) — exactly what a
+    production daily job persists.  The probe hashes ONLY the delta
+    batch and joins its bands against the stored index plus itself, so
+    the per-run cost is |delta| hashing + |delta| x collision-rate
+    bucket joins + a fixpoint over the contracted graph,
     O(log^2 |touched|) rounds of |delta-edge|-sized shuffles.  Text never
     moves; only (doc_id, label) longs ride every exchange."""
     from ..functions.components import connected_components
 
-    # The contracted-merge fixpoint consumes the delta pair graph across
-    # multiple rounds; materialize it once or each CC round's lineage
-    # re-runs the whole MinHash/LSH pipeline (measured: 10.0 s -> ~6 s at
-    # sf0.1).  EAGER localCheckpoint, not .persist(): checkpoint blocks
-    # are ContextCleaner-released when the plan is GC'd, while a persist
-    # here leaked its cache for the whole session (ADVICE r9) — same
-    # pattern as the fixpoint internals in functions/components.py.
-    pairs = (
-        _minhash_pairs(spark, sf_dir)
+    corpus_ids = _near_corpus(spark, sf_dir).select("doc_id")
+
+    # --- standing stores: materialized parquet, read back (see helpers) -
+    standing = cc_standing_store(spark, sf_dir)
+    old_index = cc_band_store(spark, sf_dir)
+
+    # --- delta probe: hash ONLY today's batch, probe the stored index ---
+    # Signatures are per-document (shingle -> minhash is row-local), so
+    # filtering the corpus to the delta BEFORE hashing yields bit-equal
+    # signatures at 1/|corpus-over-delta| of the hash cost.  The sig
+    # table feeds the delta-vs-store probe AND the delta-delta self-join;
+    # eager localCheckpoint, not .persist(): checkpoint blocks are
+    # ContextCleaner-released with the plan (ADVICE r9; same pattern as
+    # the fixpoint internals in functions/components.py).
+    delta_sigs = _minhash_sigs(
+        _shingle_rows(
+            _near_corpus(spark, sf_dir).filter(
+                F.col("doc_id") % INCR_DELTA_MOD == 0
+            )
+        )
+    ).localCheckpoint(eager=True)
+    dbands = _banded(delta_sigs)
+    dleft = dbands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "band_key",
+    )
+    dright = dbands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "band_key",
+    )
+    oright = old_index.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "band_key",
+    )
+    # delta-delta pairs keep the natural doc_a < doc_b orientation; the
+    # delta-vs-store probe re-orients with least/greatest so the union
+    # matches the full-pair filter (delta on EITHER side) exactly.
+    dd = dleft.join(dright, ["band", "band_key"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    do = (
+        dleft.join(oright, ["band", "band_key"])
+        .select(
+            F.least("doc_a", "doc_b").alias("_a"),
+            F.greatest("doc_a", "doc_b").alias("_b"),
+            F.when(F.col("doc_a") < F.col("doc_b"), F.col("sig_a"))
+            .otherwise(F.col("sig_b"))
+            .alias("sig_a2"),
+            F.when(F.col("doc_a") < F.col("doc_b"), F.col("sig_b"))
+            .otherwise(F.col("sig_a"))
+            .alias("sig_b2"),
+        )
+        .select(
+            F.col("_a").alias("doc_a"),
+            F.col("_b").alias("doc_b"),
+            F.col("sig_a2").alias("sig_a"),
+            F.col("sig_b2").alias("sig_b"),
+        )
+    )
+    touch = (
+        dd.select("doc_a", "doc_b", "sig_a", "sig_b")
+        .unionByName(do)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("est_jaccard", F.expr(_EST_JACCARD_SQL))
+        .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    corpus_ids = _near_corpus(spark, sf_dir).select("doc_id")
-    is_delta_a = F.col("doc_a") % INCR_DELTA_MOD == 0
-    is_delta_b = F.col("doc_b") % INCR_DELTA_MOD == 0
-
-    # --- standing store: materialized parquet, read back (see helper) ---
-    standing = cc_standing_store(spark, sf_dir)
-
-    # --- incremental merge (the operation under test) --------------------
-    touch = pairs.filter(is_delta_a | is_delta_b)
     la = standing.select(F.col("node").alias("doc_a"), F.col("lbl").alias("lbl_a"))
     lb = standing.select(F.col("node").alias("doc_b"), F.col("lbl").alias("lbl_b"))
     contracted = (
