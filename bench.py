@@ -122,7 +122,23 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Second probe: SCAN-bound host speed.  The pure-JVM compute probe
+    # above misses a host-drift mode observed at r12: single-thread
+    # parquet-scan cost rose ~2x across rounds while 32-way compute rose
+    # ~20%, which inflates every short scan-dominated query uniformly
+    # (the whole sub-second over-bar class).  A fixed raw scan of the
+    # benched fixture's events table turns that into a recorded
+    # measurable: normalize a short query's ratio by calib_scan drift
+    # before reading it as a regression.
+    def calib_scan_probe() -> float:
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
     calib = round(min(calib_probe() for _ in range(3)), 3)
+    calib_scan = round(min(calib_scan_probe() for _ in range(3)), 3)
 
     # Interleaved seeded-random passes (see module docstring): rep k = one
     # full pass over the suite in order shuffle(seed + k); per-query min
@@ -173,6 +189,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "calib_sec": calib,
+        "calib_scan_sec": calib_scan,
         "calib_per_pass": calib_per_pass,
         "bench_seed": seed,
         "reps": reps,
@@ -223,7 +240,7 @@ def main() -> None:
     compact = dict(summary)
     compact["queries"] = {n: timings[n] for n in names[: len(HEADLINE)]}
     compact.pop("baseline_ratios", None)  # 300 entries — detail-file only
-    compact["detail"] = "BENCH_DETAIL.json"
+    compact["detail"] = os.path.basename(detail_path)
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # hard guard: never ship an unparseable artifact again
         compact["queries"] = {}
