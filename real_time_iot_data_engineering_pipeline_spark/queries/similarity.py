@@ -2804,3 +2804,293 @@ def q_ivfadc_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic deduplication (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 32  # deterministic seed centroids: vec_id < K (corpus rows)
+SEMDEDUP_COS = "0.95"  # within-cluster duplicate threshold, shared literal
+
+_SEM_DIST_DUCK = f"""
+    list_sum(list_transform(generate_series(1, {DIM}),
+             i -> (c.emb[i] - s.semb[i]) * (c.emb[i] - s.semb[i])))
+"""
+_SEM_NORM_DUCK = (
+    f"sqrt(list_sum(list_transform(generate_series(1, {DIM}),"
+    " i -> {v}[i] * {v}[i])))"
+)
+_SEM_DOT_DUCK = (
+    f"list_sum(list_transform(generate_series(1, {DIM}),"
+    " i -> {a}[i] * {b}[i]))"
+)
+
+_AGG_NORM_SPARK = (
+    "sqrt(aggregate(transform({v}, x -> x * x), cast(0 AS double),"
+    " (acc, x) -> acc + x))"
+)
+_AGG_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 AS double),"
+    " (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "q_semdedup",
+    oracle=f"""
+    WITH corpus AS ({_ND_CORPUS_DUCK}),
+    c AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM corpus
+    ),
+    s AS (
+        SELECT vec_id AS cluster_id, emb AS semb
+        FROM c WHERE vec_id < {SEMDEDUP_K}
+    ),
+    assign AS (
+        SELECT c.vec_id,
+               min(struct_pack(d := {_SEM_DIST_DUCK}, c := s.cluster_id)).c
+                   AS cluster_id
+        FROM c, s
+        GROUP BY c.vec_id
+    ),
+    member AS (
+        SELECT a.vec_id, a.cluster_id, c.emb,
+               {_SEM_NORM_DUCK.format(v="c.emb")} AS nrm
+        FROM assign a JOIN c USING (vec_id)
+    ),
+    centd AS (
+        SELECT cluster_id, u.i AS dim, {fround_sql("avg(emb[u.i])", 6)} AS cv
+        FROM member, (SELECT unnest(generate_series(1, {DIM})) AS i) u
+        GROUP BY cluster_id, u.i
+    ),
+    cent AS (
+        SELECT cluster_id, list(cv ORDER BY dim) AS cemb
+        FROM centd GROUP BY cluster_id
+    ),
+    centn AS (
+        SELECT cluster_id, cemb,
+               {_SEM_NORM_DUCK.format(v="cemb")} AS cnrm
+        FROM cent
+    ),
+    scored AS (
+        SELECT m.vec_id, m.cluster_id, m.emb, m.nrm,
+               {fround_sql(
+                   _SEM_DOT_DUCK.format(a="m.emb", b="cn.cemb")
+                   + " / (m.nrm * cn.cnrm)", 6)} AS cos_cent,
+               {_SIG_DUCK_ND.replace("emb_d", "m.emb")} AS sig
+        FROM member m JOIN centn cn USING (cluster_id)
+    ),
+    sb AS (
+        SELECT vec_id, cluster_id, emb, nrm, cos_cent, b.band,
+               substr(sig, b.band * {_BAND_BITS_ND} + 1, {_BAND_BITS_ND})
+                   AS band_key
+        FROM scored, (SELECT unnest(generate_series(0, {N_BANDS - 1}))
+                      AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS va, a.cos_cent AS cc_a, a.emb AS emb_a,
+                        a.nrm AS nrm_a,
+                        b.vec_id AS vb, b.cos_cent AS cc_b, b.emb AS emb_b,
+                        b.nrm AS nrm_b
+        FROM sb a JOIN sb b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+    ),
+    pairs AS (
+        SELECT va, cc_a, vb, cc_b
+        FROM cand
+        WHERE {fround_sql(
+                  _SEM_DOT_DUCK.format(a="emb_a", b="emb_b")
+                  + " / (nrm_a * nrm_b)", 6)} > {SEMDEDUP_COS}
+    ),
+    nb AS (
+        SELECT va AS vec_id, CAST(count(*) AS BIGINT) AS n_dups,
+               max(CASE WHEN cc_b < cc_a
+                          OR (cc_b = cc_a AND vb < va)
+                        THEN 1 ELSE 0 END) AS dropped
+        FROM pairs GROUP BY va
+    )
+    SELECT s.vec_id, s.cluster_id,
+           {fround_sql("s.cos_cent")} AS cos_to_centroid,
+           coalesce(nb.n_dups, 0) AS n_dups,
+           coalesce(nb.dropped, 0) = 0 AS keep
+    FROM scored s LEFT JOIN nb USING (vec_id)
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    corpus, call two in-cluster members semantic duplicates when their
+    cosine exceeds {SEMDEDUP_COS}, and keep ONE representative per
+    duplicate neighborhood — the member with the LOWEST
+    cosine-to-centroid (the paper's best-performing keep policy: retain
+    the least prototypical example), applied greedily: a vector is
+    dropped iff some above-threshold in-cluster neighbor is strictly
+    preferred (lower quantized cos-to-centroid, ties to the lower
+    vec_id).  Clustering is the engine's deterministic one-pass seed
+    assignment (first {SEMDEDUP_K} corpus vectors as centroids, exact
+    squared-L2 min with lexicographic tie-break — q_embed_centroids'
+    assignment step standing in for the paper's k-means, which it
+    matches in plan shape; more Lloyd iterations change the centroids,
+    not the plan).  The corpus is the planted near-dup convention shared
+    with q_embed_near_dup (every 25th vector re-appears perturbed under
+    vec_id+10000, cosine ~0.999), so the keep policy is exercised
+    non-vacuously and oracle-checked: exactly one member of each
+    SAME-CLUSTER planted twin survives (a twin whose perturbation flips
+    its nearest seed is missed — the paper's documented cross-cluster
+    limitation, inherent to cluster-scoped dedup).
+
+    Candidate generation is SRP-LSH-banded, not exhaustive: the paper's
+    within-cluster all-pairs is its GPU realization and goes quadratic
+    in cluster size when k is fixed; here in-cluster candidates form
+    only inside matching 12-bit SRP band buckets (q_embed_near_dup's
+    corpus-self-join sketch — near-twins at cos >= {SEMDEDUP_COS} agree
+    per-bit ~0.98+ and collide in >=1 of 4 bands with ~99.9%
+    probability, random pairs at ~2^-12 per band), then score exact
+    cosine.  The banding is part of the operator's SEMANTICS and the
+    oracle mirrors it bit-for-bit, so the check is exact, not
+    tolerance-based.
+
+    Determinism across engines: centroids are per-dimension means
+    quantized to 6 dp with the biased fround (the IVFADC coarse-centroid
+    discipline — both engines then hold bit-identical arrays), every
+    dot/norm/signature folds exact doubles in identical element order,
+    and both cosines are 6 dp-quantized before the threshold /
+    preference comparisons.
+
+    Scale: seeds and the k x {DIM} centroid table ride broadcasts;
+    assignment collapses the k candidate rows per vector map-side
+    before the only corpus-keyed shuffle; the pair join is an equi-join
+    on (band, band_key, cluster_id) — never a cross product — so
+    candidate volume stays near-linear in the corpus.  At 100 TB the
+    64-double vectors riding the candidate join would be replaced by PQ
+    codes with exact rescoring of survivors (q_pq_adc_knn's 2 B/vector
+    corpus side — the q_sparse_cosine_topk candidate-then-verify shape
+    in embedding space)."""
+    c = _near_dup_corpus(spark, sf_dir).select(
+        "vec_id", F.expr(_EMB_D_SPARK).alias("emb")
+    )
+    s = c.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("semb")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(emb, semb, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 AS double), (acc, x) -> acc + x)"
+    )
+    assign = (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "vec_id",
+            "emb",
+            F.struct(dist.alias("d"), F.col("cluster_id").alias("c")).alias(
+                "dc"
+            ),
+        )
+        .groupBy("vec_id")
+        # first(emb) is deterministic: the k candidate rows of a vec_id
+        # group fan out from one corpus row (q_embed_centroids pattern).
+        .agg(F.min("dc").alias("m"), F.first("emb").alias("emb"))
+        .select("vec_id", F.col("m.c").alias("cluster_id"), "emb")
+    )
+    member = assign.withColumn(
+        "nrm", F.expr(_AGG_NORM_SPARK.format(v="emb"))
+    )
+    centd = (
+        assign.select("cluster_id", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("cluster_id", "pos")
+        .agg(fround(F.avg("val"), 6).alias("cv"))
+    )
+    centn = centd.groupBy("cluster_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)"
+        ).alias("cemb")
+    ).withColumn("cnrm", F.expr(_AGG_NORM_SPARK.format(v="cemb")))
+    # scored feeds both pair-join legs and the final left join; eager
+    # localCheckpoint (ContextCleaner-released) — the q_simhash_eval
+    # multi-leg lineage discipline.  The 48-plane SRP signature is
+    # computed BEFORE the checkpoint so it materializes once.
+    scored = (
+        member.join(F.broadcast(centn), "cluster_id")
+        .withColumnRenamed("emb", "emb_d")
+        .withColumn("sig", F.expr(_SIG_SPARK_ND))
+        .withColumnRenamed("emb_d", "emb")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "emb",
+            "nrm",
+            "sig",
+            fround(
+                F.expr(_AGG_DOT_SPARK.format(a="emb", b="cemb"))
+                / (F.col("nrm") * F.col("cnrm")),
+                6,
+            ).alias("cos_cent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    band = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
+    sb = scored.select(
+        "vec_id", "cluster_id", "emb", "nrm", "cos_cent", "sig", band
+    ).withColumn(
+        "band_key",
+        F.expr(f"substr(sig, band * {_BAND_BITS_ND} + 1, {_BAND_BITS_ND})"),
+    )
+    a = sb.select(
+        F.col("vec_id").alias("va"),
+        "cluster_id",
+        "band",
+        "band_key",
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.col("cos_cent").alias("cc_a"),
+    )
+    b = sb.select(
+        F.col("vec_id").alias("vb"),
+        "cluster_id",
+        "band",
+        "band_key",
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.col("cos_cent").alias("cc_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "band_key", "cluster_id"])
+        .filter(F.col("va") != F.col("vb"))
+        .dropDuplicates(["va", "vb"])
+        .withColumn(
+            "cos_ab",
+            fround(
+                F.expr(_AGG_DOT_SPARK.format(a="emb_a", b="emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cos_ab") > F.expr(f"CAST({SEMDEDUP_COS} AS DOUBLE)"))
+    )
+    nb = pairs.groupBy("va").agg(
+        F.count("*").cast("long").alias("n_dups"),
+        F.max(
+            F.when(
+                (F.col("cc_b") < F.col("cc_a"))
+                | (
+                    (F.col("cc_b") == F.col("cc_a"))
+                    & (F.col("vb") < F.col("va"))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("dropped"),
+    )
+    return (
+        scored.join(nb, scored.vec_id == nb.va, "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            fround(F.col("cos_cent"), 4).alias("cos_to_centroid"),
+            F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias(
+                "n_dups"
+            ),
+            (F.coalesce(F.col("dropped"), F.lit(0)) == 0).alias("keep"),
+        )
+    )

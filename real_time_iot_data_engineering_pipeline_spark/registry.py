@@ -71,17 +71,27 @@ _DRIVER_PRIORITY = (
     # slots to green rows; the staleness tail is now 32 queries last
     # certified in round 5 (age 7 at the round-12 build — past the 6-round
     # cadence bar, so they MUST rotate in: the whole r11 overflow queue)
-    # and 49 certified in round 6.  Window = 4 code-change re-fronts +
-    # all 32 r5 + the alphabetically-first 14 of the 49 r6; the remaining
-    # 35 r6 overflow to _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).
+    # and 49 certified in round 6.  Window = 1 new + 4 code-change
+    # re-fronts + all 32 r5 + 13 of the 49 r6 (the alphabetically-first
+    # 14 minus q_doc_length_bands); the remaining 36 r6 overflow to
+    # _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).  (Amended
+    # in-round: the new operator q_semdedup took one r6 slot — the r11
+    # amendment precedent; q_doc_length_bands moved to the overflow
+    # front rather than q_dup_group_stats, which has waited since the
+    # r11 window already.)
+    # -- new in round 12 (never certified):
+    "q_semdedup",
     # -- code changed in round 12 (listed in tests' _RECERTIFY, exempt
     # from the oldest-first invariant): q_kn_doc_ppl fuses the NLL-quantile
     # keep-threshold pass into the per-doc aggregation (VERDICT r11 #3b);
     # q_sparse_cosine_topk gains the real per-term posting cap with
     # candidate-then-verify rescoring (VERDICT r11 #4); q_cc_incremental's
-    # standing store becomes a materialized-parquet setup step so the
-    # benched operator is the actual delta merge (VERDICT r11 #5);
-    # q_dsir_weights' logw rounding becomes fround_guarded (ADVICE r11).
+    # standing store becomes a materialized-parquet setup step (plus the
+    # materialized LSH band index) so the benched operator is the actual
+    # delta merge (VERDICT r11 #5); q_dsir_weights' logw rounding becomes
+    # fround_guarded (ADVICE r11).  (q_simhash_eval also changed —
+    # lineage checkpoint, bit-identical results — but already sits in the
+    # r5 rotation group below.)
     "q_kn_doc_ppl",
     "q_sparse_cosine_topk",
     "q_cc_incremental",
@@ -132,7 +142,6 @@ _DRIVER_PRIORITY = (
     "q_dedup_cost_curve",
     "q_degree_distribution",
     "q_doc_containment",
-    "q_doc_length_bands",
     "q_dup_group_stats",
 )
 
@@ -142,9 +151,12 @@ _DRIVER_PRIORITY = (
 # the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
 # "scheduled for re-cert" when enforcing the <=6-round freshness bar.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # -- last driver-certified round 6 (remaining 35 of 49; the
-    # alphabetically-first 14 took the window slots left after the four
-    # round-12 code-change re-fronts and the mandatory 32 r5 rotations):
+    # -- last driver-certified round 6 (remaining 36 of 49; 13 took the
+    # window slots left after the new round-12 operator, the four
+    # code-change re-fronts and the mandatory 32 r5 rotations;
+    # q_doc_length_bands dropped out of the window when q_semdedup
+    # joined the front):
+    "q_doc_length_bands",
     "q_embed_anisotropy",
     "q_embed_centroid_drift",
     "q_embed_outliers",

@@ -737,3 +737,108 @@ class TestIVFADCResidual:
             return tot
 
         assert qerr(R) < qerr(X)
+
+
+class TestSemDeDup:
+    """q_semdedup semantics against an independent numpy recompute of the
+    clustering + keep policy (banding can only MISS candidate pairs,
+    never invent them, so the engine's drops must be SOUND against the
+    exhaustive in-cluster neighbor graph, and recall over the planted
+    same-cluster twins must clear the q_ann_recall-style floor)."""
+
+    @staticmethod
+    def _numpy_model(sf_dir):
+        import numpy as np
+        import pandas as pd
+        import os
+
+        from real_time_iot_data_engineering_pipeline_spark.queries.similarity import (
+            DIM,
+            SEMDEDUP_K,
+        )
+
+        df = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        base = {
+            int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in df.itertuples()
+        }
+        vecs = dict(base)
+        for vid, v in base.items():
+            if vid % 25 == 0:  # the planted-twin convention
+                w = v.copy()
+                w[0] += np.float32(0.05)  # float32 add, as both engines do
+                vecs[vid + 10000] = w
+        ids = sorted(vecs)
+        X = np.stack([vecs[i] for i in ids])
+        seeds = np.stack([vecs[i] for i in range(SEMDEDUP_K)])
+        d2 = ((X[:, None, :] - seeds[None, :, :]) ** 2).sum(-1)
+        # lexicographic (dist, seed_id) min == argmin with first-index ties
+        cluster = d2.argmin(axis=1)
+        cent = {}
+        for k in range(SEMDEDUP_K):
+            m = X[cluster == k]
+            if len(m):
+                # 6 dp biased fround, as both engines quantize centroids
+                cent[k] = np.floor(
+                    m.mean(axis=0) * 1e6 * (1 + 1e-12) + 0.5
+                ) / 1e6
+        return ids, X, cluster, cent
+
+    def test_drops_sound_and_planted_twins_resolved(self, spark, sf_dir):
+        import numpy as np
+
+        rows = {
+            int(r.vec_id): r
+            for r in registry.QUERIES["q_semdedup"](spark, sf_dir).collect()
+        }
+        ids, X, cluster, cent = self._numpy_model(sf_dir)
+        idx = {v: i for i, v in enumerate(ids)}
+        nrm = np.linalg.norm(X, axis=1)
+
+        def fr6(x):
+            return np.floor(x * 1e6 * (1 + 1e-12) + 0.5) / 1e6
+
+        cos_cent = np.array(
+            [
+                fr6(
+                    X[i] @ cent[cluster[i]]
+                    / (nrm[i] * np.linalg.norm(cent[cluster[i]]))
+                )
+                for i in range(len(ids))
+            ]
+        )
+        # engine clustering matches the recompute
+        for v, r in rows.items():
+            assert r.cluster_id == cluster[idx[v]], v
+
+        # soundness: every dropped vector has an exhaustive in-cluster
+        # above-threshold neighbor that is strictly preferred
+        dropped = [v for v, r in rows.items() if not r.keep]
+        assert dropped, "planted twins must produce drops"
+        for v in dropped:
+            i = idx[v]
+            mates = [
+                j
+                for j in range(len(ids))
+                if j != i and cluster[j] == cluster[i]
+                and fr6(X[i] @ X[j] / (nrm[i] * nrm[j])) > 0.95
+            ]
+            assert any(
+                (cos_cent[j], ids[j]) < (cos_cent[i], ids[i]) for j in mates
+            ), f"{v} dropped without a preferred exhaustive neighbor"
+
+        # recall over planted SAME-CLUSTER twins: >= 90% found (banded),
+        # and every found pair keeps exactly one member
+        same = [
+            (v, v + 10000)
+            for v in ids
+            if v < 10000 and v % 25 == 0 and (v + 10000) in idx
+            and cluster[idx[v]] == cluster[idx[v + 10000]]
+        ]
+        assert same, "fixture must plant same-cluster twins"
+        found = [
+            p for p in same if rows[p[0]].n_dups > 0 and rows[p[1]].n_dups > 0
+        ]
+        assert len(found) >= 0.9 * len(same), (len(found), len(same))
+        for a, b in found:
+            assert rows[a].keep != rows[b].keep, (a, b)
