@@ -1513,3 +1513,186 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround_guarded(F.col("logw"), 4).alias("dsir_logw"),
         (F.col("logw_q") >= F.col("thr")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi domain-weight update step (Xie et al. 2023, NeurIPS)
+# ---------------------------------------------------------------------------
+
+# One multiplicative-weights update of the Group-DRO mixture, with unigram
+# LMs standing in for the proxy/reference pair (the same one-iteration
+# discipline as q_kmeans_step / q_embed_centroids).  Shared literals.
+DOREMI_ETA = "1.0"  # multiplicative-update step size
+DOREMI_SMOOTH = "0.01"  # uniform-mixture smoothing (paper's smoothing param)
+
+
+@register(
+    "q_doremi_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang AS domain, unnest(
+            string_split_regex(trim(lower(text)), '{_WS}')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    docs AS (
+        SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents WHERE text IS NOT NULL GROUP BY lang
+    ),
+    dt AS (
+        SELECT domain, token, CAST(count(*) AS BIGINT) AS c_dt
+        FROM toks GROUP BY domain, token
+    ),
+    dtot AS (
+        SELECT domain, CAST(sum(c_dt) AS DOUBLE) AS t_d FROM dt GROUP BY domain
+    ),
+    ct AS (
+        SELECT token, CAST(sum(c_dt) AS DOUBLE) AS c_t FROM dt GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST(sum(c_t) AS DOUBLE) AS t,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM ct
+    ),
+    nll AS (
+        SELECT dt.domain,
+               sum(CAST(dt.c_dt AS DOUBLE) * (0.0 - ln(ct.c_t / tot.t)))
+                   AS nll_shared,
+               sum(CAST(dt.c_dt AS DOUBLE)
+                   * (0.0 - ln((CAST(dt.c_dt AS DOUBLE) + 1.0)
+                               / (dtot.t_d + tot.v)))) AS nll_own
+        FROM dt
+        JOIN ct USING (token)
+        JOIN dtot USING (domain), tot
+        GROUP BY dt.domain
+    ),
+    ex AS (
+        SELECT n.domain, d.t_d,
+               greatest({fround_sql("(n.nll_shared - n.nll_own) / d.t_d", 6)},
+                        0.0) AS excess
+        FROM nll n JOIN dtot d USING (domain)
+    ),
+    raw AS (
+        SELECT domain, t_d, excess,
+               (t_d / tot.t) * exp({DOREMI_ETA} * excess) AS w_raw
+        FROM ex, tot
+    ),
+    nrm AS (SELECT sum(w_raw) AS z, CAST(count(*) AS DOUBLE) AS k FROM raw)
+    SELECT r.domain, docs.n_docs, CAST(r.t_d AS BIGINT) AS n_tokens,
+           {fround_sql("r.excess")} AS excess_loss,
+           {fround_sql(
+               f"(1.0 - {DOREMI_SMOOTH}) * r.w_raw / nrm.z"
+               f" + {DOREMI_SMOOTH} / nrm.k", 6)} AS weight
+    FROM raw r JOIN docs USING (domain), nrm
+    """,
+)
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain-weight update (Xie et al. 2023, "DoReMi: Optimizing
+    Data Mixtures Speeds Up Language Model Pretraining"): one
+    multiplicative-weights step of the Group-DRO mixture over the
+    corpus's language domains,
+
+        w_d  ∝  base_d * exp(eta * excess_d),   eta = {DOREMI_ETA}
+
+    then smoothed with the uniform mixture (c = {DOREMI_SMOOTH}), where
+    base_d is the domain's token share and excess_d is the per-token
+    excess loss max(0, L_shared(d) - L_domain(d)) — how much worse the
+    SHARED model serves domain d than a domain-fit model.  Unigram LMs
+    stand in for the paper's trained proxy/reference pair (shared =
+    corpus-MLE unigram, domain-fit = add-1-smoothed per-domain unigram
+    over the corpus vocabulary), the same one-iteration stand-in
+    discipline as q_kmeans_step; domains the shared model underserves
+    (high excess loss) are exactly the ones Group DRO upweights, so the
+    update's ordering behavior is the paper's.  A training pipeline
+    loops this: re-fit proxy under the new mixture, re-score, update.
+
+    Determinism: all counts are exact ints; both engines fold the
+    per-domain NLL sums over identical (domain, token) groups and the
+    excess is 6 dp-quantized (biased fround) before exp/normalize, so
+    the 5-row output hashes identically.
+
+    Scale: token counts partial-aggregate before their only shuffle
+    (vocabulary-bounded tables after that); the domain tables are
+    O(#domains) and O(vocab) — the mixture math never touches corpus
+    rows again.  At 100 TB the NLL scoring is one pass over the
+    (domain, token) count table, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        F.col("lang").alias("domain"),
+        F.explode(F.split(F.trim(F.lower("text")), _WS)).alias("token"),
+    )
+    ndocs = docs.groupBy(F.col("lang").alias("domain")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    dt = toks.groupBy("domain", "token").agg(
+        F.count("*").cast("long").alias("c_dt")
+    )
+    dtot = dt.groupBy("domain").agg(
+        F.sum("c_dt").cast("double").alias("t_d")
+    )
+    ct = dt.groupBy("token").agg(F.sum("c_dt").cast("double").alias("c_t"))
+    tot = ct.agg(
+        F.sum("c_t").cast("double").alias("t"),
+        F.count("*").cast("double").alias("v"),
+    )
+    nll = (
+        dt.join(ct, "token")
+        .join(dtot, "domain")
+        .join(F.broadcast(tot))
+        .groupBy("domain")
+        .agg(
+            F.sum(
+                F.col("c_dt").cast("double")
+                * (F.lit(0.0) - F.log(F.col("c_t") / F.col("t")))
+            ).alias("nll_shared"),
+            F.sum(
+                F.col("c_dt").cast("double")
+                * (
+                    F.lit(0.0)
+                    - F.log(
+                        (F.col("c_dt").cast("double") + F.lit(1.0))
+                        / (F.col("t_d") + F.col("v"))
+                    )
+                )
+            ).alias("nll_own"),
+        )
+    )
+    ex = nll.join(dtot, "domain").select(
+        "domain",
+        "t_d",
+        F.greatest(
+            fround(
+                (F.col("nll_shared") - F.col("nll_own")) / F.col("t_d"), 6
+            ),
+            F.lit(0.0),
+        ).alias("excess"),
+    )
+    raw = ex.join(F.broadcast(tot)).select(
+        "domain",
+        "t_d",
+        "excess",
+        (
+            (F.col("t_d") / F.col("t"))
+            * F.exp(F.expr(f"CAST({DOREMI_ETA} AS DOUBLE)") * F.col("excess"))
+        ).alias("w_raw"),
+    )
+    nrm = raw.agg(
+        F.sum("w_raw").alias("z"), F.count("*").cast("double").alias("k")
+    )
+    smooth = F.expr(f"CAST({DOREMI_SMOOTH} AS DOUBLE)")
+    return (
+        raw.join(ndocs, "domain")
+        .join(F.broadcast(nrm))
+        .select(
+            "domain",
+            "n_docs",
+            F.col("t_d").cast("long").alias("n_tokens"),
+            fround(F.col("excess"), 4).alias("excess_loss"),
+            fround(
+                (F.lit(1.0) - smooth) * F.col("w_raw") / F.col("z")
+                + smooth / F.col("k"),
+                6,
+            ).alias("weight"),
+        )
+    )

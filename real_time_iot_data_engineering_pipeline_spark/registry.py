@@ -71,16 +71,18 @@ _DRIVER_PRIORITY = (
     # slots to green rows; the staleness tail is now 32 queries last
     # certified in round 5 (age 7 at the round-12 build — past the 6-round
     # cadence bar, so they MUST rotate in: the whole r11 overflow queue)
-    # and 49 certified in round 6.  Window = 1 new + 4 code-change
-    # re-fronts + all 32 r5 + 13 of the 49 r6 (the alphabetically-first
-    # 14 minus q_doc_length_bands); the remaining 36 r6 overflow to
-    # _NEXT_ROUND_PRIORITY (scheduled, so cadence-green).  (Amended
-    # in-round: the new operator q_semdedup took one r6 slot — the r11
-    # amendment precedent; q_doc_length_bands moved to the overflow
-    # front rather than q_dup_group_stats, which has waited since the
-    # r11 window already.)
+    # and 49 certified in round 6.  Window = 2 new + 4 code-change
+    # re-fronts + all 32 r5 + 12 of the 49 r6 (the alphabetically-first
+    # 14 minus q_doc_length_bands and q_doc_containment); the remaining
+    # 37 r6 overflow to _NEXT_ROUND_PRIORITY (scheduled, so
+    # cadence-green).  (Amended in-round: the new operators q_semdedup
+    # and q_doremi_weights took two r6 slots — the r11 amendment
+    # precedent; q_doc_length_bands and q_doc_containment moved to the
+    # overflow front rather than q_dup_group_stats, which has waited
+    # since the r11 window already.)
     # -- new in round 12 (never certified):
     "q_semdedup",
+    "q_doremi_weights",
     # -- code changed in round 12 (listed in tests' _RECERTIFY, exempt
     # from the oldest-first invariant): q_kn_doc_ppl fuses the NLL-quantile
     # keep-threshold pass into the per-doc aggregation (VERDICT r11 #3b);
@@ -141,7 +143,6 @@ _DRIVER_PRIORITY = (
     "q_dataset_manifest",
     "q_dedup_cost_curve",
     "q_degree_distribution",
-    "q_doc_containment",
     "q_dup_group_stats",
 )
 
@@ -151,11 +152,12 @@ _DRIVER_PRIORITY = (
 # the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
 # "scheduled for re-cert" when enforcing the <=6-round freshness bar.
 _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # -- last driver-certified round 6 (remaining 36 of 49; 13 took the
-    # window slots left after the new round-12 operator, the four
+    # -- last driver-certified round 6 (remaining 37 of 49; 12 took the
+    # window slots left after the two new round-12 operators, the four
     # code-change re-fronts and the mandatory 32 r5 rotations;
-    # q_doc_length_bands dropped out of the window when q_semdedup
-    # joined the front):
+    # q_doc_length_bands and q_doc_containment dropped out of the window
+    # when q_semdedup / q_doremi_weights joined the front):
+    "q_doc_containment",
     "q_doc_length_bands",
     "q_embed_anisotropy",
     "q_embed_centroid_drift",

@@ -8,6 +8,7 @@ pairing, argmax tie-breaks) against a second, non-SQL derivation."""
 from __future__ import annotations
 
 import hashlib
+import pytest
 import re
 from collections import Counter
 
@@ -381,3 +382,67 @@ class TestDsirWeights:
         kept_en = sum(1 for r in rows if r["keep"] and lang[r["doc_id"]] == "en")
         kept = sum(1 for r in rows if r["keep"])
         assert kept_en / kept > 0.8
+
+
+def test_doremi_weights_match_pure_python(spark, sf_dir):
+    """q_doremi_weights against a Counter-based pure-Python recompute of
+    the full update (shared-vs-domain unigram NLLs, 6 dp-quantized excess,
+    multiplicative update, uniform smoothing) — a third implementation
+    beside the Spark plan and the DuckDB oracle.  Also pins the Group-DRO
+    ordering property: base-share-normalized weight ratio is monotone in
+    excess loss."""
+    import math
+    import os
+
+    rows = {
+        r.domain: r
+        for r in registry.QUERIES["q_doremi_weights"](spark, sf_dir).collect()
+    }
+    df = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = df[df["text"].notna()]
+    ws = re.compile(r"[ \t\n\r\f\x0B]+")
+    dt: dict[str, Counter] = {}
+    for lang, text in zip(df["lang"], df["text"]):
+        dt.setdefault(lang, Counter()).update(ws.split(text.strip().lower()))
+    ct: Counter = Counter()
+    for c in dt.values():
+        ct.update(c)
+    t = sum(ct.values())
+    v = len(ct)
+
+    def fr(x, n):
+        return math.floor(x * 10**n * (1 + 1e-12) + 0.5) / 10**n
+
+    excess, base = {}, {}
+    for d, c in dt.items():
+        t_d = sum(c.values())
+        nll_shared = sum(n * -math.log(ct[w] / t) for w, n in c.items())
+        nll_own = sum(
+            n * -math.log((n + 1.0) / (t_d + v)) for w, n in c.items()
+        )
+        excess[d] = max(fr((nll_shared - nll_own) / t_d, 6), 0.0)
+        base[d] = t_d / t
+    raw = {d: base[d] * math.exp(excess[d]) for d in dt}
+    z, k = sum(raw.values()), len(raw)
+    expect = {
+        d: fr(0.99 * raw[d] / z + 0.01 / k, 6) for d in raw
+    }
+    assert set(rows) == set(expect)
+    for d in expect:
+        assert rows[d].weight == pytest.approx(expect[d], abs=2e-6), d
+        assert rows[d].excess_loss == pytest.approx(
+            fr(excess[d], 4), abs=2e-4
+        ), d
+        assert rows[d].n_tokens == sum(dt[d].values())
+    # Group-DRO ordering: the PRE-smoothing uplift over base share,
+    # recovered from the engine's weight ((w - c/k) / ((1-c) * base)
+    # = exp(eta * excess) / z), is monotone in excess loss — the
+    # smoothing term itself is base-share-dependent, so the smoothed
+    # weight ratio is deliberately not the monotone quantity.
+    uplift = sorted(
+        (excess[d], (rows[d].weight - 0.01 / k) / (0.99 * base[d]))
+        for d in expect
+    )
+    for (e1, u1), (e2, u2) in zip(uplift, uplift[1:]):
+        if e2 > e1:
+            assert u2 > u1 - 1e-6, (e1, e2, u1, u2)
