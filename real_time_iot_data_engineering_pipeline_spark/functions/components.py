@@ -49,7 +49,14 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """large-star(u): connect every neighbor v > u to m(u) = min(N(u) + {u}).
-    One symmetric expansion, one groupBy-min, one join — O(|E|)."""
+    One symmetric expansion, one groupBy-min, one join — O(|E|).
+
+    Output is canonically ORIENTED (hi, lo) with self-loops dropped but NOT
+    deduplicated: the only consumer is small-star, whose groupBy-min and
+    final distinct are insensitive to parallel edges, so the intermediate
+    distinct was a pure extra shuffle per round (r12: one of six round
+    shuffles removed; the dup mass small-star's map-side partial agg
+    absorbs is bounded by 2|E|)."""
     sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
         edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     )
@@ -58,10 +65,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("_mn"))
         .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
     )
-    return _canonical(
+    return (
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .select(
+            F.greatest("v", "m").alias("hi"), F.least("v", "m").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
     )
 
 
@@ -97,15 +107,23 @@ def connected_components(
     cur = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint(eager=True)
+    # The edge count is carried across rounds instead of re-counted (one
+    # job per round saved), and the exceptAll equality probe — the round's
+    # most expensive control job — only runs when the counts ALREADY
+    # match, which for a shrinking edge set means only the fixpoint round
+    # pays it (r12; both distinct edge sets, so count + one-sided
+    # exceptAll emptiness IS set equality).
+    cur_cnt = cur.count()
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt_cnt = nxt.count()
         changed = (
-            cur.count() != nxt.count()
+            cur_cnt != nxt_cnt
             or nxt.exceptAll(cur).limit(1).count() > 0
         )
         if not changed:
             break
-        cur = nxt
+        cur, cur_cnt = nxt, nxt_cnt
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"

@@ -30,6 +30,8 @@ Scale design notes (each query's docstring elaborates):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -600,6 +602,11 @@ def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIAN_BUCKETS = 4096
 
 
+# Stop refining once the rank-bracketing slice is this small: a window
+# sort over <= this many rows is a single sub-100ms task.
+_MEDIAN_SELECT_MAX = 65536
+
+
 def _dist_median(vals: DataFrame, col: str, out: str) -> DataFrame:
     """Exact linear-interpolated median (quantile_cont semantics) of a
     non-empty numeric column, as a 1-row DataFrame — WITHOUT Spark's
@@ -607,91 +614,93 @@ def _dist_median(vals: DataFrame, col: str, out: str) -> DataFrame:
     single reducer and takes ~9 s on 3M mostly-distinct doubles (measured;
     it is the wrong shape at any scale).
 
-    Three parallel passes instead:
-    1. bounds pass: count/min/max -> bucket width and the two 0-based
-       ranks k_lo = floor(0.5(n-1)), k_hi = ceil(0.5(n-1)) bracketing the
-       interpolated median position;
-    2. histogram pass: per-bucket counts (partial agg onto a CONSTANT
-       {_MEDIAN_BUCKETS}-bucket domain), cumulative counts over that
-       metadata-scale domain, keep only the <=2 buckets covering
-       [k_lo, k_hi];
-    3. selection pass: rank within the surviving buckets only (windows
-       over ~n/{_MEDIAN_BUCKETS} rows each) and interpolate
+    ITERATIVE histogram refinement (r12 rework): the r<=12 single-level
+    histogram assumed one bucketing pass spreads the mass, but the
+    Theil-Sen slope distribution is a point mass around 0 with ~1e7
+    tails — ONE central bucket held 1.28M of 2.9M rows, and the
+    selection window then sorted those rows in a single task (2.8 s of
+    the query's 5 s; the exact single-giant-key shape guide §2.5 warns
+    AQE cannot split).  Now the covering bucket range is re-bucketed
+    until the rank-bracketing slice holds <= {_MEDIAN_SELECT_MAX} rows
+    (point masses collapse via the min==max early exit), and only that
+    slice is window-sorted:
+
+    1. bounds pass: count/min/max -> the two 0-based ranks
+       k_lo = floor(0.5(n-1)), k_hi = ceil(0.5(n-1));
+    2. refinement passes: per-bucket counts onto a CONSTANT
+       {_MEDIAN_BUCKETS}-bucket domain over the current [mn, mx]; the
+       <= {_MEDIAN_BUCKETS}-row histogram is a driver-bounded scalar
+       (the monitor-bin-histogram class), from which the bucket span
+       covering [k_lo, k_hi] and its below-span row count are read;
+       filter to the span, recompute its min/max, repeat while the
+       slice is large and still shrinking;
+    3. selection pass: row_number over the final slice only, offset by
+       the below-slice count, and interpolate
        v_lo + (v_hi - v_lo) * frac — the same formula quantile_cont and
        Spark's percentile use, so the oracle certifies values unchanged.
 
-    Degenerate all-equal input (width 0) collapses to bucket 0 and still
-    selects correctly (the selection window then spans the full input —
-    only reachable when the column is constant)."""
+    The loop is a driver-side scalar control flow (the
+    connected_components convergence pattern); every data pass is one
+    partial-aggregated histogram over the (caller-checkpointed) values.
+    Degenerate all-equal slices exit via min == max (v_lo = v_hi, the
+    interpolation is exact regardless of frac)."""
     v = F.col(col)
-    stats = (
-        vals.agg(
-            F.count(col).alias("_n"),
-            F.min(col).alias("_mn"),
-            F.max(col).alias("_mx"),
+    n, mn, mx = vals.agg(
+        F.count(col), F.min(col), F.max(col)
+    ).first()
+    pos = 0.5 * (n - 1)
+    klo, khi = math.floor(pos), math.ceil(pos)
+    cur, remaining, before = vals.select(v.alias("_v")), n, 0
+    for _ in range(8):
+        if mn == mx or remaining <= _MEDIAN_SELECT_MAX:
+            break
+        w = (mx - mn) / _MEDIAN_BUCKETS
+        if not w > 0:  # adjacent-double underflow: bucketing cannot split
+            break
+        b_expr = F.least(
+            F.floor((F.col("_v") - F.lit(mn)) / F.lit(w)).cast("int"),
+            F.lit(_MEDIAN_BUCKETS - 1),
         )
-        .withColumn("_pos", F.lit(0.5) * (F.col("_n") - 1))
-        .select(
-            "*",
-            F.floor("_pos").cast("long").alias("_klo"),
-            F.ceil("_pos").cast("long").alias("_khi"),
-            ((F.col("_mx") - F.col("_mn")) / _MEDIAN_BUCKETS).alias("_w"),
+        hist = dict(
+            cur.groupBy(b_expr.alias("_b"))
+            .agg(F.count("*").alias("_c"))
+            .collect()
         )
-    )
-    bucketed = vals.crossJoin(F.broadcast(stats)).select(
-        v.alias("_v"),
-        F.when(
-            F.col("_w") > 0,
-            F.least(
-                F.floor((v - F.col("_mn")) / F.col("_w")).cast("int"),
-                F.lit(_MEDIAN_BUCKETS - 1),
-            ),
+        run, blo, bhi, span_before = 0, None, None, 0
+        for bkt in sorted(hist):
+            c = hist[bkt]
+            if blo is None and run + c > klo - before:
+                blo, span_before = bkt, run
+            if run + c > khi - before:
+                bhi = bkt
+                break
+            run += c
+        nxt = cur.filter((b_expr >= blo) & (b_expr <= bhi))
+        span_count = sum(hist[b] for b in sorted(hist) if blo <= b <= bhi)
+        if span_count >= remaining:  # no shrink: fall through to selection
+            break
+        before += span_before
+        remaining = span_count
+        cur = nxt
+        mn, mx = cur.agg(F.min("_v"), F.max("_v")).first()
+    if mn == mx:
+        # Constant slice: both bracketing ranks hold this value and the
+        # interpolation collapses to it — no sort of the point mass.
+        return vals.sparkSession.range(1).select(
+            F.lit(float(mn)).alias(out)
         )
-        .otherwise(F.lit(0))
-        .alias("_b"),
-    )
-    counts = bucketed.groupBy("_b").agg(F.count("*").alias("_c"))
-    cum = counts.withColumn(
-        "_before",
-        F.coalesce(
-            F.sum("_c").over(
-                Window.orderBy("_b").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    )
-    need = (
-        cum.crossJoin(F.broadcast(stats.select("_klo", "_khi")))
-        .filter(
-            (F.col("_before") <= F.col("_khi"))
-            & (F.col("_before") + F.col("_c") > F.col("_klo"))
-        )
-        .select("_b", "_before")
-    )
-    rank = (
-        F.row_number().over(Window.partitionBy("_b").orderBy("_v"))
-        - 1
-        + F.col("_before")
-    )
-    picked = (
-        bucketed.join(F.broadcast(need), "_b")
-        .select("_v", rank.alias("_rank"))
-        .crossJoin(F.broadcast(stats.select("_klo", "_khi", "_pos")))
-        .filter(
-            (F.col("_rank") == F.col("_klo"))
-            | (F.col("_rank") == F.col("_khi"))
-        )
+    rank = F.row_number().over(Window.orderBy("_v")) - 1 + F.lit(before)
+    picked = cur.select("_v", rank.alias("_rank")).filter(
+        (F.col("_rank") == F.lit(klo)) | (F.col("_rank") == F.lit(khi))
     )
     return picked.agg(
         (
-            F.min(F.when(F.col("_rank") == F.col("_klo"), F.col("_v")))
+            F.min(F.when(F.col("_rank") == F.lit(klo), F.col("_v")))
             + (
-                F.max(F.when(F.col("_rank") == F.col("_khi"), F.col("_v")))
-                - F.min(F.when(F.col("_rank") == F.col("_klo"), F.col("_v")))
+                F.max(F.when(F.col("_rank") == F.lit(khi), F.col("_v")))
+                - F.min(F.when(F.col("_rank") == F.lit(klo), F.col("_v")))
             )
-            * (F.min("_pos") - F.min("_klo"))
+            * (F.lit(pos) - F.lit(float(klo)))
         ).alias(out)
     )
 
@@ -771,24 +780,31 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.01; the bucketed form does three parallel passes instead.
     The intercept median runs over the DAYS table (2.4k rows), where the
     built-in exact percentile is the right tool."""
-    daily = _daily_rev(spark, sf_dir)
-    # The pair generator is a broadcast NL join whose STREAM side is the
-    # tiny daily table — AQE coalesces it to one partition, serializing
-    # the 2.9M-row expansion (and every pass over it).  Spreading the
-    # stream side parallelizes pair generation across the cluster; the
-    # broadcast side stays a single dimension-sized exchange.
+    # The daily series feeds SIX subtrees (pair legs a/b, ties, n, the
+    # intercept pass) and the pair expansion feeds FOUR more (the sgn sum
+    # plus _dist_median's three selection passes): lazily composed, the
+    # r<=12 plan compiled to 33 parquet scans / 101 exchanges and re-ran
+    # the O(days^2) expansion per pass.  Both tables are metadata-scale
+    # (days, and days^2/2 slope rows), so eager localCheckpoints bound the
+    # whole query at ONE orders scan + ONE pair expansion (guide §5:
+    # cut lineage of a small, many-consumer intermediate).
+    daily = _daily_rev(spark, sf_dir).localCheckpoint(eager=True)
     a = daily.repartition(16).select(
         F.col("x").alias("xa"), F.col("y").alias("ya")
     )
     b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
-    pairs = a.join(b, F.col("xa") < F.col("xb")).select(
-        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias(
-            "slope"
-        ),
-        F.when(F.col("yb") > F.col("ya"), 1)
-        .when(F.col("yb") < F.col("ya"), -1)
-        .otherwise(0)
-        .alias("sgn"),
+    pairs = (
+        a.join(b, F.col("xa") < F.col("xb"))
+        .select(
+            ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias(
+                "slope"
+            ),
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+        .localCheckpoint(eager=True)
     )
     ties = daily.groupBy("y").agg(F.count("*").cast("double").alias("t"))
     tie_sum = ties.agg(
@@ -797,9 +813,13 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("tie_sum")
     )
+    # 1-row: st is consumed by both the intercept pass and the final row;
+    # without the checkpoint each consumer replays the median's selection
+    # pass and the sgn aggregation.
+    b_med = _dist_median(pairs, "slope", "b_med").localCheckpoint(eager=True)
     st = (
         pairs.agg(F.sum("sgn").cast("long").alias("s_stat"))
-        .crossJoin(F.broadcast(_dist_median(pairs, "slope", "b_med")))
+        .crossJoin(F.broadcast(b_med))
         .crossJoin(F.broadcast(daily.agg(F.count("*").alias("n"))))
         .crossJoin(F.broadcast(tie_sum))
         .withColumn(
@@ -1312,7 +1332,15 @@ def q_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_repeat"),
         )
     )
-    lev = gaps.groupBy("gap").agg(F.count("*").cast("long").alias("c"))
+    # The per-gap count table is calendar-bounded (<= distinct day gaps)
+    # and fans into cum, tot, and both median brackets; without the
+    # checkpoint each consumer replays the customer lag window over
+    # orders (the query's only data-scale pass).
+    lev = (
+        gaps.groupBy("gap")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     before_w = Window.orderBy("gap").rowsBetween(
         Window.unboundedPreceding, -1
     )

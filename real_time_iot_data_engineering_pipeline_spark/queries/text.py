@@ -345,7 +345,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signatures are ~256 B/doc (0.1% of a 100 TB corpus); the store
     never re-shuffles (bucketed by band_key at write), today's bands
     shuffle once to the store's bucketing, and raw text never moves."""
-    sigs = _minhash_sigs(_shingle_rows(_near_corpus(spark, sf_dir)))
+    # The delta and store legs filter the SAME band rows differently, so
+    # their exchanges are non-identical subplans and ReusedExchange cannot
+    # fuse them — lazily composed, the shingle->minhash pipeline (the
+    # dominant cost) ran once per leg.  One eager checkpoint of the
+    # ~256 B/doc signature table bounds it at one pass (r12).
+    sigs = _minhash_sigs(
+        _shingle_rows(_near_corpus(spark, sf_dir))
+    ).localCheckpoint(eager=True)
     bands = _banded(sigs)
     is_new = F.col("doc_id") % INCR_DELTA_MOD == 0
     delta = bands.filter(is_new).select(
@@ -1281,9 +1288,15 @@ def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(F.col("id").alias("doc_id"))
     )
-    merged = connected_components(
-        nodes2, contracted, id_col="doc_id"
-    ).select(F.col("doc_id").alias("node"), F.col("component").alias("grp"))
+    # merged feeds the per-group stats AND the final verdict join; the
+    # checkpoint stops both consumers replaying the contracted-graph
+    # build (touch x standing joins + the node-set distinct).  Size:
+    # |delta| + |touched labels| rows of two longs.
+    merged = (
+        connected_components(nodes2, contracted, id_col="doc_id")
+        .select(F.col("doc_id").alias("node"), F.col("component").alias("grp"))
+        .localCheckpoint(eager=True)
+    )
 
     comp_stats = merged.groupBy("grp").agg(
         F.max((F.col("node") % INCR_DELTA_MOD != 0).cast("int")).alias("has_store"),
@@ -1414,6 +1427,12 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, shingle, or pair), and the work is |pairs of interest| x
     shingles-per-doc, not corpus-quadratic.  All metrics then fold into
     one row via partial aggregation."""
+    # r12 probe note: the lazily-composed plan compiles to 46 parquet
+    # scans, but runtime ReusedExchange shares the heavy shingle/signature
+    # exchanges across the legs — eager localCheckpoints of `detected`
+    # and/or `expl` were MEASURED neutral-to-slower (interleaved A/B,
+    # min 3.9 s none vs 4.4 s ckpt; the expl materialization alone cost
+    # +1.2 s because the table carries full shingle strings).  Left lazy.
     detected = _minhash_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.trim("text"), _WS)
@@ -1546,7 +1565,14 @@ def q_dup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = groups.groupBy("dup_group").agg(
         F.count("*").cast("long").alias("sz")
     )
-    hist = sizes.groupBy("sz").agg(F.count("*").cast("long").alias("n_groups"))
+    # The distinct-size histogram is tiny and fans into both the corpus
+    # totals and the final report row; the checkpoint stops each consumer
+    # replaying the label-table aggregation chain.
+    hist = (
+        sizes.groupBy("sz")
+        .agg(F.count("*").cast("long").alias("n_groups"))
+        .localCheckpoint(eager=True)
+    )
     tot = hist.agg(
         F.sum(F.col("sz") * F.col("n_groups")).cast("long").alias("n_docs"),
         F.sum(
@@ -1696,9 +1722,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash path's banded join.  Reference parity: near-dup detection
     family (generator.py duplicate taxonomy).
     """
+    # Both self-join legs replay the signature subtree — the token explode
+    # plus the 65-aggregate majority vote, the dominant cost — and the two
+    # legs' exchanges hash DIFFERENT keys ((band, bv) join vs doc_id agg),
+    # so ReusedExchange cannot fuse them.  Eager localCheckpoint runs the
+    # vote once; the join reads 5 ints/doc (the q_simhash_eval r12 fix,
+    # measured 2.03 -> 1.2 s there).
     sigs = _sim_band_sigs(
         _exact_corpus(spark, sf_dir).withColumn("_words", F.expr(_WORDS_SPARK))
-    )
+    ).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id",
         "b0",
