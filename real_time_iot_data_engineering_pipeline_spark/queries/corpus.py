@@ -438,10 +438,18 @@ def q_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sparse_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unit-normalized top-8 TF-IDF bigram index (doc_id, token, nw)
-    feeding sparse_cosine_pairs — exposed un-checkpointed so the plan
-    pin (tests/test_plans.py) can assert the per-doc top-8 compiles to
-    WindowGroupLimit, which the checkpoint boundary hides from the final
-    query plan."""
+    feeding sparse_cosine_pairs — the per-doc top-8 cut stays lazy in the
+    returned plan so the plan pin (tests/test_plans.py) can assert it
+    compiles to WindowGroupLimit.
+
+    r12: the (doc_id, token, tf) table fans into THREE subtrees (ndocs,
+    idf, the weighted join), so the lazily-composed index re-ran the
+    bigram explode + tf aggregation once per leg — one eager checkpoint
+    of the ~3-column tf table bounds it at one pass (guide §5).  The
+    unit normalization is a sum window over the SAME doc_id partitioning
+    the top-8 rank window already established (guide §2.4: two
+    operations keyed the same way share one exchange), replacing the
+    groupBy-norms self-join that re-ran the weighted chain per leg."""
     tf = (
         _bigrams(spark, sf_dir)
         .select(
@@ -450,6 +458,7 @@ def _sparse_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     ndocs = tf.agg(F.count_distinct("doc_id").cast("long").alias("n"))
     idf = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
@@ -472,12 +481,10 @@ def _sparse_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 8) & (F.col("w") > 0))
         .drop("rn")
     )
-    norms = top.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    nrm = F.sqrt(
+        F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc_id"))
     )
-    return top.join(norms, "doc_id").select(
-        "doc_id", "token", (F.col("w") / F.col("nrm")).alias("nw")
-    )
+    return top.select("doc_id", "token", (F.col("w") / nrm).alias("nw"))
 
 
 # Keyword pattern: explicit character classes only (identical semantics in

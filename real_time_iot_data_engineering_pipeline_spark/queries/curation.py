@@ -766,15 +766,20 @@ def q_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.size("toks") - (NGRAM - 1))
         ).alias("i"),
     )
+    # occ fans into the dup census and the probe side of the hits join,
+    # and hits fans into cover + ndg: lazily composed, the n-gram explode
+    # + md5 ran once per leg (4x total).  Eager checkpoints of the
+    # (doc_id, i, h) occurrence table and the duplicated subset bound the
+    # explode at one pass and the dup join at one run (r12, guide §5).
     occ = offs.select(
         "doc_id",
         "i",
         F.md5(F.array_join(F.expr(f"slice(toks, i, {NGRAM})"), " ")).alias("h"),
-    )
+    ).localCheckpoint(eager=True)
     dup = occ.groupBy("h").agg(F.count("*").alias("c")).filter(
         F.col("c") > 1
     ).select("h")
-    hits = occ.join(dup, "h")
+    hits = occ.join(dup, "h").localCheckpoint(eager=True)
     cover = (
         hits.select(
             "doc_id",

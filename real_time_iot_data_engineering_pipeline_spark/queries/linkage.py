@@ -795,11 +795,17 @@ def q_label_propagation_converged(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    seed_tbl = seeds.withColumnRenamed("label", "seed_label")
     labels = (
         nodes.join(seeds, "x", "left")
         .select("x", "label")
         .localCheckpoint(eager=True)
+    )
+    # The seed set is exactly the non-null rows of the checkpointed
+    # round-0 assignment; deriving it from `seeds` re-ran the edge-union
+    # node distinct inside EVERY round's nxt join and the final report
+    # (r12, guide §5: read the materialized table, not its lineage).
+    seed_tbl = labels.filter(F.col("label").isNotNull()).withColumnRenamed(
+        "label", "seed_label"
     )
     from pyspark.sql.window import Window as _W
 

@@ -647,10 +647,15 @@ def q_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed join of the two docs' distinct shingle sets (|pairs| x shingles
     work, the q_minhash_eval idiom, text.py:952) — never corpus-quadratic;
     the S-curve stage is scalar math on |pairs| x |configs| rows."""
+    # sh fans into orig and copy, each feeding a size census AND a join
+    # leg of the common-shingle count: lazily composed, the shingle
+    # explode + distinct ran 4x.  One eager checkpoint bounds it at one
+    # pass (r12, guide §5).
     sh = (
         _shingle_rows(_near_corpus(spark, sf_dir))
         .select("doc_id", "s")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     orig = sh.filter(F.col("doc_id") < 200000)
     copy = sh.filter(F.col("doc_id") >= 200000).select(

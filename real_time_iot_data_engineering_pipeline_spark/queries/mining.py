@@ -378,12 +378,17 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     so top-k membership cannot flip on float noise between engines, and
     the final top-k is TakeOrderedAndProject."""
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # The distinct basket table fans into FOUR subtrees (n_ord, brand_n,
+    # both self-join legs); lazily composed, the lineitem scan + broadcast
+    # join + distinct ran once per leg.  One eager checkpoint of the
+    # 2-column table bounds it at one pass (r12, guide §5).
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_ord = items.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders")
@@ -1449,10 +1454,16 @@ def q_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines — and the per-part top-{ALSO_TOP_K}
     compiles to WindowGroupLimit, so the rank-k set is pushed map-side,
     never a global sort."""
+    # items fans into part_n and both self-join legs (3 subtrees), and
+    # pairs feeds both directions of the union (2 subtrees): lazily
+    # composed, the lineitem distinct ran 3x and the basket self-join +
+    # pair aggregation 2x.  Two eager checkpoints of these small keyed
+    # tables bound each at one pass (r12, guide §5).
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     part_n = items.groupBy("l_partkey").agg(
         F.count("*").cast("long").alias("n")
@@ -1469,6 +1480,7 @@ def q_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= ALSO_MIN_CO)
+        .localCheckpoint(eager=True)
     )
     both_dirs = pairs.select(
         F.col("pa").alias("part_id"), F.col("pb").alias("rec_part_id"), "n_ab"

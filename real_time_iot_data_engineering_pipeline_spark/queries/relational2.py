@@ -924,10 +924,14 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice",
         )
     )
+    # monthly fans into the base-month scalar, the base basket, and the
+    # matched join: lazily composed, the lineitem-orders join + monthly
+    # aggregation ran 3x.  One eager checkpoint of the (month, part)-grain
+    # table bounds it at one pass (r12, guide §5).
     monthly = li.groupBy("month", "l_partkey").agg(
         F.sum("l_quantity").alias("qty"),
         (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("unit_price"),
-    )
+    ).localCheckpoint(eager=True)
     m0 = monthly.agg(F.min("month").alias("m0"))
     base = (
         monthly.crossJoin(F.broadcast(m0))

@@ -164,18 +164,24 @@ def q_jaccard_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     df = toks.groupBy("token").agg(F.count("*").alias("df"))
+    # sets fans into the prefix ranking and both verification legs, and
+    # pref into both candidate self-join legs: lazily composed, the
+    # collect_list aggregation ran 3x and the df-join + ranking window 2x.
+    # Eager checkpoints bound each at one pass (r12, guide §5).
     sets = toks.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("token")).alias("toks_arr"),
         F.count("*").alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("doc_id").orderBy("df", "token")
     ranked = (
         toks.join(df, "token")
         .join(sets.select("doc_id", "n"), "doc_id")
         .withColumn("pos", F.row_number().over(w))
     )
-    pref = ranked.filter(F.col("pos") <= F.expr(_PREFIX_LEN_SPARK)).select(
-        "doc_id", "token", "n"
+    pref = (
+        ranked.filter(F.col("pos") <= F.expr(_PREFIX_LEN_SPARK))
+        .select("doc_id", "token", "n")
+        .localCheckpoint(eager=True)
     )
     a = pref.alias("a")
     b = pref.alias("b")

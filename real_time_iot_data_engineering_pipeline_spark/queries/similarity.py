@@ -2168,7 +2168,14 @@ def q_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_EMB_D_SPARK).alias("emb_d"),
         F.expr(_NORM_SPARK).alias("nrm"),
     )
-    sigged = c.withColumn("sig", F.expr(_SIG_SPARK_ND))
+    # The signature table fans into the delta probe leg, the store leg,
+    # and the all-delta verdict spine; lazily composed, each leg re-ran
+    # the corpus union + SRP signature dot products (the dominant cost).
+    # One eager checkpoint of the 1-row-per-vector table bounds it at one
+    # pass (r12, guide §5); the per-leg band explode stays lazy (cheap).
+    sigged = c.withColumn("sig", F.expr(_SIG_SPARK_ND)).localCheckpoint(
+        eager=True
+    )
     band = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
     banded = sigged.select("vec_id", "emb_d", "nrm", "sig", band).withColumn(
         "band_key",
@@ -2214,7 +2221,7 @@ def q_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.max(best).getField("neg_id")).alias("best_match_id"),
         fround(F.max(fround(F.col("cos_sim"), 4)), 4).alias("best_cos"),
     )
-    all_delta = _inc_corpus(spark, sf_dir).filter(
+    all_delta = sigged.filter(
         F.col("vec_id") % EMB_DELTA_MOD == 0
     ).select("vec_id")
     return all_delta.join(verdicts, "vec_id", "left").select(

@@ -520,6 +520,14 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_set("s").alias("shingles"),
         )
         .withColumn("n", F.size("shingles").cast("long"))
+        # Both self-join legs replay the shingle explode + collect_set
+        # aggregation (the dominant cost); the legs' exchanges hash
+        # different keys (anchor join) so ReusedExchange cannot fuse
+        # them.  One eager checkpoint bounds the build at one pass
+        # (r12, guide §5; measured win despite the shingle arrays riding
+        # the materialization — 1 row/doc, unlike q_minhash_eval's
+        # exploded shingle stream where the same move measured slower).
+        .localCheckpoint(eager=True)
     )
     a = anchored.select(
         F.col("doc_id").alias("doc_a"),
@@ -1955,6 +1963,9 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_set("s").alias("shingles"),
         )
         .withColumn("n", F.size("shingles").cast("long"))
+        # Same two-leg replay as q_doc_ngram_jaccard: one eager
+        # checkpoint runs the shingle build once (r12, guide §5).
+        .localCheckpoint(eager=True)
     )
     a = anchored.alias("a")
     b = anchored.alias("b")
