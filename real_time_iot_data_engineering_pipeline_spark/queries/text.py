@@ -287,20 +287,26 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_key"
     )
-    pairs = (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
     est = F.expr(
         f"cast(size(filter(sequence(1, {_K}), "
         f"i -> element_at(sig_a, i) = element_at(sig_b, i))) AS double) / {_K}"
     )
+    # Score and threshold BEFORE the pair dedup (r12, guide §2.3: shuffle
+    # fewer bytes): est_jaccard is a pure function of the pair, so every
+    # band-duplicate copy of a pair passes or fails the 0.5 cut together
+    # and carries the identical est value — the dropDuplicates result is
+    # row-for-row the same, but its exchange now moves only surviving
+    # (doc_a, doc_b, est) rows (~24 B) instead of every band-collision
+    # candidate with BOTH 256 B signatures.  A pair colliding in k bands
+    # re-evaluates the 32-slot comparison k times map-side, trading
+    # bounded codegen work for shuffle bytes.
     return (
-        pairs.withColumn("est_jaccard", est)
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
