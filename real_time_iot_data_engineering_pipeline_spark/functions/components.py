@@ -88,22 +88,23 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return _canonical(rewired.unionByName(to_center))
 
 
-def connected_components(
-    nodes: DataFrame,
+def star_fixpoint(
     edges: DataFrame,
-    id_col: str = "id",
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
 ) -> DataFrame:
-    """Exact connected components over (nodes, edges); returns one row per
-    node: (id_col, component) where component is the minimum node id in the
-    node's component — isolated nodes get their own id.
+    """Iterate large-star/small-star to the edge-set fixpoint and return
+    the final canonical star edges (hi, lo): the fixpoint edge set is a
+    union of stars whose centers are their components' minimum ids, so
+    `lo` is the component label and every NON-CENTER node appears as `hi`
+    in EXACTLY one row (a node has one component, one minimum) — the
+    invariant connected_components' left join relies on, and which lets
+    per-component sizes be read off this table as count-per-center + 1
+    without ever joining back to the node set (q_dup_group_stats).
 
-    Iterates large-star/small-star to the edge-set fixpoint (<= O(log^2 n)
-    rounds by the MR-CC bound; `max_rounds` is a runaway guard, not a
-    semantic bound — hitting it raises instead of returning unconverged
-    labels, unlike the fixed-round oracle form)."""
+    `max_rounds` is a runaway guard, not a semantic bound — hitting it
+    raises instead of returning an unconverged edge set."""
     cur = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint(eager=True)
@@ -126,8 +127,26 @@ def connected_components(
         cur, cur_cnt = nxt, nxt_cnt
     else:
         raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds"
+            f"star_fixpoint did not converge in {max_rounds} rounds"
         )
+    return cur
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Exact connected components over (nodes, edges); returns one row per
+    node: (id_col, component) where component is the minimum node id in the
+    node's component — isolated nodes get their own id.
+
+    Iterates large-star/small-star to the edge-set fixpoint (<= O(log^2 n)
+    rounds by the MR-CC bound; see star_fixpoint)."""
+    cur = star_fixpoint(edges, src=src, dst=dst, max_rounds=max_rounds)
     # Fixpoint edges are stars centered at component minima.
     centers = cur.select(F.col("hi").alias(id_col), F.col("lo").alias("_comp"))
     return (

@@ -1565,26 +1565,59 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup report a curator reads before pulling the trigger: the
     duplicate-group SIZE histogram from the exact connected-components
-    assignment (q_doc_dup_groups_cc), the document mass at each size, and
-    the corpus-level duplication rate (share of documents a keeper-only
-    policy would drop).  Composed on the registered CC operator, so the
-    report always describes the exact groups the pipeline would act on.
+    assignment (the same star fixpoint q_doc_dup_groups_cc labels with),
+    the document mass at each size, and the corpus-level duplication rate
+    (share of documents a keeper-only policy would drop).
 
-    Scale: ONE pass above the CC output — group sizes on the group key,
-    then the histogram on the tiny distinct-size domain; the corpus
-    totals (doc mass, removable mass) are derived FROM the histogram
-    (n_docs = sum sz*n_groups, n_removable = sum (sz-1)*n_groups over
-    sz>1), so the label table is never aggregated a second time."""
-    groups = q_doc_dup_groups_cc(spark, sf_dir)
-    sizes = groups.groupBy("dup_group").agg(
-        F.count("*").cast("long").alias("sz")
+    Scale (r12, guide §2.3/§2.4): the report never materializes the
+    per-document label table.  At the star fixpoint every non-center node
+    appears as `hi` in exactly ONE (hi, lo=center) row (see
+    star_fixpoint), so component sizes are count-per-center + 1 straight
+    off the fixpoint edges — |pairs-touched-docs| rows of two longs —
+    and the only corpus-wide work is a count(*) over the pruned doc_id
+    column for the singleton mass (n_singletons = n_docs - star mass).
+    The previous form composed on q_doc_dup_groups_cc's label table,
+    paying the corpus-wide left join + a label-keyed shuffle of every
+    document; the histogram is identical because labels partition docs
+    into exactly (star members + center) groups plus singletons.  The
+    corpus totals (doc mass, removable mass) are derived FROM the
+    histogram (n_docs = sum sz*n_groups, n_removable = sum
+    (sz-1)*n_groups over sz>1), so no table is aggregated a second
+    time."""
+    from ..functions.components import star_fixpoint
+
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    stars = star_fixpoint(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    # Star groups are always size >= 2 (center + >=1 member), so the
+    # singleton bucket never collides with a star bucket.
+    star_sizes = stars.groupBy("lo").agg(
+        (F.count("*") + F.lit(1)).cast("long").alias("sz")
+    )
+    hist_star = star_sizes.groupBy("sz").agg(
+        F.count("*").cast("long").alias("n_groups")
+    )
+    n_docs_df = _near_corpus(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("_n_total")
+    )
+    star_mass = star_sizes.agg(
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("_n_in_stars")
+    )
+    singleton = (
+        n_docs_df.join(F.broadcast(star_mass))
+        .select(
+            F.lit(1).cast("long").alias("sz"),
+            (F.col("_n_total") - F.col("_n_in_stars")).alias("n_groups"),
+        )
+        .filter(F.col("n_groups") > 0)
     )
     # The distinct-size histogram is tiny and fans into both the corpus
     # totals and the final report row; the checkpoint stops each consumer
-    # replaying the label-table aggregation chain.
+    # replaying the aggregation chain (star_sizes is read twice above,
+    # both legs over the checkpointed fixpoint edges).
     hist = (
-        sizes.groupBy("sz")
-        .agg(F.count("*").cast("long").alias("n_groups"))
+        hist_star.unionByName(singleton)
         .localCheckpoint(eager=True)
     )
     tot = hist.agg(

@@ -89,6 +89,38 @@ def test_matches_union_find_on_random_graphs(spark, seed):
     assert run_cc(spark, nodes, edges) == union_find(nodes, edges)
 
 
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_star_fixpoint_is_disjoint_stars(spark, case):
+    """The fixpoint edge set must be a union of stars centered at the
+    component minima, with every NON-CENTER node appearing as `hi` in
+    EXACTLY one row — the invariant q_dup_group_stats reads group sizes
+    off (count-per-center + 1) and connected_components' left join relies
+    on (a duplicated hi would duplicate label rows).  Verified against
+    union-find on every adversarial topology."""
+    from real_time_iot_data_engineering_pipeline_spark.functions.components import (
+        star_fixpoint,
+    )
+
+    nodes, edges = CASES[case]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    rows = star_fixpoint(edf).collect()
+    his = [r["hi"] for r in rows]
+    assert len(his) == len(set(his)), "a non-center node appeared twice"
+    labels = union_find(nodes, edges)
+    centers = set(labels.values())
+    assert set(his).isdisjoint(centers), "a center appeared as a member"
+    for r in rows:
+        assert labels[r["hi"]] == r["lo"], "star edge points off-center"
+    # Per-component sizes read off the stars equal union-find's sizes
+    # for every non-singleton component.
+    from collections import Counter
+
+    star_sizes = Counter(r["lo"] for r in rows)
+    uf_sizes = Counter(labels.values())
+    expect = {c: n for c, n in uf_sizes.items() if n > 1}
+    assert {c: n + 1 for c, n in star_sizes.items()} == expect
+
+
 def test_deep_path_exceeds_bounded_rounds(spark):
     """Diameter-20 path: 3 label-propagation rounds provably cannot finish
     (labels move <= 3 hops), but the star iteration reaches the fixpoint —
