@@ -303,15 +303,25 @@ def q_embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = c.select("neighbor_id", "c_emb", "c_norm", "sig", band).withColumn(
         "band_key", F.expr(f"substr(sig, band * {_BAND_BITS} + 1, {_BAND_BITS})")
     )
-    cand = (
+    # Score BEFORE the candidate dedup (r12, guide §2.3 — the
+    # _minhash_pairs move): cos_sim is a pure function of the pair, so
+    # every band-duplicate copy carries the identical value and the
+    # dropDuplicates result is row-for-row the same, while its exchange
+    # moves (query_id, neighbor_id, cos_sim) instead of both 64-float
+    # embeddings + norms.  A pair colliding in k bands re-evaluates the
+    # dot k times map-side — bounded codegen work traded for shuffle
+    # bytes, which is the 100 TB regime LSH banding creates.
+    scored = (
         cb.join(F.broadcast(qb.drop("sig")), ["band", "band_key"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.expr(_DOT_SPARK) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos_sim"
+            ),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        (F.expr(_DOT_SPARK) / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
     )
     return _topk_over_candidates(scored, K)
 
@@ -427,6 +437,17 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "band_key",
     )
+    # Dedup-THEN-score, deliberately the opposite of the _minhash_pairs
+    # r12 move (score-before-dedup): here the score is an interpreted
+    # higher-order 64-double dot (zip_with + aggregate lambdas evaluate
+    # per element OUTSIDE codegen), and in a corpus self-join a true
+    # near-twin collides in ~all N_BANDS bands, so scoring before the
+    # dedup ~4x's the dominant per-candidate compute — measured
+    # interleaved old/new at sf0.1: 2.03/2.03/2.08 s dedup-first vs
+    # 3.53/2.40/2.41 s score-first (guide §1.2: an expensive per-row op
+    # feeds back into the algorithm choice).  The MinHash/SimHash pair
+    # queries keep score-first because their scores are cheap codegen'd
+    # integer comparisons.
     cand = (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -732,18 +753,28 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = e.select("eval_id", "e_emb", "e_norm", "sig", band).withColumn(
         "band_key", key
     )
-    cand = tb.join(F.broadcast(eb), ["band", "band_key"]).dropDuplicates(
-        ["train_id", "eval_id"]
-    )
     dot = F.expr(
         "aggregate(zip_with(t_emb, e_emb, (x, y) -> x * y), "
         "cast(0 AS double), (acc, x) -> acc + x)"
     )
-    scored = cand.select(
-        "train_id",
-        "eval_id",
-        fround(dot / (F.col("t_norm") * F.col("e_norm")), 4).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= DECON_COS)
+    # Score and threshold BEFORE the pair dedup (r12, guide §2.3 — the
+    # _minhash_pairs move): cos_sim is a pure per-pair value, so every
+    # band-duplicate copy passes or fails the DECON_COS cut together —
+    # identical dropDuplicates result, but its exchange (the plan's only
+    # non-broadcast shuffle) moves surviving (train_id, eval_id, cos_sim)
+    # rows instead of both 64-double embeddings per candidate.
+    scored = (
+        tb.join(F.broadcast(eb), ["band", "band_key"])
+        .select(
+            "train_id",
+            "eval_id",
+            fround(dot / (F.col("t_norm") * F.col("e_norm")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= DECON_COS)
+        .dropDuplicates(["train_id", "eval_id"])
+    )
     return (
         scored.groupBy("train_id")
         .agg(
@@ -2195,20 +2226,27 @@ def q_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "band_key",
     )
-    cand = (
-        delta.join(store, ["band", "band_key"])
-        .filter(F.col("vec_id") != F.col("other_id"))
-        .dropDuplicates(["vec_id", "other_id"])
-    )
     dot = F.expr(
         "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), "
         "cast(0 AS double), (acc, x) -> acc + x)"
     )
-    matches = cand.select(
-        "vec_id",
-        "other_id",
-        (dot / (F.col("norm_a") * F.col("norm_b"))).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= NEAR_DUP_COS)
+    # Score and threshold BEFORE the pair dedup (r12, guide §2.3 — the
+    # _minhash_pairs move): cos_sim is a pure per-pair value, so every
+    # band-duplicate copy passes or fails the NEAR_DUP_COS cut together —
+    # identical dropDuplicates result, but the dedup exchange moves only
+    # surviving (vec_id, other_id, cos_sim) rows instead of both
+    # 64-double embeddings per band-collision candidate.
+    matches = (
+        delta.join(store, ["band", "band_key"])
+        .filter(F.col("vec_id") != F.col("other_id"))
+        .select(
+            "vec_id",
+            "other_id",
+            (dot / (F.col("norm_a") * F.col("norm_b"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
+        .dropDuplicates(["vec_id", "other_id"])
+    )
     best = F.struct(
         fround(F.col("cos_sim"), 6).alias("r"),
         (-F.col("other_id")).alias("neg_id"),
@@ -3062,10 +3100,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
         F.col("cos_cent").alias("cc_b"),
     )
+    # Score and threshold BEFORE the pair dedup (r12, guide §2.3 — the
+    # _minhash_pairs move): cos_ab and the cc_*/id columns the keep-rule
+    # aggregation reads are pure per-pair/per-vector values, so every
+    # band-duplicate copy passes or fails the SEMDEDUP_COS cut together —
+    # identical dropDuplicates result, but the dedup exchange moves
+    # (va, vb, cc_a, cc_b, cos_ab) (~40 B) instead of both 64-double
+    # embeddings per band-collision candidate.
     pairs = (
         a.join(b, ["band", "band_key", "cluster_id"])
         .filter(F.col("va") != F.col("vb"))
-        .dropDuplicates(["va", "vb"])
         .withColumn(
             "cos_ab",
             fround(
@@ -3075,6 +3119,8 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("cos_ab") > F.expr(f"CAST({SEMDEDUP_COS} AS DOUBLE)"))
+        .select("va", "vb", "cc_a", "cc_b", "cos_ab")
+        .dropDuplicates(["va", "vb"])
     )
     nb = pairs.groupBy("va").agg(
         F.count("*").cast("long").alias("n_dups"),

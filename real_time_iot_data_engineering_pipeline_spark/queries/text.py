@@ -1806,11 +1806,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("long").alias("hamming"),
         )
+        # Threshold BEFORE the pair dedup (r12, guide §2.3): hamming is a
+        # pure per-pair value, so every band-duplicate copy passes or
+        # fails the cut together — identical dropDuplicates result, and
+        # non-qualifying candidates never reach the dedup exchange.
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return cands.filter(F.col("hamming") <= SIMHASH_HAM_MAX).orderBy(
-        "doc_a", "doc_b"
-    )
+    return cands.orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
