@@ -303,25 +303,24 @@ def q_embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = c.select("neighbor_id", "c_emb", "c_norm", "sig", band).withColumn(
         "band_key", F.expr(f"substr(sig, band * {_BAND_BITS} + 1, {_BAND_BITS})")
     )
-    # Score BEFORE the candidate dedup (r12, guide §2.3 — the
-    # _minhash_pairs move): cos_sim is a pure function of the pair, so
-    # every band-duplicate copy carries the identical value and the
-    # dropDuplicates result is row-for-row the same, while its exchange
-    # moves (query_id, neighbor_id, cos_sim) instead of both 64-float
-    # embeddings + norms.  A pair colliding in k bands re-evaluates the
-    # dot k times map-side — bounded codegen work traded for shuffle
-    # bytes, which is the 100 TB regime LSH banding creates.
-    scored = (
+    # Dedup-THEN-score, deliberately NOT the _minhash_pairs r12 move
+    # (score-before-dedup): the score here is an interpreted higher-order
+    # 64-double dot (zip_with + aggregate lambdas run OUTSIDE codegen),
+    # and a true neighbor collides in several bands, so scoring per
+    # band-copy multiplies the dominant per-candidate compute.  Measured
+    # interleaved old/new at the 10x fixture: 2.60/2.86 s dedup-first vs
+    # 4.11 s score-first (guide §1.2: an expensive per-row op feeds back
+    # into the algorithm choice).  SimHash/MinHash pair queries keep
+    # score-first because their scores are cheap codegen'd integer ops.
+    cand = (
         cb.join(F.broadcast(qb.drop("sig")), ["band", "band_key"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.expr(_DOT_SPARK) / (F.col("q_norm") * F.col("c_norm"))).alias(
-                "cos_sim"
-            ),
-        )
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (F.expr(_DOT_SPARK) / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
     )
     return _topk_over_candidates(scored, K)
 
@@ -753,28 +752,25 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = e.select("eval_id", "e_emb", "e_norm", "sig", band).withColumn(
         "band_key", key
     )
+    # Dedup-THEN-score, deliberately NOT the _minhash_pairs r12 move
+    # (score-before-dedup): the cosine is an interpreted higher-order
+    # 64-double dot, and a contaminated train doc collides with its eval
+    # twin in several bands, so scoring per band-copy multiplies the
+    # dominant compute — measured interleaved old/new at the 10x
+    # fixture: 5.35/6.96 s dedup-first vs 7.79 s score-first.  The
+    # integer-scored SimHash/MinHash pair queries keep score-first.
+    cand = tb.join(F.broadcast(eb), ["band", "band_key"]).dropDuplicates(
+        ["train_id", "eval_id"]
+    )
     dot = F.expr(
         "aggregate(zip_with(t_emb, e_emb, (x, y) -> x * y), "
         "cast(0 AS double), (acc, x) -> acc + x)"
     )
-    # Score and threshold BEFORE the pair dedup (r12, guide §2.3 — the
-    # _minhash_pairs move): cos_sim is a pure per-pair value, so every
-    # band-duplicate copy passes or fails the DECON_COS cut together —
-    # identical dropDuplicates result, but its exchange (the plan's only
-    # non-broadcast shuffle) moves surviving (train_id, eval_id, cos_sim)
-    # rows instead of both 64-double embeddings per candidate.
-    scored = (
-        tb.join(F.broadcast(eb), ["band", "band_key"])
-        .select(
-            "train_id",
-            "eval_id",
-            fround(dot / (F.col("t_norm") * F.col("e_norm")), 4).alias(
-                "cos_sim"
-            ),
-        )
-        .filter(F.col("cos_sim") >= DECON_COS)
-        .dropDuplicates(["train_id", "eval_id"])
-    )
+    scored = cand.select(
+        "train_id",
+        "eval_id",
+        fround(dot / (F.col("t_norm") * F.col("e_norm")), 4).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= DECON_COS)
     return (
         scored.groupBy("train_id")
         .agg(
@@ -2226,27 +2222,27 @@ def q_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "band_key",
     )
+    # Dedup-THEN-score, deliberately NOT the _minhash_pairs r12 move
+    # (score-before-dedup): the cosine is an interpreted higher-order
+    # 64-double dot and a delta vector's true twin collides in several
+    # bands, so scoring per band-copy multiplies the dominant compute —
+    # measured interleaved old/new at the 10x fixture: 6.70/7.91 s
+    # dedup-first vs 8.12 s score-first.  The integer-scored
+    # SimHash/MinHash pair queries keep score-first.
+    cand = (
+        delta.join(store, ["band", "band_key"])
+        .filter(F.col("vec_id") != F.col("other_id"))
+        .dropDuplicates(["vec_id", "other_id"])
+    )
     dot = F.expr(
         "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), "
         "cast(0 AS double), (acc, x) -> acc + x)"
     )
-    # Score and threshold BEFORE the pair dedup (r12, guide §2.3 — the
-    # _minhash_pairs move): cos_sim is a pure per-pair value, so every
-    # band-duplicate copy passes or fails the NEAR_DUP_COS cut together —
-    # identical dropDuplicates result, but the dedup exchange moves only
-    # surviving (vec_id, other_id, cos_sim) rows instead of both
-    # 64-double embeddings per band-collision candidate.
-    matches = (
-        delta.join(store, ["band", "band_key"])
-        .filter(F.col("vec_id") != F.col("other_id"))
-        .select(
-            "vec_id",
-            "other_id",
-            (dot / (F.col("norm_a") * F.col("norm_b"))).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
-        .dropDuplicates(["vec_id", "other_id"])
-    )
+    matches = cand.select(
+        "vec_id",
+        "other_id",
+        (dot / (F.col("norm_a") * F.col("norm_b"))).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= NEAR_DUP_COS)
     best = F.struct(
         fround(F.col("cos_sim"), 6).alias("r"),
         (-F.col("other_id")).alias("neg_id"),
@@ -3100,16 +3096,18 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
         F.col("cos_cent").alias("cc_b"),
     )
-    # Score and threshold BEFORE the pair dedup (r12, guide §2.3 — the
-    # _minhash_pairs move): cos_ab and the cc_*/id columns the keep-rule
-    # aggregation reads are pure per-pair/per-vector values, so every
-    # band-duplicate copy passes or fails the SEMDEDUP_COS cut together —
-    # identical dropDuplicates result, but the dedup exchange moves
-    # (va, vb, cc_a, cc_b, cos_ab) (~40 B) instead of both 64-double
-    # embeddings per band-collision candidate.
+    # Dedup-THEN-score, deliberately NOT the _minhash_pairs r12 move
+    # (score-before-dedup): the cosine is an interpreted higher-order
+    # 64-double dot and cluster-mates' near-twins collide in several
+    # bands, so scoring per band-copy multiplies the dominant compute —
+    # measured interleaved old/new at the 10x fixture: 8.02/8.70 s
+    # dedup-first vs 12.01 s score-first (an sf0.1 probe that favored
+    # score-first was band noise).  The integer-scored SimHash/MinHash
+    # pair queries keep score-first.
     pairs = (
         a.join(b, ["band", "band_key", "cluster_id"])
         .filter(F.col("va") != F.col("vb"))
+        .dropDuplicates(["va", "vb"])
         .withColumn(
             "cos_ab",
             fround(
@@ -3119,8 +3117,6 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("cos_ab") > F.expr(f"CAST({SEMDEDUP_COS} AS DOUBLE)"))
-        .select("va", "vb", "cc_a", "cc_b", "cos_ab")
-        .dropDuplicates(["va", "vb"])
     )
     nb = pairs.groupBy("va").agg(
         F.count("*").cast("long").alias("n_dups"),
