@@ -287,26 +287,33 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_key"
     )
+    # Dedup-THEN-score, restored after a measured r12 experiment with the
+    # reverse order.  Score-before-dedup shrinks the dedup exchange from
+    # both 256 B signatures to one (doc_a, doc_b, est) row, BUT Catalyst
+    # pushes the est >= 0.5 cut INTO the join condition where it cannot
+    # reference the projection, so the interpreted 32-slot higher-order
+    # comparison (filter-over-sequence lambdas run outside codegen)
+    # evaluates TWICE per band-collision candidate — measured interleaved
+    # old/new at the 10x fixture: 4.04/4.40/4.59 s dedup-first vs
+    # 4.45/5.03/5.00 s score-first (sf0.1 mins 2.28 vs 2.35), consistent
+    # across five alternating rounds.  On a network-shuffled cluster the
+    # bytes argument may win; on this contract's bench host the compute
+    # duplication does.  q_simhash_pairs keeps score-first because its
+    # hamming score is codegen'd bit_count over four ints.
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     est = F.expr(
         f"cast(size(filter(sequence(1, {_K}), "
         f"i -> element_at(sig_a, i) = element_at(sig_b, i))) AS double) / {_K}"
     )
-    # Score and threshold BEFORE the pair dedup (r12, guide §2.3: shuffle
-    # fewer bytes): est_jaccard is a pure function of the pair, so every
-    # band-duplicate copy of a pair passes or fails the 0.5 cut together
-    # and carries the identical est value — the dropDuplicates result is
-    # row-for-row the same, but its exchange now moves only surviving
-    # (doc_a, doc_b, est) rows (~24 B) instead of every band-collision
-    # candidate with BOTH 256 B signatures.  A pair colliding in k bands
-    # re-evaluates the 32-slot comparison k times map-side, trading
-    # bounded codegen work for shuffle bytes.
     return (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("est_jaccard", est)
+        pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
