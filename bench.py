@@ -47,6 +47,7 @@ restricts the run to the named queries (full protocol, own detail file).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import random
@@ -147,6 +148,9 @@ def main() -> None:
     seed = int(os.environ.get("SPARK_GRAFT_BENCH_SEED", "12"))
     timings: dict[str, float] = {n: float("inf") for n in names}
     calib_per_pass: list[float] = []
+    # TIMED-LOOP-START  (hashed into timed_loop_sha below: any edit to the
+    # timing methodology is detectable from the artifact alone — VERDICT
+    # r12 #8, after PERF r12 mis-reported bench_harness_changed=false)
     for k in range(reps):
         order = list(names)
         random.Random(seed + k).shuffle(order)
@@ -158,7 +162,12 @@ def main() -> None:
                 "overwrite"
             ).save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
+    # TIMED-LOOP-END
     timings = {n: round(t, 3) for n, t in timings.items()}
+    with open(os.path.abspath(__file__)) as f:
+        src = f.read()
+    loop_src = src.split("# TIMED-LOOP-START")[1].split("# TIMED-LOOP-END")[0]
+    timed_loop_sha = hashlib.sha256(loop_src.encode()).hexdigest()[:12]
 
     # Machine adjudication vs first-seen baselines: ratio > 2.0 is the
     # contract bar; the over_bar dict IS the round's re-run worklist.
@@ -193,6 +202,7 @@ def main() -> None:
         "calib_per_pass": calib_per_pass,
         "bench_seed": seed,
         "reps": reps,
+        "timed_loop_sha": timed_loop_sha,
         "baseline_ratios": ratios,
         "over_bar": over_bar,
     }

@@ -32,8 +32,27 @@ Invariants used:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Small-graph fast path (r13, VERDICT r12 #3/#5): below this many canonical
+# edges the star iteration's cost is pure control plane — with AQE every
+# multi-stage round materializes 4-5 exchanges as separate stage jobs plus
+# a checkpoint and a convergence count (the r12 fusion probe showed the
+# job count is the floor, not the data).  A graph this size fits ONE task,
+# so the fixpoint is computed there by union-find over Arrow batches
+# (guide §4.2: let Spark do distribution, hand the whole small batch to
+# native code) — zero rounds, one narrow coalesce, no shuffle.  Above the
+# threshold the O(log^2 n) distributed star rounds run unchanged and
+# SWITCH to the local finish once contraction drops the edge count below
+# it, so unbounded graphs keep the MR-CC scaling while paying local-finish
+# instead of the last ~log rounds.  Parameterised for cluster tuning; the
+# default bounds the single task at ~16 MB of edge longs.
+_CC_LOCAL_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", str(1 << 20))
+)
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -88,11 +107,61 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return _canonical(rewired.unionByName(to_center))
 
 
+def _local_star_finish(edges: DataFrame) -> DataFrame:
+    """Single-task union-find over a small canonical (hi, lo) edge set,
+    returning EXACTLY the star-fixpoint edge set: one (hi=node, lo=center)
+    row per non-center node, centers = component minima.  The input is
+    already materialized (localCheckpoint) and counted by the caller, so
+    coalesce(1) is a narrow read of the checkpoint blocks into one task;
+    mapInPandas hands the batches to a dict-based union-find (path
+    halving), which is exact and deterministic — same rows as iterating
+    large-star/small-star to convergence, proven against it in
+    tests/test_components.py on every adversarial topology."""
+
+    def finish(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes: set = set()
+        for pdf in batches:
+            for a, b in zip(pdf["hi"].tolist(), pdf["lo"].tolist()):
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min root: the final root IS the component
+                    # minimum, because every node's id is a candidate root
+                    # exactly once and min is kept at each merge
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        out_hi, out_lo = [], []
+        for n in nodes:
+            r = find(n)
+            if r != n:
+                out_hi.append(n)
+                out_lo.append(r)
+        yield pd.DataFrame({"hi": out_hi, "lo": out_lo}).astype("int64")
+
+    return edges.coalesce(1).mapInPandas(finish, schema="hi long, lo long")
+
+
 def star_fixpoint(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Iterate large-star/small-star to the edge-set fixpoint and return
     the final canonical star edges (hi, lo): the fixpoint edge set is a
@@ -104,7 +173,12 @@ def star_fixpoint(
     without ever joining back to the node set (q_dup_group_stats).
 
     `max_rounds` is a runaway guard, not a semantic bound — hitting it
-    raises instead of returning an unconverged edge set."""
+    raises instead of returning an unconverged edge set.  `local_max_edges`
+    overrides the small-graph fast-path threshold (None = the
+    $SPARK_GRAFT_CC_LOCAL_EDGES module default; 0 forces the distributed
+    star rounds, which tests use to pin both paths against each other)."""
+    if local_max_edges is None:
+        local_max_edges = _CC_LOCAL_MAX_EDGES
     cur = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint(eager=True)
@@ -116,6 +190,14 @@ def star_fixpoint(
     # exceptAll emptiness IS set equality).
     cur_cnt = cur.count()
     for _ in range(max_rounds):
+        # r13 small-graph fast path: the count is already paid (it drives
+        # convergence), so the switch is free — finish a graph that fits
+        # one task locally instead of paying 4-5 AQE stage jobs + a
+        # checkpoint + a count per remaining round.  The local result is
+        # lazy and tiny (re-running it per consumer leg costs less than
+        # the checkpoint job it would take to pin it).
+        if cur_cnt <= local_max_edges:
+            return _local_star_finish(cur)
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         nxt_cnt = nxt.count()
         changed = (
@@ -139,6 +221,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Exact connected components over (nodes, edges); returns one row per
     node: (id_col, component) where component is the minimum node id in the
@@ -146,7 +229,13 @@ def connected_components(
 
     Iterates large-star/small-star to the edge-set fixpoint (<= O(log^2 n)
     rounds by the MR-CC bound; see star_fixpoint)."""
-    cur = star_fixpoint(edges, src=src, dst=dst, max_rounds=max_rounds)
+    cur = star_fixpoint(
+        edges,
+        src=src,
+        dst=dst,
+        max_rounds=max_rounds,
+        local_max_edges=local_max_edges,
+    )
     # Fixpoint edges are stars centered at component minima.
     centers = cur.select(F.col("hi").alias(id_col), F.col("lo").alias("_comp"))
     return (

@@ -268,51 +268,45 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) "
         "AS bigint) % 100 AS int)"
     )
-    # r12 single-pass restructure (guide §2.3/§2.4: aggregate before you
-    # shuffle, and shuffle once): the lazily-composed train/test legs each
-    # re-ran the 5-gram explode (the dominant cost) and then shuffled the
-    # gram stream three times (train distinct, test distinct, anti-join).
-    # Instead, every gram row is tagged with its split and (for test rows)
-    # its source, and ONE gram-keyed partial aggregation folds the corpus
-    # to per-gram (train-membership, distinct test sources) — the
-    # collect_set is bounded by |sources|, a constant.  A gram is novel
-    # for a source iff that source is in its test set and no train doc
-    # carried it; the per-source counts then aggregate over the exploded
-    # (gram, source) pairs, which reproduces the old distinct-pair counts
-    # exactly.  One gram computation, one gram shuffle, no anti-join.
+    # r13: the r12 single-pass rewrite (tag every gram row, ONE gram-keyed
+    # collect_set aggregation, no anti-join) was REVERTED on interleaved
+    # same-session measurements at both scales (scripts/
+    # probe_ngram_novelty.py): sf0.1 mins 1.44 old vs 1.72 new; 10x 8.5-9.5
+    # old vs 15.0-16.3 new.  The collect_set ObjectHashAggregate over the
+    # corpus-scale gram stream costs far more than the two extra explode
+    # replays it saves — three partial-aggregated hash shuffles on the
+    # gram key beat one object-hash shuffle carrying set state.  The
+    # distinct+anti-join form below is the keeper at both measured scales.
+    grams = grams.withColumn("_b", bucket)
+    train = (
+        grams.filter(F.col("_b") < SPLIT_TRAIN_PCT).select("gram").distinct()
+    )
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    tagged = (
-        grams.withColumn("_b", bucket)
-        .join(F.broadcast(src), "doc_id")
-        .select(
-            "gram",
-            (F.col("_b") < SPLIT_TRAIN_PCT).cast("int").alias("is_train"),
-            F.when(
-                F.col("_b") >= SPLIT_TRAIN_PCT, F.col("source")
-            ).alias("tsrc"),
-        )
+    test = (
+        grams.filter(F.col("_b") >= SPLIT_TRAIN_PCT)
+        .join(src, "doc_id")
+        .select("source", "gram")
+        .distinct()
     )
-    per_gram = tagged.groupBy("gram").agg(
-        F.max("is_train").alias("in_train"),
-        F.collect_set("tsrc").alias("tsrcs"),
+    novel = test.join(train, "gram", "left_anti")
+    n_test = test.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_test_grams")
     )
-    test_pairs = per_gram.select(
-        F.explode("tsrcs").alias("source"), "in_train"
+    n_novel = novel.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_novel")
     )
     return (
-        test_pairs.groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_test_grams"),
-            F.sum(F.when(F.col("in_train") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_novel"),
-        )
+        n_test.join(n_novel, "source", "left")
         .select(
             "source",
             "n_test_grams",
-            "n_novel",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias(
+                "n_novel"
+            ),
             fround(
-                F.col("n_novel") / F.col("n_test_grams").cast("double"), 6
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.col("n_test_grams").cast("double"),
+                6,
             ).alias("novelty"),
         )
         .orderBy("source")

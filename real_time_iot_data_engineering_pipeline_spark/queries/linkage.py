@@ -782,6 +782,82 @@ def q_label_propagation_converged(spark: SparkSession, sf_dir: str) -> DataFrame
     all hash-partitioned on node id; rounds are bounded by graph diameter
     (capped), and the edge set is the shared persisted co-supply graph."""
     edges = _edges_df(spark, sf_dir)
+    # r13 small-graph fast path (VERDICT r12 #5, same lever as
+    # functions/components.py): the fixpoint's cost at fixture scale is
+    # per-round AQE stage scheduling (join + vote agg + window + ckpt +
+    # count jobs per round), not data.  Nodes and seeds are pure functions
+    # of the edge endpoints (nodes = distinct endpoints, seed iff
+    # x % LP_SEED_MOD == 0, seed label = x % LP_N_LABELS), so below the
+    # one-task threshold the synchronous rounds run inside a single
+    # mapInPandas task over the edge list — identical update rule (mode of
+    # labeled neighbors, ties to the smallest label, seeds clamped, keep
+    # current on no signal), identical round cap — and only the final
+    # per-(label, source) report aggregation stays distributed.  The
+    # gating count is charged against the persisted edge frame the round
+    # loop would have materialized anyway.
+    from ..functions.components import _CC_LOCAL_MAX_EDGES
+
+    if edges.count() <= _CC_LOCAL_MAX_EDGES:
+
+        def local_lpa(batches):
+            import pandas as pd
+
+            adj: dict = {}
+            for pdf in batches:
+                for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                    adj.setdefault(u, []).append(v)
+                    adj.setdefault(v, []).append(u)
+            labels = {
+                x: (x % LP_N_LABELS if x % LP_SEED_MOD == 0 else None)
+                for x in adj
+            }
+            for _ in range(LP_MAX_ROUNDS):
+                nxt = {}
+                changed = False
+                for x, nbrs in adj.items():
+                    if x % LP_SEED_MOD == 0:  # seeds are clamped
+                        nxt[x] = labels[x]
+                        continue
+                    cnt: dict = {}
+                    for nb in nbrs:
+                        lb = labels[nb]
+                        if lb is not None:
+                            cnt[lb] = cnt.get(lb, 0) + 1
+                    new = (
+                        max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+                        if cnt
+                        else labels[x]
+                    )
+                    nxt[x] = new
+                    changed = changed or new != labels[x]
+                labels = nxt
+                if not changed:
+                    break
+            yield pd.DataFrame(
+                {
+                    "x": list(labels),
+                    "label": pd.array(
+                        list(labels.values()), dtype="Int32"
+                    ),
+                }
+            )
+
+        assignment = edges.coalesce(1).mapInPandas(
+            local_lpa, schema="x long, label int"
+        )
+        assigned = assignment.select(
+            "label",
+            F.when(F.col("x") % LP_SEED_MOD == 0, "seed")
+            .when(F.col("label").isNotNull(), "propagated")
+            .otherwise("unlabeled")
+            .alias("source"),
+        )
+        return (
+            assigned.groupBy("label", "source")
+            .agg(F.count("*").cast("long").alias("n_nodes"))
+            .orderBy(F.col("label").asc_nulls_first(), "source")
+        )
+
     nodes = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))

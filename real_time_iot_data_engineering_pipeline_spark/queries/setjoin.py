@@ -164,10 +164,17 @@ def q_jaccard_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     df = toks.groupBy("token").agg(F.count("*").alias("df"))
-    # sets fans into the prefix ranking and both verification legs, and
-    # pref into both candidate self-join legs: lazily composed, the
-    # collect_list aggregation ran 3x and the df-join + ranking window 2x.
-    # Eager checkpoints bound each at one pass (r12, guide §5).
+    # sets fans into the prefix ranking and both verification legs: lazily
+    # composed, the collect_list aggregation ran 3x.  One eager checkpoint
+    # bounds it at one pass (r12, guide §5).  The r12 `pref` checkpoint was
+    # DROPPED in r13 after the driver's artifacts showed the query +51%
+    # round-over-round: a per-call-site A/B (scripts/probe_setjoin_ckpts.py,
+    # interleaved in one session) read mins at sf0.1 / 10x of
+    # toks+sets+pref 2.32/5.80, toks+sets 2.25/5.73, toks+pref 2.32/6.18,
+    # toks-only 2.32/5.91 — the pref checkpoint is neutral-to-negative at
+    # both scales, and without it the candidate self-join's two legs are
+    # canonically identical subplans, so runtime ReusedExchange computes
+    # the ranking window once anyway (the q_minhash_eval rule from r12).
     sets = toks.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("token")).alias("toks_arr"),
         F.count("*").alias("n"),
@@ -178,10 +185,8 @@ def q_jaccard_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sets.select("doc_id", "n"), "doc_id")
         .withColumn("pos", F.row_number().over(w))
     )
-    pref = (
-        ranked.filter(F.col("pos") <= F.expr(_PREFIX_LEN_SPARK))
-        .select("doc_id", "token", "n")
-        .localCheckpoint(eager=True)
+    pref = ranked.filter(F.col("pos") <= F.expr(_PREFIX_LEN_SPARK)).select(
+        "doc_id", "token", "n"
     )
     a = pref.alias("a")
     b = pref.alias("b")

@@ -1063,11 +1063,21 @@ def _fixture_store(spark: SparkSession, sf_dir: str, kind: str, build):
     DataFrame to persist; the cache key is the documents.parquet
     fingerprint (path + mtime + size), so a regenerated fixture rebuilds.
     The write is atomic (tmp dir + rename) so concurrent first callers
-    cannot observe a half-written store."""
+    cannot observe a half-written store.
+
+    BOUNDARY (VERDICT r12 #4/#6): this is cross-run precomputation keyed
+    on the fixture, sanctioned ONLY for operators whose registered
+    semantics is incremental-vs-standing-store (the store IS the
+    operator's input; the oracle still certifies the output against a
+    full recompute).  tests/test_incremental_family.py pins the consumer
+    set; a first build logs its cost to stderr so the moved work is
+    visible in bench/driver artifacts."""
     import hashlib
     import os
     import shutil
+    import sys
     import tempfile
+    import time
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     digest = hashlib.sha1(
@@ -1078,7 +1088,15 @@ def _fixture_store(spark: SparkSession, sf_dir: str, kind: str, build):
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         os.makedirs(base, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
+        t0 = time.perf_counter()
         build().write.mode("overwrite").parquet(tmp)
+        print(
+            f"[fixture_store] built {kind}/{digest} in "
+            f"{time.perf_counter() - t0:.2f}s (one-time, outside the "
+            "incremental operator's timed region by declared semantics)",
+            file=sys.stderr,
+            flush=True,
+        )
         try:
             os.rename(tmp, path)
         except OSError:  # lost the race; the winner's store is identical

@@ -1,11 +1,16 @@
-"""Interleaved in-process A/B for the r12 fixpoint job fusion: time a
-query with lazy per-round checkpoints (variant 'fused' = working-tree
-code, localCheckpoint(eager=False) whose first action is the round's
-convergence count — one job per round) vs eager ones (variant 'eager':
-localCheckpoint forced to eager=True, reproducing the pre-fusion code
-where materialization and count were separate jobs).  Alternating reps
-inside ONE Spark session so host-load bands hit both variants equally
-(same protocol as ab_probe.py).
+"""Interleaved in-process A/B for the fixpoint job-fusion question: time a
+query with lazy per-round checkpoints (variant 'fused': localCheckpoint
+FORCED to eager=False, so the round's convergence count is the
+materializing action — one job per round) vs eager ones (variant 'eager':
+forced eager=True, materialization and count as separate jobs).
+Alternating reps inside ONE Spark session so host-load bands hit both
+variants equally (same protocol as ab_probe.py).
+
+NOTE: the r12 fusion experiment was REVERTED — the working tree passes
+eager=True explicitly (components.py) — so BOTH variants monkeypatch: the
+probe stays a valid A/B of the fusion idea regardless of what the tree
+code passes (measured r12: job count does not drop under AQE; kept for
+re-probing on future Spark versions or a real cluster).
 
 Usage: python scripts/ab_eager.py SF_DIR REPS q_name [q_name ...]
 Prints one JSON line {name: {"fused": [..], "eager": [..]}}.
@@ -37,25 +42,33 @@ def _force_eager(self, eager=True):
     return _real_ckpt(self, eager=True)
 
 
+def _force_lazy(self, eager=True):
+    return _real_ckpt(self, eager=False)
+
+
 out = {}
-for n in names:
-    out[n] = {"fused": [], "eager": []}
-    for r in range(reps):
-        for variant in ("fused", "eager"):
-            DataFrame.localCheckpoint = (
-                _real_ckpt if variant == "fused" else _force_eager
-            )
-            spark.sparkContext.setJobDescription(f"ab-eager:{n}:{variant}:{r}")
-            t0 = time.perf_counter()
-            registry.QUERIES[n](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            out[n][variant].append(round(time.perf_counter() - t0, 3))
-            print(
-                f"[ab] {n} {variant} r{r}: {out[n][variant][-1]}",
-                file=sys.stderr,
-                flush=True,
-            )
+try:
+    for n in names:
+        out[n] = {"fused": [], "eager": []}
+        for r in range(reps):
+            for variant in ("fused", "eager"):
+                DataFrame.localCheckpoint = (
+                    _force_lazy if variant == "fused" else _force_eager
+                )
+                spark.sparkContext.setJobDescription(
+                    f"ab-eager:{n}:{variant}:{r}"
+                )
+                t0 = time.perf_counter()
+                registry.QUERIES[n](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                out[n][variant].append(round(time.perf_counter() - t0, 3))
+                print(
+                    f"[ab] {n} {variant} r{r}: {out[n][variant][-1]}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+finally:
     DataFrame.localCheckpoint = _real_ckpt
 print(json.dumps(out), flush=True)
 spark.stop()

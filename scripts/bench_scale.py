@@ -19,7 +19,15 @@ The 10x fixture is derived from sf0.1 by make_scale_fixture.py (disjoint
 keys, disjoint replica vocabularies, rotated embeddings — constant dup
 density, see that script's docstring) and is built here if missing.
 
-Usage: python scripts/bench_scale.py [round-tag]   (e.g. r07)
+Usage: python scripts/bench_scale.py [round-tag] [--refit=q_a,q_b]
+
+--refit (r13): EXPLICIT band rebaseline for the named queries only —
+band = max(floor, headroom * this run's worst reading), recorded with the
+previous band and both legs' calibration probes in SCALE_BANDS_META.json
+so a refit is auditable from git (why: r12's host scanned ~2x slower than
+the band-fit era, tripping three bands on UNCHANGED code — the guard was
+measuring host epochs, not plans; VERDICT r12 #1).  Refits never happen
+implicitly: without the flag, existing bands are immutable as before.
 """
 
 from __future__ import annotations
@@ -116,7 +124,14 @@ def _probe(names: list[str]) -> dict:
 
 
 def main() -> None:
-    tag = sys.argv[1] if len(sys.argv) > 1 else "head"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tag = args[0] if args else "head"
+    refit: set[str] = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--refit="):
+            refit = {
+                n.strip() for n in a.split("=", 1)[1].split(",") if n.strip()
+            }
     os.makedirs(SNAPDIR, exist_ok=True)
     if not os.path.isdir(FIXTURE):
         print(f"[bench_scale] building 10x fixture at {FIXTURE}", file=sys.stderr)
@@ -168,6 +183,14 @@ def main() -> None:
         "calib_t1": c1,
         "calib_t10": c10,
         "calib_drift": round(drift, 3),
+        # scan-bound host speed of each leg (bench.py's fixed raw-scan
+        # probe) — NOT a cross-leg drift divisor (the 10x leg scans a 10x
+        # file, so the probe scales with data there), but the host-epoch
+        # record that makes a band refit adjudicable: an unchanged query
+        # tripping its band while calib_scan_t1 sits 2x above the value in
+        # SCALE_BANDS_META.json at fit time is host drift, not a plan.
+        "calib_scan_t1": leg1.get("calib_scan_sec"),
+        "calib_scan_t10": leg10.get("calib_scan_sec"),
         "queries": ratios,
     }
     bands_path = os.path.join(SNAPDIR, "SCALE_BANDS.json")
@@ -221,16 +244,40 @@ def main() -> None:
     # makes first-seen bands generous enough to never false-positive on
     # drift mis-correction, while the guard's min()-side check (see
     # tests/test_scale_guard.py) still catches real regressions.
+    meta_path = os.path.join(SNAPDIR, "SCALE_BANDS_META.json")
+    meta: dict[str, dict] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
     added = 0
     for name, r in ratios.items():
-        if name not in bands and math.isfinite(r["ratio_norm"]):
+        is_new = name not in bands
+        if (is_new or name in refit) and math.isfinite(r["ratio_norm"]):
             worst_reading = max(r["ratio"], r["ratio_norm"])
-            bands[name] = max(
-                BAND_FLOOR, round(BAND_HEADROOM * worst_reading, 1)
-            )
+            new_band = max(BAND_FLOOR, round(BAND_HEADROOM * worst_reading, 1))
+            entry = {
+                "band": new_band,
+                "fit_round": tag,
+                "fit_ratio": worst_reading,
+                "calib_t1": c1,
+                "calib_scan_t1": report["calib_scan_t1"],
+            }
+            if not is_new:  # explicit refit: keep the audit trail
+                entry["refit_from"] = bands[name]
+                print(
+                    f"[bench_scale] REFIT band {name}: {bands[name]} -> "
+                    f"{new_band} (ratio {worst_reading}, calib_scan_t1 "
+                    f"{report['calib_scan_t1']})",
+                    file=sys.stderr,
+                )
+            bands[name] = new_band
+            meta[name] = entry
             added += 1
     with open(bands_path, "w") as f:
         json.dump(bands, f, indent=1, sort_keys=True)
+        f.write("\n")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
         f.write("\n")
 
     print(

@@ -1,5 +1,6 @@
-"""Round-12 optimization probe: for each named query, dump
-`.explain("formatted")` to plans/r12/<q>_<tag>.txt and report min-of-k
+"""Optimization probe: for each named query, dump
+`.explain("formatted")` to plans/$SPARK_GRAFT_PLAN_ROUND/<q>_<tag>.txt
+(default r13) and report min-of-k
 noop-sink wall clock (guide §1.1/§1.4).  Jobs are labelled so the UI/event
 log attributes time per query.
 
@@ -20,7 +21,9 @@ from real_time_iot_data_engineering_pipeline_spark.session import build_session
 
 tag, sf_dir, names = sys.argv[1], sys.argv[2], sys.argv[3:]
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-plan_dir = os.path.join(repo, "plans", "r12")
+plan_dir = os.path.join(
+    repo, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
+)
 os.makedirs(plan_dir, exist_ok=True)
 
 registry.load_all()

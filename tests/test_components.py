@@ -72,21 +72,32 @@ CASES = {
 }
 
 
+# Every equality test runs BOTH execution paths (r13): local_max_edges=0
+# forces the distributed star rounds (the 100 TB path), the default takes
+# the single-task union-find fast path every fixture-scale graph now takes
+# — each pinned against the pure-Python union-find independently.
+BOTH_PATHS = {"local": None, "distributed": 0}
+
+
+@pytest.mark.parametrize("path", sorted(BOTH_PATHS))
 @pytest.mark.parametrize("case", sorted(CASES))
-def test_matches_union_find_on_adversarial_topologies(spark, case):
+def test_matches_union_find_on_adversarial_topologies(spark, case, path):
     nodes, edges = CASES[case]
-    assert run_cc(spark, nodes, edges) == union_find(nodes, edges)
+    got = run_cc(spark, nodes, edges, local_max_edges=BOTH_PATHS[path])
+    assert got == union_find(nodes, edges)
 
 
+@pytest.mark.parametrize("path", sorted(BOTH_PATHS))
 @pytest.mark.parametrize("seed", [7, 42, 1337])
-def test_matches_union_find_on_random_graphs(spark, seed):
+def test_matches_union_find_on_random_graphs(spark, seed, path):
     rng = random.Random(seed)
     n = 60
     nodes = sorted(rng.sample(range(10_000), n))  # sparse, non-contiguous ids
     edges = [
         (rng.choice(nodes), rng.choice(nodes)) for _ in range(int(n * 1.2))
     ]
-    assert run_cc(spark, nodes, edges) == union_find(nodes, edges)
+    got = run_cc(spark, nodes, edges, local_max_edges=BOTH_PATHS[path])
+    assert got == union_find(nodes, edges)
 
 
 @pytest.mark.parametrize("case", sorted(CASES))
@@ -103,7 +114,14 @@ def test_star_fixpoint_is_disjoint_stars(spark, case):
 
     nodes, edges = CASES[case]
     edf = spark.createDataFrame(edges, "src long, dst long")
-    rows = star_fixpoint(edf).collect()
+    # Pin the invariant on BOTH paths: the local union-find finish and the
+    # distributed star rounds must emit the identical edge set.
+    local_rows = star_fixpoint(edf).collect()
+    dist_rows = star_fixpoint(edf, local_max_edges=0).collect()
+    assert sorted((r["hi"], r["lo"]) for r in local_rows) == sorted(
+        (r["hi"], r["lo"]) for r in dist_rows
+    ), "fast path diverged from the distributed fixpoint"
+    rows = local_rows
     his = [r["hi"] for r in rows]
     assert len(his) == len(set(his)), "a non-center node appeared twice"
     labels = union_find(nodes, edges)
@@ -137,6 +155,7 @@ def test_unconverged_raises_instead_of_lying(spark):
             list(range(40)),
             [(i, i + 1) for i in range(39)],
             max_rounds=1,
+            local_max_edges=0,  # force the distributed rounds being tested
         )
 
 

@@ -196,3 +196,47 @@ def test_contraction_merge_equals_full_recompute(n_nodes, data):
             f"delta node {d}: contracted label {merged[d]} != full {full[d]} "
             f"(edges={sorted(edges)}, delta={sorted(delta)})"
         )
+
+
+def test_fixture_store_consumers_are_declared_incremental_only():
+    """VERDICT r12 #6: _fixture_store persists derived state across runs
+    keyed on the fixture — sanctioned ONLY where the registered semantics
+    is incremental-vs-standing-store (the store is the operator's INPUT
+    and the oracle certifies against a full recompute).  Pin the consumer
+    set at the source level so a future query can't quietly adopt the
+    store as a result cache: the only call sites of _fixture_store must
+    be the two standing-store builders, and the only consumer of those
+    builders must be q_cc_incremental."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "real_time_iot_data_engineering_pipeline_spark",
+    )
+    store_calls: list[tuple[str, str]] = []
+    builder_calls: list[tuple[str, str]] = []
+    for root, _, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(root, fn)
+            with open(p) as f:
+                src = f.read()
+            for m in re.finditer(r"_fixture_store\(", src):
+                if src[max(0, m.start() - 4) : m.start()] == "def ":
+                    continue  # the definition itself
+                line = src[: m.start()].count("\n") + 1
+                store_calls.append((fn, f"L{line}"))
+            for m in re.finditer(r"(cc_standing_store|cc_band_store)\(", src):
+                # skip the def lines themselves
+                defstart = src.rfind("def ", 0, m.start())
+                if src[defstart : m.start()].strip() == "def":
+                    continue
+                builder_calls.append((fn, m.group(1)))
+    # _fixture_store: exactly the two builders in text.py (plus its def)
+    assert all(fn == "text.py" for fn, _ in store_calls), store_calls
+    assert len(store_calls) == 2, store_calls
+    # the builders are consumed only inside q_cc_incremental (text.py)
+    assert all(fn == "text.py" for fn, _ in builder_calls), builder_calls
+    assert len(builder_calls) == 2, builder_calls

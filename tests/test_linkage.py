@@ -290,3 +290,26 @@ class TestPagerank:
             assert r["pagerank"] == pytest.approx(p[r["node"]], abs=2e-6)
         total = sum(r["pagerank"] for r in rows)
         assert total == pytest.approx(1.0, abs=1e-3), "ranks ~sum to 1"
+
+
+class TestLabelPropagationFastPath:
+    def test_local_path_equals_distributed_rounds(self, spark, sf_dir):
+        """r13: q_label_propagation_converged takes a single-task local
+        LPA below the small-graph threshold; the distributed synchronous
+        rounds must produce the IDENTICAL report.  Forcing the threshold
+        to 0 re-runs the query through the round loop, pinning the two
+        implementations (same vote rule, tie-break, seed clamping, round
+        cap) against each other on the real fixture graph."""
+        from real_time_iot_data_engineering_pipeline_spark.functions import (
+            components,
+        )
+
+        q = registry.QUERIES["q_label_propagation_converged"]
+        local = [tuple(r) for r in q(spark, sf_dir).collect()]
+        saved = components._CC_LOCAL_MAX_EDGES
+        components._CC_LOCAL_MAX_EDGES = 0
+        try:
+            dist = [tuple(r) for r in q(spark, sf_dir).collect()]
+        finally:
+            components._CC_LOCAL_MAX_EDGES = saved
+        assert local == dist
