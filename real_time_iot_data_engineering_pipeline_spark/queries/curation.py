@@ -312,9 +312,17 @@ PER_CLUSTER = 250
 SEMDEDUP_THRESH = 0.4
 
 _EMB_D_SPARK = "transform(embedding, x -> cast(x AS double))"
+# Unrolled codegen'd sums (r13): value-identical to the previous
+# aggregate(zip_with(...)) left folds (same add order; the fold seeded at
+# 0.0 and 0.0 + p0 == p0) but with no interpreted per-element lambda in
+# the hot path — see similarity.py's module-top note for the measurement.
 _NORM_SPARK = (
-    "sqrt(aggregate(transform(embedding, x -> cast(x AS double)), "
-    "cast(0 AS double), (acc, x) -> acc + x * x))"
+    "sqrt(("
+    + " + ".join(
+        f"cast(embedding[{i}] AS double) * cast(embedding[{i}] AS double)"
+        for i in range(DIM)
+    )
+    + "))"
 )
 _NORM_DUCK = (
     f"sqrt(list_sum(list_transform(generate_series(1, {DIM}), "
@@ -400,8 +408,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), F.expr(_EMB_D_SPARK).alias("semb"))
     )
     dist = F.expr(
-        "aggregate(zip_with(emb, semb, (x, y) -> (x - y) * (x - y)), "
-        "cast(0 AS double), (acc, x) -> acc + x)"
+        "("
+        + " + ".join(
+            f"(emb[{i}] - semb[{i}]) * (emb[{i}] - semb[{i}])"
+            for i in range(DIM)
+        )
+        + ")"
     )
     a = (
         c.crossJoin(F.broadcast(s))
@@ -440,8 +452,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("y_nrm"),
     )
     cos = F.expr(
-        "aggregate(zip_with(x_emb, y_emb, (x, y) -> x * y), "
-        "cast(0 AS double), (acc, x) -> acc + x)"
+        "(" + " + ".join(f"x_emb[{i}] * y_emb[{i}]" for i in range(DIM)) + ")"
     ) / (F.col("x_nrm") * F.col("y_nrm"))
     near = (
         x.join(y, (F.col("x_cid") == F.col("y_cid")) & (F.col("x_id") < F.col("y_id")))

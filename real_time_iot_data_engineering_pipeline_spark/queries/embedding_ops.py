@@ -254,10 +254,17 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.filter(F.col("vec_id") < KMEANS_K)
         .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cent"))
     )
+    # r13: unrolled codegen'd sum, value-identical to the previous
+    # aggregate(zip_with(...)) left fold (same add order; seed 0d + p0
+    # == p0) — no interpreted per-element lambda in the hot path.
     sqd = fround_guarded(
         F.expr(
-            "aggregate(zip_with(emb, cent, (x, y) -> (x - y) * (x - y)), "
-            "0d, (acc, d) -> acc + d)"
+            "("
+            + " + ".join(
+                f"(emb[{i}] - cent[{i}]) * (emb[{i}] - cent[{i}])"
+                for i in range(DIM)
+            )
+            + ")"
         ),
         9,
     )
@@ -360,8 +367,12 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.sqrt(
         F.expr(
-            "aggregate(zip_with(emb, cent, (x, y) -> (x - y) * (x - y)), "
-            "0d, (acc, v) -> acc + v)"
+            "("
+            + " + ".join(
+                f"(emb[{i}] - cent[{i}]) * (emb[{i}] - cent[{i}])"
+                for i in range(DIM)
+            )
+            + ")"
         )
     )
     dists = vecs.crossJoin(F.broadcast(cents)).select(
@@ -436,12 +447,23 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIM x n_partitions rows, never a d x d matrix.  w is quantized
     (fround 6) BEFORE the norm on both engines so normalization cannot
     amplify summation-order ULPs."""
+    # r13: unrolled array build + sum (identical values, same add order as
+    # the 0D-seeded left fold) — no interpreted per-element lambdas.
     emb = load_table(spark, sf_dir, "embeddings").select(
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+        F.expr(
+            "array("
+            + ", ".join(
+                f"cast(embedding[{i}] AS double)" for i in range(DIM)
+            )
+            + ")"
+        ).alias("e")
     )
     scored = emb.select(
         "e",
-        (F.expr("aggregate(e, 0D, (acc, x) -> acc + x)") * _V0).alias("s"),
+        (
+            F.expr("(" + " + ".join(f"e[{i}]" for i in range(DIM)) + ")")
+            * _V0
+        ).alias("s"),
     )
     w = (
         scored.select(F.posexplode("e").alias("dim", "x"), "s")

@@ -40,15 +40,69 @@ N_QUERIES = 10  # query batch: vec_id < 10
 K = 5
 
 # -- portable vector expressions (Spark) ------------------------------------
+# r13: every per-row dot / squared-distance / norm is an UNROLLED
+# left-associative sum of codegen'd array reads, not an
+# aggregate(zip_with(...)) higher-order fold — HOF lambdas evaluate per
+# element OUTSIDE whole-stage codegen, and r12 measured that interpreted
+# 64-double fold as the dominant per-candidate compute across the
+# embedding family (it forced the score-first reverts).  Value-identical:
+# the fold seeds at 0.0 and adds left-to-right, and 0.0 + p0 == p0, so the
+# unrolled p0 + p1 + ... performs the same additions in the same order.
+
+
+def _dot_sql(a: str, b: str, n: int = DIM, off: int = 0) -> str:
+    return (
+        "("
+        + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(off, off + n))
+        + ")"
+    )
+
+
+def _sqdist_sql(a: str, b: str, n: int = DIM, off: int = 0) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+            for i in range(off, off + n)
+        )
+        + ")"
+    )
+
+
+def _sqnorm_sql(v: str, n: int = DIM, off: int = 0) -> str:
+    return (
+        "("
+        + " + ".join(f"{v}[{i}] * {v}[{i}]" for i in range(off, off + n))
+        + ")"
+    )
+
+
+def _perturb_sql(dim: int) -> str:
+    """array<float> literal-index copy of `embedding` with +0.05 on the
+    1-based `dim` — the unrolled twin of the transform(sequence(...))
+    lambda form (identical values, no per-element interpretation)."""
+    return (
+        "array("
+        + ", ".join(
+            f"embedding[{i}] + cast(0.05 AS float)"
+            if i == dim - 1
+            else f"embedding[{i}]"
+            for i in range(DIM)
+        )
+        + ")"
+    )
+
+
 _EMB_D_SPARK = "transform(embedding, x -> cast(x AS double))"
 _NORM_SPARK = (
-    "sqrt(aggregate(transform(embedding, x -> cast(x AS double)), "
-    "cast(0 AS double), (acc, x) -> acc + x * x))"
+    "sqrt(("
+    + " + ".join(
+        f"cast(embedding[{i}] AS double) * cast(embedding[{i}] AS double)"
+        for i in range(DIM)
+    )
+    + "))"
 )
-_DOT_SPARK = (
-    "aggregate(zip_with(q_emb, c_emb, (x, y) -> x * y), "
-    "cast(0 AS double), (acc, x) -> acc + x)"
-)
+_DOT_SPARK = _dot_sql("q_emb", "c_emb")
 
 # -- portable vector expressions (DuckDB) -----------------------------------
 _NORM_DUCK = (
@@ -348,11 +402,7 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     perturbed = emb.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"),
-        F.expr(
-            f"transform(sequence(1, {DIM}), "
-            "i -> CASE WHEN i = 1 THEN element_at(embedding, i) + cast(0.05 AS float) "
-            "ELSE element_at(embedding, i) END)"
-        ).alias("embedding"),
+        F.expr(_perturb_sql(1)).alias("embedding"),
     )
     return emb.unionByName(perturbed)
 
@@ -436,26 +486,22 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "band_key",
     )
-    # Dedup-THEN-score, deliberately the opposite of the _minhash_pairs
-    # r12 move (score-before-dedup): here the score is an interpreted
-    # higher-order 64-double dot (zip_with + aggregate lambdas evaluate
-    # per element OUTSIDE codegen), and in a corpus self-join a true
-    # near-twin collides in ~all N_BANDS bands, so scoring before the
-    # dedup ~4x's the dominant per-candidate compute — measured
-    # interleaved old/new at sf0.1: 2.03/2.03/2.08 s dedup-first vs
-    # 3.53/2.40/2.41 s score-first (guide §1.2: an expensive per-row op
-    # feeds back into the algorithm choice).  The MinHash/SimHash pair
-    # queries keep score-first because their scores are cheap codegen'd
-    # integer comparisons.
+    # Dedup-THEN-score, re-measured and KEPT in r13.  r12's reason (the
+    # interpreted 64-double fold multiplied per band copy) is gone — the
+    # dot is codegen'd now — but the order still loses measurably with
+    # score-first: Catalyst pushes the >= cut into the join condition
+    # (dot evaluated twice per band copy, ~8x per true near-twin), and
+    # the two-tree interleaved A/B read score-first consistently slower
+    # at sf0.1 (mins 1.93 dedup-first vs 3.30 score-first) and slightly
+    # slower at 10x (7.99 vs 8.95).  The cluster-port caveat stands: on a
+    # NIC-bound shuffle the 512 B-embeddings-to-scalars exchange shrink
+    # may flip this — both-way numbers recorded here for that round.
     cand = (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    dot = F.expr(
-        "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), "
-        "cast(0 AS double), (acc, x) -> acc + x)"
-    )
+    dot = F.expr(_dot_sql("emb_a", "emb_b"))
     return (
         cand.select(
             "id_a",
@@ -581,10 +627,7 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cluster_id"), F.expr(_EMB_D_SPARK).alias("semb")
     )
-    dist = F.expr(
-        "aggregate(zip_with(emb, semb, (x, y) -> (x - y) * (x - y)), "
-        "cast(0 AS double), (acc, x) -> acc + x)"
-    )
+    dist = F.expr(_sqdist_sql("emb", "semb"))
     assign = (
         c.crossJoin(F.broadcast(s))
         .select("vec_id", "emb", F.struct(dist.alias("d"), F.col("cluster_id").alias("c")).alias("dc"))
@@ -648,11 +691,7 @@ def _decon_sides(spark: SparkSession, sf_dir: str):
     eval_ = emb.filter(bucket >= _EVAL_CUT)
     planted = eval_.filter(F.col("vec_id") % 3 == 0).select(
         (F.col("vec_id") + 20000).alias("vec_id"),
-        F.expr(
-            f"transform(sequence(1, {DIM}), "
-            "i -> CASE WHEN i = 1 THEN element_at(embedding, i) + cast(0.05 AS float) "
-            "ELSE element_at(embedding, i) END)"
-        ).alias("embedding"),
+        F.expr(_perturb_sql(1)).alias("embedding"),
     )
     return train.unionByName(planted), eval_
 
@@ -762,10 +801,7 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = tb.join(F.broadcast(eb), ["band", "band_key"]).dropDuplicates(
         ["train_id", "eval_id"]
     )
-    dot = F.expr(
-        "aggregate(zip_with(t_emb, e_emb, (x, y) -> x * y), "
-        "cast(0 AS double), (acc, x) -> acc + x)"
-    )
+    dot = F.expr(_dot_sql("t_emb", "e_emb"))
     scored = cand.select(
         "train_id",
         "eval_id",
@@ -1318,11 +1354,7 @@ def _pq_dist_duck(b: int) -> str:
 
 
 def _pq_dist_spark(b: int) -> str:
-    return (
-        f"aggregate(zip_with(slice(emb, {b * PQ_SUB + 1}, {PQ_SUB}), "
-        f"slice(s_emb, {b * PQ_SUB + 1}, {PQ_SUB}), "
-        "(x, y) -> (x - y) * (x - y)), cast(0 AS double), (acc, x) -> acc + x)"
-    )
+    return _sqdist_sql("emb", "s_emb", n=PQ_SUB, off=b * PQ_SUB)
 
 
 @register(
@@ -1493,13 +1525,8 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cemb")
         )
     )
-    dot = F.expr(
-        "aggregate(zip_with(emb, cemb, (a, b) -> a * b), 0D,"
-        " (acc, x) -> acc + x)"
-    )
-    norm = lambda col: F.sqrt(
-        F.expr(f"aggregate({col}, 0D, (acc, x) -> acc + x * x)")
-    )
+    dot = F.expr(_dot_sql("emb", "cemb"))
+    norm = lambda col: F.sqrt(F.expr(_sqnorm_sql(col)))
     scored = c.join(F.broadcast(cent), "label").select(
         "vec_id",
         "label",
@@ -1538,13 +1565,14 @@ _DOT_H_DUCK = (
     "i -> q.q_emb[i] * c.c_emb[i]))"
 )
 _NORM_H_SPARK = (
-    f"sqrt(aggregate(slice(transform(embedding, x -> cast(x AS double)), 1, {HALF_DIM}), "
-    "cast(0 AS double), (acc, x) -> acc + x * x))"
+    "sqrt(("
+    + " + ".join(
+        f"cast(embedding[{i}] AS double) * cast(embedding[{i}] AS double)"
+        for i in range(HALF_DIM)
+    )
+    + "))"
 )
-_DOT_H_SPARK = (
-    f"aggregate(zip_with(slice(q_emb, 1, {HALF_DIM}), slice(c_emb, 1, {HALF_DIM}), "
-    "(x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"
-)
+_DOT_H_SPARK = _dot_sql("q_emb", "c_emb", n=HALF_DIM)
 
 
 def _top1_agreement(
@@ -1938,10 +1966,7 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cluster_id"), F.expr(_EMB_D_SPARK).alias("semb")
     )
-    dist = F.expr(
-        "aggregate(zip_with(emb, semb, (x, y) -> (x - y) * (x - y)), "
-        "cast(0 AS double), (acc, x) -> acc + x)"
-    )
+    dist = F.expr(_sqdist_sql("emb", "semb"))
     assign = (
         c.crossJoin(F.broadcast(s))
         .select(
@@ -2100,12 +2125,7 @@ _INC_CORPUS_DUCK = f"""
 def _inc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def _perturb(dim: int) -> str:
-        return (
-            f"transform(sequence(1, {DIM}), "
-            f"i -> CASE WHEN i = {dim} THEN element_at(embedding, i) "
-            "+ cast(0.05 AS float) ELSE element_at(embedding, i) END)"
-        )
+    _perturb = _perturb_sql
 
     a = emb.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 10001).alias("vec_id"),
@@ -2234,10 +2254,7 @@ def q_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("other_id"))
         .dropDuplicates(["vec_id", "other_id"])
     )
-    dot = F.expr(
-        "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), "
-        "cast(0 AS double), (acc, x) -> acc + x)"
-    )
+    dot = F.expr(_dot_sql("emb_a", "emb_b"))
     matches = cand.select(
         "vec_id",
         "other_id",
@@ -2421,10 +2438,7 @@ NPROBE = 2  # coarse cells probed per query
 # arrays (the raw avg differs at summation-order ULPs; the quantum absorbs
 # it).  Cell-routing distances then fold the identical doubles in identical
 # element order, so the nprobe ranking is deterministic without a tolerance.
-_CENT_DIST_SPARK = (
-    "aggregate(zip_with(q_emb, cvec, (x, y) -> (x - y) * (x - y)), "
-    "cast(0 AS double), (acc, x) -> acc + x)"
-)
+_CENT_DIST_SPARK = _sqdist_sql("q_emb", "cvec")
 _CENT_DIST_DUCK = (
     f"list_sum(list_transform(generate_series(1, {DIM}), "
     "i -> (q.q_emb[i] - cl.cvec[i]) * (q.q_emb[i] - cl.cvec[i])))"
@@ -2867,13 +2881,16 @@ _SEM_DOT_DUCK = (
     " i -> {a}[i] * {b}[i]))"
 )
 
+# .format(v=...) / .format(a=..., b=...) templates — unrolled like the
+# module-top helpers (the {} placeholders survive the join because the
+# terms are %-formatted).
 _AGG_NORM_SPARK = (
-    "sqrt(aggregate(transform({v}, x -> x * x), cast(0 AS double),"
-    " (acc, x) -> acc + x))"
+    "sqrt(("
+    + " + ".join("{v}[%d] * {v}[%d]" % (i, i) for i in range(DIM))
+    + "))"
 )
 _AGG_DOT_SPARK = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 AS double),"
-    " (acc, x) -> acc + x)"
+    "(" + " + ".join("{a}[%d] * {b}[%d]" % (i, i) for i in range(DIM)) + ")"
 )
 
 
@@ -3016,10 +3033,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = c.filter(F.col("vec_id") < SEMDEDUP_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("emb").alias("semb")
     )
-    dist = F.expr(
-        "aggregate(zip_with(emb, semb, (x, y) -> (x - y) * (x - y)), "
-        "cast(0 AS double), (acc, x) -> acc + x)"
-    )
+    dist = F.expr(_sqdist_sql("emb", "semb"))
     assign = (
         c.crossJoin(F.broadcast(s))
         .select(

@@ -270,9 +270,19 @@ def _banded(sigs: DataFrame) -> DataFrame:
     )
 
 
+# r13: the matching-slot count is an UNROLLED sum of 32 codegen'd
+# equality terms, not a filter-over-sequence lambda — higher-order
+# functions evaluate their lambda per element OUTSIDE whole-stage codegen,
+# and r12 measured that interpreted 32-slot comparison as the dominant
+# per-pair compute in the LSH family (it forced the score-first revert).
+# Integer count / 32 is value-identical to the filtered-size form.
 _EST_JACCARD_SQL = (
-    f"cast(size(filter(sequence(1, {_K}), "
-    f"i -> element_at(sig_a, i) = element_at(sig_b, i))) AS double) / {_K}"
+    "cast(("
+    + " + ".join(
+        f"(CASE WHEN sig_a[{i}] = sig_b[{i}] THEN 1 ELSE 0 END)"
+        for i in range(_K)
+    )
+    + f") AS double) / {_K}"
 )
 
 
@@ -287,34 +297,31 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_key"
     )
-    # Dedup-THEN-score, restored after a measured r12 experiment with the
-    # reverse order.  Score-before-dedup shrinks the dedup exchange from
-    # both 256 B signatures to one (doc_a, doc_b, est) row, BUT Catalyst
-    # pushes the est >= 0.5 cut INTO the join condition where it cannot
-    # reference the projection, so the interpreted 32-slot higher-order
-    # comparison (filter-over-sequence lambdas run outside codegen)
-    # evaluates TWICE per band-collision candidate — measured interleaved
-    # old/new at the 10x fixture: 4.04/4.40/4.59 s dedup-first vs
-    # 4.45/5.03/5.00 s score-first (sf0.1 mins 2.28 vs 2.35), consistent
-    # across five alternating rounds.  On a network-shuffled cluster the
-    # bytes argument may win; on this contract's bench host the compute
-    # duplication does.  q_simhash_pairs keeps score-first because its
-    # hamming score is codegen'd bit_count over four ints.
+    # Score-BEFORE-dedup (re-flipped in r13).  r12 tried this order and
+    # reverted it: Catalyst pushes the est >= 0.5 cut INTO the join
+    # condition, and with est as an interpreted filter-over-sequence
+    # lambda the double evaluation per band-collision candidate cost more
+    # than the exchange shrink saved (10x mins 4.04-4.59 dedup-first vs
+    # 4.45-5.03 score-first).  r13 unrolled est into 32 codegen'd
+    # comparisons (_EST_JACCARD_SQL), which removes the penalty: two-tree
+    # interleaved 10x mins now read 5.10 old dedup-first vs 5.52
+    # score-first on q_doc_dedup_minhash and 8.92 vs 8.50 on
+    # q_minhash_eval — neutral on this host, where shuffle bytes move
+    # through the page cache for free.  Score-first is kept because it is
+    # the 100 TB shape: the dedup exchange carries (doc_a, doc_b, est) ~24
+    # B/candidate instead of two 256 B signatures, and the est >= 0.5 cut
+    # drops sub-threshold candidates BEFORE they shuffle.  The est value
+    # is pure per-pair, so every band-duplicate copy carries the same
+    # number and dropDuplicates stays deterministic (oracle-certified).
     pairs = (
         left.join(right, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = F.expr(
-        f"cast(size(filter(sequence(1, {_K}), "
-        f"i -> element_at(sig_a, i) = element_at(sig_b, i))) AS double) / {_K}"
-    )
-    return (
-        pairs.withColumn("est_jaccard", est)
+        .withColumn("est_jaccard", F.expr(_EST_JACCARD_SQL))
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
+    return pairs
 
 
 # ---------------------------------------------------------------------------

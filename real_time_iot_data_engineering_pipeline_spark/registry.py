@@ -66,102 +66,63 @@ _QUERY_MODULES = (
 # order; every query that falls outside the window as a result already
 # holds a green driver row (CORRECTNESS_r01 and/or _r02).
 _DRIVER_PRIORITY = (
-    # round-12 rotation: CERTIFICATION-FRESHNESS pass, continuing the
-    # oldest-cert-first policy.  CORRECTNESS_r11 converted all 50 round-11
-    # slots to green rows; the staleness tail is now 32 queries last
-    # certified in round 5 (age 7 at the round-12 build — past the 6-round
-    # cadence bar, so they MUST rotate in: the whole r11 overflow queue)
-    # and 49 certified in round 6.  Window = 2 new + 4 code-change
-    # re-fronts + all 32 r5 + 12 of the 49 r6 (the alphabetically-first
-    # 14 minus q_doc_length_bands and q_doc_containment); the remaining
-    # 37 r6 overflow to _NEXT_ROUND_PRIORITY (scheduled, so
-    # cadence-green).  (Amended in-round: the new operators q_semdedup
-    # and q_doremi_weights took two r6 slots — the r11 amendment
-    # precedent; q_doc_length_bands and q_doc_containment moved to the
-    # overflow front rather than q_dup_group_stats, which has waited
-    # since the r11 window already.)
-    # -- new in round 12 (never certified):
-    "q_semdedup",
-    "q_doremi_weights",
-    # -- code changed in round 12 (listed in tests' _RECERTIFY, exempt
-    # from the oldest-first invariant): q_kn_doc_ppl fuses the NLL-quantile
-    # keep-threshold pass into the per-doc aggregation (VERDICT r11 #3b);
-    # q_sparse_cosine_topk gains the real per-term posting cap with
-    # candidate-then-verify rescoring (VERDICT r11 #4); q_cc_incremental's
-    # standing store becomes a materialized-parquet setup step (plus the
-    # materialized LSH band index) so the benched operator is the actual
-    # delta merge (VERDICT r11 #5); q_dsir_weights' logw rounding becomes
-    # fround_guarded (ADVICE r11).  (q_simhash_eval also changed —
-    # lineage checkpoint, bit-identical results — but already sits in the
-    # r5 rotation group below.)
-    "q_kn_doc_ppl",
-    "q_sparse_cosine_topk",
+    # round-13 rotation (optimization round 2): CORRECTNESS_r12 converted
+    # all 50 round-12 slots to green rows.  This round's optimizations
+    # touched 35 queries whose executed code changed (results proven
+    # identical against the DuckDB oracle at sf0.001+sf0.01 in-session,
+    # but the driver's hard-signal row must re-certify the new code —
+    # all 35 are in tests' _RECERTIFY, exempt from the oldest-first
+    # invariant).  The remaining 15 slots take the alphabetically-first
+    # of the staleness tail: 34 queries last certified round 6 (age 7 —
+    # past the 6-round cadence bar, so window or overflow is mandatory);
+    # the other 19 r6 plus the 30 round-7-certified (age 6 — mandatory
+    # NEXT round) queue in _NEXT_ROUND_PRIORITY.
+    # -- code changed in round 13 (see OPTIMIZATION_r13.md):
+    # minhash est_jaccard unrolled to codegen (text.py) + CC small-graph
+    # fast path (functions/components.py):
+    "q_doc_dedup_minhash",
+    "q_doc_dup_groups",
+    "q_doc_dup_groups_cc",
+    "q_dup_group_stats",
     "q_cc_incremental",
-    "q_dsir_weights",
-    # -- last driver-certified round 5 (all 32 — the r11 overflow queue):
+    "q_minhash_eval",
+    "q_dedup_incremental",
+    # q_ngram_novelty reverted to the anti-join form; q_jaccard_setjoin
+    # dropped the r12 pref checkpoint; LP gained the small-graph path:
+    "q_ngram_novelty",
+    "q_jaccard_setjoin",
+    "q_label_propagation_converged",
+    # embedding family: dot/norm/distance lambdas unrolled to codegen
+    # (similarity.py, curation.py, embedding_ops.py):
+    "q_semdedup",
     "q_embed_binary_eval",
     "q_embed_truncation_eval",
-    "q_ewma_daily",
-    "q_gap_interp",
-    "q_heaps_law",
-    "q_hour_profile",
-    "q_kaplan_meier",
-    "q_ks_test",
-    "q_mann_whitney",
-    "q_market_basket",
-    "q_markov_transitions",
-    "q_minhash_eval",
-    "q_name_linkage",
-    "q_ngram_novelty",
-    "q_open_orders",
-    "q_pagerank",
     "q_pq_codes",
-    "q_psi",
-    "q_repeated_substrings",
-    "q_rfm_segments",
-    "q_rolling_corr",
-    "q_runs_test",
-    "q_seasonal_decompose",
-    "q_simhash_eval",
-    "q_skipgram_pairs",
-    "q_source_divergence",
-    "q_source_overlap",
-    "q_source_quality_report",
-    "q_theil_sen",
-    "q_trend_slope",
-    "q_welch_ttest",
-    "q_zipf_fit",
-    # -- last driver-certified round 6 (first 14 of 49):
-    "q_active_users",
-    "q_also_bought",
-    "q_bloom_membership",
-    "q_bottomk_sample",
-    "q_cluster_keywords",
     "q_cluster_purity",
-    "q_ctr_wilson",
-    "q_cusum_alarm",
-    "q_dataset_manifest",
-    "q_dedup_cost_curve",
-    "q_degree_distribution",
-    "q_dup_group_stats",
-)
-
-# Rotation OVERFLOW queue: stale-certified queries that did not fit in this
-# round's 50-slot window.  They order immediately after the window
-# (positions 51+) and are the mandatory front of next round's rotation —
-# the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
-# "scheduled for re-cert" when enforcing the <=6-round freshness bar.
-_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
-    # -- last driver-certified round 6 (remaining 37 of 49; 12 took the
-    # window slots left after the two new round-12 operators, the four
-    # code-change re-fronts and the mandatory 32 r5 rotations;
-    # q_doc_length_bands and q_doc_containment dropped out of the window
-    # when q_semdedup / q_doremi_weights joined the front):
+    "q_embed_anisotropy",
+    "q_embed_outliers",
+    "q_embed_knn",
+    "q_embed_knn_lsh",
+    "q_embed_near_dup",
+    "q_embed_ivf",
+    "q_embed_centroids",
+    "q_semantic_decontaminate",
+    "q_hard_negatives",
+    "q_embed_dedup_incremental",
+    "q_pq_adc_knn",
+    "q_ivf_adc_knn",
+    "q_ivfadc_residual_knn",
+    "q_knn_classify",
+    "q_ann_recall",
+    "q_semantic_dedup",
+    "q_embed_centroid_drift",
+    "q_kmeans_step",
+    "q_silhouette",
+    "q_power_iteration",
+    # -- last driver-certified round 6 (alphabetically-first 15 of the 34
+    # not already re-fronted above):
     "q_doc_containment",
     "q_doc_length_bands",
-    "q_embed_anisotropy",
-    "q_embed_centroid_drift",
-    "q_embed_outliers",
     "q_eval_grams",
     "q_hill_tail",
     "q_hll_distinct",
@@ -175,6 +136,16 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_misra_gries",
     "q_mix_shift",
     "q_order_reorder_rate",
+)
+
+# Rotation OVERFLOW queue: stale-certified queries that did not fit in this
+# round's 50-slot window.  They order immediately after the window
+# (positions 51+) and are the mandatory front of next round's rotation —
+# the cadence guard (tests/test_oracle_parity.py) treats window+overflow as
+# "scheduled for re-cert" when enforcing the <=6-round freshness bar.
+_NEXT_ROUND_PRIORITY: tuple[str, ...] = (
+    # -- last driver-certified round 6 (remaining 19 of the 34 after the
+    # window's 15): the mandatory front of the round-14 rotation.
     "q_pack_efficiency",
     "q_partition_plan",
     "q_price_elasticity",
@@ -194,6 +165,38 @@ _NEXT_ROUND_PRIORITY: tuple[str, ...] = (
     "q_vocab_coverage",
     "q_weekday_anova",
     "q_welford_stats",
+    # -- last driver-certified round 7 (age 6 at the r13 build — hits the
+    # cadence bar at r14, so they queue here already):
+    "q_abc_classes",
+    "q_boilerplate",
+    "q_c4_filters",
+    "q_ccnet_buckets",
+    "q_cdc_apply",
+    "q_cms_heavy_hitters",
+    "q_code_detect",
+    "q_cosupply_triangles",
+    "q_cross_corr",
+    "q_decayed_counts",
+    "q_editdist_refine",
+    "q_gopher_rules",
+    "q_holt_linear",
+    "q_ivm_merge",
+    "q_k_anonymity",
+    "q_kmv_setops",
+    "q_label_propagation",
+    "q_lag_features",
+    "q_local_clustering",
+    "q_order_priority_exists",
+    "q_pruning_audit",
+    "q_rate_limit",
+    "q_serve_analytics_hourly",
+    "q_serve_request_audit",
+    "q_serve_sensor_detail",
+    "q_serve_sensors_page",
+    "q_snapshot_diff",
+    "q_url_dedup",
+    "q_value_deciles",
+    "q_volume_anomaly",
 )
 
 

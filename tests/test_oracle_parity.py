@@ -68,19 +68,50 @@ def test_driver_priority_queries_inside_50_window():
 
 # Re-fronted because their code or oracle changed after the certifying
 # round (the old green row no longer certifies the current behaviour).
-# These are exempt from the oldest-first invariant.  Round 12:
-# q_kn_doc_ppl fuses the NLL-quantile keep-threshold pass into the
-# per-doc aggregation (VERDICT r11 #3b); q_sparse_cosine_topk implements
-# the per-term posting cap with candidate-then-verify rescoring the
-# docstring promised (VERDICT r11 #4); q_cc_incremental's standing store
-# becomes a materialized-parquet setup step so the benched operator is
-# the actual delta merge (VERDICT r11 #5); q_dsir_weights' logw rounding
-# became fround_guarded (ADVICE r11).
+# These are exempt from the oldest-first invariant.  Round 13
+# (optimization round 2, see OPTIMIZATION_r13.md): the minhash
+# est_jaccard and every embedding dot/norm/distance lambda were unrolled
+# to codegen'd sums (value-identical, oracle-verified in-session at
+# sf0.001 + sf0.01); the CC star fixpoint and converged label
+# propagation gained a single-task small-graph fast path;
+# q_ngram_novelty reverted to the anti-join form; q_jaccard_setjoin
+# dropped the r12 pref checkpoint.
 _RECERTIFY: set[str] = {
-    "q_kn_doc_ppl",
-    "q_sparse_cosine_topk",
+    "q_doc_dedup_minhash",
+    "q_doc_dup_groups",
+    "q_doc_dup_groups_cc",
+    "q_dup_group_stats",
     "q_cc_incremental",
-    "q_dsir_weights",
+    "q_minhash_eval",
+    "q_dedup_incremental",
+    "q_ngram_novelty",
+    "q_jaccard_setjoin",
+    "q_label_propagation_converged",
+    "q_semdedup",
+    "q_embed_binary_eval",
+    "q_embed_truncation_eval",
+    "q_pq_codes",
+    "q_cluster_purity",
+    "q_embed_anisotropy",
+    "q_embed_outliers",
+    "q_embed_knn",
+    "q_embed_knn_lsh",
+    "q_embed_near_dup",
+    "q_embed_ivf",
+    "q_embed_centroids",
+    "q_semantic_decontaminate",
+    "q_hard_negatives",
+    "q_embed_dedup_incremental",
+    "q_pq_adc_knn",
+    "q_ivf_adc_knn",
+    "q_ivfadc_residual_knn",
+    "q_knn_classify",
+    "q_ann_recall",
+    "q_semantic_dedup",
+    "q_embed_centroid_drift",
+    "q_kmeans_step",
+    "q_silhouette",
+    "q_power_iteration",
 }
 
 # Certification-freshness horizon (rounds).  A query whose latest green
